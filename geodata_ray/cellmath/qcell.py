@@ -1,0 +1,226 @@
+"""Quantized hierarchical cell scheme with an H3-like API.
+
+This is the engine's tiling key (columns ``h3_r5``..``h3_r9`` on the
+flagship pipeline).  It deliberately is NOT Uber H3 bit-for-bit — the
+real library is unavailable both here and in the DuckDB oracle — but it
+provides the same *capabilities* the reference's grid logic needs
+(hierarchy, neighbors, areas, centroid; cf. the dense lat/lon grids of
+``/root/reference/src/geodata/cutout.py:908-926`` and the coarsen /
+reindex resampling at ``cutout.py:929-1001``), and its encoding is
+reproducible in ANSI SQL so the correctness harness can verify tile
+assignments independently (see :func:`cell_sql_expr`).
+
+Layout of a cell id (fits in a signed 64-bit integer, max ``15<<58``):
+
+    cell = (res << 58) | (row << 29) | col
+
+where at resolution ``r``:
+
+    nlat(r) = 2**(r+2)   rows    (latitude  bands, -90..90)
+    nlon(r) = 2**(r+3)   cols    (longitude bands, -180..180)
+    row = clamp(floor((lat +  90) / 180 * nlat), 0, nlat-1)
+    col = clamp(floor((lon + 180) / 360 * nlon), 0, nlon-1)
+
+Resolution 0 is an 8x4 grid (~45 deg cells); each step quarters the cell
+(2x in each axis), so ``parent(cell) = (res-1, row>>1, col>>1)`` exactly
+— hierarchy containment is pure bit math (``floor(floor(x*2^n)/2) ==
+floor(x*2^(n-1))`` for x >= 0).  Resolution 7 cells are ~0.35 deg x
+0.28 deg (~30 km), comparable to H3 res ~5-6 and to the reference's
+MERRA-2 grid pitch (0.5 x 0.625 deg).
+
+All functions are vectorized numpy over int64/float64 arrays and accept
+scalars.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+RES_SHIFT = 58
+ROW_SHIFT = 29
+ROW_MASK = (np.int64(1) << RES_SHIFT) - (np.int64(1) << ROW_SHIFT)
+COL_MASK = (np.int64(1) << ROW_SHIFT) - 1
+MAX_RES = 15
+
+EARTH_RADIUS_KM = 6371.0088  # mean Earth radius (IUGG)
+
+
+def _nlat(res):
+    return np.int64(1) << (np.asarray(res, dtype=np.int64) + 2)
+
+
+def _nlon(res):
+    return np.int64(1) << (np.asarray(res, dtype=np.int64) + 3)
+
+
+def latlng_to_cell(lat, lon, res: int):
+    """Encode lat/lon (degrees) to a cell id at resolution ``res``.
+
+    Vectorized; NaN coordinates map to cell id -1 (the engine's null
+    cell sentinel, filtered by downstream joins).
+    """
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    nlat = np.int64(1) << (res + 2)
+    nlon = np.int64(1) << (res + 3)
+    # float64 ops identical to the SQL expression in cell_sql_expr()
+    row = np.floor((lat + 90.0) / 180.0 * nlat)
+    col = np.floor((lon + 180.0) / 360.0 * nlon)
+    bad = ~(np.isfinite(row) & np.isfinite(col))
+    row = np.clip(np.where(bad, 0, row), 0, float(nlat - 1)).astype(np.int64)
+    col = np.clip(np.where(bad, 0, col), 0, float(nlon - 1)).astype(np.int64)
+    cell = (np.int64(res) << RES_SHIFT) | (row << ROW_SHIFT) | col
+    return np.where(bad, np.int64(-1), cell)
+
+
+def cell_sql_expr(lat_expr: str, lon_expr: str, res: int) -> str:
+    """ANSI-SQL expression computing the same cell id as
+    :func:`latlng_to_cell` (DuckDB-compatible; used by ``oracle_sql``).
+    """
+    nlat = 1 << (res + 2)
+    nlon = 1 << (res + 3)
+    row = (
+        f"LEAST(GREATEST(CAST(FLOOR(({lat_expr} + 90.0) / 180.0 * {nlat}) "
+        f"AS BIGINT), 0), {nlat - 1})"
+    )
+    col = (
+        f"LEAST(GREATEST(CAST(FLOOR(({lon_expr} + 180.0) / 360.0 * {nlon}) "
+        f"AS BIGINT), 0), {nlon - 1})"
+    )
+    return f"(({res} * {1 << RES_SHIFT}) + ({row} * {1 << ROW_SHIFT}) + {col})"
+
+
+def cell_resolution(cell):
+    """Resolution encoded in a cell id."""
+    return (np.asarray(cell, dtype=np.int64) >> RES_SHIFT).astype(np.int64)
+
+
+def cell_to_rowcol(cell):
+    """Return ``(res, row, col)`` arrays for cell ids."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell >> RES_SHIFT
+    row = (cell & ROW_MASK) >> ROW_SHIFT
+    col = cell & COL_MASK
+    return res, row, col
+
+
+def rowcol_to_cell(res, row, col):
+    res = np.asarray(res, dtype=np.int64)
+    row = np.asarray(row, dtype=np.int64)
+    col = np.asarray(col, dtype=np.int64)
+    return (res << RES_SHIFT) | (row << ROW_SHIFT) | col
+
+
+def cell_to_parent(cell, parent_res: int | None = None):
+    """Parent cell at ``parent_res`` (default: one level up)."""
+    res, row, col = cell_to_rowcol(cell)
+    if parent_res is None:
+        d = np.int64(1)
+    else:
+        d = res - np.int64(parent_res)
+        if np.any(d < 0):
+            raise ValueError("parent_res must be <= cell resolution")
+    return rowcol_to_cell(res - d, row >> d, col >> d)
+
+
+def cell_to_children(cell, child_res: int):
+    """All children of a (scalar) cell at ``child_res`` (sorted)."""
+    res, row, col = cell_to_rowcol(np.int64(cell))
+    d = int(child_res) - int(res)
+    if d < 0:
+        raise ValueError("child_res must be >= cell resolution")
+    n = 1 << d
+    rows = (np.int64(row) << d) + np.arange(n, dtype=np.int64)
+    cols = (np.int64(col) << d) + np.arange(n, dtype=np.int64)
+    rr, cc = np.meshgrid(rows, cols, indexing="ij")
+    return np.sort(rowcol_to_cell(child_res, rr.ravel(), cc.ravel()))
+
+
+def cell_to_latlng(cell):
+    """Cell centroid ``(lat, lon)`` in degrees."""
+    res, row, col = cell_to_rowcol(cell)
+    nlat = _nlat(res).astype(np.float64)
+    nlon = _nlon(res).astype(np.float64)
+    lat = (row.astype(np.float64) + 0.5) / nlat * 180.0 - 90.0
+    lon = (col.astype(np.float64) + 0.5) / nlon * 360.0 - 180.0
+    return lat, lon
+
+
+def cell_bounds(cell):
+    """Cell bounding box ``(lat_min, lat_max, lon_min, lon_max)`` deg."""
+    res, row, col = cell_to_rowcol(cell)
+    nlat = _nlat(res).astype(np.float64)
+    nlon = _nlon(res).astype(np.float64)
+    lat0 = row.astype(np.float64) / nlat * 180.0 - 90.0
+    lat1 = (row.astype(np.float64) + 1.0) / nlat * 180.0 - 90.0
+    lon0 = col.astype(np.float64) / nlon * 360.0 - 180.0
+    lon1 = (col.astype(np.float64) + 1.0) / nlon * 360.0 - 180.0
+    return lat0, lat1, lon0, lon1
+
+
+def grid_disk(cell, k: int = 1):
+    """kRing: the set of cells within Chebyshev distance ``k`` on the
+    (row, col) grid, with longitude wraparound and latitude clamping at
+    the poles.  Scalar cell -> sorted unique 1-D array; array of cells
+    -> (cells, offsets) is not provided — use :func:`grid_disk_multi`.
+    """
+    res, row, col = cell_to_rowcol(np.int64(cell))
+    res_i, row_i, col_i = int(res), int(row), int(col)
+    nlat = 1 << (res_i + 2)
+    nlon = 1 << (res_i + 3)
+    dr = np.arange(-k, k + 1, dtype=np.int64)
+    dc = np.arange(-k, k + 1, dtype=np.int64)
+    rr, cc = np.meshgrid(row_i + dr, col_i + dc, indexing="ij")
+    keep = (rr >= 0) & (rr < nlat)
+    rr = rr[keep]
+    cc = np.mod(cc[keep], nlon)
+    return np.unique(rowcol_to_cell(res_i, rr, cc))
+
+
+def grid_disk_multi(cells, k: int = 1):
+    """Vectorized kRing for an array of same-resolution cells.
+
+    Returns ``(origin_idx, neighbor_cell)`` flat arrays: for each input
+    index i, all neighbor cells of ``cells[i]`` (with wrap/clamp).
+    Used by the cell-local kNN expansion (SURVEY.md J10).
+    """
+    cells = np.asarray(cells, dtype=np.int64)
+    res, row, col = cell_to_rowcol(cells)
+    if cells.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    r0 = int(res.flat[0])
+    nlat = np.int64(1) << (r0 + 2)
+    nlon = np.int64(1) << (r0 + 3)
+    side = 2 * k + 1
+    dr = np.arange(-k, k + 1, dtype=np.int64)
+    dc = np.arange(-k, k + 1, dtype=np.int64)
+    drr, dcc = np.meshgrid(dr, dc, indexing="ij")
+    drr = drr.ravel()
+    dcc = dcc.ravel()
+    n = cells.shape[0]
+    rr = row[:, None] + drr[None, :]  # (n, side*side)
+    cc = np.mod(col[:, None] + dcc[None, :], nlon)
+    keep = (rr >= 0) & (rr < nlat)
+    origin = np.broadcast_to(np.arange(n, dtype=np.int64)[:, None], rr.shape)
+    return (
+        origin[keep],
+        rowcol_to_cell(r0, rr[keep], cc[keep]),
+    )
+
+
+def cell_area_km2(cell):
+    """Exact spherical area of a cell in km^2.
+
+    A latitude band slice: ``A = R^2 * dlon_rad * (sin(lat1) - sin(lat0))``
+    — the closed-form equal-area formula the reference approximates with
+    per-latitude Albers polygons (``cutout.py:1004-1033``).
+    """
+    lat0, lat1, lon0, lon1 = cell_bounds(cell)
+    dlon = np.deg2rad(lon1 - lon0)
+    return (
+        EARTH_RADIUS_KM**2
+        * dlon
+        * (np.sin(np.deg2rad(lat1)) - np.sin(np.deg2rad(lat0)))
+    )
