@@ -1,0 +1,421 @@
+"""Driver-contract queries: Ray Data pipelines + DuckDB oracle SQL.
+
+Each entry implements one operator family from SURVEY.md §2 over the
+driver-provided tables (region nation customer supplier part orders
+lineitem events documents embeddings) so the harness can compare the
+Ray result against ANSI SQL at sf=0.01 (row count + schema +
+order-insensitive value hash).
+
+Conventions:
+- every computed column is named identically in Ray and SQL;
+- floating aggregates are exposed as SCALED INTEGERS (cents /
+  basis-point units): the driver hash-compares values, float sums
+  accumulate in different orders across engines, and DuckDB's ROUND
+  and pyarrow's round do not even produce the same float64 bits for
+  the same input.  All money columns in the driver tables are exact
+  2-decimal values, so e.g. ``CAST(ROUND(SUM(x)*100) AS BIGINT)`` is
+  engine-independent (true value integral, float error ~1e-9 << 0.5);
+- per-row derived floats (no aggregation) are emitted unrounded: the
+  same IEEE expression tree produces bit-identical float64 in numpy
+  and DuckDB (proven by the tile-assignment query);
+- geo queries derive deterministic lat/lon from integer ids with
+  arithmetic expressible in both numpy and SQL, then tile with
+  ``cellmath.cell_sql_expr`` — making tile assignments SQL-auditable
+  (SURVEY.md §7.0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from geodata_ray.cellmath import qcell
+from geodata_ray.stages.relational import (
+    anti_join,
+    broadcast_join,
+    grouped_aggregate,
+)
+
+# deterministic synthetic geocode for integer ids (Knuth multiplicative
+# hashes; BIGINT-safe in both numpy int64 and DuckDB)
+_GEO_A = 2654435761
+_GEO_B = 1640531527
+_GEO_M = 4294967296
+
+
+def _derive_lat_np(ids: np.ndarray) -> np.ndarray:
+    return ((ids * _GEO_A) % _GEO_M) / _GEO_M * 170.0 - 85.0
+
+
+def _derive_lon_np(ids: np.ndarray) -> np.ndarray:
+    return ((ids * _GEO_B) % _GEO_M) / _GEO_M * 360.0 - 180.0
+
+
+def _derive_lat_sql(col: str) -> str:
+    return f"((({col} * {_GEO_A}) % {_GEO_M}) / {_GEO_M} * 170.0 - 85.0)"
+
+
+def _derive_lon_sql(col: str) -> str:
+    return f"((({col} * {_GEO_B}) % {_GEO_M}) / {_GEO_M} * 360.0 - 180.0)"
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _scale_to_int(ds, spec: dict[str, int]):
+    """Replace float columns with ``round(col * scale)`` as int64 —
+    engine-independent when the true value times scale is integral."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        for col, scale in spec.items():
+            i = batch.schema.get_field_index(col)
+            v = pc.round(pc.multiply(pc.cast(batch[col], pa.float64()), float(scale)))
+            batch = batch.set_column(i, col, pc.cast(v, pa.int64()))
+        return batch
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q: pricing summary (reference analogue: grouped means/sums A1-A4)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"])
+        )
+        return batch.append_column("disc_price", disc_price)
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = grouped_aggregate(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("l_quantity", "sum", "sum_qty"),
+            ("l_extendedprice", "sum", "sum_base_price_cents"),
+            ("disc_price", "sum", "sum_disc_price_bp"),
+            ("l_quantity", "count", "count_order"),
+        ],
+    )
+    return _scale_to_int(
+        out,
+        {"sum_qty": 1, "sum_base_price_cents": 100, "sum_disc_price_bp": 10000},
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity)) AS BIGINT)             AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT)  AS sum_base_price_cents,
+       CAST(ROUND(SUM(l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)
+                                                          AS sum_disc_price_bp,
+       COUNT(*)                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: SQL-audited H3 tiling (the headline tile-assignment check)
+# ---------------------------------------------------------------------------
+
+
+def tiles_r7_events(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy()
+        cell = qcell.latlng_to_cell(_derive_lat_np(ids), _derive_lon_np(ids), 7)
+        return pa.table({"cell": pa.array(cell)})
+
+    cells = ds.map_batches(encode, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("cell").aggregate([([], "count_all")])
+        return t.rename_columns(["cell", "n_points"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        cells.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n_points", alias_name="n_points"))
+    )
+
+
+TILES_R7_SQL = f"""
+SELECT {qcell.cell_sql_expr(_derive_lat_sql('event_id'), _derive_lon_sql('event_id'), 7)} AS cell,
+       COUNT(*) AS n_points
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: bbox cutout filter with anti-meridian wrap (SURVEY.md M2/M3)
+# ---------------------------------------------------------------------------
+
+
+def bbox_filter_events(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy()
+        lat = _derive_lat_np(ids)
+        lon = _derive_lon_np(ids)
+        # bbox lat [-70, 70], lon wrapping across the anti-meridian
+        keep = (lat >= -70.0) & (lat <= 70.0) & ((lon >= 120.0) | (lon <= -120.0))
+        return pa.table(
+            {
+                "event_id": pa.array(ids[keep]),
+                "lat": pa.array(lat[keep]),
+                "lon": pa.array(lon[keep]),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+BBOX_SQL = f"""
+WITH pts AS (
+  SELECT event_id,
+         {_derive_lat_sql('event_id')} AS lat0,
+         {_derive_lon_sql('event_id')} AS lon0
+  FROM events
+)
+SELECT event_id, lat0 AS lat, lon0 AS lon
+FROM pts
+WHERE lat0 BETWEEN -70.0 AND 70.0 AND (lon0 >= 120.0 OR lon0 <= -120.0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: top-k (sort+limit, SURVEY.md O5)
+# ---------------------------------------------------------------------------
+
+
+def top10_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(10)
+
+
+TOP10_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: exact dedup (SURVEY.md D6)
+# ---------------------------------------------------------------------------
+
+
+def dedup_documents_exact(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = grouped_aggregate(
+        ds,
+        ["text"],
+        [("doc_id", "min", "doc_id"), ("doc_id", "count", "n_copies")],
+    )
+    return out.select_columns(["doc_id", "n_copies"])
+
+
+DEDUP_SQL = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY text
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: temporal daily aggregate (heat-demand daily mean, SURVEY.md M16/A1)
+# ---------------------------------------------------------------------------
+
+
+def daily_user_value(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"], unit="day")
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": day,
+                "value": batch["value"],
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = grouped_aggregate(
+        ds,
+        ["user_id", "day"],
+        [("value", "sum", "sum_value_cents"), ("value", "count", "n_events")],
+    )
+    return _scale_to_int(out, {"sum_value_cents": 100})
+
+
+DAILY_SQL = """
+SELECT user_id, DATE_TRUNC('day', ts) AS day,
+       CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: broadcast dimension joins (SURVEY.md J4)
+# ---------------------------------------------------------------------------
+
+
+def customer_nation_revenue(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).rename_columns(["c_nationkey", "n_name"])
+    joined = broadcast_join(cust, nation, ["c_nationkey"])
+    out = grouped_aggregate(
+        joined,
+        ["n_name"],
+        [
+            ("c_acctbal", "sum", "sum_acctbal_cents"),
+            ("c_custkey", "count", "n_customers"),
+        ],
+    )
+    return _scale_to_int(out, {"sum_acctbal_cents": 100})
+
+
+CUST_NATION_SQL = """
+SELECT n_name, CAST(ROUND(SUM(c_acctbal) * 100) AS BIGINT) AS sum_acctbal_cents,
+       COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def orders_per_segment(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).rename_columns(["o_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, cust, ["o_custkey"])
+    out = grouped_aggregate(
+        joined,
+        ["c_mktsegment"],
+        [
+            ("o_totalprice", "sum", "revenue_cents"),
+            ("o_totalprice", "count", "n_orders"),
+        ],
+    )
+    return _scale_to_int(out, {"revenue_cents": 100})
+
+
+SEGMENT_SQL = """
+SELECT c_mktsegment, CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: anti join (SURVEY.md D3)
+# ---------------------------------------------------------------------------
+
+
+def customers_without_big_orders(sf_dir: str):
+    """Anti join: customers with no order above a threshold (plain
+    no-orders is empty at every sf — all custkeys appear in orders)."""
+    import pyarrow.parquet as pq
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    ot = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    okeys = (
+        ot.filter(pc.greater(ot["o_totalprice"], 300000.0))["o_custkey"]
+        .unique()
+        .to_numpy()
+    )
+    return anti_join(cust, okeys, "c_custkey")
+
+
+NO_BIG_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: distribution count (SURVEY.md A9)
+# ---------------------------------------------------------------------------
+
+
+def lang_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["lang"])
+    return grouped_aggregate(ds, ["lang"], [("lang", "count", "n_docs")])
+
+
+LANG_SQL = "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+RAY_QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "tiles_r7_events": tiles_r7_events,
+    "bbox_filter_events": bbox_filter_events,
+    "top10_orders": top10_orders,
+    "dedup_documents_exact": dedup_documents_exact,
+    "daily_user_value": daily_user_value,
+    "customer_nation_revenue": customer_nation_revenue,
+    "orders_per_segment": orders_per_segment,
+    "customers_without_big_orders": customers_without_big_orders,
+    "lang_counts": lang_counts,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": Q1_SQL,
+    "tiles_r7_events": TILES_R7_SQL,
+    "bbox_filter_events": BBOX_SQL,
+    "top10_orders": TOP10_SQL,
+    "dedup_documents_exact": DEDUP_SQL,
+    "daily_user_value": DAILY_SQL,
+    "customer_nation_revenue": CUST_NATION_SQL,
+    "orders_per_segment": SEGMENT_SQL,
+    "customers_without_big_orders": NO_BIG_ORDERS_SQL,
+    "lang_counts": LANG_SQL,
+}

@@ -1,0 +1,224 @@
+"""Relational core: scalable groupby / join / dedup building blocks.
+
+The reference's relational surface is coordinate-aligned raster algebra
+(SURVEY.md §2.4-2.7); here those semantics are generalized to proper
+relational operators with Ray-Data-scale physical plans:
+
+- ``grouped_aggregate``: ALWAYS two-phase — partial aggregation inside
+  each batch with pyarrow's vectorized hash aggregation, then a final
+  ``groupby().aggregate`` over the (tiny) partials.  A bare
+  ``ds.groupby(...)`` would shuffle every row; this ships one row per
+  (batch, key) instead, which also neutralizes key skew for
+  algebraic aggregates (sum/count/min/max/mean).
+- ``broadcast_join``: small side ``ray.put`` once, pyarrow hash join
+  per batch inside ``map_batches`` (SURVEY.md J4's mask-attach join).
+- ``semi_join`` / ``anti_join``: broadcast key set membership filter
+  (the reference's include/exclude shape extraction, ``mask.py:593-598``).
+- ``distinct_first``: exact dedup keeping the min-orderby row per key
+  (hash-partitioned groupby + per-group reduce; SURVEY.md D6).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# (input_col, fn, output_alias); fn in {sum,count,mean,min,max}
+AggSpec = tuple[str, str, str]
+
+
+def grouped_aggregate(ds, keys: Sequence[str], specs: Sequence[AggSpec]):
+    keys = list(keys)
+    # build the partial-phase pyarrow aggregation list
+    pa_aggs: list[tuple] = []
+    need: set[tuple[str, str]] = set()
+    for col, fn, _alias in specs:
+        if fn == "count":
+            need.add(("", "count_all"))
+        elif fn == "mean":
+            need.add((col, "sum"))
+            need.add(("", "count_all"))
+        elif fn in ("sum", "min", "max"):
+            need.add((col, fn))
+        else:
+            raise ValueError(f"unsupported agg fn {fn}")
+    for col, fn in sorted(need):
+        pa_aggs.append(([] if fn == "count_all" else [col], fn))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(keys).aggregate(pa_aggs)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    final_aggs = []
+    for col, fn in sorted(need):
+        pname = "count_all" if fn == "count_all" else f"{col}_{fn}"
+        if fn in ("sum", "count_all"):
+            final_aggs.append(Sum(pname, alias_name=pname))
+        elif fn == "min":
+            final_aggs.append(Min(pname, alias_name=pname))
+        elif fn == "max":
+            final_aggs.append(Max(pname, alias_name=pname))
+    out = partials.groupby(keys).aggregate(*final_aggs)
+
+    # final projection: alias + derive means
+    def project(batch: pa.Table) -> pa.Table:
+        arrays, names = [], []
+        for k in keys:
+            arrays.append(batch[k])
+            names.append(k)
+        for col, fn, alias in specs:
+            if fn == "count":
+                arrays.append(batch["count_all"])
+            elif fn == "mean":
+                arrays.append(
+                    pc.divide(
+                        pc.cast(batch[f"{col}_sum"], pa.float64()),
+                        pc.cast(batch["count_all"], pa.float64()),
+                    )
+                )
+            else:
+                arrays.append(batch[f"{col}_{fn}"])
+            names.append(alias)
+        return pa.table(dict(zip(names, arrays)))
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def _resolve(ref):
+    try:
+        import ray
+
+        if isinstance(ref, ray.ObjectRef):
+            return ray.get(ref)
+    except Exception:
+        pass
+    return ref
+
+
+class _BroadcastJoiner:
+    def __init__(self, small_ref, keys, join_type, small_cols=None):
+        small = _resolve(small_ref)
+        if isinstance(small, pd.DataFrame):
+            small = pa.Table.from_pandas(small, preserve_index=False)
+        if small_cols:
+            small = small.select(list(dict.fromkeys(list(keys) + small_cols)))
+        self.small = small.combine_chunks()
+        self.keys = list(keys)
+        self.join_type = join_type
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return batch.join(
+            self.small, keys=self.keys, join_type=self.join_type
+        )
+
+
+def broadcast_join(
+    ds,
+    small,
+    keys: Sequence[str],
+    *,
+    join_type: str = "inner",
+    small_cols: Sequence[str] | None = None,
+    concurrency=(1, 4),
+    batch_size: int = 65536,
+):
+    """Hash-join each batch of ``ds`` against a broadcast small table.
+
+    ``small`` may be a pyarrow Table / pandas DataFrame or a
+    ``ray.ObjectRef`` to one (put once, resolved per actor).  No
+    shuffle of the big side; the join runs in pyarrow acero per batch.
+    """
+    try:
+        import ray
+
+        if not isinstance(small, ray.ObjectRef):
+            small = ray.put(small)
+    except Exception:
+        pass
+    return ds.map_batches(
+        _BroadcastJoiner,
+        fn_constructor_kwargs={
+            "small_ref": small,
+            "keys": list(keys),
+            "join_type": join_type,
+            "small_cols": list(small_cols) if small_cols else None,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class _KeyFilter:
+    def __init__(self, keys_ref, key_col, keep_matches):
+        keys = _resolve(keys_ref)
+        self.value_set = pa.array(keys)
+        self.key_col = key_col
+        self.keep = keep_matches
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[self.key_col], value_set=self.value_set)
+        if not self.keep:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+
+def semi_join(ds, key_values, key_col: str, *, concurrency=(1, 4)):
+    """Keep rows whose ``key_col`` is in the broadcast key set."""
+    return ds.map_batches(
+        _KeyFilter,
+        fn_constructor_kwargs={
+            "keys_ref": key_values,
+            "key_col": key_col,
+            "keep_matches": True,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def anti_join(ds, key_values, key_col: str, *, concurrency=(1, 4)):
+    """Drop rows whose ``key_col`` is in the broadcast key set
+    (the reference's ``exclude=True`` anti-join, ``mask.py:593-598``)."""
+    return ds.map_batches(
+        _KeyFilter,
+        fn_constructor_kwargs={
+            "keys_ref": key_values,
+            "key_col": key_col,
+            "keep_matches": False,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def distinct_first(ds, key: str, order_by: str):
+    """Exact dedup: per distinct ``key`` keep the row minimizing
+    ``order_by``.  Two-phase: per-batch local winner (pyarrow), then a
+    hash-shuffle groupby over one row per (batch, key)."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            batch, sort_keys=[(order_by, "ascending"), (key, "ascending")]
+        )
+        t = batch.take(order)
+        # first row per key after stable sort
+        keys_np = t[key].to_numpy(zero_copy_only=False)
+        first = np.ones(len(t), dtype=bool)
+        first[1:] = keys_np[1:] != keys_np[:-1]
+        return t.filter(pa.array(first))
+
+    local_winners = ds.map_batches(local, batch_format="pyarrow")
+
+    def group_winner(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values([order_by, key]).head(1)
+
+    return local_winners.groupby(key).map_groups(
+        group_winner, batch_format="pandas"
+    )
