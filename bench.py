@@ -1,0 +1,170 @@
+"""Benchmark harness: headline tiling pipeline + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "rows_per_sec": ..., "tiles_per_sec": ...}
+
+Env: RAY_GRAFT_CPUS (default 32), GRAFT_SF_DIR (default
+/root/testdata/sf0.1), GRAFT_BENCH_PAGES (override page count).
+
+``--scaling``: runs the benchmark twice in fresh subprocesses at 8 and
+32 CPUs on the same cached input and reports throughputs + scaling
+efficiency (the sandbox proxy for the north rule's N vs 4N cluster
+sizes; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+PAGES_PER_DOC = 1200  # sf0.1: 5,000 docs -> 6M synthetic pages
+
+
+def _pages_cache(n_pages: int, seed: int = 42) -> str:
+    """Generate the deterministic bench page corpus once (untimed) and
+    reuse it across runs/parallelism levels."""
+    path = f"/tmp/graft_bench/pages_{n_pages}"
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done):
+        from geodata_ray.sources.synth import pages_dataset
+
+        ds = pages_dataset(n_pages, seed)
+        ds.write_parquet(path)
+        open(done, "w").write("ok")
+    return path
+
+
+def run_bench(ncpu: int, sf_dir: str) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=ncpu,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    from geodata_ray.pipelines.flagship import enrich_pages, tile_counts
+    from geodata_ray.pipelines.queries import RAY_QUERIES
+    from geodata_ray.sources.synth import polygons_table
+    from geodata_ray.stages.spatial_join import spatial_join
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", n_docs * PAGES_PER_DOC))
+    pages_path = _pages_cache(n_pages)
+
+    # warm-up (untimed): full read primes the OS page cache; a small
+    # pass through the same pipeline spawns/imports the worker
+    # processes so the timed run measures compute + shuffle, not
+    # process startup (same treatment at every parallelism level)
+    rd.read_parquet(pages_path).count()
+    from geodata_ray.sources.synth import pages_dataset
+
+    warm = pages_dataset(2000)
+    tile_counts(
+        spatial_join(enrich_pages(warm), polygons_table(200), mode="inner"),
+        res=7,
+    ).to_pandas()
+
+    timings: dict[str, float] = {}
+
+    # --- headline: extract -> geocode -> encode -> PIP join -> tiles
+    t0 = time.perf_counter()
+    pages = rd.read_parquet(pages_path)
+    enriched = enrich_pages(pages)
+    joined = spatial_join(enriched, polygons_table(200), mode="inner")
+    tiles = tile_counts(joined, res=7)
+    tile_df = tiles.to_pandas()
+    headline = time.perf_counter() - t0
+    timings["flagship_tiling"] = round(headline, 3)
+
+    n_tiles = len(tile_df)
+    join_rows = int(tile_df["n_points"].sum())
+
+    # --- representative per-query timings over the sf tables
+    for name in (
+        "q1_pricing_summary",
+        "tiles_r7_events",
+        "daily_user_value",
+        "dedup_documents_exact",
+        "customer_nation_revenue",
+    ):
+        t0 = time.perf_counter()
+        res = RAY_QUERIES[name](sf_dir)
+        res.to_pandas()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    return {
+        "metric": "flagship tiling pipeline wall time (read->extract->geocode->encode->PIP join->tile agg)",
+        "value": timings["flagship_tiling"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        "pages": n_pages,
+        "join_rows": join_rows,
+        "tiles": n_tiles,
+        "rows_per_sec": round(n_pages / headline, 1),
+        "join_rows_per_sec": round(join_rows / headline, 1),
+        "tiles_per_sec": round(n_tiles / headline, 1),
+    }
+
+
+def _subprocess_value(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        lo = _subprocess_value(8)
+        hi = _subprocess_value(32)
+        eff = (lo["value"] / hi["value"]) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling efficiency 8->32 cpus (flagship tiling)",
+                    "sec_8": lo["value"],
+                    "sec_32": hi["value"],
+                    "rows_per_sec_8": lo["rows_per_sec"],
+                    "rows_per_sec_32": hi["rows_per_sec"],
+                    "scaling_efficiency": round(eff, 3),
+                    "sf": sf_dir,
+                }
+            )
+        )
+        return
+    result = run_bench(ncpu, sf_dir)
+    print(json.dumps(result))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -160,6 +160,7 @@ def tiles_r7_events(sf_dir: str):
 
     return (
         cells.map_batches(partial, batch_format="pyarrow")
+        .repartition(8)  # tiny partial blocks -> cheap final shuffle
         .groupby("cell")
         .aggregate(Sum("n_points", alias_name="n_points"))
     )

@@ -192,7 +192,9 @@ def pages_dataset(n: int, seed: int = 42, *, blocks: int = 0):
     nothing materializes on the driver."""
     import ray.data as rd
 
-    ds = rd.range(n, override_num_blocks=blocks or max(8, n // 250_000))
+    # ~10k rows per block so a parquet sink of this dataset yields
+    # enough files for full read parallelism on a 32-way node
+    ds = rd.range(n, override_num_blocks=blocks or min(max(8, n // 10_000), 400))
 
     def gen(batch: pa.Table) -> pa.Table:
         return pages_batch(batch["id"].to_numpy(), seed)

@@ -88,7 +88,14 @@ class Geocoder:
 
 def geocode(ds, gazetteer_ref=None, *, concurrency=(1, 8), batch_size: int = 8192):
     """Dataset-level stage: stateful actor pool (regex + gazetteer
-    compiled/resolved once per actor, SURVEY.md §7.2)."""
+    compiled/resolved once per actor, SURVEY.md §7.2).
+
+    Use this form when the gazetteer is large (millions of entries —
+    resolve the ``ray.put`` ref once per actor).  For small gazetteers
+    prefer the fused stateless path in
+    :func:`geodata_ray.pipelines.flagship.enrich_pages`, which avoids
+    actor-pool startup and scales with all available CPUs.
+    """
     return ds.map_batches(
         Geocoder,
         fn_constructor_kwargs={"gazetteer_ref": gazetteer_ref},
