@@ -392,6 +392,342 @@ LANG_SQL = "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"
 
 
 # ---------------------------------------------------------------------------
+# Q: near-duplicate detection (MinHash-LSH + exact-Jaccard verify)
+# ---------------------------------------------------------------------------
+
+_MUT_SUFFIX = " zz0 zz1 zz2"
+_MUT_OFFSET = 100000
+_NDUP_LIMIT = 200  # doc_id < limit keeps the O(n^2) SQL oracle tractable
+
+
+def _ndup_corpus(sf_dir: str) -> pa.Table:
+    """documents (doc_id < limit) plus deterministic near-copies:
+    id+offset, text || suffix.  Same construction in SQL."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    t = t.filter(pc.less(t["doc_id"], _NDUP_LIMIT))
+    mut = pa.table(
+        {
+            "doc_id": pc.add(t["doc_id"], _MUT_OFFSET),
+            "text": pc.binary_join_element_wise(
+                t["text"], _MUT_SUFFIX, ""
+            ),
+        }
+    )
+    return pa.concat_tables([t, mut])
+
+
+def near_dup_pairs(sf_dir: str):
+    """MinHash banding (64 bands x 1 row => recall ~1 for j>=0.5) ->
+    exact shingle-Jaccard verify at 0.5 (SURVEY.md D6 extension)."""
+    import ray.data as rd
+
+    from geodata_ray.stages.dedup import minhash_lsh_pairs
+
+    corpus = _ndup_corpus(sf_dir)
+    ds = rd.from_arrow(corpus)
+    return minhash_lsh_pairs(
+        ds,
+        k=3,
+        num_hashes=64,
+        bands=64,
+        threshold=0.5,
+        verify_corpus=corpus,
+    )
+
+
+NEAR_DUP_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {_NDUP_LIMIT}
+  UNION ALL
+  SELECT doc_id + {_MUT_OFFSET}, text || '{_MUT_SUFFIX}' FROM documents
+  WHERE doc_id < {_NDUP_LIMIT}
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, len(string_split(text, ' ')) - 1),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS s
+  FROM corpus
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      / len(list_distinct(a.s || b.s)) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: embedding near-dup + ANN top-k (brute-force exact baselines)
+# ---------------------------------------------------------------------------
+
+
+def _embedding_corpus(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vecs = t["embedding"].combine_chunks()
+    import numpy as np
+
+    flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = flat.reshape(len(t), -1) + 0.01
+    mut = pa.table(
+        {
+            "vec_id": pc.add(t["vec_id"], _MUT_OFFSET),
+            "embedding": pa.array(list(mat), type=pa.list_(pa.float64())),
+        }
+    )
+    base = pa.table(
+        {
+            "vec_id": t["vec_id"],
+            "embedding": pc.cast(t["embedding"], pa.list_(pa.float64())),
+        }
+    )
+    return pa.concat_tables([base, mut])
+
+
+def embedding_dups(sf_dir: str):
+    import ray.data as rd
+
+    from geodata_ray.stages.dedup import embedding_dup_pairs
+
+    corpus = _embedding_corpus(sf_dir)
+    ds = rd.from_arrow(corpus)
+    return embedding_dup_pairs(
+        ds, id_col="vec_id", vec_col="embedding", threshold=0.99,
+        ref_table=corpus,
+    )
+
+
+EMBEDDING_DUPS_SQL = f"""
+WITH allv AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_MUT_OFFSET},
+         list_transform(embedding::DOUBLE[], x -> x + 0.01) FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+"""
+
+
+def ann_topk_embeddings(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from geodata_ray.stages.dedup import _as_matrix
+    from geodata_ray.stages.simsearch import ann_topk
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qt = t.filter(pc.less(t["vec_id"], 5))
+    Q = _as_matrix(qt["embedding"])
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ann_topk(
+        ds, Q, qt["vec_id"].to_numpy(), id_col="vec_id", k=5
+    )
+
+
+ANN_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: text statistics (token counting / quality inputs)
+# ---------------------------------------------------------------------------
+
+
+def token_stats_docs(sf_dir: str):
+    from geodata_ray.stages.textstats import token_stats_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(token_stats_batch, batch_format="pyarrow")
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars,
+       len(list_filter(string_split(text, ' '),
+           w -> w IN ('the','a','of','to','and','in','is','it')))::BIGINT
+         AS n_stopwords
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: event-time windows (tumbling + session)
+# ---------------------------------------------------------------------------
+
+
+def hourly_event_counts(sf_dir: str):
+    from geodata_ray.stages.windows import tumbling_counts
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    out = tumbling_counts(
+        ds, key_col="event_type", ts_col="ts", unit="hour", value_col="value"
+    )
+    out = _scale_to_int(out, {"sum_value": 100})
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [
+                "sum_value_cents" if c == "sum_value" else c
+                for c in batch.schema.names
+            ]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+HOURLY_SQL = """
+SELECT event_type, DATE_TRUNC('hour', ts) AS window,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def session_windows_users(sf_dir: str):
+    from geodata_ray.stages.windows import session_windows
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return session_windows(ds, key_col="user_id", ts_col="ts", gap_minutes=30)
+
+
+SESSIONS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: large-large partitioned hash join
+# ---------------------------------------------------------------------------
+
+
+def lineitem_part_join(sf_dir: str):
+    from geodata_ray.stages.relational import shuffle_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["p_partkey", "l_quantity"])
+
+    li = li.map_batches(rename, batch_format="pyarrow")
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    joined = shuffle_join(li, part, ["p_partkey"], num_buckets=16)
+    out = grouped_aggregate(
+        joined,
+        ["p_brand"],
+        [("l_quantity", "sum", "sum_qty"), ("l_quantity", "count", "n_items")],
+    )
+    return _scale_to_int(out, {"sum_qty": 1})
+
+
+PART_JOIN_SQL = """
+SELECT p_brand, CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: rows-only checks (no SQL expression; driver records row counts)
+# ---------------------------------------------------------------------------
+
+
+def simhash_docs(sf_dir: str):
+    from geodata_ray.stages.dedup import simhash_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+
+def fingerprint_docs(sf_dir: str):
+    from geodata_ray.stages.textstats import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def langid_docs(sf_dir: str):
+    from geodata_ray.stages.textstats import langid_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(langid_batch, batch_format="pyarrow")
+
+
+def quality_docs(sf_dir: str):
+    from geodata_ray.stages.textstats import quality_score_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(quality_score_batch, batch_format="pyarrow")
+
+
+def ivf_topk_embeddings(sf_dir: str):
+    """IVF-pruned ANN (approximate scale path; rows-only check)."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from geodata_ray.stages.dedup import _as_matrix
+    from geodata_ray.stages.simsearch import ivf_build, ivf_topk
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    C, _ = ivf_build(t)
+    qt = t.filter(pc.less(t["vec_id"], 5))
+    ds = rd.from_arrow(t)
+    return ivf_topk(
+        ds, C, _as_matrix(qt["embedding"]), qt["vec_id"].to_numpy(),
+        id_col="vec_id", k=5, n_probe=4,
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -406,6 +742,19 @@ RAY_QUERIES = {
     "orders_per_segment": orders_per_segment,
     "customers_without_big_orders": customers_without_big_orders,
     "lang_counts": lang_counts,
+    "near_dup_pairs": near_dup_pairs,
+    "embedding_dups": embedding_dups,
+    "ann_topk_embeddings": ann_topk_embeddings,
+    "token_stats_docs": token_stats_docs,
+    "hourly_event_counts": hourly_event_counts,
+    "session_windows_users": session_windows_users,
+    "lineitem_part_join": lineitem_part_join,
+    # rows-only (non-SQL-expressible: engine-internal hashes / models)
+    "simhash_docs": simhash_docs,
+    "fingerprint_docs": fingerprint_docs,
+    "langid_docs": langid_docs,
+    "quality_docs": quality_docs,
+    "ivf_topk_embeddings": ivf_topk_embeddings,
 }
 
 ORACLE_SQL = {
@@ -419,4 +768,11 @@ ORACLE_SQL = {
     "orders_per_segment": SEGMENT_SQL,
     "customers_without_big_orders": NO_BIG_ORDERS_SQL,
     "lang_counts": LANG_SQL,
+    "near_dup_pairs": NEAR_DUP_SQL,
+    "embedding_dups": EMBEDDING_DUPS_SQL,
+    "ann_topk_embeddings": ANN_TOPK_SQL,
+    "token_stats_docs": TOKEN_STATS_SQL,
+    "hourly_event_counts": HOURLY_SQL,
+    "session_windows_users": SESSIONS_SQL,
+    "lineitem_part_join": PART_JOIN_SQL,
 }

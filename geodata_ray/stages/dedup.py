@@ -1,0 +1,336 @@
+"""Deduplication suite: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The reference's only dedup is set reconciliation + an acknowledged
+duplicate-timestamp case (SURVEY.md §2.7); a training-data engine needs
+the full family.  Physical plans:
+
+- exact: normalize -> hash -> two-phase grouped min (no raw text ever
+  shuffles, only 64-bit hashes);
+- MinHash+LSH: shingle -> 64 minhashes -> band buckets ->
+  ``groupby(band, band_hash)`` -> candidate pairs -> exact-Jaccard
+  verify.  Only (band_hash, id) pairs shuffle; texts stay put;
+- SimHash: 64-bit weighted-bit fingerprint per doc (rows carry one
+  int64);
+- embedding near-dup: blocked matmul against a broadcast matrix
+  (baseline, exact) or hyperplane-LSH buckets (scale path).
+
+All hashing is the engine's splitmix64 over token bytes — deterministic
+across processes (Python's builtin ``hash`` is salted and never used).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from geodata_ray.sources.synth import splitmix64
+
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_C3 = np.uint64(0x165667B19E3779F9)
+
+# worker-global token -> u64 hash memo (vocab is tiny vs corpus)
+_TOKEN_CACHE: dict[str, int] = {}
+
+
+def _token_hash(tok: str) -> int:
+    h = _TOKEN_CACHE.get(tok)
+    if h is None:
+        b = np.frombuffer(tok.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        acc = np.uint64(1469598103934665603)
+        with np.errstate(over="ignore"):
+            for x in b:  # tokens are short; vocab memoized
+                acc = splitmix64(acc ^ x)
+        h = int(acc)
+        _TOKEN_CACHE[tok] = h
+    return h
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Word-k-gram shingle hash set (sorted unique u64) for one doc."""
+    toks = text.split(" ")
+    if len(toks) < k:
+        toks = toks + [""] * (k - len(toks))
+    th = np.array([_token_hash(t) for t in toks], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        sh = th[: len(th) - k + 1] * _C1
+        for j in range(1, k):
+            sh = sh ^ (th[j : len(th) - k + 1 + j] * (_C2 if j == 1 else _C3))
+    return np.unique(splitmix64(sh))
+
+
+_MINHASH_SEEDS = splitmix64(np.arange(1000, 1064, dtype=np.uint64))
+
+
+def minhash_signature(shingles: np.ndarray, num: int = 64) -> np.ndarray:
+    """num-permutation MinHash signature of a shingle-hash set."""
+    if shingles.size == 0:
+        return np.full(num, np.iinfo(np.uint64).max, dtype=np.uint64)
+    sig = np.empty(num, dtype=np.uint64)
+    seeds = _MINHASH_SEEDS[:num]
+    for j in range(num):
+        sig[j] = splitmix64(shingles ^ seeds[j]).min()
+    return sig
+
+
+def _band_rows(ids, texts, *, k, num_hashes, bands):
+    rows_per_band = num_hashes // bands
+    out_id, out_band, out_bh = [], [], []
+    for i, text in zip(ids, texts):
+        sig = minhash_signature(shingle_hashes(text, k), num_hashes)
+        with np.errstate(over="ignore"):
+            for b in range(bands):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                acc = np.uint64(b + 1)
+                for v in chunk:
+                    acc = splitmix64(acc ^ v)
+                out_id.append(i)
+                out_band.append(b)
+                out_bh.append(int(acc))
+    return out_id, out_band, out_bh
+
+
+def minhash_lsh_pairs(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    verify_corpus: pa.Table | None = None,
+):
+    """Near-duplicate pairs by MinHash banding + exact-Jaccard verify.
+
+    Returns a Dataset of (id_a, id_b) with exact shingle Jaccard >=
+    threshold, id_a < id_b.  The banding shuffle moves only
+    (band, band_hash, id) triples.  ``verify_corpus``: (id, text)
+    table broadcast to the verify stage; at larger scale replace with a
+    shuffle join of pair ids back to texts (same verify kernel).
+    """
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_id, out_band, out_bh = _band_rows(
+            ids, texts, k=k, num_hashes=num_hashes, bands=bands
+        )
+        return pa.table(
+            {
+                "id": pa.array(out_id, type=pa.int64()),
+                "band": pa.array(out_band, type=pa.int32()),
+                "band_hash": pa.array(out_bh, type=pa.uint64()),
+            }
+        )
+
+    band_ds = ds.map_batches(to_bands, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["id"].to_numpy())
+        if ids.size < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        a, b = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+
+    pairs = band_ds.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+
+    # dedup candidate pairs (same pair can fire in many bands)
+    def local_dedup(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = pairs.map_batches(local_dedup, batch_format="pyarrow")
+    pairs = pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+    if verify_corpus is None:
+        return pairs
+
+    try:
+        import ray
+
+        corpus_ref = ray.put(verify_corpus)
+    except Exception:
+        corpus_ref = verify_corpus
+
+    def verify(batch: pa.Table) -> pa.Table:
+        corpus = corpus_ref
+        try:
+            import ray
+
+            if isinstance(corpus, ray.ObjectRef):
+                corpus = ray.get(corpus)
+        except Exception:
+            pass
+        texts = dict(
+            zip(corpus[id_col].to_pylist(), corpus[text_col].to_pylist())
+        )
+        ia = batch["id_a"].to_numpy()
+        ib = batch["id_b"].to_numpy()
+        keep = np.zeros(len(ia), dtype=bool)
+        for row in range(len(ia)):
+            sa = shingle_hashes(texts[int(ia[row])], k)
+            sb = shingle_hashes(texts[int(ib[row])], k)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            keep[row] = union > 0 and inter / union >= threshold
+        return batch.filter(pa.array(keep))
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def simhash_batch(
+    batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """64-bit SimHash per doc (token-hash bit-vote fingerprint)."""
+    ids = batch[id_col]
+    out = np.empty(len(batch), dtype=np.uint64)
+    texts = batch[text_col].to_pylist()
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for i, text in enumerate(texts):
+        th = np.array(
+            [_token_hash(t) for t in text.split(" ")], dtype=np.uint64
+        )
+        bits = (th[:, None] >> bit_idx[None, :]) & np.uint64(1)
+        votes = bits.sum(axis=0) * 2 - len(th)  # +1/-1 votes
+        out[i] = np.uint64(0) if len(th) == 0 else np.packbits(
+            (votes > 0)[::-1]
+        ).view(">u8")[0]
+    return pa.table({id_col: ids, "simhash": pa.array(out.astype(np.int64))})
+
+
+def exact_dedup_normalized(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Exact dedup on lower-cased text: (text_hash group) -> min id +
+    copy count.  Only 64-bit hashes shuffle."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(batch[text_col])
+        h = np.array(
+            [_token_hash(t) for t in texts.to_pylist()], dtype=np.uint64
+        )
+        return pa.table(
+            {id_col: batch[id_col], "text_hash": pa.array(h.astype(np.int64))}
+        )
+
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    out = grouped_aggregate(
+        hashed,
+        ["text_hash"],
+        [(id_col, "min", id_col), (id_col, "count", "n_copies")],
+    )
+    return out.select_columns([id_col, "n_copies"])
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def _as_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    arr = col.combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.chunk(0)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def embedding_dup_pairs(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    ref_table: pa.Table | None = None,
+):
+    """Pairs (id_a < id_b) with cosine >= threshold.
+
+    Baseline-exact plan: the corpus matrix (normalized) is broadcast;
+    each batch matmuls its rows against it (blocked O(n^2/B) with
+    recall 1).  For corpora too large to broadcast, bucket by
+    hyperplane LSH first (see :func:`hyperplane_buckets`) and verify
+    within buckets — same kernel, partitioned.
+    """
+    if ref_table is None:
+        raise ValueError("ref_table (id, vec) required for broadcast plan")
+    ref_ids = ref_table[id_col].to_numpy()
+    M = _as_matrix(ref_table[vec_col])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    try:
+        import ray
+
+        ref = ray.put((ref_ids, M))
+    except Exception:
+        ref = (ref_ids, M)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        r = ref
+        try:
+            import ray
+
+            if isinstance(r, ray.ObjectRef):
+                r = ray.get(r)
+        except Exception:
+            pass
+        rids, RM = r
+        ids = batch[id_col].to_numpy()
+        V = _as_matrix(batch[vec_col])
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = V @ RM.T
+        ai, bj = np.nonzero(sims >= threshold)
+        a = ids[ai]
+        b = rids[bj]
+        keep = a < b
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], type=pa.int64()),
+                "id_b": pa.array(b[keep], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+_HYPERPLANES: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 7) -> np.ndarray:
+    key = (dim, bits)
+    H = _HYPERPLANES.get(key)
+    if H is None:
+        rng = np.random.default_rng(seed)
+        H = rng.standard_normal((dim, bits))
+        _HYPERPLANES[key] = H
+    return H
+
+
+def hyperplane_buckets(
+    ds, *, id_col: str = "vec_id", vec_col: str = "embedding", bits: int = 16
+):
+    """Signed-random-projection LSH bucket per vector (scale path for
+    embedding dedup / ANN: groupby bucket, verify within)."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        V = _as_matrix(batch[vec_col])
+        H = _hyperplanes(V.shape[1], bits)
+        code = (V @ H > 0).astype(np.uint64)
+        bucket = np.zeros(len(batch), dtype=np.uint64)
+        for j in range(bits):
+            bucket = (bucket << np.uint64(1)) | code[:, j]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "bucket": pa.array(bucket.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(bucketize, batch_format="pyarrow")

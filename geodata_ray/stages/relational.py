@@ -208,6 +208,83 @@ def anti_join(ds, key_values, key_col: str, *, concurrency=(1, 4)):
     )
 
 
+def shuffle_join(
+    left,
+    right,
+    keys: Sequence[str],
+    *,
+    how: str = "inner",
+    num_buckets: int = 64,
+    suffix: str = "_r",
+):
+    """Large-large equi-join: explicit partitioned hash join.
+
+    Both sides get ``__b = hash(key) % num_buckets`` and a side tag,
+    are unioned (one shuffle total), grouped by bucket, and merged
+    per-bucket with pandas inside ``map_groups``.  ``num_buckets``
+    bounds per-group memory (size the bucket count so
+    |left|/num_buckets fits a worker heap).  Hot join keys skew their
+    bucket; remedies are raising ``num_buckets`` (splits hash space,
+    not a single hot key) or pre-filtering/broadcast for the hot keys —
+    a salted two-sided join would have to replicate one side per salt,
+    which is only worth it for extreme skew.
+    """
+    keys = list(keys)
+    lsch = left.schema()
+    rsch = right.schema()
+    l_cols = list(lsch.names)
+    r_cols = list(rsch.names)
+    all_fields: dict[str, pa.DataType] = {}
+    for n, t in zip(lsch.names, lsch.types):
+        all_fields[n] = t
+    for n, t in zip(rsch.names, rsch.types):
+        all_fields.setdefault(n, t)
+    col_order = list(all_fields)
+
+    def tag(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            from geodata_ray.sources.synth import splitmix64
+
+            h = np.zeros(len(batch), dtype=np.uint64)
+            for k in keys:
+                col = batch[k].to_numpy(zero_copy_only=False)
+                if col.dtype.kind in "iu":
+                    h ^= splitmix64(col.astype(np.uint64))
+                else:  # string keys: deterministic per-value hash
+                    from geodata_ray.stages.dedup import _token_hash
+
+                    h ^= np.array(
+                        [_token_hash(str(v)) for v in col], dtype=np.uint64
+                    )
+            b = (h % np.uint64(num_buckets)).astype(np.int64)
+            # align to the unified schema (null-fill the other side's cols)
+            arrays = []
+            for n in col_order:
+                if n in batch.schema.names:
+                    arrays.append(batch[n])
+                else:
+                    arrays.append(pa.nulls(len(batch), type=all_fields[n]))
+            t = pa.table(dict(zip(col_order, arrays)))
+            return t.append_column("__b", pa.array(b)).append_column(
+                "__side", pa.array(np.full(len(batch), side))
+            )
+
+        return f
+
+    lt = left.map_batches(tag("l"), batch_format="pyarrow")
+    rt = right.map_batches(tag("r"), batch_format="pyarrow")
+    both = lt.union(rt)
+
+    out_r_cols = [c for c in r_cols if c not in l_cols or c in keys]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["__side"] == "l", l_cols]
+        rg = g.loc[g["__side"] == "r", out_r_cols]
+        return lg.merge(rg, on=keys, how=how, suffixes=("", suffix))
+
+    return both.groupby("__b").map_groups(merge, batch_format="pandas")
+
+
 def distinct_first(ds, key: str, order_by: str):
     """Exact dedup: per distinct ``key`` keep the row minimizing
     ``order_by``.  Two-phase: per-batch local winner (pyarrow), then a

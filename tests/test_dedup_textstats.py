@@ -1,0 +1,109 @@
+"""Unit tests for dedup primitives and text statistics."""
+
+import numpy as np
+import pyarrow as pa
+
+from geodata_ray.stages import dedup, textstats
+
+
+def test_shingle_hashes_deterministic_and_set():
+    a = dedup.shingle_hashes("the quick brown fox jumps", 3)
+    b = dedup.shingle_hashes("the quick brown fox jumps", 3)
+    assert np.array_equal(a, b)
+    assert len(a) == 3  # 5 tokens -> 3 shingles
+    assert np.array_equal(a, np.unique(a))
+
+
+def test_minhash_jaccard_estimate():
+    """MinHash signature agreement approximates true Jaccard."""
+    base = "w" + " w".join(str(i) for i in range(200))
+    variant = base + " extra tokens here now"
+    sa = dedup.shingle_hashes(base, 3)
+    sb = dedup.shingle_hashes(variant, 3)
+    inter = np.intersect1d(sa, sb).size
+    true_j = inter / (sa.size + sb.size - inter)
+    ma = dedup.minhash_signature(sa, 64)
+    mb = dedup.minhash_signature(sb, 64)
+    est = (ma == mb).mean()
+    assert abs(est - true_j) < 0.2
+    assert true_j > 0.9
+
+
+def test_simhash_near_for_similar_docs():
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta theta",
+                "alpha beta gamma delta epsilon zeta eta iota",
+                "one two three four five six seven eight",
+            ],
+        }
+    )
+    out = dedup.simhash_batch(t)
+    h = out["simhash"].to_numpy().astype(np.uint64)
+    d12 = bin(int(h[0]) ^ int(h[1])).count("1")
+    d13 = bin(int(h[0]) ^ int(h[2])).count("1")
+    assert d12 < d13  # similar docs closer in hamming space
+
+
+def test_token_stats_and_quality():
+    t = pa.table(
+        {
+            "doc_id": [1, 2],
+            "text": ["the cat sat on a mat", "x"],
+        }
+    )
+    st = textstats.token_stats_batch(t)
+    assert st["n_tokens"].to_pylist() == [6, 1]
+    assert st["n_chars"].to_pylist() == [20, 1]
+    assert st["n_stopwords"].to_pylist() == [2, 0]  # 'the', 'a'
+    q = textstats.quality_score_batch(t)
+    qv = q["quality"].to_pylist()
+    assert qv[0] > qv[1]
+
+
+def test_fingerprint_stable_and_distinct():
+    t = pa.table({"doc_id": [1, 2, 3], "text": ["same text", "same text", "other"]})
+    out = textstats.fingerprint_batch(t)
+    f = out["fingerprint"].to_pylist()
+    assert f[0] == f[1] != f[2]
+
+
+def test_langid_profiles():
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the house of a king is grand and big",
+                "el rey de la casa y los perros",
+                "zz yy xx ww",
+            ],
+        }
+    )
+    out = textstats.langid_batch(t)
+    assert out["lang_pred"].to_pylist() == ["en", "es", "und"]
+
+
+def test_hyperplane_bucket_locality():
+    """Very similar vectors land in the same LSH bucket (usually)."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((50, 16))
+    near = base + 1e-6
+    t = pa.table(
+        {
+            "vec_id": list(range(100)),
+            "embedding": pa.array(
+                list(np.vstack([base, near])), type=pa.list_(pa.float64())
+            ),
+        }
+    )
+    from geodata_ray.stages.dedup import _as_matrix, _hyperplanes
+
+    V = _as_matrix(t["embedding"])
+    H = _hyperplanes(V.shape[1], 12)
+    code = (V @ H > 0).astype(np.uint64)
+    buckets = np.zeros(100, dtype=np.uint64)
+    for j in range(12):
+        buckets = (buckets << np.uint64(1)) | code[:, j]
+    assert (buckets[:50] == buckets[50:]).mean() > 0.95
