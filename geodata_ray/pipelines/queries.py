@@ -706,6 +706,78 @@ def quality_docs(sf_dir: str):
     return ds.map_batches(quality_score_batch, batch_format="pyarrow")
 
 
+def _grid_ds(sf_dir: str):
+    """Deterministic grid fixture scaled by sf (same table at any
+    parallelism); sf only sets the number of hours."""
+    from geodata_ray.pipelines.conversions import grid_source
+
+    hours = 240 if "0.1" in sf_dir else 120
+    return grid_source(hours=hours)
+
+
+def windspd_grid(sf_dir: str):
+    from geodata_ray.pipelines import conversions as P
+
+    return P.windspd(_grid_ds(sf_dir), hub_height=80.0)
+
+
+def wind_power_grid(sf_dir: str):
+    from geodata_ray.pipelines import conversions as P
+
+    return P.wind_power(_grid_ds(sf_dir), "fixture_1500kw", smooth=True)
+
+
+def windwpd_grid(sf_dir: str):
+    from geodata_ray.pipelines import conversions as P
+
+    return P.windwpd(_grid_ds(sf_dir), hub_height=50.0)
+
+
+def pv_grid(sf_dir: str):
+    from geodata_ray.pipelines import conversions as P
+
+    return P.pv(_grid_ds(sf_dir), "fixture_huld")
+
+
+def pv_tracking_grid(sf_dir: str):
+    from geodata_ray.pipelines import conversions as P
+
+    return P.pv(
+        _grid_ds(sf_dir), "fixture_bofinger",
+        orientation="latitude_optimal", trigon_model="hay-davies",
+    )
+
+
+def solar_thermal_grid(sf_dir: str):
+    from geodata_ray.pipelines import conversions as P
+
+    return P.solar_thermal(_grid_ds(sf_dir))
+
+
+def pm25_grid(sf_dir: str):
+    from geodata_ray.pipelines import conversions as P
+
+    return P.pm25(_grid_ds(sf_dir))
+
+
+def temperature_grid(sf_dir: str):
+    from geodata_ray.pipelines import conversions as P
+
+    return P.temperature(_grid_ds(sf_dir))
+
+
+def heat_demand_grid(sf_dir: str):
+    from geodata_ray.pipelines import conversions as P
+
+    return P.heat_demand(_grid_ds(sf_dir), threshold=15.0, a=1.0)
+
+
+def winddir_grid(sf_dir: str):
+    from geodata_ray.pipelines import conversions as P
+
+    return P.winddir(_grid_ds(sf_dir))
+
+
 def ivf_topk_embeddings(sf_dir: str):
     """IVF-pruned ANN (approximate scale path; rows-only check)."""
     import pyarrow.parquet as pq
@@ -755,6 +827,18 @@ RAY_QUERIES = {
     "langid_docs": langid_docs,
     "quality_docs": quality_docs,
     "ivf_topk_embeddings": ivf_topk_embeddings,
+    # conversion library over the deterministic grid fixture (golden
+    # values checked in tests/test_conversions.py; rows-only here)
+    "windspd_grid": windspd_grid,
+    "wind_power_grid": wind_power_grid,
+    "windwpd_grid": windwpd_grid,
+    "pv_grid": pv_grid,
+    "pv_tracking_grid": pv_tracking_grid,
+    "solar_thermal_grid": solar_thermal_grid,
+    "pm25_grid": pm25_grid,
+    "temperature_grid": temperature_grid,
+    "heat_demand_grid": heat_demand_grid,
+    "winddir_grid": winddir_grid,
 }
 
 ORACLE_SQL = {

@@ -48,8 +48,11 @@ def grouped_aggregate(
         if fn == "count":
             need.add(("", "count_all"))
         elif fn == "mean":
+            # null-skipping mean (xarray/pandas semantics): sum over
+            # valid / count of valid — callers converting NaN->null get
+            # skipna behavior; otherwise NaN poisons the sum as in numpy
             need.add((col, "sum"))
-            need.add(("", "count_all"))
+            need.add((col, "count"))
         elif fn in ("sum", "min", "max"):
             need.add((col, fn))
         else:
@@ -68,7 +71,7 @@ def grouped_aggregate(
     final_aggs = []
     for col, fn in sorted(need):
         pname = "count_all" if fn == "count_all" else f"{col}_{fn}"
-        if fn in ("sum", "count_all"):
+        if fn in ("sum", "count", "count_all"):  # counts merge by summing
             final_aggs.append(Sum(pname, alias_name=pname))
         elif fn == "min":
             final_aggs.append(Min(pname, alias_name=pname))
@@ -89,7 +92,7 @@ def grouped_aggregate(
                 arrays.append(
                     pc.divide(
                         pc.cast(batch[f"{col}_sum"], pa.float64()),
-                        pc.cast(batch["count_all"], pa.float64()),
+                        pc.cast(batch[f"{col}_count"], pa.float64()),
                     )
                 )
             else:
