@@ -778,6 +778,165 @@ def winddir_grid(sf_dir: str):
     return P.winddir(_grid_ds(sf_dir))
 
 
+def _raster_ds(layer: str):
+    import ray.data as rd
+
+    from geodata_ray.sources.synth import raster_table
+
+    return rd.from_arrow(raster_table(layer=layer)).repartition(6)
+
+
+def raster_and_merge(sf_dir: str):
+    from geodata_ray.sources.synth import raster_table
+    from geodata_ray.stages import raster as R
+
+    both = pa.concat_tables(
+        [raster_table(layer="landcover"), raster_table(layer="slope")]
+    )
+    import ray.data as rd
+
+    return R.merge_layers_and(
+        rd.from_arrow(both).repartition(6),
+        layers=["landcover", "slope"],
+        reference_layer="slope",
+    )
+
+
+def raster_sum_merge(sf_dir: str):
+    from geodata_ray.sources.synth import raster_table
+    from geodata_ray.stages import raster as R
+
+    both = pa.concat_tables(
+        [raster_table(layer="landcover"), raster_table(layer="slope")]
+    )
+    import ray.data as rd
+
+    return R.merge_layers_sum(
+        rd.from_arrow(both).repartition(6),
+        weights={"landcover": 2.0, "slope": 0.5},
+    )
+
+
+def raster_filter_trim(sf_dir: str):
+    from geodata_ray.stages import raster as R
+
+    return R.trim_raster(
+        R.filter_raster(_raster_ds("landcover"), values=[1.0, 2.0, 3.0])
+    )
+
+
+def raster_resample_r5(sf_dir: str):
+    from geodata_ray.stages import raster as R
+
+    return R.resample_to_cells(_raster_ds("slope"), res=5, agg="mean")
+
+
+def raster_min_area(sf_dir: str):
+    from geodata_ray.stages import raster as R
+
+    return R.min_area_filter(_raster_ds("landcover"), min_cells=5)
+
+
+def knn_events_gazetteer(sf_dir: str):
+    """Cell-local kNN: derived event coords -> 3 nearest gazetteer
+    cities (rows-only; exactness vs brute force in tests)."""
+    from geodata_ray.sources.synth import gazetteer_arrays
+    from geodata_ray.stages.knn import knn_join
+
+    names, lats, lons, _ = gazetteer_arrays()
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy()
+        return pa.table(
+            {
+                "id": batch["event_id"],
+                "lat": pa.array(_derive_lat_np(ids)),
+                "lon": pa.array(_derive_lon_np(ids)),
+            }
+        )
+
+    pts = ds.map_batches(coords, batch_format="pyarrow")
+    return knn_join(
+        pts, np.arange(len(names)), lats, lons, k=3, res=2, ring=2
+    )
+
+
+def wind_model_fit_grid(sf_dir: str):
+    from geodata_ray.stages import wind_model as WM
+
+    return WM.fit_extrapolation(_grid_ds(sf_dir))
+
+
+def wind_model_estimate_grid(sf_dir: str):
+    from geodata_ray.stages import wind_model as WM
+
+    params = WM.fit_extrapolation(_grid_ds(sf_dir))
+    return WM.estimate_extrapolation(params, 30.0)
+
+
+def wind_spline_estimate_grid(sf_dir: str):
+    """Spline interpolation model over synthetic multi-height speeds
+    (deterministic power-law profile of wndlml)."""
+    from geodata_ray.stages import wind_model as WM
+
+    hs = WM._SPLINE_HEIGHTS
+
+    def profile(batch: pa.Table) -> pa.Table:
+        base = np.hypot(
+            batch["ulml"].to_numpy(zero_copy_only=False).astype(np.float64),
+            batch["vlml"].to_numpy(zero_copy_only=False).astype(np.float64),
+        )
+        cols = {
+            "ts": batch["ts"],
+            "lat": batch["lat"],
+            "lon": batch["lon"],
+        }
+        for h in hs:
+            cols[f"wnd_h{h:g}"] = pa.array(base * (h / 10.0) ** 0.14)
+        return pa.table(cols)
+
+    src = _grid_ds(sf_dir).map_batches(profile, batch_format="pyarrow")
+    params = WM.fit_spline(src)
+    return WM.estimate_spline(params, 80.0)
+
+
+def flagship_resumable(sf_dir: str):
+    """Flagship enrichment written as resumable partitioned parquet
+    with per-partition lineage records; returns the manifest."""
+    import tempfile
+
+    from geodata_ray.pipelines.flagship import enrich_pages, pages_from_documents
+    from geodata_ray.state import lineage as L
+
+    pages = pages_from_documents(sf_dir)
+    enriched = enrich_pages(pages)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        cell = batch["h3_r5"].to_numpy()
+        shard = np.where(cell >= 0, cell % 8, -1)
+        return batch.append_column("shard", pa.array(shard))
+
+    sharded = enriched.map_batches(add_shard, batch_format="pyarrow")
+    out_dir = tempfile.mkdtemp(prefix="graft_lineage_")
+    manifest = L.write_partitioned_resumable(
+        sharded, out_dir, "shard", stage_version="v1",
+        input_fingerprint=sf_dir,
+    )
+    return manifest
+
+
+def decode_images_stub(sf_dir: str):
+    """Multimodal plumbing: fake image corpus -> actor-pool decode ->
+    feature vectors (binary dropped before output)."""
+    import ray.data as rd
+
+    from geodata_ray.stages.multimodal import decode_images, synth_image_table
+
+    ds = rd.from_arrow(synth_image_table(200)).repartition(4)
+    return decode_images(ds)
+
+
 def ivf_topk_embeddings(sf_dir: str):
     """IVF-pruned ANN (approximate scale path; rows-only check)."""
     import pyarrow.parquet as pq
@@ -839,6 +998,19 @@ RAY_QUERIES = {
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
     "winddir_grid": winddir_grid,
+    # raster / mask algebra + kNN (rows-only; goldens in tests)
+    "raster_and_merge": raster_and_merge,
+    "raster_sum_merge": raster_sum_merge,
+    "raster_filter_trim": raster_filter_trim,
+    "raster_resample_r5": raster_resample_r5,
+    "raster_min_area": raster_min_area,
+    "knn_events_gazetteer": knn_events_gazetteer,
+    # model fit/estimate + lineage + multimodal plumbing (rows-only)
+    "wind_model_fit_grid": wind_model_fit_grid,
+    "wind_model_estimate_grid": wind_model_estimate_grid,
+    "wind_spline_estimate_grid": wind_spline_estimate_grid,
+    "flagship_resumable": flagship_resumable,
+    "decode_images_stub": decode_images_stub,
 }
 
 ORACLE_SQL = {

@@ -1,0 +1,325 @@
+"""Raster / mask algebra over cell-value tables.
+
+Arrow re-expression of the reference's ``Mask`` module
+(``/root/reference/src/geodata/mask.py``, its largest file): a raster
+layer is a ``(layer, row, col, lat, lon, value)`` table instead of a
+rasterio band; every operation below cites the behavior it mirrors.
+
+Physical plans: per-batch vectorized predicates for the value filters;
+two-phase grouped aggregates keyed on ``(row, col)`` or hierarchical
+cell ids for the merges and resampling; a broadcast hash join to attach
+mask+area to converted data (SURVEY.md J4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from geodata_ray.cellmath import qcell
+from geodata_ray.stages.relational import grouped_aggregate
+
+
+def filter_raster(
+    ds,
+    *,
+    values=None,
+    min_bound: float | None = None,
+    max_bound: float | None = None,
+    binarize: bool = False,
+):
+    """Value predicate (reference ``filter_raster`` mask.py:1197-1239):
+    cells failing the predicate become 0 (rows are kept — rasters stay
+    dense); ``binarize`` maps passing cells to 1."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = np.ones(len(v), dtype=bool)
+        if values is not None:
+            keep &= np.isin(v, np.asarray(values, dtype=np.float64))
+        if min_bound is not None:
+            keep &= v > min_bound
+        if max_bound is not None:
+            keep &= v < max_bound
+        out = np.where(keep, 1.0 if binarize else v, 0.0).astype(np.float32)
+        i = batch.schema.get_field_index("value")
+        return batch.set_column(i, "value", pa.array(out))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def crop_raster(ds, *, lat_min, lat_max, lon_min, lon_max):
+    """Window by lat/lon bounds (reference ``crop_raster``
+    mask.py:1073-1112): rows outside the window are dropped."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        keep = (
+            (lat >= lat_min) & (lat <= lat_max)
+            & (lon >= lon_min) & (lon <= lon_max)
+        )
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def nonzero_bounds(ds) -> dict:
+    """Bounding box of nonzero cells (reference trim detection
+    mask.py:1271-1304): global min/max aggregates over row/col."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(v != 0))
+
+    nz = ds.map_batches(prep, batch_format="pyarrow")
+    agg = grouped_aggregate(
+        nz.map_batches(
+            lambda b: b.append_column("one", pa.array(np.ones(len(b), np.int64))),
+            batch_format="pyarrow",
+        ),
+        ["one"],
+        [
+            ("row", "min", "row_min"),
+            ("row", "max", "row_max"),
+            ("col", "min", "col_min"),
+            ("col", "max", "col_max"),
+        ],
+    )
+    df = agg.to_pandas()
+    return {
+        k: int(df[k].iloc[0]) for k in ("row_min", "row_max", "col_min", "col_max")
+    }
+
+
+def trim_raster(ds):
+    """Drop all-zero border rows/cols (reference ``trim_raster``
+    mask.py:1242-1306): bounds aggregate, then window filter."""
+    b = nonzero_bounds(ds)
+
+    def f(batch: pa.Table) -> pa.Table:
+        r = batch["row"].to_numpy(zero_copy_only=False)
+        c = batch["col"].to_numpy(zero_copy_only=False)
+        keep = (
+            (r >= b["row_min"]) & (r <= b["row_max"])
+            & (c >= b["col_min"]) & (c <= b["col_max"])
+        )
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def merge_layers_and(ds, *, layers: list[str], reference_layer: str):
+    """AND overlay (reference ``_and_method`` mask.py:1441-1453 via
+    ``merge_layer`` mask.py:385-497): per pixel, 0 where ANY layer is
+    0, else the reference layer's value.
+
+    Algebraic two-phase plan: per (row, col) aggregate
+    ``n_nonzero = sum(value != 0)`` and ``ref_value = sum(value where
+    layer == reference)``; final ``where(n_nonzero == n_layers,
+    ref_value, 0)`` — no per-pixel pivot, pure grouped sums.
+    """
+    n_layers = len(layers)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lay = batch["layer"].to_numpy(zero_copy_only=False)
+        is_ref = lay == reference_layer
+        return pa.table(
+            {
+                "row": batch["row"],
+                "col": batch["col"],
+                "nz": pa.array((v != 0).astype(np.int64)),
+                "ref_value": pa.array(np.where(is_ref, v, 0.0)),
+            }
+        )
+
+    agg = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["row", "col"],
+        [("nz", "sum", "n_nonzero"), ("ref_value", "sum", "ref_value")],
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        nnz = batch["n_nonzero"].to_numpy(zero_copy_only=False)
+        rv = batch["ref_value"].to_numpy(zero_copy_only=False)
+        out = np.where(nnz == n_layers, rv, 0.0).astype(np.float32)
+        return pa.table(
+            {
+                "row": batch["row"],
+                "col": batch["col"],
+                "value": pa.array(out),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def merge_layers_sum(ds, *, weights: dict[str, float]):
+    """Weighted-SUM overlay (reference ``_sum_method``
+    mask.py:1422-1438): per pixel sum of w_layer * value."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lay = batch["layer"].to_numpy(zero_copy_only=False)
+        w = np.array([weights.get(x, 1.0) for x in lay], dtype=np.float64)
+        return pa.table(
+            {
+                "row": batch["row"],
+                "col": batch["col"],
+                "wv": pa.array(w * v),
+            }
+        )
+
+    agg = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["row", "col"],
+        [("wv", "sum", "value")],
+    )
+    return agg
+
+
+def resample_to_cells(ds, *, res: int, agg: str = "mean",
+                      lat_col: str = "lat", lon_col: str = "lon",
+                      value_col: str = "value"):
+    """Raster -> hierarchical cells (reference ``coarsen`` +
+    nearest-reindex resampling, cutout.py:929-1001 J3/A2): encode each
+    pixel's cell at ``res``, grouped mean/sum per cell.  Mapping fine
+    cells to parents is integer bit math, so the 'coarsen' of the
+    reference becomes a plain grouped aggregate."""
+
+    def encode(batch: pa.Table) -> pa.Table:
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        cell = qcell.latlng_to_cell(lat, lon, res)
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                value_col: pc.cast(batch[value_col], pa.float64()),
+            }
+        )
+
+    enc = ds.map_batches(encode, batch_format="pyarrow")
+    return grouped_aggregate(enc, ["cell"], [(value_col, agg, value_col)])
+
+
+def attach_mask(data_ds, mask_table: pa.Table, *, res: int,
+                lat_col: str = "lat", lon_col: str = "lon"):
+    """Attach mask value + cell area to a data table (reference
+    ``Cutout.mask`` cutout.py:440-500 J4 + grid areas A5
+    cutout.py:1004-1033): broadcast the (cell, mask) table, encode each
+    data row's cell, hash-join per batch, add closed-form spherical
+    cell area."""
+    small = mask_table.rename_columns(
+        ["cell" if c == "cell" else c for c in mask_table.schema.names]
+    )
+    try:
+        import ray
+
+        ref = ray.put(small)
+    except Exception:
+        ref = small
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = ref
+        try:
+            import ray
+
+            if isinstance(m, ray.ObjectRef):
+                m = ray.get(m)
+        except Exception:
+            pass
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        cell = qcell.latlng_to_cell(lat, lon, res)
+        batch = batch.append_column("cell", pa.array(cell))
+        batch = batch.append_column(
+            "cell_area_km2", pa.array(qcell.cell_area_km2(cell))
+        )
+        return batch.join(m, keys=["cell"], join_type="left outer")
+
+    return data_ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# connected components / minimum-area filtering (reference filter_area
+# mask.py:1309-1398 A7)
+# ---------------------------------------------------------------------------
+
+
+def _union_find_labels(rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+    """4-connected components over sparse nonzero pixels (local
+    union-find; replaces the reference's shape-vectorize round-trip
+    through rasterio, mask.py:1335-1398)."""
+    order = np.lexsort((cols, rows))
+    parent = np.arange(rows.shape[0], dtype=np.int64)
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    def union(i, j):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+
+    pos = {}
+    for idx in order:
+        r, c = int(rows[idx]), int(cols[idx])
+        pos[(r, c)] = idx
+        for nb in ((r - 1, c), (r, c - 1)):
+            j = pos.get(nb)
+            if j is not None:
+                union(idx, j)
+    return np.array([find(i) for i in range(rows.shape[0])], dtype=np.int64)
+
+
+def min_area_filter(ds, *, min_cells: int):
+    """Zero out connected components smaller than ``min_cells``
+    (reference ``filter_area`` semantics with min km^2 -> min pixel
+    count on the uniform fixture grid).
+
+    Plan: coalesce nonzero pixels to one block (a mask layer's nonzero
+    set is far smaller than the raster), label with union-find, count
+    per component, keep components >= min_cells; then anti-join the
+    dropped pixels back onto the dense raster as zeros.  At larger
+    scale: repartition by coarse spatial key, per-partition union-find,
+    then a bounded boundary-merge iteration (SURVEY.md §7.4).
+    """
+
+    def nonzero(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(v != 0))
+
+    nz = ds.map_batches(nonzero, batch_format="pyarrow").repartition(1)
+
+    def label_and_filter(batch: pa.Table) -> pa.Table:
+        rows = batch["row"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = batch["col"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if rows.size == 0:
+            return batch.append_column("keep", pa.array([], pa.bool_()))
+        labels = _union_find_labels(rows, cols)
+        _, inverse, counts = np.unique(
+            labels, return_inverse=True, return_counts=True
+        )
+        keep = counts[inverse] >= min_cells
+        return batch.append_column("keep", pa.array(keep))
+
+    labeled = nz.map_batches(
+        label_and_filter, batch_format="pyarrow", batch_size=None
+    )
+
+    def zero_small(batch: pa.Table) -> pa.Table:
+        keep = batch["keep"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        out = np.where(keep, v, 0.0).astype(np.float32)
+        i = batch.schema.get_field_index("value")
+        batch = batch.set_column(i, "value", pa.array(out))
+        return batch.drop_columns(["keep"])
+
+    return labeled.map_batches(zero_small, batch_format="pyarrow")

@@ -1,0 +1,149 @@
+"""Wind models (fit/estimate) + lineage/resume behavior."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geodata_ray.sources.synth import grid_table
+from geodata_ray.stages import wind_model as WM
+
+
+def _from(table, parts=6):
+    import ray.data as rd
+
+    return rd.from_arrow(table).repartition(parts)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExtrapolationModel:
+    def test_fit_matches_lstsq(self):
+        grid = grid_table(hours=12, ny=4, nx=4)
+        params = WM.fit_extrapolation(_from(grid)).to_pandas().sort_values(
+            ["ts", "lat", "lon"], ignore_index=True
+        )
+        ref = grid.to_pandas().sort_values(["ts", "lat", "lon"], ignore_index=True)
+        # independent lstsq per row
+        for i in [0, 7, 55, 100]:
+            r = ref.iloc[i]
+            hs, vs = [], []
+            for u, h in [("u50m", 50.0), ("u10m", 10.0), ("u2m", 2.0)]:
+                hs.append(h - r.disph)
+                vs.append(np.hypot(np.float64(r[u]), np.float64(r[u.replace("u", "v")])))
+            hs.append(r.hlml - r.disph)
+            vs.append(np.hypot(np.float64(r.ulml), np.float64(r.vlml)))
+            hs = np.asarray(hs, dtype=np.float64)
+            # reference sentinel: log-height = -1 where height <= 0
+            # (extrapolate.py:133 'where=heights > 0' with out=-1)
+            log_h = np.where(hs > 0, np.log(np.where(hs > 0, hs, 1.0)), -1.0)
+            X = np.stack([log_h, np.ones(4)], axis=-1)
+            coef, _, _, _ = np.linalg.lstsq(X, np.abs(vs), rcond=None)
+            assert abs(params.alpha.iloc[i] - coef[0]) < 1e-4
+            assert abs(params.beta.iloc[i] - coef[1]) < 1e-4
+
+    def test_estimate_formula_and_real_shortcut(self):
+        grid = grid_table(hours=6, ny=3, nx=3)
+        params = WM.fit_extrapolation(_from(grid))
+        est = WM.estimate_extrapolation(params, 30.0).to_pandas()
+        assert est["wnd30m_est"].notna().all()
+        assert (est["wnd30m_est"] > 0).mean() > 0.95
+        # real-data shortcut at an observed height
+        real = WM.estimate_extrapolation(
+            None, 10.0, source_ds=_from(grid), use_real_data=True
+        ).to_pandas().sort_values(["ts", "lat", "lon"], ignore_index=True)
+        ref = grid.to_pandas().sort_values(["ts", "lat", "lon"], ignore_index=True)
+        want = np.hypot(
+            ref.u10m.to_numpy().astype(np.float64),
+            ref.v10m.to_numpy().astype(np.float64),
+        )
+        np.testing.assert_allclose(real["wnd10m_est"].to_numpy(), want, rtol=1e-12)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSplineModel:
+    def _table(self, f):
+        """Speeds at the 7 model-level heights from a smooth function."""
+        hs = WM._SPLINE_HEIGHTS
+        n = 200
+        rng = np.random.default_rng(4)
+        base = rng.uniform(2, 8, n)
+        cols = {
+            "ts": pa.array(
+                np.full(n, np.datetime64("2024-01-01", "us"))
+            ),
+            "lat": pa.array(rng.uniform(-60, 60, n)),
+            "lon": pa.array(rng.uniform(-180, 180, n)),
+        }
+        for h in hs:
+            cols[f"wnd_h{h:g}"] = pa.array(f(base, h))
+        return pa.table(cols), base
+
+    def test_reproduces_cubic_exactly(self):
+        """Not-a-knot property: a global cubic is reproduced exactly."""
+        poly = lambda b, h: b + 0.01 * h + 1e-4 * h**2 - 1e-7 * h**3
+        t, base = self._table(poly)
+        params = WM.fit_spline(_from(t))
+        for q in [15.0, 42.0, 90.0, 160.0]:
+            est = WM.estimate_spline(params, q).to_pandas().sort_values(
+                ["lat", "lon"], ignore_index=True
+            )
+            ref = t.to_pandas().sort_values(["lat", "lon"], ignore_index=True)
+            # recover base in the same order via the 10m column
+            b = ref["wnd_h10"].to_numpy() - (0.01 * 10 + 1e-4 * 100 - 1e-7 * 1000)
+            want = poly(b, q)
+            np.testing.assert_allclose(
+                est[f"wnd{q:g}m_est"].to_numpy(), want, rtol=1e-10
+            )
+
+    def test_interpolates_knots(self):
+        f = lambda b, h: b * np.log(h + 1.0)
+        t, _ = self._table(f)
+        params = WM.fit_spline(_from(t))
+        for h in WM._SPLINE_HEIGHTS[[0, 3, 6]]:
+            est = WM.estimate_spline(params, float(h)).to_pandas().sort_values(
+                ["lat", "lon"], ignore_index=True
+            )
+            ref = t.to_pandas().sort_values(["lat", "lon"], ignore_index=True)
+            np.testing.assert_allclose(
+                est[f"wnd{h:g}m_est"].to_numpy(),
+                ref[f"wnd_h{h:g}"].to_numpy(),
+                rtol=1e-10,
+            )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_write_resume(tmp_path):
+    from geodata_ray.state import lineage as L
+
+    out = str(tmp_path / "out")
+    t = grid_table(hours=24, ny=4, nx=4)
+    import pyarrow.compute as pc
+
+    t = t.append_column(
+        "ym", pc.strftime(t["ts"], format="%Y-%m-%d")
+    )
+    ds = _from(t.select(["ym", "lat", "lon", "temperature"]))
+
+    m1 = L.write_partitioned_resumable(ds, out, "ym", stage_version="v1")
+    assert not m1.skipped.any()
+    assert len(m1) == 1  # 24 hours -> one day partition
+    # second run: everything skipped, hashes intact
+    m2 = L.write_partitioned_resumable(ds, out, "ym", stage_version="v1")
+    assert m2.skipped.all()
+    assert set(m2.content_hash) == set(m1.content_hash)
+    # simulate killed run: delete manifest entry -> partition rewritten
+    os.remove(os.path.join(out, "_manifest", f"{m1.key.iloc[0]}.json"))
+    m3 = L.write_partitioned_resumable(ds, out, "ym", stage_version="v1")
+    assert not m3.skipped.any()
+    assert set(m3.content_hash) == set(m1.content_hash)  # byte-stable output
+    # bumping the stage version invalidates completed work
+    m4 = L.write_partitioned_resumable(ds, out, "ym", stage_version="v2")
+    assert not m4.skipped.any()
+    # the parquet partition exists and round-trips
+    import pandas as pd
+
+    part = pd.read_parquet(
+        os.path.join(out, f"part={m1.key.iloc[0]}", "data.parquet")
+    )
+    assert len(part) == t.num_rows

@@ -1,0 +1,180 @@
+"""Raster/mask algebra + cell-local kNN vs independent references."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geodata_ray.sources.synth import raster_table
+from geodata_ray.stages import raster as R
+from geodata_ray.stages.knn import haversine_km, knn_join
+
+
+def _from(table, ray_session=None):
+    import ray.data as rd
+
+    return rd.from_arrow(table).repartition(6)
+
+
+@pytest.fixture(scope="module")
+def landcover():
+    return raster_table(layer="landcover")
+
+
+@pytest.fixture(scope="module")
+def slope():
+    return raster_table(layer="slope")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRaster:
+    def test_filter_isin_and_binarize(self, landcover):
+        out = (
+            R.filter_raster(_from(landcover), values=[1.0, 2.0], binarize=True)
+            .to_pandas()
+            .sort_values(["row", "col"], ignore_index=True)
+        )
+        ref = landcover.to_pandas().sort_values(["row", "col"], ignore_index=True)
+        want = np.isin(ref.value.to_numpy(), [1.0, 2.0]).astype(np.float32)
+        np.testing.assert_array_equal(out.value.to_numpy(), want)
+
+    def test_filter_bounds(self, slope):
+        out = (
+            R.filter_raster(_from(slope), min_bound=10.0, max_bound=30.0)
+            .to_pandas()
+            .sort_values(["row", "col"], ignore_index=True)
+        )
+        ref = slope.to_pandas().sort_values(["row", "col"], ignore_index=True)
+        v = ref.value.to_numpy()
+        want = np.where((v > 10.0) & (v < 30.0), v, 0.0).astype(np.float32)
+        np.testing.assert_array_equal(out.value.to_numpy(), want)
+
+    def test_trim_removes_zero_borders(self, landcover):
+        out = R.trim_raster(_from(landcover)).to_pandas()
+        # fixture zeroes rows/cols 0-1 and the last two
+        assert out.row.min() == 2 and out.col.min() == 2
+        assert out.row.max() == 57 and out.col.max() == 77
+
+    def test_merge_and(self, landcover, slope):
+        both = pa.concat_tables([landcover, slope])
+        out = (
+            R.merge_layers_and(
+                _from(both), layers=["landcover", "slope"],
+                reference_layer="slope",
+            )
+            .to_pandas()
+            .sort_values(["row", "col"], ignore_index=True)
+        )
+        lc = landcover.to_pandas().set_index(["row", "col"]).value
+        sl = slope.to_pandas().set_index(["row", "col"]).value
+        want = sl.where((lc != 0) & (sl != 0), 0.0).astype(np.float32)
+        want = want.reset_index().sort_values(["row", "col"], ignore_index=True)
+        np.testing.assert_allclose(
+            out.value.to_numpy(), want.value.to_numpy(), rtol=1e-6
+        )
+
+    def test_merge_weighted_sum(self, landcover, slope):
+        both = pa.concat_tables([landcover, slope])
+        out = (
+            R.merge_layers_sum(
+                _from(both), weights={"landcover": 2.0, "slope": 0.5}
+            )
+            .to_pandas()
+            .sort_values(["row", "col"], ignore_index=True)
+        )
+        lc = landcover.to_pandas().set_index(["row", "col"]).value.astype(float)
+        sl = slope.to_pandas().set_index(["row", "col"]).value.astype(float)
+        want = (2.0 * lc + 0.5 * sl).reset_index().sort_values(
+            ["row", "col"], ignore_index=True
+        )
+        np.testing.assert_allclose(out.value.to_numpy(), want.value.to_numpy(),
+                                   rtol=1e-12)
+
+    def test_resample_to_cells_mean(self, slope):
+        out = (
+            R.resample_to_cells(_from(slope), res=5, agg="mean")
+            .to_pandas()
+            .sort_values("cell", ignore_index=True)
+        )
+        from geodata_ray.cellmath import qcell
+
+        ref = slope.to_pandas()
+        ref["cell"] = qcell.latlng_to_cell(
+            ref.lat.to_numpy(), ref.lon.to_numpy(), 5
+        )
+        want = (
+            ref.groupby("cell").value.apply(
+                lambda s: s.astype(np.float64).sum() / len(s)
+            )
+            .reset_index()
+            .sort_values("cell", ignore_index=True)
+        )
+        assert len(out) == len(want)
+        np.testing.assert_allclose(
+            out.value.to_numpy(), want.value.to_numpy(), rtol=1e-12
+        )
+
+    def test_min_area_filter_kills_small_blobs(self, landcover):
+        out = R.min_area_filter(_from(landcover), min_cells=5).to_pandas()
+        ref = landcover.to_pandas()
+        ref = ref[ref.value != 0]
+        # independent BFS flood fill
+        occ = {(int(r), int(c)) for r, c in zip(ref.row, ref.col)}
+        seen, comps = set(), {}
+        for start in occ:
+            if start in seen:
+                continue
+            stack, comp = [start], []
+            seen.add(start)
+            while stack:
+                r, c = stack.pop()
+                comp.append((r, c))
+                for nb in ((r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1)):
+                    if nb in occ and nb not in seen:
+                        seen.add(nb)
+                        stack.append(nb)
+            for p in comp:
+                comps[p] = len(comp)
+        got = {
+            (int(r), int(c)): v
+            for r, c, v in zip(out.row, out.col, out.value)
+        }
+        for p, size in comps.items():
+            if size >= 5:
+                assert got[p] != 0.0, (p, size)
+            else:
+                assert got[p] == 0.0, (p, size)
+
+    def test_attach_mask_area(self, slope):
+        mask = R.resample_to_cells(_from(slope), res=5, agg="mean").to_pandas()
+        mask_t = pa.table(
+            {"cell": mask.cell.to_numpy(), "mask_value": mask.value.to_numpy()}
+        )
+        data = slope.select(["lat", "lon", "value"])
+        out = R.attach_mask(_from(data), mask_t, res=5).to_pandas()
+        assert out.mask_value.notna().all()
+        assert (out.cell_area_km2 > 0).all()
+        assert len(out) == data.num_rows
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_matches_brute_force():
+    rng = np.random.default_rng(9)
+    # dense reference cloud in a 10x10 deg box -> ring-2 at res 5 covers k=3
+    ref_lat = rng.uniform(40, 50, 400)
+    ref_lon = rng.uniform(0, 10, 400)
+    ref_ids = np.arange(400)
+    q_lat = rng.uniform(42, 48, 50)
+    q_lon = rng.uniform(2, 8, 50)
+    qt = pa.table({"id": np.arange(50), "lat": q_lat, "lon": q_lon})
+
+    out = (
+        knn_join(_from(qt), ref_ids, ref_lat, ref_lon, k=3, res=5, ring=3)
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    for qi in range(50):
+        d = haversine_km(q_lat[qi], q_lon[qi], ref_lat, ref_lon)
+        want = np.argsort(d, kind="stable")[:3]
+        got = out[out.query_id == qi].ref_id.to_numpy()
+        assert np.array_equal(got, ref_ids[want]), qi
