@@ -641,6 +641,83 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def sliding_event_counts(sf_dir: str):
+    """2h windows sliding by 1h per event_type."""
+    from geodata_ray.stages.windows import sliding_counts
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    return sliding_counts(
+        ds, key_col="event_type", window_hours=2, slide_hours=1
+    )
+
+
+SLIDING_SQL = """
+WITH assigned AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS window_start FROM events
+  UNION ALL
+  SELECT event_type, DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR FROM events
+)
+SELECT event_type, window_start, COUNT(*) AS n_events
+FROM assigned GROUP BY 1, 2
+"""
+
+
+def top3_orders_per_segment(sf_dir: str):
+    """Windowed rank: top-3 orders by totalprice per market segment."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).rename_columns(["o_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, cust, ["o_custkey"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(3)
+        g["rank"] = range(1, len(g) + 1)
+        return g[["c_mktsegment", "o_orderkey", "o_totalprice", "rank"]]
+
+    return joined.groupby("c_mktsegment").map_groups(
+        top3, batch_format="pandas"
+    )
+
+
+TOP3_SEGMENT_SQL = """
+WITH ranked AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, o_orderkey, o_totalprice, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def sample_docs_hash(sf_dir: str):
+    """Deterministic hash sampling (1-in-5 docs) — reproducible at any
+    parallelism, unlike seeded random_sample whose output depends on
+    block structure."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        keep = ((ids * _GEO_A) % _GEO_M) % 5 == 0
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SAMPLE_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id * {_GEO_A}) % {_GEO_M}) % 5 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Q: large-large partitioned hash join
 # ---------------------------------------------------------------------------
@@ -926,6 +1003,40 @@ def flagship_resumable(sf_dir: str):
     return manifest
 
 
+def normalize_era5_raw(sf_dir: str):
+    """ERA5-style raw variables -> canonical schema (M7 normalizer);
+    deterministic raw fixture derived from event ids."""
+    from geodata_ray.stages.normalize import normalize_era5
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def raw(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy()
+        def u(stream):
+            return (((ids * _GEO_A + stream * 7919) % _GEO_M) / _GEO_M)
+        ssrd = u(1) * 3.6e6
+        fdir = ssrd * (0.2 + 0.7 * u(2))
+        return pa.table({
+            "ts": pa.array((ids * 3600 * 1_000_000).astype("datetime64[us]")),
+            "lat": pa.array(u(3) * 120.0 - 60.0),
+            "lon": pa.array(u(4) * 360.0 - 180.0),
+            "z": pa.array(u(5) * 5e4),
+            "ssrd": pa.array(ssrd),
+            "ssr": pa.array(ssrd * (0.7 + 0.25 * u(6))),
+            "fdir": pa.array(fdir),
+            "tisr": pa.array(ssrd * (1.0 + 0.3 * u(7))),
+            "u100": pa.array(u(8) * 20 - 10),
+            "v100": pa.array(u(9) * 20 - 10),
+            "ro": pa.array(u(10) * 2e-4 - 1e-4),
+            "t2m": pa.array(250.0 + u(11) * 60.0),
+            "sp": pa.array(9e4 + u(12) * 1.5e4),
+            "stl4": pa.array(260.0 + u(13) * 40.0),
+            "fsr": pa.array(u(14)),
+        })
+
+    return normalize_era5(ds.map_batches(raw, batch_format="pyarrow"))
+
+
 def decode_images_stub(sf_dir: str):
     """Multimodal plumbing: fake image corpus -> actor-pool decode ->
     feature vectors (binary dropped before output)."""
@@ -980,6 +1091,9 @@ RAY_QUERIES = {
     "hourly_event_counts": hourly_event_counts,
     "session_windows_users": session_windows_users,
     "lineitem_part_join": lineitem_part_join,
+    "sliding_event_counts": sliding_event_counts,
+    "top3_orders_per_segment": top3_orders_per_segment,
+    "sample_docs_hash": sample_docs_hash,
     # rows-only (non-SQL-expressible: engine-internal hashes / models)
     "simhash_docs": simhash_docs,
     "fingerprint_docs": fingerprint_docs,
@@ -1011,6 +1125,7 @@ RAY_QUERIES = {
     "wind_spline_estimate_grid": wind_spline_estimate_grid,
     "flagship_resumable": flagship_resumable,
     "decode_images_stub": decode_images_stub,
+    "normalize_era5_raw": normalize_era5_raw,
 }
 
 ORACLE_SQL = {
@@ -1031,4 +1146,7 @@ ORACLE_SQL = {
     "hourly_event_counts": HOURLY_SQL,
     "session_windows_users": SESSIONS_SQL,
     "lineitem_part_join": PART_JOIN_SQL,
+    "sliding_event_counts": SLIDING_SQL,
+    "top3_orders_per_segment": TOP3_SEGMENT_SQL,
+    "sample_docs_hash": SAMPLE_SQL,
 }

@@ -40,6 +40,37 @@ def tumbling_counts(ds, *, key_col: str, ts_col: str = "ts", unit: str = "hour",
     return grouped_aggregate(prepped, [key_col, "window"], specs)
 
 
+def sliding_counts(ds, *, key_col: str, ts_col: str = "ts",
+                   window_hours: int = 2, slide_hours: int = 1,
+                   value_col: str | None = None):
+    """Sliding (hopping) windows: each event replicates into the
+    ``window/slide`` windows containing it (flat-map inside
+    map_batches), then the standard two-phase grouped aggregate —
+    overlap factor bounds the replication, never a per-row shuffle."""
+    n_windows = window_hours // slide_hours
+    slide_us = slide_hours * 3600 * 1_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(batch[ts_col], unit="hour")
+        tables = []
+        for k in range(n_windows):
+            off = pa.scalar(k * slide_us, pa.duration("us"))
+            cols = {
+                key_col: batch[key_col],
+                "window_start": pc.subtract(base, off),
+            }
+            if value_col:
+                cols[value_col] = batch[value_col]
+            tables.append(pa.table(cols))
+        return pa.concat_tables(tables)
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    specs = [(key_col, "count", "n_events")]
+    if value_col:
+        specs.append((value_col, "sum", f"sum_{value_col}"))
+    return grouped_aggregate(exploded, [key_col, "window_start"], specs)
+
+
 def session_windows(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                     gap_minutes: int = 30):
     """Sessionization: per key, consecutive events within
