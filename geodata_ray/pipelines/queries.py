@@ -1003,6 +1003,33 @@ def flagship_resumable(sf_dir: str):
     return manifest
 
 
+def top_pages_per_tile(sf_dir: str):
+    """Salted per-tile top-k: highest-n_chars pages per r5 cell with
+    hot megacity cells split into salted subgroups first (north-star
+    skew handling; rows-only)."""
+    from geodata_ray.pipelines.flagship import enrich_pages, pages_from_documents
+    from geodata_ray.stages.skew import salted_topk_per_key
+
+    enriched = enrich_pages(pages_from_documents(sf_dir))
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = pc.utf8_length(batch["extracted_text"])
+        return pa.table(
+            {
+                "url": batch["url"],
+                "cell": batch["h3_r5"],
+                "score": pc.cast(n, pa.float64()),
+            }
+        )
+
+    scored = enriched.map_batches(score, batch_format="pyarrow")
+    scored = scored.filter(expr="cell >= 0")
+    return salted_topk_per_key(
+        scored, key="cell", order_col="score", k=3, n_salts=4,
+        threshold_rows=50,
+    )
+
+
 def normalize_era5_raw(sf_dir: str):
     """ERA5-style raw variables -> canonical schema (M7 normalizer);
     deterministic raw fixture derived from event ids."""
@@ -1126,6 +1153,7 @@ RAY_QUERIES = {
     "flagship_resumable": flagship_resumable,
     "decode_images_stub": decode_images_stub,
     "normalize_era5_raw": normalize_era5_raw,
+    "top_pages_per_tile": top_pages_per_tile,
 }
 
 ORACLE_SQL = {

@@ -1,0 +1,90 @@
+"""Skew handling: hot-key detection and salted group computation.
+
+Megacity geocodes concentrate web pages into a few H3 cells (the
+fixture gazetteer is zipf-weighted so the top city holds ~15% of rows
+— SURVEY.md §4 skew row).  Algebraic aggregates in this engine never
+feel it (``grouped_aggregate`` pre-combines inside batches), but
+holistic per-group computations (top-k per tile, per-group sorts,
+quantiles) would ship every hot-cell row to one reducer.  The standard
+fix, implemented here:
+
+1. ``detect_hot_keys``: cheap two-phase count, keys above a row
+   threshold are "hot";
+2. salt: hot keys get a uniform random-but-deterministic salt in
+   [0, n_salts) appended to the group key, cold keys salt 0 — so a hot
+   group splits into n_salts bounded subgroups;
+3. per-(key, salt) partial computation via ``map_groups``;
+4. final merge per key over n_salts partial results (tiny).
+
+Works for any computation with a partial+merge decomposition (top-k,
+count-distinct sketches, sampled quantiles...).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from geodata_ray.sources.synth import splitmix64
+from geodata_ray.stages.relational import grouped_aggregate
+
+
+def detect_hot_keys(ds, key: str, *, threshold_rows: int) -> np.ndarray:
+    """Keys whose total row count exceeds ``threshold_rows`` (exact,
+    two-phase — cheap because only (key, partial count) rows shuffle)."""
+    counts = grouped_aggregate(ds, [key], [(key, "count", "n")]).to_pandas()
+    return counts.loc[counts.n > threshold_rows, key].to_numpy()
+
+
+def salted_topk_per_key(
+    ds,
+    *,
+    key: str,
+    order_col: str,
+    k: int,
+    n_salts: int = 8,
+    hot_keys: np.ndarray | None = None,
+    threshold_rows: int = 10_000,
+    descending: bool = True,
+):
+    """Top-k rows per key under skew.
+
+    Hot keys are split into ``n_salts`` deterministic subgroups (salt =
+    splitmix64(row order_col bits) % n_salts — any per-row hash works;
+    determinism keeps retries byte-stable).  Phase 1 takes top-k within
+    each (key, salt); phase 2 merges the <= n_salts * k survivors per
+    key.  Cold keys pay nothing (salt 0, single group).
+    """
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(ds, key, threshold_rows=threshold_rows)
+    hot_set = pa.array(np.asarray(hot_keys))
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = batch[key]
+        is_hot = pc.is_in(keys, value_set=hot_set).to_numpy(
+            zero_copy_only=False
+        )
+        vals = batch[order_col].to_numpy(zero_copy_only=False)
+        h = splitmix64(vals.astype(np.float64).view(np.uint64))
+        salt = np.where(is_hot, (h % np.uint64(n_salts)).astype(np.int64), 0)
+        return batch.append_column("__salt", pa.array(salt))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, ascending=not descending).head(k)
+        return g.drop(columns=["__salt"])
+
+    partial = salted.groupby([key, "__salt"]).map_groups(
+        local_topk, batch_format="pandas"
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, ascending=not descending).head(k)
+        g["rank"] = range(1, len(g) + 1)
+        return g
+
+    return partial.groupby(key).map_groups(final_topk, batch_format="pandas")
