@@ -718,6 +718,31 @@ WHERE ((doc_id * {_GEO_A}) % {_GEO_M}) % 5 = 0
 """
 
 
+def props_json_extract(sf_dir: str):
+    """JSON scalar extraction from the events props column (RE2 kernel
+    on the Ray side, json_extract in the oracle)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        k = pc.struct_field(
+            pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)'), "k"
+        )
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "k": pc.cast(k, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+PROPS_JSON_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # Q: large-large partitioned hash join
 # ---------------------------------------------------------------------------
@@ -1121,6 +1146,7 @@ RAY_QUERIES = {
     "sliding_event_counts": sliding_event_counts,
     "top3_orders_per_segment": top3_orders_per_segment,
     "sample_docs_hash": sample_docs_hash,
+    "props_json_extract": props_json_extract,
     # rows-only (non-SQL-expressible: engine-internal hashes / models)
     "simhash_docs": simhash_docs,
     "fingerprint_docs": fingerprint_docs,
@@ -1177,4 +1203,5 @@ ORACLE_SQL = {
     "sliding_event_counts": SLIDING_SQL,
     "top3_orders_per_segment": TOP3_SEGMENT_SQL,
     "sample_docs_hash": SAMPLE_SQL,
+    "props_json_extract": PROPS_JSON_SQL,
 }

@@ -77,20 +77,40 @@ def minhash_signature(shingles: np.ndarray, num: int = 64) -> np.ndarray:
 
 
 def _band_rows(ids, texts, *, k, num_hashes, bands):
+    """Vectorized banding for a whole batch: all docs' shingles are
+    concatenated once and each permutation's min is taken with one
+    segmented ``minimum.reduceat`` — no per-doc Python loop."""
     rows_per_band = num_hashes // bands
-    out_id, out_band, out_bh = [], [], []
-    for i, text in zip(ids, texts):
-        sig = minhash_signature(shingle_hashes(text, k), num_hashes)
-        with np.errstate(over="ignore"):
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                acc = np.uint64(b + 1)
-                for v in chunk:
-                    acc = splitmix64(acc ^ v)
-                out_id.append(i)
-                out_band.append(b)
-                out_bh.append(int(acc))
-    return out_id, out_band, out_bh
+    n = len(ids)
+    sh_list = [shingle_hashes(t, k) for t in texts]
+    counts = np.array([s.size for s in sh_list], dtype=np.int64)
+    flat = (
+        np.concatenate(sh_list)
+        if n
+        else np.empty(0, dtype=np.uint64)
+    )
+    offsets = np.r_[0, np.cumsum(counts)[:-1]]
+    nonempty = counts > 0
+    ne_offsets = offsets[nonempty]  # strictly increasing, < flat.size
+    sig = np.full((n, num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
+    for j in range(num_hashes):
+        if flat.size:
+            h = splitmix64(flat ^ _MINHASH_SEEDS[j])
+            sig[nonempty, j] = np.minimum.reduceat(h, ne_offsets)
+    # band hashes: fold each band's rows with splitmix64, seeded by band
+    with np.errstate(over="ignore"):
+        bh = np.empty((n, bands), dtype=np.uint64)
+        for b in range(bands):
+            acc = np.full(n, b + 1, dtype=np.uint64)
+            for r in range(rows_per_band):
+                acc = splitmix64(acc ^ sig[:, b * rows_per_band + r])
+            bh[:, b] = acc
+    ids_arr = np.asarray(ids)
+    out_id = np.repeat(ids_arr, bands)
+    out_band = np.tile(np.arange(bands, dtype=np.int32), n)
+    # int64 bit view: uint64 keys degrade to Python objects in pandas
+    # groupby paths and overflow Arrow conversion
+    return out_id, out_band, bh.reshape(-1).view(np.int64)
 
 
 def minhash_lsh_pairs(
@@ -123,31 +143,52 @@ def minhash_lsh_pairs(
             {
                 "id": pa.array(out_id, type=pa.int64()),
                 "band": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_bh, type=pa.uint64()),
+                "band_hash": pa.array(out_bh, type=pa.int64()),
             }
         )
 
     band_ds = ds.map_batches(to_bands, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["id"].to_numpy())
-        if ids.size < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        a, b = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+    # keep only COLLIDING buckets before any per-group work: band
+    # hashes are unique per (band, doc) otherwise, and map_groups over
+    # millions of single-member groups is pure overhead
+    from geodata_ray.stages.relational import grouped_aggregate, semi_join
 
-    pairs = band_ds.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    counts = grouped_aggregate(
+        band_ds, ["band_hash"], [("band_hash", "count", "n")]
+    ).to_pandas()
+    colliding = counts.loc[counts.n >= 2, "band_hash"].to_numpy()
+    band_ds = semi_join(band_ds, colliding, "band_hash")
 
-    # dedup candidate pairs (same pair can fire in many bands)
-    def local_dedup(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+    # the colliding subset is tiny relative to the corpus (true pairs x
+    # bands + hash noise), so pair generation runs in ONE block instead
+    # of a per-bucket map_groups (a true near-dup collides in ~every
+    # band -> thousands of single-pair groups otherwise).  At extreme
+    # scale, shard this step by band_hash range first.
+    def all_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out_a, out_b = [], []
+        for _, g in df.groupby("band_hash", sort=False):
+            ids = np.unique(g["id"].to_numpy())
+            if ids.size < 2:
+                continue
+            a, b = np.triu_indices(ids.size, k=1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+        if not out_a:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                }
+            )
+        pairs_df = pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        ).drop_duplicates(ignore_index=True)
+        return pa.Table.from_pandas(pairs_df, preserve_index=False)
 
-    pairs = pairs.map_batches(local_dedup, batch_format="pyarrow")
-    pairs = pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    pairs = band_ds.repartition(1).map_batches(
+        all_pairs, batch_format="pyarrow", batch_size=None
     )
 
     if verify_corpus is None:
