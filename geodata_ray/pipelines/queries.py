@@ -718,6 +718,71 @@ WHERE ((doc_id * {_GEO_A}) % {_GEO_M}) % 5 = 0
 """
 
 
+_PIP_BOXES = [
+    # (poly_id, lat0, lat1, lon0, lon1) — axis-aligned so the oracle
+    # can express containment with BETWEEN while the Ray side runs the
+    # real PolygonIndex/PIP machinery on the equivalent rings
+    ("boxA", -20.0, 15.0, -60.0, -20.0),
+    ("boxB", 30.0, 55.0, -10.0, 40.0),
+    ("boxC", -50.0, -25.0, 100.0, 150.0),
+    ("boxD", 50.0, 75.0, 120.0, 179.0),
+    ("boxE", -10.0, 10.0, 10.0, 35.0),
+]
+
+
+def pip_boxes_events(sf_dir: str):
+    """SQL-audited point-in-polygon join: derived event points against
+    rectangle polygons via the real spatial-join machinery (covering
+    cells + crossing-number test)."""
+    from geodata_ray.stages.spatial_join import spatial_join
+
+    ring_x, ring_y, ids = [], [], []
+    for pid, a0, a1, o0, o1 in _PIP_BOXES:
+        ids.append(pid)
+        ring_x.append([o0, o1, o1, o0, o0])
+        ring_y.append([a0, a0, a1, a1, a0])
+    polys = pa.table(
+        {
+            "poly_id": pa.array(ids),
+            "ring_x": pa.array(ring_x, type=pa.list_(pa.float64())),
+            "ring_y": pa.array(ring_y, type=pa.list_(pa.float64())),
+        }
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        ids_np = batch["event_id"].to_numpy()
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "lat": pa.array(_derive_lat_np(ids_np)),
+                "lon": pa.array(_derive_lon_np(ids_np)),
+            }
+        )
+
+    pts = ds.map_batches(coords, batch_format="pyarrow")
+    joined = spatial_join(pts, polys, mode="inner")
+    return joined.select_columns(["event_id", "poly_id"])
+
+
+_PIP_SQL_CASES = "\nUNION ALL\n".join(
+    f"""SELECT event_id, '{pid}' AS poly_id FROM pts
+WHERE lat0 > {a0} AND lat0 < {a1} AND lon0 > {o0} AND lon0 < {o1}"""
+    for pid, a0, a1, o0, o1 in _PIP_BOXES
+)
+
+PIP_BOXES_SQL = f"""
+WITH pts AS (
+  SELECT event_id,
+         {_derive_lat_sql('event_id')} AS lat0,
+         {_derive_lon_sql('event_id')} AS lon0
+  FROM events
+)
+{_PIP_SQL_CASES}
+"""
+
+
 def props_json_extract(sf_dir: str):
     """JSON scalar extraction from the events props column (RE2 kernel
     on the Ray side, json_extract in the oracle)."""
@@ -1055,6 +1120,21 @@ def top_pages_per_tile(sf_dir: str):
     )
 
 
+def value_quantiles_events(sf_dir: str):
+    """Mergeable quantile sketch over events.value (rows-only;
+    accuracy/determinism proven in tests)."""
+    import pandas as pd
+
+    from geodata_ray.stages.sketch import approx_quantiles
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    res = approx_quantiles(ds, "value", qs)
+    return pd.DataFrame(
+        {"q_pct": [int(q * 100) for q in qs], "value": [res[q] for q in qs]}
+    )
+
+
 def normalize_era5_raw(sf_dir: str):
     """ERA5-style raw variables -> canonical schema (M7 normalizer);
     deterministic raw fixture derived from event ids."""
@@ -1147,6 +1227,7 @@ RAY_QUERIES = {
     "top3_orders_per_segment": top3_orders_per_segment,
     "sample_docs_hash": sample_docs_hash,
     "props_json_extract": props_json_extract,
+    "pip_boxes_events": pip_boxes_events,
     # rows-only (non-SQL-expressible: engine-internal hashes / models)
     "simhash_docs": simhash_docs,
     "fingerprint_docs": fingerprint_docs,
@@ -1180,6 +1261,7 @@ RAY_QUERIES = {
     "decode_images_stub": decode_images_stub,
     "normalize_era5_raw": normalize_era5_raw,
     "top_pages_per_tile": top_pages_per_tile,
+    "value_quantiles_events": value_quantiles_events,
 }
 
 ORACLE_SQL = {
@@ -1204,4 +1286,5 @@ ORACLE_SQL = {
     "top3_orders_per_segment": TOP3_SEGMENT_SQL,
     "sample_docs_hash": SAMPLE_SQL,
     "props_json_extract": PROPS_JSON_SQL,
+    "pip_boxes_events": PIP_BOXES_SQL,
 }
