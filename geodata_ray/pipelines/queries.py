@@ -783,6 +783,67 @@ WITH pts AS (
 """
 
 
+def knn_oracle_events(sf_dir: str):
+    """Oracle-audited cell-local kNN: queries and references both live
+    in a bounded 10x10-degree region so a ring-2 disk at res 3 provably
+    covers every candidate — the kRing plan is exact and can be
+    hash-compared against a brute-force haversine oracle."""
+    from geodata_ray.stages.knn import knn_join
+
+    rr = np.arange(300, dtype=np.int64)
+    ref_lat = 40.0 + ((rr * _GEO_A) % _GEO_M) / _GEO_M * 10.0
+    ref_lon = ((rr * _GEO_B) % _GEO_M) / _GEO_M * 10.0
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy()
+        keep = ids < 200
+        ids = ids[keep]
+        return pa.table(
+            {
+                "id": pa.array(ids),
+                "lat": pa.array(42.0 + ((ids * _GEO_A) % _GEO_M) / _GEO_M * 6.0),
+                "lon": pa.array(2.0 + ((ids * _GEO_B) % _GEO_M) / _GEO_M * 6.0),
+            }
+        )
+
+    pts = ds.map_batches(coords, batch_format="pyarrow")
+    out = knn_join(pts, rr, ref_lat, ref_lon, k=3, res=3, ring=2)
+    return out.select_columns(["query_id", "ref_id", "rank"])
+
+
+KNN_ORACLE_SQL = f"""
+WITH refs AS (
+  SELECT r AS ref_id,
+         40.0 + ((r * {_GEO_A}) % {_GEO_M}) / {_GEO_M} * 10.0 AS rlat,
+         ((r * {_GEO_B}) % {_GEO_M}) / {_GEO_M} * 10.0 AS rlon
+  FROM range(0, 300) t(r)
+),
+qs AS (
+  SELECT event_id,
+         42.0 + ((event_id * {_GEO_A}) % {_GEO_M}) / {_GEO_M} * 6.0 AS qlat,
+         2.0 + ((event_id * {_GEO_B}) % {_GEO_M}) / {_GEO_M} * 6.0 AS qlon
+  FROM events WHERE event_id < 200
+),
+d AS (
+  SELECT event_id AS query_id, ref_id,
+         2 * 6371.0088 * ASIN(SQRT(
+           POWER(SIN(RADIANS(rlat - qlat) / 2), 2)
+           + COS(RADIANS(qlat)) * COS(RADIANS(rlat))
+             * POWER(SIN(RADIANS(rlon - qlon) / 2), 2))) AS dist
+  FROM qs, refs
+),
+ranked AS (
+  SELECT query_id, ref_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dist, ref_id) AS rank
+  FROM d
+)
+SELECT query_id, ref_id, rank FROM ranked WHERE rank <= 3
+"""
+
+
 def props_json_extract(sf_dir: str):
     """JSON scalar extraction from the events props column (RE2 kernel
     on the Ray side, json_extract in the oracle)."""
@@ -1228,6 +1289,7 @@ RAY_QUERIES = {
     "sample_docs_hash": sample_docs_hash,
     "props_json_extract": props_json_extract,
     "pip_boxes_events": pip_boxes_events,
+    "knn_oracle_events": knn_oracle_events,
     # rows-only (non-SQL-expressible: engine-internal hashes / models)
     "simhash_docs": simhash_docs,
     "fingerprint_docs": fingerprint_docs,
@@ -1287,4 +1349,5 @@ ORACLE_SQL = {
     "sample_docs_hash": SAMPLE_SQL,
     "props_json_extract": PROPS_JSON_SQL,
     "pip_boxes_events": PIP_BOXES_SQL,
+    "knn_oracle_events": KNN_ORACLE_SQL,
 }
