@@ -97,6 +97,11 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     n_tiles = len(tile_df)
     join_rows = int(tile_df["n_points"].sum())
 
+    # per-stage throughput records (north-rule metric emission)
+    from geodata_ray.state.lineage import stage_metrics
+
+    stages = stage_metrics(tiles)
+
     # --- representative per-query timings over the sf tables
     for name in (
         "q1_pricing_summary",
@@ -123,6 +128,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "rows_per_sec": round(n_pages / headline, 1),
         "join_rows_per_sec": round(join_rows / headline, 1),
         "tiles_per_sec": round(n_tiles / headline, 1),
+        "stages": stages,
     }
 
 

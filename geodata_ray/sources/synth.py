@@ -311,6 +311,10 @@ def grid_table(
     cols["hlml"] = noise(34, 40.0, 80.0)
     cols["ustar"] = noise(35, 0.05, 0.8)
     cols["rhoa"] = noise(36, 1.0, 1.3)
+    # surface heat/evaporation fluxes for the stability-corrected wind
+    # laws (wind.py:156-227 inputs; signs mix stable + unstable cases)
+    cols["hflux"] = noise(42, -120.0, 250.0)
+    cols["eflux"] = noise(43, -30.0, 180.0)
     temp = (288.0 + 10.0 * diurnal + noise(37, -5, 5)).astype(np.float32)
     sea = _h(seed, idx, 38) % np.uint64(11) == np.uint64(0)
     cols["temperature"] = np.where(sea, np.float32(np.nan), temp)
