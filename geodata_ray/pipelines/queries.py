@@ -844,6 +844,148 @@ SELECT query_id, ref_id, rank FROM ranked WHERE rank <= 3
 """
 
 
+def asof_latest_order(sf_dir: str):
+    """As-of join: for each event, the user's latest order at or before
+    the event time (right side pre-deduped per (custkey, date) so tie
+    resolution is well-defined in both engines)."""
+    from geodata_ray.stages.relational import asof_join, grouped_aggregate
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "custkey": pa.array(uid % 150 + 1),
+            }
+        )
+
+    left = ev.map_batches(prep, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": batch["o_custkey"],
+                "o_orderdate": batch["o_orderdate"],
+                "o_orderkey": batch["o_orderkey"],
+            }
+        )
+
+    right = grouped_aggregate(
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        ["custkey", "o_orderdate"],
+        [("o_orderkey", "max", "o_orderkey")],
+    )
+    joined = asof_join(
+        left, right, by="custkey", left_on="ts", right_on="o_orderdate"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["o_orderkey"]))
+        # the bucketed union null-fills across sides, so int columns
+        # may come back as float64 through pandas — cast both outputs
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+ASOF_SQL = """
+WITH right_d AS (
+  SELECT o_custkey AS custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+),
+left_e AS (
+  SELECT event_id, ts, user_id % 150 + 1 AS custkey FROM events
+)
+SELECT e.event_id, r.o_orderkey
+FROM left_e e
+ASOF JOIN right_d r ON e.custkey = r.custkey AND e.ts >= r.o_orderdate
+"""
+
+
+def running_user_totals(sf_dir: str):
+    """Running cumulative per-user value (ordered incremental state —
+    the batch expression of a keyed stream; SURVEY.md §2.9)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ignore_index=True)
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        g["cum_value_cents"] = np.cumsum(cents)
+        return g[["event_id", "cum_value_cents"]]
+
+    return ds.groupby("user_id").map_groups(cum, batch_format="pandas")
+
+
+RUNNING_SQL = """
+SELECT event_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_cents
+FROM events
+"""
+
+
+def pip_boxes_anti(sf_dir: str):
+    """Anti PIP join: events outside every box (exclude semantics,
+    mask.py:593-598)."""
+    from geodata_ray.stages.spatial_join import spatial_join
+
+    ring_x, ring_y, ids = [], [], []
+    for pid, a0, a1, o0, o1 in _PIP_BOXES:
+        ids.append(pid)
+        ring_x.append([o0, o1, o1, o0, o0])
+        ring_y.append([a0, a0, a1, a1, a0])
+    polys = pa.table(
+        {
+            "poly_id": pa.array(ids),
+            "ring_x": pa.array(ring_x, type=pa.list_(pa.float64())),
+            "ring_y": pa.array(ring_y, type=pa.list_(pa.float64())),
+        }
+    )
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        ids_np = batch["event_id"].to_numpy()
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "lat": pa.array(_derive_lat_np(ids_np)),
+                "lon": pa.array(_derive_lon_np(ids_np)),
+            }
+        )
+
+    pts = ds.map_batches(coords, batch_format="pyarrow")
+    out = spatial_join(pts, polys, mode="anti")
+    return out.select_columns(["event_id"])
+
+
+_PIP_ANTI_COND = " AND ".join(
+    f"NOT (lat0 > {a0} AND lat0 < {a1} AND lon0 > {o0} AND lon0 < {o1})"
+    for _, a0, a1, o0, o1 in _PIP_BOXES
+)
+
+PIP_ANTI_SQL = f"""
+WITH pts AS (
+  SELECT event_id,
+         {_derive_lat_sql('event_id')} AS lat0,
+         {_derive_lon_sql('event_id')} AS lon0
+  FROM events
+)
+SELECT event_id FROM pts WHERE {_PIP_ANTI_COND}
+"""
+
+
 def props_json_extract(sf_dir: str):
     """JSON scalar extraction from the events props column (RE2 kernel
     on the Ray side, json_extract in the oracle)."""
@@ -1290,6 +1432,9 @@ RAY_QUERIES = {
     "props_json_extract": props_json_extract,
     "pip_boxes_events": pip_boxes_events,
     "knn_oracle_events": knn_oracle_events,
+    "asof_latest_order": asof_latest_order,
+    "running_user_totals": running_user_totals,
+    "pip_boxes_anti": pip_boxes_anti,
     # rows-only (non-SQL-expressible: engine-internal hashes / models)
     "simhash_docs": simhash_docs,
     "fingerprint_docs": fingerprint_docs,
@@ -1350,4 +1495,7 @@ ORACLE_SQL = {
     "props_json_extract": PROPS_JSON_SQL,
     "pip_boxes_events": PIP_BOXES_SQL,
     "knn_oracle_events": KNN_ORACLE_SQL,
+    "asof_latest_order": ASOF_SQL,
+    "running_user_totals": RUNNING_SQL,
+    "pip_boxes_anti": PIP_ANTI_SQL,
 }

@@ -288,6 +288,81 @@ def shuffle_join(
     return both.groupby("__b").map_groups(merge, batch_format="pandas")
 
 
+def asof_join(
+    left,
+    right,
+    *,
+    by: str,
+    left_on: str,
+    right_on: str,
+    num_buckets: int = 32,
+    direction: str = "backward",
+):
+    """As-of join: for each left row, the latest right row with
+    ``right_on <= left_on`` within the same ``by`` key (direction
+    'backward'; pandas merge_asof semantics).
+
+    Physical plan (ray guide pattern): bucket both sides by hash(by),
+    one union shuffle, per-bucket ts-sort + ``pd.merge_asof``.
+    """
+    lsch = left.schema()
+    rsch = right.schema()
+    l_cols = list(lsch.names)
+    r_cols = list(rsch.names)
+    all_fields: dict[str, pa.DataType] = {}
+    for n, t in zip(lsch.names, lsch.types):
+        all_fields[n] = t
+    for n, t in zip(rsch.names, rsch.types):
+        all_fields.setdefault(n, t)
+    col_order = list(all_fields)
+
+    def tag(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            from geodata_ray.sources.synth import splitmix64
+
+            col = batch[by].to_numpy(zero_copy_only=False)
+            h = splitmix64(col.astype(np.uint64))
+            b = (h % np.uint64(num_buckets)).astype(np.int64)
+            arrays = []
+            for n in col_order:
+                if n in batch.schema.names:
+                    arrays.append(batch[n])
+                else:
+                    arrays.append(pa.nulls(len(batch), type=all_fields[n]))
+            t = pa.table(dict(zip(col_order, arrays)))
+            return t.append_column("__b", pa.array(b)).append_column(
+                "__side", pa.array(np.full(len(batch), side))
+            )
+
+        return f
+
+    both = left.map_batches(tag("l"), batch_format="pyarrow").union(
+        right.map_batches(tag("r"), batch_format="pyarrow")
+    )
+    out_r_cols = [c for c in r_cols if c not in l_cols or c == by]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["__side"] == "l", l_cols].sort_values(
+            left_on, kind="stable", ignore_index=True
+        )
+        rg = g.loc[g["__side"] == "r", out_r_cols].sort_values(
+            right_on, kind="stable", ignore_index=True
+        )
+        # unify timestamp resolutions (blocks may arrive as s vs us
+        # after shuffles); merge_asof requires identical key dtypes
+        for df, col in ((lg, left_on), (rg, right_on)):
+            if str(df[col].dtype).startswith("datetime64"):
+                df[col] = df[col].astype("datetime64[us]")
+        if len(lg) == 0:
+            return lg
+        return pd.merge_asof(
+            lg, rg, left_on=left_on, right_on=right_on, by=by,
+            direction=direction,
+        )
+
+    return both.groupby("__b").map_groups(merge, batch_format="pandas")
+
+
 def distinct_first(ds, key: str, order_by: str):
     """Exact dedup: per distinct ``key`` keep the row minimizing
     ``order_by``.  Two-phase: per-batch local winner (pyarrow), then a
