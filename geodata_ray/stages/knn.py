@@ -100,28 +100,36 @@ def knn_join(
         ok = np.isfinite(qlat) & np.isfinite(qlon)
         out_q, out_r, out_rank, out_d = [], [], [], []
         if ok.any():
-            cells = qcell.latlng_to_cell(qlat[ok], qlon[ok], idx.res)
-            origin, nbr = qcell.grid_disk_multi(cells, ring)
-            lo, hi = idx.candidates(nbr)
             sel = np.flatnonzero(ok)
-            # gather candidate ref indices per query point
-            for qi in range(cells.shape[0]):
-                m = origin == qi
+            cells = qcell.latlng_to_cell(qlat[sel], qlon[sel], idx.res)
+            # queries sharing a cell share the exact candidate set, so
+            # work per UNIQUE cell with one (Q_cell x C) distance matrix
+            # instead of a Python loop per query point
+            uniq, inv = np.unique(cells, return_inverse=True)
+            u_origin, u_nbr = qcell.grid_disk_multi(uniq, ring)
+            lo, hi = idx.candidates(u_nbr)
+            for ui in range(uniq.shape[0]):
+                m = u_origin == ui
                 cand: list[np.ndarray] = [
                     idx.order[lo[j] : hi[j]] for j in np.flatnonzero(m)
                 ]
                 cand_idx = np.concatenate(cand) if cand else np.empty(0, np.int64)
                 if cand_idx.size == 0:
                     continue
-                gi = sel[qi]
+                gq = sel[inv == ui]  # batch rows of queries in this cell
                 d = haversine_km(
-                    qlat[gi], qlon[gi], idx.lat[cand_idx], idx.lon[cand_idx]
+                    qlat[gq][:, None],
+                    qlon[gq][:, None],
+                    idx.lat[cand_idx][None, :],
+                    idx.lon[cand_idx][None, :],
                 )
-                top = np.argsort(d, kind="stable")[:k]
-                out_q.append(np.full(top.size, qids[gi]))
-                out_r.append(idx.ids[cand_idx[top]])
-                out_rank.append(np.arange(1, top.size + 1, dtype=np.int64))
-                out_d.append(d[top])
+                kk = min(k, cand_idx.size)
+                top = np.argsort(d, axis=1, kind="stable")[:, :kk]
+                rows = np.repeat(np.arange(gq.size), kk)
+                out_q.append(np.repeat(qids[gq], kk))
+                out_r.append(idx.ids[cand_idx[top.ravel()]])
+                out_rank.append(np.tile(np.arange(1, kk + 1), gq.size))
+                out_d.append(d[rows, top.ravel()])
         if not out_q:
             return pa.table(
                 {
