@@ -156,8 +156,16 @@ def minhash_lsh_pairs(
 
     counts = grouped_aggregate(
         band_ds, ["band_hash"], [("band_hash", "count", "n")]
-    ).to_pandas()
-    colliding = counts.loc[counts.n >= 2, "band_hash"].to_numpy()
+    )
+    # filter to collisions BEFORE materializing: the full count table is
+    # docs x bands rows at scale; the colliding subset is small by
+    # construction (near-dups are sparse)
+    cdf = counts.filter(expr="n >= 2").to_pandas()
+    colliding = (
+        cdf["band_hash"].to_numpy()
+        if "band_hash" in cdf.columns  # empty result loses its schema
+        else np.empty(0, dtype=np.int64)
+    )
     band_ds = semi_join(band_ds, colliding, "band_hash")
 
     # the colliding subset is tiny relative to the corpus (true pairs x

@@ -56,8 +56,14 @@ def approx_quantiles(ds, col: str, qs, *, k: int = 256) -> dict[float, float]:
         mv, mw = _compress(v, w, min(k, v.size))
         return pa.table({"v": pa.array(mv), "w": pa.array(mw)})
 
-    merged = partials.repartition(1).map_batches(
-        merge, batch_format="pyarrow", batch_size=None
+    # two-level tree merge: at 10^12-row scale per-batch sketches are
+    # themselves numerous (blocks x k rows), so compress within 16
+    # shards before the final single-block merge
+    merged = (
+        partials.repartition(16)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
     )
     df: pd.DataFrame = merged.to_pandas()
     v = df["v"].to_numpy()

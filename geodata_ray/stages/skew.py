@@ -32,9 +32,14 @@ from geodata_ray.stages.relational import grouped_aggregate
 
 def detect_hot_keys(ds, key: str, *, threshold_rows: int) -> np.ndarray:
     """Keys whose total row count exceeds ``threshold_rows`` (exact,
-    two-phase — cheap because only (key, partial count) rows shuffle)."""
-    counts = grouped_aggregate(ds, [key], [(key, "count", "n")]).to_pandas()
-    return counts.loc[counts.n > threshold_rows, key].to_numpy()
+    two-phase — cheap because only (key, partial count) rows shuffle;
+    the threshold filter runs distributed so only the hot subset — tiny
+    by definition — ever reaches the driver)."""
+    counts = grouped_aggregate(ds, [key], [(key, "count", "n")])
+    hot = counts.filter(expr=f"n > {threshold_rows}").to_pandas()
+    if key not in hot.columns:  # empty result loses its schema
+        return np.empty(0, dtype=np.int64)
+    return hot[key].to_numpy()
 
 
 def salted_topk_per_key(
