@@ -160,3 +160,18 @@ def test_compute_var_udf_hook():
     )
     got = N.get_var(_from(g), "rhoa").to_pandas()
     assert list(got.columns) == ["ts", "lat", "lon", "rhoa"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_registry_prepare_and_errors():
+    import ray.data as rd
+
+    from geodata_ray.sources.registry import get_source_config, prepare_source
+
+    cfg = get_source_config("era5_hourly")
+    assert "roughness" in cfg.variables
+    raw = TestNormalizers()._raw_era5(200)
+    out = prepare_source(rd.from_arrow(raw).repartition(2), "era5_hourly")
+    assert set(cfg.variables) <= set(out.schema().names)
+    with pytest.raises(KeyError, match="unknown source"):
+        get_source_config("nope")
