@@ -986,6 +986,61 @@ SELECT event_id FROM pts WHERE {_PIP_ANTI_COND}
 """
 
 
+def q3_shipping_native(sf_dir: str):
+    """TPC-H Q3-style: two chained NATIVE Ray hash joins
+    (customer |X| orders |X| lineitem) + grouped revenue + top-k."""
+    from geodata_ray.stages.relational import grouped_aggregate, native_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(expr="c_mktsegment == 'BUILDING'")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cutoff = pa.scalar(np.datetime64("1998-01-01", "us"))
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.less(b["o_orderdate"], cutoff)),
+        batch_format="pyarrow",
+    )
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    li = li.map_batches(
+        lambda b: b.filter(pc.greater(b["l_shipdate"], cutoff)),
+        batch_format="pyarrow",
+    )
+
+    co = native_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                     num_partitions=8)
+    col = native_join(li, co, on="l_orderkey", right_on="o_orderkey",
+                      num_partitions=8)
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(batch["l_extendedprice"],
+                        pc.subtract(1.0, batch["l_discount"]))
+        return pa.table({"o_orderkey": batch["l_orderkey"], "rev": r})
+
+    out = grouped_aggregate(
+        col.map_batches(rev, batch_format="pyarrow"),
+        ["o_orderkey"],
+        [("rev", "sum", "revenue_bp")],
+    )
+    out = _scale_to_int(out, {"revenue_bp": 10000})
+    return out.sort("revenue_bp", descending=True).limit(10)
+
+
+Q3_NATIVE_SQL = """
+SELECT o_orderkey,
+       CAST(ROUND(SUM(l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)
+         AS revenue_bp
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey
+ORDER BY revenue_bp DESC
+LIMIT 10
+"""
+
+
 def props_json_extract(sf_dir: str):
     """JSON scalar extraction from the events props column (RE2 kernel
     on the Ray side, json_extract in the oracle)."""
@@ -1435,6 +1490,7 @@ RAY_QUERIES = {
     "asof_latest_order": asof_latest_order,
     "running_user_totals": running_user_totals,
     "pip_boxes_anti": pip_boxes_anti,
+    "q3_shipping_native": q3_shipping_native,
     # rows-only (non-SQL-expressible: engine-internal hashes / models)
     "simhash_docs": simhash_docs,
     "fingerprint_docs": fingerprint_docs,
@@ -1498,4 +1554,5 @@ ORACLE_SQL = {
     "asof_latest_order": ASOF_SQL,
     "running_user_totals": RUNNING_SQL,
     "pip_boxes_anti": PIP_ANTI_SQL,
+    "q3_shipping_native": Q3_NATIVE_SQL,
 }

@@ -288,6 +288,37 @@ def shuffle_join(
     return both.groupby("__b").map_groups(merge, batch_format="pandas")
 
 
+def native_join(left, right, on, *, join_type: str = "inner",
+                num_partitions: int = 16, right_on=None):
+    """Ray Data's built-in hash-partitioned ``Dataset.join`` (available
+    in this Ray version) — the engine's preferred large-large equi-join
+    when both sides are Datasets; ``shuffle_join`` remains the
+    portable/bucket-controlled fallback.
+
+    ``num_partitions`` is capped at the cluster CPU count: the hash
+    shuffle spawns one aggregator actor per partition, and a pool
+    larger than the cluster DEADLOCKS on small clusters (observed hang
+    at num_cpus=2 with 8 partitions).
+    """
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", num_partitions))
+        num_partitions = max(2, min(num_partitions, cpus))
+    except Exception:
+        pass
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=tuple(on) if not isinstance(on, str) else (on,),
+        right_on=(
+            tuple(right_on) if right_on and not isinstance(right_on, str)
+            else ((right_on,) if right_on else None)
+        ),
+    )
+
+
 def asof_join(
     left,
     right,
