@@ -1438,6 +1438,29 @@ def decode_images_stub(sf_dir: str):
     return decode_images(ds)
 
 
+def kmeans_embeddings(sf_dir: str):
+    """Distributed k-means over embeddings (iterative streaming Lloyd;
+    rows-only — assignments are deterministic at any parallelism)."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from geodata_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    base = pa.table(
+        {
+            "vec_id": t["vec_id"],
+            "embedding": pc.cast(t["embedding"], pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(base).repartition(8)
+    C, _ = kmeans_fit(ds, k=8, iters=6, init_table=base)
+    return kmeans_assign(ds, C)
+
+
 def ivf_topk_embeddings(sf_dir: str):
     """IVF-pruned ANN (approximate scale path; rows-only check)."""
     import pyarrow.parquet as pq
@@ -1497,6 +1520,7 @@ RAY_QUERIES = {
     "langid_docs": langid_docs,
     "quality_docs": quality_docs,
     "ivf_topk_embeddings": ivf_topk_embeddings,
+    "kmeans_embeddings": kmeans_embeddings,
     # conversion library over the deterministic grid fixture (golden
     # values checked in tests/test_conversions.py; rows-only here)
     "windspd_grid": windspd_grid,
