@@ -17,13 +17,16 @@ from geodata_ray.cellmath.qcell import (  # noqa: F401
     cell_area_km2,
     cell_resolution,
     cell_sql_expr,
+    cell_to_boundary,
     cell_to_children,
     cell_to_latlng,
     cell_to_parent,
     cell_to_rowcol,
+    compact_cells,
     grid_disk,
     latlng_to_cell,
     rowcol_to_cell,
+    uncompact_cells,
 )
 from geodata_ray.cellmath.s2 import (  # noqa: F401
     s2_cell_to_latlng,
@@ -32,3 +35,7 @@ from geodata_ray.cellmath.s2 import (  # noqa: F401
     latlng_to_s2_cell,
     latlng_to_s2_token,
 )
+
+# proj depends on stages.spatial_join which imports qcell from this
+# package — import it last so qcell is already bound
+from geodata_ray.cellmath import proj  # noqa: E402,F401

@@ -210,6 +210,61 @@ def grid_disk_multi(cells, k: int = 1):
     )
 
 
+def cell_to_boundary(cell):
+    """Cell boundary ring as (lats, lons) arrays (closed, CCW) — the
+    h3 ``cell_to_boundary`` analogue (rectangular cells here)."""
+    lat0, lat1, lon0, lon1 = cell_bounds(np.int64(cell))
+    lats = np.array([lat0, lat0, lat1, lat1, lat0], dtype=np.float64)
+    lons = np.array([lon0, lon1, lon1, lon0, lon0], dtype=np.float64)
+    return lats, lons
+
+
+def compact_cells(cells):
+    """Replace every complete sibling quad with its parent, repeatedly —
+    the h3 ``compact_cells`` analogue (minimal covering set with mixed
+    resolutions; exact because children tile their parent)."""
+    cells = np.unique(np.asarray(cells, dtype=np.int64))
+    if cells.size == 0:
+        return cells
+    out: list[np.ndarray] = []
+    current = cells
+    while current.size:
+        res = cell_resolution(current)
+        r = int(res.max())
+        at_r = current[res == r]
+        rest = current[res != r]
+        if r == 0:
+            out.append(at_r)
+            current = rest
+            continue
+        parents = cell_to_parent(at_r)
+        uniq, counts = np.unique(parents, return_counts=True)
+        complete = uniq[counts == 4]
+        if complete.size == 0:
+            out.append(at_r)
+            current = rest
+            continue
+        is_complete = np.isin(parents, complete)
+        out.append(at_r[~is_complete])
+        current = np.unique(np.concatenate([rest, complete]))
+    return np.sort(np.concatenate(out)) if out else cells
+
+
+def uncompact_cells(cells, res: int):
+    """Expand a mixed-resolution set to uniform ``res`` children — the
+    h3 ``uncompact_cells`` analogue."""
+    cells = np.atleast_1d(np.asarray(cells, dtype=np.int64))
+    parts = []
+    for c in cells:
+        cr = int(cell_resolution(c))
+        if cr > res:
+            raise ValueError(f"cell res {cr} finer than target {res}")
+        parts.append(cell_to_children(c, res))
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
 def cell_area_km2(cell):
     """Exact spherical area of a cell in km^2.
 

@@ -114,3 +114,42 @@ def test_sql_expr_matches_numpy(res):
     got = con.execute(f"SELECT {expr} AS cell FROM pts").fetchnumpy()["cell"]
     want = qcell.latlng_to_cell(LATS, LONS, res)
     assert np.array_equal(got.astype(np.int64), want)
+
+
+def test_compact_uncompact_roundtrip():
+    """Covering a polygon, compacting, and uncompacting returns the
+    original cell set exactly (children tile parents)."""
+    from geodata_ray.cellmath import proj
+
+    xs = [0.0, 6.0, 6.0, 0.0, 0.0]
+    ys = [0.0, 0.0, 6.0, 6.0, 0.0]
+    cover = proj.polygon_cover_cells(xs, ys, 7)
+    compacted = qcell.compact_cells(cover)
+    assert len(compacted) < len(cover)  # interior quads collapse
+    back = qcell.uncompact_cells(compacted, 7)
+    assert np.array_equal(back, np.sort(cover))
+    # mixed resolutions present after compaction
+    assert len(np.unique(qcell.cell_resolution(compacted))) > 1
+
+
+def test_compact_full_parent_block():
+    cell = qcell.latlng_to_cell(10.0, 10.0, 4)
+    kids = qcell.cell_to_children(cell, 7)  # 64 res-7 cells
+    compacted = qcell.compact_cells(kids)
+    assert compacted.tolist() == [int(cell)]
+
+
+def test_compact_incomplete_block_untouched():
+    cell = qcell.latlng_to_cell(10.0, 10.0, 4)
+    kids = qcell.cell_to_children(cell, 5)[:3]  # one sibling missing
+    compacted = qcell.compact_cells(kids)
+    assert np.array_equal(compacted, np.sort(kids))
+
+
+def test_cell_to_boundary_closed_ring():
+    cell = qcell.latlng_to_cell(48.8, 2.3, 7)
+    lats, lons = qcell.cell_to_boundary(cell)
+    assert lats[0] == lats[-1] and lons[0] == lons[-1]
+    clat, clon = qcell.cell_to_latlng(cell)
+    assert lats.min() < clat < lats.max()
+    assert lons.min() < clon < lons.max()
