@@ -1551,6 +1551,54 @@ RAY_QUERIES = {
     "value_quantiles_events": value_quantiles_events,
 }
 
+LANGID_SQL = """
+WITH w AS (
+  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    len(list_intersect(ws, ['the','a','of','to','and','is'])) AS n_en,
+    len(list_intersect(ws, ['el','la','de','que','y','los'])) AS n_es,
+    len(list_intersect(ws, ['der','die','und','das','nicht','ist'])) AS n_de,
+    len(list_intersect(ws, ['le','la','et','les','des','un'])) AS n_fr
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN GREATEST(n_en, n_es, n_de, n_fr) = 0 THEN 'und'
+       WHEN n_en = GREATEST(n_en, n_es, n_de, n_fr) THEN 'en'
+       WHEN n_es = GREATEST(n_en, n_es, n_de, n_fr) THEN 'es'
+       WHEN n_de = GREATEST(n_en, n_es, n_de, n_fr) THEN 'de'
+       ELSE 'fr' END AS lang_pred
+FROM c
+"""
+
+QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         length(text)::BIGINT AS n_chars,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','a','of','to','and','in','is','it')))::BIGINT
+           AS n_stopwords
+  FROM documents
+),
+m AS (
+  SELECT *,
+    CASE WHEN n_tokens > 0 THEN n_chars / GREATEST(n_tokens, 1) ELSE 0.0 END
+      AS mean_word,
+    CASE WHEN n_tokens > 0 THEN n_stopwords / GREATEST(n_tokens, 1) ELSE 0.0 END
+      AS stop_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, n_chars, n_stopwords,
+  0.4 * (CASE WHEN mean_word >= 3.0 AND mean_word <= 12.0 THEN 1 ELSE 0 END)
+  + 0.3 * (CASE WHEN stop_ratio >= 0.01 THEN 1 ELSE 0 END)
+  + 0.3 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1 ELSE 0 END)
+  AS quality
+FROM m
+"""
+
 ORACLE_SQL = {
     "q1_pricing_summary": Q1_SQL,
     "tiles_r7_events": TILES_R7_SQL,
@@ -1579,4 +1627,6 @@ ORACLE_SQL = {
     "running_user_totals": RUNNING_SQL,
     "pip_boxes_anti": PIP_ANTI_SQL,
     "q3_shipping_native": Q3_NATIVE_SQL,
+    "langid_docs": LANGID_SQL,
+    "quality_docs": QUALITY_SQL,
 }
