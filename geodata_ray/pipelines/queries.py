@@ -1041,6 +1041,83 @@ LIMIT 10
 """
 
 
+def range_join_orders_events(sf_dir: str):
+    """Range join: events falling inside a 30-day validity window after
+    each order of the same (mapped) customer."""
+    from geodata_ray.stages.relational import range_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def e_prep(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy()
+        uid = batch["user_id"].to_numpy()
+        # synthetic ts inside the orders epoch (events' real ts lies
+        # years after every order window); integer seconds so both
+        # engines derive the identical timestamp
+        sec = ((ids * _GEO_A) % _GEO_M) % 200_000_000
+        ts = np.datetime64("1995-01-01", "us") + sec.astype(
+            "timedelta64[s]"
+        ).astype("timedelta64[us]")
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "ts": pa.array(ts),
+                "custkey": pa.array(uid % 150 + 1),
+            }
+        )
+
+    left = ev.map_batches(e_prep, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        end = pc.add(
+            batch["o_orderdate"],
+            pa.scalar(30 * 86400 * 1_000_000, pa.duration("us")),
+        )
+        return pa.table(
+            {
+                "custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "w_start": batch["o_orderdate"],
+                "w_end": end,
+            }
+        )
+
+    right = orders.map_batches(o_prep, batch_format="pyarrow")
+    joined = range_join(
+        left, right, by="custkey", left_on="ts",
+        right_start="w_start", right_end="w_end",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+RANGE_JOIN_SQL = """
+WITH e AS (
+  SELECT event_id,
+         TIMESTAMP '1995-01-01'
+           + (((event_id * 2654435761) % 4294967296) % 200000000)
+             * INTERVAL 1 SECOND AS ts,
+         user_id % 150 + 1 AS custkey
+  FROM events
+)
+SELECT e.event_id, o.o_orderkey
+FROM e JOIN orders o
+  ON e.custkey = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts <= o.o_orderdate + INTERVAL 30 DAY
+"""
+
+
 def props_json_extract(sf_dir: str):
     """JSON scalar extraction from the events props column (RE2 kernel
     on the Ray side, json_extract in the oracle)."""
@@ -1514,6 +1591,7 @@ RAY_QUERIES = {
     "running_user_totals": running_user_totals,
     "pip_boxes_anti": pip_boxes_anti,
     "q3_shipping_native": q3_shipping_native,
+    "range_join_orders_events": range_join_orders_events,
     # rows-only (non-SQL-expressible: engine-internal hashes / models)
     "simhash_docs": simhash_docs,
     "fingerprint_docs": fingerprint_docs,
@@ -1627,6 +1705,7 @@ ORACLE_SQL = {
     "running_user_totals": RUNNING_SQL,
     "pip_boxes_anti": PIP_ANTI_SQL,
     "q3_shipping_native": Q3_NATIVE_SQL,
+    "range_join_orders_events": RANGE_JOIN_SQL,
     "langid_docs": LANGID_SQL,
     "quality_docs": QUALITY_SQL,
 }

@@ -319,6 +319,71 @@ def native_join(left, right, on, *, join_type: str = "inner",
     )
 
 
+def range_join(
+    left,
+    right,
+    *,
+    by: str,
+    left_on: str,
+    right_start: str,
+    right_end: str,
+    num_buckets: int = 32,
+):
+    """Interval-containment join: left rows matched to right rows of
+    the same ``by`` key where ``right_start <= left_on <= right_end``
+    (inclusive).  One bucketed union shuffle; within each bucket a
+    key-equi merge followed by the interval filter — the per-key
+    cross-product is the inherent output bound of a range join, so
+    ``by`` must be selective (as with any range-join engine).
+    """
+    lsch = left.schema()
+    rsch = right.schema()
+    l_cols = list(lsch.names)
+    r_cols = list(rsch.names)
+    all_fields: dict[str, pa.DataType] = {}
+    for n, t in zip(lsch.names, lsch.types):
+        all_fields[n] = t
+    for n, t in zip(rsch.names, rsch.types):
+        all_fields.setdefault(n, t)
+    col_order = list(all_fields)
+
+    def tag(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            from geodata_ray.sources.synth import splitmix64
+
+            col = batch[by].to_numpy(zero_copy_only=False)
+            h = splitmix64(col.astype(np.uint64))
+            b = (h % np.uint64(num_buckets)).astype(np.int64)
+            arrays = []
+            for n in col_order:
+                if n in batch.schema.names:
+                    arrays.append(batch[n])
+                else:
+                    arrays.append(pa.nulls(len(batch), type=all_fields[n]))
+            t = pa.table(dict(zip(col_order, arrays)))
+            return t.append_column("__b", pa.array(b)).append_column(
+                "__side", pa.array(np.full(len(batch), side))
+            )
+
+        return f
+
+    both = left.map_batches(tag("l"), batch_format="pyarrow").union(
+        right.map_batches(tag("r"), batch_format="pyarrow")
+    )
+    out_r_cols = [c for c in r_cols if c not in l_cols or c == by]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["__side"] == "l", l_cols]
+        rg = g.loc[g["__side"] == "r", out_r_cols]
+        m = lg.merge(rg, on=by, how="inner")
+        if len(m) == 0:
+            return m
+        keep = (m[right_start] <= m[left_on]) & (m[left_on] <= m[right_end])
+        return m.loc[keep].reset_index(drop=True)
+
+    return both.groupby("__b").map_groups(merge, batch_format="pandas")
+
+
 def asof_join(
     left,
     right,
