@@ -1470,6 +1470,16 @@ def value_quantiles_events(sf_dir: str):
     )
 
 
+def sample_frames_stub(sf_dir: str):
+    """Video frame-sampling plumbing (flat-map actor stage; rows-only)."""
+    import ray.data as rd
+
+    from geodata_ray.stages.multimodal import sample_frames, synth_image_table
+
+    ds = rd.from_arrow(synth_image_table(200)).repartition(4)
+    return sample_frames(ds)
+
+
 def normalize_era5_raw(sf_dir: str):
     """ERA5-style raw variables -> canonical schema (M7 normalizer);
     deterministic raw fixture derived from event ids."""
@@ -1624,6 +1634,7 @@ RAY_QUERIES = {
     "wind_spline_estimate_grid": wind_spline_estimate_grid,
     "flagship_resumable": flagship_resumable,
     "decode_images_stub": decode_images_stub,
+    "sample_frames_stub": sample_frames_stub,
     "normalize_era5_raw": normalize_era5_raw,
     "top_pages_per_tile": top_pages_per_tile,
     "value_quantiles_events": value_quantiles_events,

@@ -147,3 +147,47 @@ def test_partitioned_write_resume(tmp_path):
         os.path.join(out, f"part={m1.key.iloc[0]}", "data.parquet")
     )
     assert len(part) == t.num_rows
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stage_metrics_parse():
+    import ray.data as rd
+
+    from geodata_ray.sources.synth import grid_table
+    from geodata_ray.state.lineage import stage_metrics
+
+    ds = rd.from_arrow(grid_table(hours=6, ny=3, nx=3)).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    )
+    ds.to_pandas()
+    metrics = stage_metrics(ds)
+    assert metrics, "no stages parsed"
+    assert all({"stage", "rows", "wall_sec"} <= set(m) for m in metrics)
+    assert any(m["rows"] == 54 for m in metrics)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frame_sampler_flatmap_shape():
+    import ray.data as rd
+
+    from geodata_ray.stages.multimodal import sample_frames, synth_image_table
+
+    t = synth_image_table(50)
+    out = sample_frames(rd.from_arrow(t).repartition(2), every_n=10).to_pandas()
+    # one-to-many expansion: every image yields >= 1 frame row
+    assert set(out.image_id) == set(range(50))
+    assert (out.groupby("image_id").frame_no.min() == 0).all()
+    sizes = out.groupby("image_id").size()
+    assert (sizes >= 1).all()
+    # frame numbers are contiguous per image
+    for i, g in out.groupby("image_id"):
+        assert sorted(g.frame_no) == list(range(len(g)))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_decoder_not_implemented_path():
+    from geodata_ray.stages.multimodal import ImageDecoder, synth_image_table
+
+    dec = ImageDecoder(fake=False)
+    with pytest.raises(NotImplementedError, match="imaging library"):
+        dec(synth_image_table(3))
