@@ -1480,6 +1480,20 @@ def sample_frames_stub(sf_dir: str):
     return sample_frames(ds)
 
 
+def audio_features_stub(sf_dir: str):
+    """Audio feature-extraction plumbing (actor pool, payload dropped;
+    rows-only)."""
+    import ray.data as rd
+
+    from geodata_ray.stages.multimodal import (
+        extract_audio_features,
+        synth_image_table,
+    )
+
+    ds = rd.from_arrow(synth_image_table(200)).repartition(4)
+    return extract_audio_features(ds)
+
+
 def normalize_era5_raw(sf_dir: str):
     """ERA5-style raw variables -> canonical schema (M7 normalizer);
     deterministic raw fixture derived from event ids."""
@@ -1635,6 +1649,7 @@ RAY_QUERIES = {
     "flagship_resumable": flagship_resumable,
     "decode_images_stub": decode_images_stub,
     "sample_frames_stub": sample_frames_stub,
+    "audio_features_stub": audio_features_stub,
     "normalize_era5_raw": normalize_era5_raw,
     "top_pages_per_tile": top_pages_per_tile,
     "value_quantiles_events": value_quantiles_events,

@@ -92,6 +92,86 @@ def decode_images(ds, *, feature_dim: int = 16, concurrency=(1, 4),
     )
 
 
+class ImageResizer:
+    """Resize stub: real build wraps a codec resize; here the stage
+    rewrites width/height metadata to the target box (aspect preserved)
+    and passes the payload through — the schema/actor plumbing is what
+    pipelines depend on."""
+
+    def __init__(self, *, max_side: int = 128, fake: bool = True):
+        self.max_side = max_side
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "image resizing requires an imaging library not present "
+                "in this environment"
+            )
+        w = batch["width"].to_numpy().astype(np.float64)
+        h = batch["height"].to_numpy().astype(np.float64)
+        scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
+        nw = np.maximum(1, np.round(w * scale)).astype(np.int32)
+        nh = np.maximum(1, np.round(h * scale)).astype(np.int32)
+        i = batch.schema.get_field_index("width")
+        batch = batch.set_column(i, "width", pa.array(nw))
+        i = batch.schema.get_field_index("height")
+        return batch.set_column(i, "height", pa.array(nh))
+
+
+def resize_images(ds, *, max_side: int = 128, concurrency=(1, 4),
+                  batch_size: int = 256):
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"max_side": max_side},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class AudioFeaturizer:
+    """Audio feature-extraction stub (MFCC-shaped): deterministic fake
+    spectral summary from the payload bytes; ``fake=False`` raises
+    (no audio codec in this environment)."""
+
+    def __init__(self, *, n_coeffs: int = 13, fake: bool = True):
+        self.n_coeffs = n_coeffs
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "audio decoding requires an audio library not present "
+                "in this environment"
+            )
+        payloads = batch["payload"].to_pylist()
+        feats = np.empty((len(payloads), self.n_coeffs), dtype=np.float32)
+        for i, p in enumerate(payloads):
+            b = np.frombuffer(p, dtype=np.uint8).astype(np.float32)
+            # fake cepstrum: cosine projections of the byte sequence
+            t = np.arange(b.size)
+            for c in range(self.n_coeffs):
+                feats[i, c] = float(
+                    (b * np.cos(np.pi * (c + 1) * t / max(b.size, 1))).mean()
+                )
+        out = batch.drop_columns(["payload"])
+        return out.append_column(
+            "mfcc", pa.array(list(feats), type=pa.list_(pa.float32()))
+        )
+
+
+def extract_audio_features(ds, *, n_coeffs: int = 13, concurrency=(1, 4),
+                           batch_size: int = 128):
+    return ds.map_batches(
+        AudioFeaturizer,
+        fn_constructor_kwargs={"n_coeffs": n_coeffs},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class FrameSampler:
     """Video frame-sampling stub: emits one row per sampled frame
     (flat-map shape).  Deterministic fake: frame count derived from

@@ -191,3 +191,34 @@ def test_image_decoder_not_implemented_path():
     dec = ImageDecoder(fake=False)
     with pytest.raises(NotImplementedError, match="imaging library"):
         dec(synth_image_table(3))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_resize_and_audio_feature_stubs():
+    import ray.data as rd
+
+    from geodata_ray.stages.multimodal import (
+        extract_audio_features,
+        resize_images,
+        synth_image_table,
+    )
+
+    t = synth_image_table(60)
+    ds = rd.from_arrow(t).repartition(3)
+    r = resize_images(ds, max_side=100).to_pandas()
+    assert (np.maximum(r.width, r.height) <= 100).all()
+    # aspect roughly preserved
+    orig = t.to_pandas().set_index("image_id")
+    rr = r.set_index("image_id")
+    ratio0 = orig.width / orig.height
+    ratio1 = rr.width / rr.height
+    assert (np.abs(ratio1 - ratio0) < 0.1).all()
+
+    a = extract_audio_features(ds, n_coeffs=5).to_pandas()
+    assert "payload" not in a.columns
+    assert a.mfcc.map(len).eq(5).all()
+    # deterministic: second run identical
+    a2 = extract_audio_features(rd.from_arrow(t).repartition(7), n_coeffs=5).to_pandas()
+    m1 = a.sort_values("image_id").mfcc.map(tuple).tolist()
+    m2 = a2.sort_values("image_id").mfcc.map(tuple).tolist()
+    assert m1 == m2
