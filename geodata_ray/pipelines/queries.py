@@ -1539,6 +1539,19 @@ def decode_images_stub(sf_dir: str):
     return decode_images(ds)
 
 
+def lsh_buckets_embeddings(sf_dir: str):
+    """Hyperplane-LSH bucket assignment (the ANN/dedup scale path;
+    rows-only — locality property tested in tests)."""
+    import ray.data as rd
+
+    from geodata_ray.stages.dedup import hyperplane_buckets
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return hyperplane_buckets(ds, bits=16)
+
+
 def kmeans_embeddings(sf_dir: str):
     """Distributed k-means over embeddings (iterative streaming Lloyd;
     rows-only — assignments are deterministic at any parallelism)."""
@@ -1623,6 +1636,7 @@ RAY_QUERIES = {
     "quality_docs": quality_docs,
     "ivf_topk_embeddings": ivf_topk_embeddings,
     "kmeans_embeddings": kmeans_embeddings,
+    "lsh_buckets_embeddings": lsh_buckets_embeddings,
     # conversion library over the deterministic grid fixture (golden
     # values checked in tests/test_conversions.py; rows-only here)
     "windspd_grid": windspd_grid,
