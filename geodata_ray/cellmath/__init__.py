@@ -36,6 +36,4 @@ from geodata_ray.cellmath.s2 import (  # noqa: F401
     latlng_to_s2_token,
 )
 
-# proj depends on stages.spatial_join which imports qcell from this
-# package — import it last so qcell is already bound
-from geodata_ray.cellmath import proj  # noqa: E402,F401
+from geodata_ray.cellmath import pip, proj  # noqa: E402,F401

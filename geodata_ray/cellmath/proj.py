@@ -17,7 +17,8 @@ from __future__ import annotations
 import numpy as np
 
 from geodata_ray.cellmath import qcell
-from geodata_ray.stages.spatial_join import _pip_crossing, _ring_crosses_am
+from geodata_ray.cellmath.pip import pip_crossing as _pip_crossing
+from geodata_ray.cellmath.pip import ring_crosses_am as _ring_crosses_am
 
 EARTH_RADIUS_KM = qcell.EARTH_RADIUS_KM
 

@@ -248,11 +248,29 @@ def simhash_batch(
             [_token_hash(t) for t in text.split(" ")], dtype=np.uint64
         )
         bits = (th[:, None] >> bit_idx[None, :]) & np.uint64(1)
-        votes = bits.sum(axis=0) * 2 - len(th)  # +1/-1 votes
+        # signed votes: uint64 arithmetic would wrap for minority bits
+        votes = bits.sum(axis=0).astype(np.int64) * 2 - len(th)
         out[i] = np.uint64(0) if len(th) == 0 else np.packbits(
             (votes > 0)[::-1]
         ).view(">u8")[0]
     return pa.table({id_col: ids, "simhash": pa.array(out.astype(np.int64))})
+
+
+def hash_strings_nomemo(strings) -> np.ndarray:
+    """Deterministic 64-bit hash per string WITHOUT memoization — for
+    document-sized or join-key inputs where caching every distinct
+    value would grow worker memory without bound (the token memo is
+    only safe for small vocabularies)."""
+    out = np.empty(len(strings), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(strings):
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            acc = np.uint64(0xCBF29CE484222325)
+            mult = np.uint64(0x100000001B3)
+            for x in b:
+                acc = (acc ^ x) * mult
+            out[i] = int(splitmix64(acc))
+    return out
 
 
 def exact_dedup_normalized(ds, *, id_col: str = "doc_id", text_col: str = "text"):
@@ -261,9 +279,7 @@ def exact_dedup_normalized(ds, *, id_col: str = "doc_id", text_col: str = "text"
 
     def add_hash(batch: pa.Table) -> pa.Table:
         texts = pc.utf8_lower(batch[text_col])
-        h = np.array(
-            [_token_hash(t) for t in texts.to_pylist()], dtype=np.uint64
-        )
+        h = hash_strings_nomemo(texts.to_pylist())
         return pa.table(
             {id_col: batch[id_col], "text_hash": pa.array(h.astype(np.int64))}
         )

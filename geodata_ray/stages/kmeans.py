@@ -76,6 +76,7 @@ def kmeans_fit(
         first = pa.Table.from_pylist(ds.take(k))
         C = _as_matrix(first[vec_col]).copy()
 
+    counts = np.zeros(C.shape[0], dtype=np.int64)
     for _ in range(iters):
         cref = ray.put(C)
         partials = ds.map_batches(

@@ -88,6 +88,9 @@ def nonzero_bounds(ds) -> dict:
         ],
     )
     df = agg.to_pandas()
+    if len(df) == 0 or "row_min" not in df.columns:
+        # all-zero raster: no nonzero extent (empty result loses schema)
+        return None
     return {
         k: int(df[k].iloc[0]) for k in ("row_min", "row_max", "col_min", "col_max")
     }
@@ -95,8 +98,11 @@ def nonzero_bounds(ds) -> dict:
 
 def trim_raster(ds):
     """Drop all-zero border rows/cols (reference ``trim_raster``
-    mask.py:1242-1306): bounds aggregate, then window filter."""
+    mask.py:1242-1306): bounds aggregate, then window filter.  An
+    all-zero raster trims to an empty table."""
     b = nonzero_bounds(ds)
+    if b is None:
+        return ds.filter(expr="value != 0")  # provably empty
 
     def f(batch: pa.Table) -> pa.Table:
         r = batch["row"].to_numpy(zero_copy_only=False)
@@ -286,10 +292,14 @@ def min_area_filter(ds, *, min_cells: int):
 
     Plan: coalesce nonzero pixels to one block (a mask layer's nonzero
     set is far smaller than the raster), label with union-find, count
-    per component, keep components >= min_cells; then anti-join the
-    dropped pixels back onto the dense raster as zeros.  At larger
-    scale: repartition by coarse spatial key, per-partition union-find,
-    then a bounded boundary-merge iteration (SURVEY.md §7.4).
+    per component, keep components >= min_cells.  OUTPUT IS SPARSE:
+    only the originally-nonzero rows return (small components zeroed in
+    place); rows that were already zero are dropped — downstream
+    consumers treating missing (row, col) as 0 compose correctly, but
+    dense-domain ops (merge_layers_and's n_nonzero counting) should run
+    BEFORE this filter.  At larger scale: repartition by coarse spatial
+    key, per-partition union-find, then a bounded boundary-merge
+    iteration (SURVEY.md §7.4).
     """
 
     def nonzero(batch: pa.Table) -> pa.Table:

@@ -253,12 +253,10 @@ def shuffle_join(
                 col = batch[k].to_numpy(zero_copy_only=False)
                 if col.dtype.kind in "iu":
                     h ^= splitmix64(col.astype(np.uint64))
-                else:  # string keys: deterministic per-value hash
-                    from geodata_ray.stages.dedup import _token_hash
+                else:  # string keys: deterministic, non-memoized hash
+                    from geodata_ray.stages.dedup import hash_strings_nomemo
 
-                    h ^= np.array(
-                        [_token_hash(str(v)) for v in col], dtype=np.uint64
-                    )
+                    h ^= hash_strings_nomemo([str(v) for v in col])
             b = (h % np.uint64(num_buckets)).astype(np.int64)
             # align to the unified schema (null-fill the other side's cols)
             arrays = []
@@ -278,11 +276,16 @@ def shuffle_join(
     rt = right.map_batches(tag("r"), batch_format="pyarrow")
     both = lt.union(rt)
 
-    out_r_cols = [c for c in r_cols if c not in l_cols or c in keys]
+    # right columns colliding with left non-key columns are RENAMED
+    # with the suffix (pandas-style), not dropped
+    r_keep = [c for c in r_cols]
+    r_rename = {
+        c: c + suffix for c in r_cols if c in l_cols and c not in keys
+    }
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lg = g.loc[g["__side"] == "l", l_cols]
-        rg = g.loc[g["__side"] == "r", out_r_cols]
+        rg = g.loc[g["__side"] == "r", r_keep].rename(columns=r_rename)
         return lg.merge(rg, on=keys, how=how, suffixes=("", suffix))
 
     return both.groupby("__b").map_groups(merge, batch_format="pandas")
@@ -465,8 +468,10 @@ def distinct_first(ds, key: str, order_by: str):
     hash-shuffle groupby over one row per (batch, key)."""
 
     def local(batch: pa.Table) -> pa.Table:
+        # key first so equal keys are contiguous and the run filter
+        # truly leaves one row per (batch, key)
         order = pc.sort_indices(
-            batch, sort_keys=[(order_by, "ascending"), (key, "ascending")]
+            batch, sort_keys=[(key, "ascending"), (order_by, "ascending")]
         )
         t = batch.take(order)
         # first row per key after stable sort

@@ -30,13 +30,10 @@ import numpy as np
 import pyarrow as pa
 
 from geodata_ray.cellmath import qcell
+from geodata_ray.cellmath.pip import pip_crossing as _pip_crossing
+from geodata_ray.cellmath.pip import ring_crosses_am as _ring_crosses_am
 
 DEFAULT_COVER_RES = 4
-
-
-def _ring_crosses_am(xs: np.ndarray) -> bool:
-    """True when consecutive ring lons jump > 180 deg (wrapped)."""
-    return bool((np.abs(np.diff(xs)) > 180.0).any())
 
 
 class PolygonIndex:
@@ -84,6 +81,8 @@ class PolygonIndex:
     def query(self, lat: np.ndarray, lon: np.ndarray):
         """Return (point_idx, poly_idx) match pairs for point arrays."""
         n = lat.shape[0]
+        if n == 0:  # Ray delivers empty blocks after selective filters
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         ok = np.isfinite(lat) & np.isfinite(lon)
         cells = np.where(
             ok, qcell.latlng_to_cell(np.where(ok, lat, 0), np.where(ok, lon, 0), self.cover_res), -1
@@ -127,23 +126,6 @@ class PolygonIndex:
         if not out_pts:
             return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         return np.concatenate(out_pts), np.concatenate(out_polys)
-
-
-def _pip_crossing(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray):
-    """Vectorized crossing-number test: points (px, py) vs closed ring
-    (xs, ys).  O(V) passes over the point vector."""
-    inside = np.zeros(px.shape[0], dtype=bool)
-    x1, y1 = xs[:-1], ys[:-1]
-    x2, y2 = xs[1:], ys[1:]
-    for k in range(x1.shape[0]):
-        a, b = y1[k], y2[k]
-        if a == b:
-            continue
-        straddle = (a > py) != (b > py)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            xint = (x2[k] - x1[k]) * (py - a) / (b - a) + x1[k]
-        inside ^= straddle & (px < xint)
-    return inside
 
 
 class SpatialJoiner:

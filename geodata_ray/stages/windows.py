@@ -51,7 +51,12 @@ def sliding_counts(ds, *, key_col: str, ts_col: str = "ts",
     slide_us = slide_hours * 3600 * 1_000_000
 
     def explode(batch: pa.Table) -> pa.Table:
-        base = pc.floor_temporal(batch[ts_col], unit="hour")
+        # align to SLIDE multiples, not plain hours: with slide>1 an
+        # hour-floored base would put events of the same hop under
+        # different window_start keys
+        base = pc.floor_temporal(
+            batch[ts_col], multiple=slide_hours, unit="hour"
+        )
         tables = []
         for k in range(n_windows):
             off = pa.scalar(k * slide_us, pa.duration("us"))

@@ -107,3 +107,31 @@ def test_hyperplane_bucket_locality():
     for j in range(12):
         buckets = (buckets << np.uint64(1)) | code[:, j]
     assert (buckets[:50] == buckets[50:]).mean() > 0.95
+
+
+def test_simhash_unrelated_long_docs_far_apart():
+    """Regression: uint64 vote underflow used to set ~every bit, so all
+    long docs collapsed to tiny hamming distances."""
+    t = pa.table(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "the quick brown fox jumps over a lazy dog again and again",
+                "completely different words entirely unrelated vocabulary items",
+            ],
+        }
+    )
+    h = dedup.simhash_batch(t)["simhash"].to_numpy().astype(np.uint64)
+    pops = [bin(int(x)).count("1") for x in h]
+    assert all(10 < p < 54 for p in pops), pops  # not all-ones
+    d = bin(int(h[0]) ^ int(h[1])).count("1")
+    assert 20 <= d <= 44, d  # unrelated docs near 32 bits apart
+
+
+def test_hash_strings_nomemo_deterministic_unmemoized():
+    before = len(dedup._TOKEN_CACHE)
+    a = dedup.hash_strings_nomemo(["doc-sized input " * 50, "other", "doc-sized input " * 50])
+    assert a[0] == a[2] != a[1]
+    assert len(dedup._TOKEN_CACHE) == before  # nothing memoized
+    b = dedup.hash_strings_nomemo(["other"])
+    assert b[0] == a[1]

@@ -85,3 +85,11 @@ def test_pip_vector_boundary_conventions():
     py = np.array([5.0, 5.0, 5.0, -0.5, 10.5])
     got = _pip_crossing(px, py, xs, ys)
     assert got.tolist() == [True, False, False, False, False]
+
+
+def test_empty_batch_query(polys):
+    """Regression: empty point arrays (Ray emits empty blocks after
+    selective filters) must not crash the index."""
+    idx = PolygonIndex(polys)
+    pts, pis = idx.query(np.empty(0), np.empty(0))
+    assert pts.size == 0 and pis.size == 0
