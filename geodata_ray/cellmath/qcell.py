@@ -65,9 +65,10 @@ def latlng_to_cell(lat, lon, res: int):
         raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
     nlat = np.int64(1) << (res + 2)
     nlon = np.int64(1) << (res + 3)
-    # float64 ops identical to the SQL expression in cell_sql_expr()
+    # float64 ops identical to the SQL expression in cell_sql_expr();
+    # lon wraps cyclically so 180.0 and -180.0 land in the same column
     row = np.floor((lat + 90.0) / 180.0 * nlat)
-    col = np.floor((lon + 180.0) / 360.0 * nlon)
+    col = np.floor(np.mod(lon + 180.0, 360.0) / 360.0 * nlon)
     bad = ~(np.isfinite(row) & np.isfinite(col))
     row = np.clip(np.where(bad, 0, row), 0, float(nlat - 1)).astype(np.int64)
     col = np.clip(np.where(bad, 0, col), 0, float(nlon - 1)).astype(np.int64)
@@ -86,8 +87,8 @@ def cell_sql_expr(lat_expr: str, lon_expr: str, res: int) -> str:
         f"AS BIGINT), 0), {nlat - 1})"
     )
     col = (
-        f"LEAST(GREATEST(CAST(FLOOR(({lon_expr} + 180.0) / 360.0 * {nlon}) "
-        f"AS BIGINT), 0), {nlon - 1})"
+        f"LEAST(GREATEST(CAST(FLOOR(((({lon_expr} + 180.0) % 360.0 + 360.0) "
+        f"% 360.0) / 360.0 * {nlon}) AS BIGINT), 0), {nlon - 1})"
     )
     return f"(({res} * {1 << RES_SHIFT}) + ({row} * {1 << ROW_SHIFT}) + {col})"
 

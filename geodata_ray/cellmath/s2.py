@@ -249,9 +249,6 @@ def s2_cell_to_latlng(cell):
     return lat, lon
 
 
-_HEX = np.array([format(b, "02x") for b in range(256)])
-
-
 def s2_cell_to_token(cell):
     """Hex tokens (trailing zeros stripped) for an array of cell ids."""
     cell = np.asarray(cell, dtype=np.uint64)

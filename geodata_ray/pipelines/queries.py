@@ -1022,7 +1022,9 @@ def q3_shipping_native(sf_dir: str):
         [("rev", "sum", "revenue_bp")],
     )
     out = _scale_to_int(out, {"revenue_bp": 10000})
-    return out.sort("revenue_bp", descending=True).limit(10)
+    return out.sort(
+        ["revenue_bp", "o_orderkey"], descending=[True, False]
+    ).limit(10)
 
 
 Q3_NATIVE_SQL = """
@@ -1036,7 +1038,7 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1998-01-01'
   AND l_shipdate > TIMESTAMP '1998-01-01'
 GROUP BY o_orderkey
-ORDER BY revenue_bp DESC
+ORDER BY revenue_bp DESC, o_orderkey ASC
 LIMIT 10
 """
 

@@ -50,10 +50,13 @@ def _token_hash(tok: str) -> int:
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word-k-gram shingle hash set (sorted unique u64) for one doc."""
+    """Word-k-gram shingle hash set (sorted unique u64) for one doc.
+    Docs with fewer than k tokens have NO shingles (empty set) — the
+    same semantics the SQL oracle's range() expresses; such docs can
+    never form near-dup pairs."""
     toks = text.split(" ")
     if len(toks) < k:
-        toks = toks + [""] * (k - len(toks))
+        return np.empty(0, dtype=np.uint64)
     th = np.array([_token_hash(t) for t in toks], dtype=np.uint64)
     with np.errstate(over="ignore"):
         sh = th[: len(th) - k + 1] * _C1
@@ -260,16 +263,14 @@ def hash_strings_nomemo(strings) -> np.ndarray:
     """Deterministic 64-bit hash per string WITHOUT memoization — for
     document-sized or join-key inputs where caching every distinct
     value would grow worker memory without bound (the token memo is
-    only safe for small vocabularies)."""
+    only safe for small vocabularies).  blake2b runs at C speed
+    (a Python byte loop costs ~µs/byte on 10KB documents)."""
+    import hashlib
+
     out = np.empty(len(strings), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i, t in enumerate(strings):
-            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            acc = np.uint64(0xCBF29CE484222325)
-            mult = np.uint64(0x100000001B3)
-            for x in b:
-                acc = (acc ^ x) * mult
-            out[i] = int(splitmix64(acc))
+    for i, t in enumerate(strings):
+        d = hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest()
+        out[i] = int.from_bytes(d, "little")
     return out
 
 

@@ -217,9 +217,7 @@ def attach_mask(data_ds, mask_table: pa.Table, *, res: int,
     cutout.py:1004-1033): broadcast the (cell, mask) table, encode each
     data row's cell, hash-join per batch, add closed-form spherical
     cell area."""
-    small = mask_table.rename_columns(
-        ["cell" if c == "cell" else c for c in mask_table.schema.names]
-    )
+    small = mask_table
     try:
         import ray
 

@@ -373,11 +373,15 @@ def range_join(
     both = left.map_batches(tag("l"), batch_format="pyarrow").union(
         right.map_batches(tag("r"), batch_format="pyarrow")
     )
-    out_r_cols = [c for c in r_cols if c not in l_cols or c == by]
+    # colliding right columns are suffix-renamed, never silently dropped
+    r_rename = {
+        c: c + "_r" for c in r_cols
+        if c in l_cols and c not in (by, right_start, right_end)
+    }
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lg = g.loc[g["__side"] == "l", l_cols]
-        rg = g.loc[g["__side"] == "r", out_r_cols]
+        rg = g.loc[g["__side"] == "r", r_cols].rename(columns=r_rename)
         m = lg.merge(rg, on=by, how="inner")
         if len(m) == 0:
             return m
@@ -438,22 +442,27 @@ def asof_join(
     both = left.map_batches(tag("l"), batch_format="pyarrow").union(
         right.map_batches(tag("r"), batch_format="pyarrow")
     )
-    out_r_cols = [c for c in r_cols if c not in l_cols or c == by]
+    # colliding right columns are suffix-renamed (like shuffle_join),
+    # never silently dropped
+    r_rename = {
+        c: c + "_r" for c in r_cols
+        if c in l_cols and c not in (by, right_on)
+    }
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lg = g.loc[g["__side"] == "l", l_cols].sort_values(
             left_on, kind="stable", ignore_index=True
         )
-        rg = g.loc[g["__side"] == "r", out_r_cols].sort_values(
-            right_on, kind="stable", ignore_index=True
-        )
+        rg = g.loc[g["__side"] == "r", r_cols].rename(
+            columns=r_rename
+        ).sort_values(right_on, kind="stable", ignore_index=True)
         # unify timestamp resolutions (blocks may arrive as s vs us
         # after shuffles); merge_asof requires identical key dtypes
         for df, col in ((lg, left_on), (rg, right_on)):
             if str(df[col].dtype).startswith("datetime64"):
                 df[col] = df[col].astype("datetime64[us]")
-        if len(lg) == 0:
-            return lg
+        # run the merge even for empty lg so every bucket emits the
+        # full joined schema (heterogeneous block schemas otherwise)
         return pd.merge_asof(
             lg, rg, left_on=left_on, right_on=right_on, by=by,
             direction=direction,

@@ -79,8 +79,18 @@ def salted_topk_per_key(
 
     salted = ds.map_batches(add_salt, batch_format="pyarrow")
 
+    def _tie_cols(g: pd.DataFrame):
+        # deterministic tie-break: order_col first, then every other
+        # column — equal rows are interchangeable, so block arrival
+        # order can never change the selected top-k
+        return [order_col] + [c for c in g.columns if c not in (order_col, "__salt")]
+
     def local_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_col, ascending=not descending).head(k)
+        cols = _tie_cols(g)
+        g = g.sort_values(
+            cols, ascending=[not descending] + [True] * (len(cols) - 1),
+            kind="stable",
+        ).head(k)
         return g.drop(columns=["__salt"])
 
     partial = salted.groupby([key, "__salt"]).map_groups(
@@ -88,7 +98,11 @@ def salted_topk_per_key(
     )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_col, ascending=not descending).head(k)
+        cols = [order_col] + [c for c in g.columns if c != order_col]
+        g = g.sort_values(
+            cols, ascending=[not descending] + [True] * (len(cols) - 1),
+            kind="stable",
+        ).head(k)
         g["rank"] = range(1, len(g) + 1)
         return g
 

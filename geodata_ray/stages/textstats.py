@@ -104,20 +104,13 @@ def fingerprint_batch(
     """64-bit document fingerprint: polynomial rolling hash over the
     utf-8 bytes of the lower-cased text (deterministic across
     processes; SURVEY.md D6 support)."""
+    import hashlib
+
     texts = pc.utf8_lower(batch[text_col]).to_pylist()
     out = np.empty(len(texts), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i, t in enumerate(texts):
-            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(
-                np.uint64
-            )
-            # Horner with a fixed odd multiplier, then a final mix
-            acc = np.uint64(0xCBF29CE484222325)
-            mult = np.uint64(0x100000001B3)
-            for chunk in np.array_split(b, max(1, len(b) // 4096)):
-                for x in chunk:
-                    acc = (acc ^ x) * mult
-            out[i] = splitmix64(acc)
+    for i, t in enumerate(texts):
+        d = hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest()
+        out[i] = int.from_bytes(d, "little")
     return pa.table(
         {
             id_col: batch[id_col],

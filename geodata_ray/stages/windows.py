@@ -47,6 +47,12 @@ def sliding_counts(ds, *, key_col: str, ts_col: str = "ts",
     ``window/slide`` windows containing it (flat-map inside
     map_batches), then the standard two-phase grouped aggregate —
     overlap factor bounds the replication, never a per-row shuffle."""
+    if window_hours % slide_hours != 0:
+        raise ValueError(
+            f"window_hours ({window_hours}) must be a multiple of "
+            f"slide_hours ({slide_hours}) — otherwise events near hop "
+            "boundaries would be silently dropped from covering windows"
+        )
     n_windows = window_hours // slide_hours
     slide_us = slide_hours * 3600 * 1_000_000
 

@@ -22,7 +22,11 @@ def test_point_in_own_cell(lat, lon, res):
     cell = int(qcell.latlng_to_cell(lat, lon, res))
     lat0, lat1, lon0, lon1 = qcell.cell_bounds(cell)
     assert lat0 - eps <= lat <= lat1 + eps
-    assert lon0 - eps <= lon <= lon1 + eps
+    # longitude is cyclic (180 wraps into the -180 column): compare the
+    # wrapped offset from the cell's west edge
+    off = (lon - lon0) % 360.0
+    width = lon1 - lon0
+    assert off <= width + eps or off >= 360.0 - eps
 
 
 @settings(max_examples=300, deadline=None)
