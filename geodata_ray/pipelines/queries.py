@@ -1496,6 +1496,36 @@ def audio_features_stub(sf_dir: str):
     return extract_audio_features(ds)
 
 
+def running_totals_actor_stream(sf_dir: str):
+    """Keyed stateful-actor stream (raw-actor last-resort pattern):
+    running per-user cents over event time; rows-only (same semantics
+    as running_user_totals, which is SQL-audited)."""
+    from geodata_ray.stages.streaming import keyed_running_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "cents": cents,
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = keyed_running_aggregate(
+        prepped, key_col="user_id", ts_col="ts", value_col="cents",
+        num_buckets=4,
+    )
+    return out.select(["event_id", "running_sum", "running_n"])
+
+
 def normalize_era5_raw(sf_dir: str):
     """ERA5-style raw variables -> canonical schema (M7 normalizer);
     deterministic raw fixture derived from event ids."""
@@ -1666,6 +1696,7 @@ RAY_QUERIES = {
     "decode_images_stub": decode_images_stub,
     "sample_frames_stub": sample_frames_stub,
     "audio_features_stub": audio_features_stub,
+    "running_totals_actor_stream": running_totals_actor_stream,
     "normalize_era5_raw": normalize_era5_raw,
     "top_pages_per_tile": top_pages_per_tile,
     "value_quantiles_events": value_quantiles_events,

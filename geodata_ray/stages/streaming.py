@@ -1,0 +1,101 @@
+"""Keyed stateful stream processing with raw Ray actors.
+
+The one place this engine drops below the Dataset API (per the design
+rule: raw actors only where ``Dataset`` genuinely cannot express the
+semantics): UNBOUNDED keyed streams whose per-key state must persist
+across batches in event-time order.  For bounded tables the same
+results come from ``groupby(key).map_groups`` (see
+``windows.session_windows`` / the running-totals query) — this module
+is the scale/streaming path where a key's history cannot be
+materialized as one group.
+
+Topology: the input is consumed in event-time order (``ds.sort(ts)``
+then ordered batch iteration); each batch is split by ``hash(key) %
+num_buckets`` and routed to a pinned ``BucketStateActor``.  Actor tasks
+from a single submitter execute in submission order, so per-key state
+updates are applied in event-time order without locks.  State is a
+dict key -> running aggregate inside each actor (the "one actor per
+key-hash bucket" pattern).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from geodata_ray.sources.synth import splitmix64
+
+
+@ray.remote
+class BucketStateActor:
+    """Holds running per-key state for one hash bucket."""
+
+    def __init__(self):
+        self.sums: dict = {}
+        self.counts: dict = {}
+
+    def process(self, table: pa.Table, key_col: str, value_col: str) -> pa.Table:
+        keys = table[key_col].to_numpy(zero_copy_only=False)
+        vals = table[value_col].to_numpy(zero_copy_only=False)
+        out_sum = np.empty(len(keys), dtype=np.int64)
+        out_n = np.empty(len(keys), dtype=np.int64)
+        for i, (k, v) in enumerate(zip(keys, vals)):
+            k = int(k)
+            s = self.sums.get(k, 0) + int(v)
+            c = self.counts.get(k, 0) + 1
+            self.sums[k] = s
+            self.counts[k] = c
+            out_sum[i] = s
+            out_n[i] = c
+        return table.append_column(
+            "running_sum", pa.array(out_sum)
+        ).append_column("running_n", pa.array(out_n))
+
+    def snapshot(self) -> dict:
+        return {"keys": len(self.sums), "total": sum(self.sums.values())}
+
+
+def keyed_running_aggregate(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    num_buckets: int = 8,
+    batch_size: int = 8192,
+):
+    """Running per-key aggregates over an event-time-ordered stream.
+
+    Returns a pyarrow Table of the input rows + running_sum/running_n
+    (order of output rows follows event time within each bucket).
+
+    The driver routes batches; per-bucket work and all state live in
+    actors.  This is the documented last-resort pattern — the driver
+    loop is the price of cross-batch ordered state, which
+    ``map_batches`` (stateless between batches per block) and
+    ``map_groups`` (needs the whole group at once) cannot provide for
+    unbounded keys.
+    """
+    actors = [BucketStateActor.remote() for _ in range(num_buckets)]
+    pending: list = []
+    ordered = ds.sort(ts_col)
+    for batch in ordered.iter_batches(
+        batch_size=batch_size, batch_format="pyarrow"
+    ):
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        h = splitmix64(keys.astype(np.uint64))
+        bucket = (h % np.uint64(num_buckets)).astype(np.int64)
+        for b in range(num_buckets):
+            mask = bucket == b
+            if mask.any():
+                sub = batch.filter(pa.array(mask))
+                pending.append(actors[b].process.remote(sub, key_col, value_col))
+    parts = ray.get(pending)
+    return pa.concat_tables([p for p in parts if len(p)])
+
+
+def actor_state_snapshots(actors) -> pd.DataFrame:
+    return pd.DataFrame(ray.get([a.snapshot.remote() for a in actors]))

@@ -1,0 +1,51 @@
+"""Keyed stateful actors vs the window-function reference."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_keyed_running_aggregate_matches_window_function():
+    import ray.data as rd
+
+    from geodata_ray.stages.streaming import keyed_running_aggregate
+
+    rng = np.random.default_rng(19)
+    n = 5000
+    t = pa.table(
+        {
+            "user_id": rng.integers(0, 40, n),
+            "ts": pa.array(
+                np.datetime64("2024-01-01", "us")
+                + rng.permutation(n).astype("timedelta64[s]").astype(
+                    "timedelta64[us]"
+                )
+            ),
+            "cents": rng.integers(1, 1000, n),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(7)
+    out = keyed_running_aggregate(
+        ds, key_col="user_id", ts_col="ts", value_col="cents", num_buckets=4,
+        batch_size=512,
+    ).to_pandas()
+
+    # pandas window-function reference (ts is unique by construction)
+    ref = t.to_pandas().sort_values("ts", ignore_index=True)
+    ref["running_sum"] = ref.groupby("user_id").cents.cumsum()
+    ref["running_n"] = ref.groupby("user_id").cumcount() + 1
+
+    merged = out.merge(
+        ref, on=["user_id", "ts", "cents"], suffixes=("", "_ref")
+    )
+    assert len(merged) == n
+    assert (merged.running_sum == merged.running_sum_ref).all()
+    assert (merged.running_n == merged.running_n_ref).all()
+    # final per-user totals match exactly
+    fin = out.sort_values("ts").groupby("user_id").running_sum.last()
+    want = ref.groupby("user_id").cents.sum()
+    pd.testing.assert_series_equal(
+        fin.sort_index(), want.sort_index(), check_names=False
+    )
