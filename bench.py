@@ -113,6 +113,11 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "daily_user_value",
         "dedup_documents_exact",
         "customer_nation_revenue",
+        "knn_events_gazetteer",
+        "near_dup_pairs",
+        "session_windows_users",
+        "pip_boxes_events",
+        "q3_shipping_native",
     ):
         t0 = time.perf_counter()
         res = RAY_QUERIES[name](sf_dir)
