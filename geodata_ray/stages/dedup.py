@@ -126,14 +126,21 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     verify_corpus: pa.Table | None = None,
+    verify_mode: str = "broadcast",
 ):
     """Near-duplicate pairs by MinHash banding + exact-Jaccard verify.
 
     Returns a Dataset of (id_a, id_b) with exact shingle Jaccard >=
     threshold, id_a < id_b.  The banding shuffle moves only
-    (band, band_hash, id) triples.  ``verify_corpus``: (id, text)
-    table broadcast to the verify stage; at larger scale replace with a
-    shuffle join of pair ids back to texts (same verify kernel).
+    (band, band_hash, id) triples.
+
+    Verify stage: ``verify_mode="broadcast"`` ships the (id, text)
+    ``verify_corpus`` table to every worker (fine when the corpus fits
+    the object store); ``verify_mode="shuffle"`` instead joins the
+    candidate-pair ids back to the input texts with two bucketed
+    shuffle joins — the 10^12-doc path where the corpus cannot be
+    broadcast (same exact-Jaccard kernel, only candidate pairs and
+    their two texts ever co-locate).
     """
 
     def to_bands(batch: pa.Table) -> pa.Table:
@@ -202,6 +209,8 @@ def minhash_lsh_pairs(
         all_pairs, batch_format="pyarrow", batch_size=None
     )
 
+    if verify_mode == "shuffle":
+        return _verify_pairs_shuffle(pairs, ds, id_col, text_col, k, threshold)
     if verify_corpus is None:
         return pairs
 
@@ -236,6 +245,44 @@ def minhash_lsh_pairs(
         return batch.filter(pa.array(keep))
 
     return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def _verify_pairs_shuffle(pairs, corpus_ds, id_col, text_col, k, threshold):
+    """Scale-path verify: join pair ids to texts (both sides) via
+    Ray's native hash joins (Arrow-schema-stable), then the exact
+    shingle-Jaccard kernel.  Only candidate pairs and their two texts
+    ever co-locate."""
+    from geodata_ray.stages.relational import native_join
+
+    def as_side(side):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    f"id_{side}": batch[id_col],
+                    f"text_{side}": batch[text_col],
+                }
+            )
+
+        return f
+
+    ca = corpus_ds.map_batches(as_side("a"), batch_format="pyarrow")
+    cb = corpus_ds.map_batches(as_side("b"), batch_format="pyarrow")
+    j1 = native_join(pairs, ca, on="id_a", num_partitions=8)
+    j2 = native_join(j1, cb, on="id_b", num_partitions=8)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        keep = np.zeros(len(ta), dtype=bool)
+        for i in range(len(ta)):
+            sa = shingle_hashes(ta[i], k)
+            sb = shingle_hashes(tb[i], k)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            keep[i] = union > 0 and inter / union >= threshold
+        return batch.filter(pa.array(keep)).select(["id_a", "id_b"])
+
+    return j2.map_batches(verify, batch_format="pyarrow")
 
 
 def simhash_batch(

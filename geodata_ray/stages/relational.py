@@ -103,6 +103,26 @@ def grouped_aggregate(
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def _arrow_type(t) -> pa.DataType:
+    """Normalize a Ray-reported schema type (Arrow DataType, numpy
+    dtype, or Python class — pandas-produced blocks report the latter)
+    to an Arrow DataType for null-filling."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(np.dtype(t))
+    except Exception:  # object dtype, Python classes, promotion errors
+        pass
+    mapping = {int: pa.int64(), float: pa.float64(), str: pa.string(),
+               bool: pa.bool_(), bytes: pa.binary(), object: pa.string()}
+    try:
+        if np.dtype(t) == np.dtype(object):
+            return pa.string()
+    except Exception:
+        pass
+    return mapping.get(t, pa.string())
+
+
 def _resolve(ref):
     try:
         import ray
@@ -239,9 +259,9 @@ def shuffle_join(
     r_cols = list(rsch.names)
     all_fields: dict[str, pa.DataType] = {}
     for n, t in zip(lsch.names, lsch.types):
-        all_fields[n] = t
+        all_fields[n] = _arrow_type(t)
     for n, t in zip(rsch.names, rsch.types):
-        all_fields.setdefault(n, t)
+        all_fields.setdefault(n, _arrow_type(t))
     col_order = list(all_fields)
 
     def tag(side: str):
@@ -345,9 +365,9 @@ def range_join(
     r_cols = list(rsch.names)
     all_fields: dict[str, pa.DataType] = {}
     for n, t in zip(lsch.names, lsch.types):
-        all_fields[n] = t
+        all_fields[n] = _arrow_type(t)
     for n, t in zip(rsch.names, rsch.types):
-        all_fields.setdefault(n, t)
+        all_fields.setdefault(n, _arrow_type(t))
     col_order = list(all_fields)
 
     def tag(side: str):
@@ -414,9 +434,9 @@ def asof_join(
     r_cols = list(rsch.names)
     all_fields: dict[str, pa.DataType] = {}
     for n, t in zip(lsch.names, lsch.types):
-        all_fields[n] = t
+        all_fields[n] = _arrow_type(t)
     for n, t in zip(rsch.names, rsch.types):
-        all_fields.setdefault(n, t)
+        all_fields.setdefault(n, _arrow_type(t))
     col_order = list(all_fields)
 
     def tag(side: str):

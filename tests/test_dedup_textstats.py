@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from geodata_ray.stages import dedup, textstats
 
@@ -135,3 +136,39 @@ def test_hash_strings_nomemo_deterministic_unmemoized():
     assert len(dedup._TOKEN_CACHE) == before  # nothing memoized
     b = dedup.hash_strings_nomemo(["other"])
     assert b[0] == a[1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_verify_modes_agree():
+    """Broadcast verify and shuffle-join verify (the 10^12-doc path)
+    produce identical near-dup pairs."""
+    import ray.data as rd
+
+    corpus = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                "one two three four five six seven eight nine ten",
+                "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+            ],
+        }
+    )
+    ds = rd.from_arrow(corpus).repartition(2)
+    a = (
+        dedup.minhash_lsh_pairs(
+            ds, k=3, bands=64, num_hashes=64, threshold=0.5,
+            verify_corpus=corpus,
+        )
+        .to_pandas().sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    b = (
+        dedup.minhash_lsh_pairs(
+            ds, k=3, bands=64, num_hashes=64, threshold=0.5,
+            verify_mode="shuffle",
+        )
+        .to_pandas().sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    assert a[["id_a", "id_b"]].values.tolist() == b[["id_a", "id_b"]].values.tolist()
+    assert len(a) == 3  # (1,2),(1,4),(2,4)
