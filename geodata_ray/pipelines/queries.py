@@ -238,13 +238,14 @@ LIMIT 10
 
 
 def dedup_documents_exact(sf_dir: str):
+    """Hash-first exact dedup: only 64-bit text fingerprints shuffle
+    (grouping by raw text would make full document text the shuffle
+    key).  Identical groups to the SQL ``GROUP BY text`` barring a
+    blake2b-64 collision (~n^2/2^65)."""
+    from geodata_ray.stages.dedup import exact_dedup_normalized
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = grouped_aggregate(
-        ds,
-        ["text"],
-        [("doc_id", "min", "doc_id"), ("doc_id", "count", "n_copies")],
-    )
-    return out.select_columns(["doc_id", "n_copies"])
+    return exact_dedup_normalized(ds, normalize=False)
 
 
 DEDUP_SQL = """
@@ -663,7 +664,14 @@ FROM assigned GROUP BY 1, 2
 
 
 def top3_orders_per_segment(sf_dir: str):
-    """Windowed rank: top-3 orders by totalprice per market segment."""
+    """Windowed rank: top-3 orders by totalprice per market segment.
+
+    Physical plan (scale-safe; no full-table per-key groups): each
+    batch emits its LOCAL top-3 per segment (<= 3 x 5 rows per batch),
+    and the bounded partials merge in one tiny final block — the same
+    bounded-cardinality two-phase shape as the flagship tile
+    aggregation.  The 5-value segment key means a groupby.map_groups
+    would materialize the whole orders ⋈ customer table in 5 workers."""
     import pandas as pd
 
     import pyarrow.parquet as pq
@@ -674,15 +682,32 @@ def top3_orders_per_segment(sf_dir: str):
     ).rename_columns(["o_custkey", "c_mktsegment"])
     joined = broadcast_join(orders, cust, ["o_custkey"])
 
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
+    def local_top3(batch: pa.Table) -> pa.Table:
+        g = batch.to_pandas()
         g = g.sort_values(
             ["o_totalprice", "o_orderkey"], ascending=[False, True]
-        ).head(3)
-        g["rank"] = range(1, len(g) + 1)
-        return g[["c_mktsegment", "o_orderkey", "o_totalprice", "rank"]]
+        )
+        g = g.groupby("c_mktsegment", sort=False).head(3)
+        return pa.Table.from_pandas(
+            g[["c_mktsegment", "o_orderkey", "o_totalprice"]],
+            preserve_index=False,
+        )
 
-    return joined.groupby("c_mktsegment").map_groups(
-        top3, batch_format="pandas"
+    def final_top3(batch: pa.Table) -> pa.Table:
+        g = batch.to_pandas()
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        )
+        g = g.groupby("c_mktsegment", sort=False).head(3)
+        g["rank"] = g.groupby("c_mktsegment", sort=False).cumcount() + 1
+        return pa.Table.from_pandas(
+            g[["c_mktsegment", "o_orderkey", "o_totalprice", "rank"]],
+            preserve_index=False,
+        )
+
+    partial = joined.map_batches(local_top3, batch_format="pyarrow")
+    return partial.repartition(1).map_batches(
+        final_top3, batch_format="pyarrow", batch_size=None
     )
 
 

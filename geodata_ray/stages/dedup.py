@@ -178,13 +178,21 @@ def minhash_lsh_pairs(
     )
     band_ds = semi_join(band_ds, colliding, "band_hash")
 
-    # the colliding subset is tiny relative to the corpus (true pairs x
-    # bands + hash noise), so pair generation runs in ONE block instead
-    # of a per-bucket map_groups (a true near-dup collides in ~every
-    # band -> thousands of single-pair groups otherwise).  At extreme
-    # scale, shard this step by band_hash range first.
-    def all_pairs(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
+    # pair generation is SHARDED by band_hash (a bounded number of
+    # shards, each holding complete buckets): no single-block funnel,
+    # and no map_groups over thousands of single-pair buckets either.
+    # The same bucket always lands in the same shard, so within-shard
+    # drop_duplicates removes same-bucket repeats; the same PAIR can
+    # still surface from different bands in different shards, so a
+    # final grouped distinct (two-phase, pair keys only) globalizes it.
+    n_shards = 32
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False)
+        shard = (bh.view(np.uint64) % np.uint64(n_shards)).astype(np.int32)
+        return batch.append_column("__shard", pa.array(shard))
+
+    def shard_pairs(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
         for _, g in df.groupby("band_hash", sort=False):
             ids = np.unique(g["id"].to_numpy())
@@ -194,20 +202,34 @@ def minhash_lsh_pairs(
             out_a.append(ids[a])
             out_b.append(ids[b])
         if not out_a:
-            return pa.table(
+            return pd.DataFrame(
                 {
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
+                    "id_a": np.empty(0, dtype=np.int64),
+                    "id_b": np.empty(0, dtype=np.int64),
                 }
             )
-        pairs_df = pd.DataFrame(
+        return pd.DataFrame(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         ).drop_duplicates(ignore_index=True)
-        return pa.Table.from_pandas(pairs_df, preserve_index=False)
 
-    pairs = band_ds.repartition(1).map_batches(
-        all_pairs, batch_format="pyarrow", batch_size=None
+    sharded = band_ds.map_batches(add_shard, batch_format="pyarrow")
+    raw_pairs = sharded.groupby("__shard").map_groups(
+        shard_pairs, batch_format="pandas"
     )
+
+    from geodata_ray.stages.relational import grouped_aggregate as _gagg
+
+    def drop_n(batch: pa.Table) -> pa.Table:
+        return batch.select(["id_a", "id_b"])
+
+    # batch_size is EXPLICIT here: Ray's sort-aggregate emits
+    # schema-less empty blocks when partitions outnumber rows, and the
+    # native hash join crashes on them; bundling blocks into sized
+    # batches re-blocks the stream and dissolves the empties (a plain
+    # per-block map_batches SKIPS empty blocks and cannot heal them).
+    pairs = _gagg(
+        raw_pairs, ["id_a", "id_b"], [("id_a", "count", "__n")]
+    ).map_batches(drop_n, batch_format="pyarrow", batch_size=65536)
 
     if verify_mode == "shuffle":
         return _verify_pairs_shuffle(pairs, ds, id_col, text_col, k, threshold)
@@ -321,12 +343,16 @@ def hash_strings_nomemo(strings) -> np.ndarray:
     return out
 
 
-def exact_dedup_normalized(ds, *, id_col: str = "doc_id", text_col: str = "text"):
-    """Exact dedup on lower-cased text: (text_hash group) -> min id +
-    copy count.  Only 64-bit hashes shuffle."""
+def exact_dedup_normalized(
+    ds, *, id_col: str = "doc_id", text_col: str = "text", normalize: bool = True
+):
+    """Exact dedup on (optionally lower-cased) text: (text_hash group)
+    -> min id + copy count.  Only 64-bit hashes shuffle — raw document
+    text is never a shuffle key (at 10^12 docs the text column is the
+    dataset; its blake2b-64 fingerprints are 8 bytes/row)."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        texts = pc.utf8_lower(batch[text_col])
+        texts = pc.utf8_lower(batch[text_col]) if normalize else batch[text_col]
         h = hash_strings_nomemo(texts.to_pylist())
         return pa.table(
             {id_col: batch[id_col], "text_hash": pa.array(h.astype(np.int64))}

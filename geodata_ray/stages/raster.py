@@ -283,51 +283,168 @@ def _union_find_labels(rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
     return np.array([find(i) for i in range(rows.shape[0])], dtype=np.int64)
 
 
-def min_area_filter(ds, *, min_cells: int):
+def min_area_filter(ds, *, min_cells: int, n_stripes: int = 8):
     """Zero out connected components smaller than ``min_cells``
-    (reference ``filter_area`` semantics with min km^2 -> min pixel
-    count on the uniform fixture grid).
+    (reference ``filter_area`` semantics, mask.py:1309-1398, with min
+    km^2 -> min pixel count on the uniform fixture grid).
 
-    Plan: coalesce nonzero pixels to one block (a mask layer's nonzero
-    set is far smaller than the raster), label with union-find, count
-    per component, keep components >= min_cells.  OUTPUT IS SPARSE:
-    only the originally-nonzero rows return (small components zeroed in
-    place); rows that were already zero are dropped — downstream
-    consumers treating missing (row, col) as 0 compose correctly, but
-    dense-domain ops (merge_layers_and's n_nonzero counting) should run
-    BEFORE this filter.  At larger scale: repartition by coarse spatial
-    key, per-partition union-find, then a bounded boundary-merge
-    iteration (SURVEY.md §7.4).
+    DISTRIBUTED plan (SURVEY.md §7.4 item 5 — no single-block stage):
+
+    1. nonzero filter (a mask layer's nonzero set << the raster);
+    2. partition into ``n_stripes`` contiguous ROW BANDS — 4-connected
+       adjacency only crosses a stripe boundary vertically, so stripes
+       label independently;
+    3. per-stripe union-find; component label = min global pixel id
+       (``row * ncols + col``) — deterministic across partitionings;
+    4. boundary merge: only the first/last row of each stripe (O(width
+       x n_stripes) pixels, bounded regardless of raster area) goes to
+       the driver, where a label-graph union-find produces a (small)
+       remap of boundary-crossing components;
+    5. broadcast remap -> relabel -> two-phase component counts ->
+       broadcast keep-set -> zero small components.
+
+    OUTPUT IS SPARSE: only originally-nonzero rows return (small
+    components zeroed in place); rows already zero are dropped —
+    downstream consumers treating missing (row, col) as 0 compose
+    correctly, but dense-domain ops (merge_layers_and's n_nonzero
+    counting) should run BEFORE this filter.
     """
+    import pandas as pd
 
     def nonzero(batch: pa.Table) -> pa.Table:
         v = batch["value"].to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(v != 0))
 
-    nz = ds.map_batches(nonzero, batch_format="pyarrow").repartition(1)
+    nz = ds.map_batches(nonzero, batch_format="pyarrow")
 
-    def label_and_filter(batch: pa.Table) -> pa.Table:
-        rows = batch["row"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cols = batch["col"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if rows.size == 0:
-            return batch.append_column("keep", pa.array([], pa.bool_()))
-        labels = _union_find_labels(rows, cols)
-        _, inverse, counts = np.unique(
-            labels, return_inverse=True, return_counts=True
+    ext = grouped_aggregate(
+        nz.map_batches(
+            lambda b: b.append_column("one", pa.array(np.ones(len(b), np.int64))),
+            batch_format="pyarrow",
+        ),
+        ["one"],
+        [("row", "min", "row_min"), ("row", "max", "row_max"),
+         ("col", "max", "col_max")],
+    ).to_pandas()
+    if len(ext) == 0 or "row_max" not in ext.columns:
+        return ds.filter(expr="value != 0")  # all-zero raster: provably empty
+    row_min, row_max = int(ext["row_min"][0]), int(ext["row_max"][0])
+    ncols = int(ext["col_max"][0]) + 1
+    stripe_h = max(1, -(-(row_max - row_min + 1) // n_stripes))
+
+    def add_stripe(batch: pa.Table) -> pa.Table:
+        r = batch["row"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "__stripe", pa.array((r - row_min) // stripe_h)
         )
-        keep = counts[inverse] >= min_cells
-        return batch.append_column("keep", pa.array(keep))
 
-    labeled = nz.map_batches(
-        label_and_filter, batch_format="pyarrow", batch_size=None
+    def label_stripe(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g["row"].to_numpy().astype(np.int64)
+        cols = g["col"].to_numpy().astype(np.int64)
+        roots = _union_find_labels(rows, cols)
+        pid = rows * ncols + cols
+        # component label = min pixel id in the (local) component
+        lab = pd.Series(pid).groupby(roots).transform("min").to_numpy()
+        g = g.drop(columns=["__stripe"]).copy()
+        g["label"] = lab
+        return g
+
+    labeled = (
+        nz.map_batches(add_stripe, batch_format="pyarrow")
+        .groupby("__stripe")
+        .map_groups(label_stripe, batch_format="pandas")
+        .materialize()  # consumed 3x below; nonzero set resides in the
+        # object store (spill-backed) instead of recomputing the shuffle
     )
 
+    # --- boundary merge (driver-side, bounded O(width x n_stripes)) ---
+    def boundary_rows(batch: pa.Table) -> pa.Table:
+        r = batch["row"].to_numpy(zero_copy_only=False).astype(np.int64)
+        off = (r - row_min) % stripe_h
+        keep = (off == stripe_h - 1) | (off == 0)
+        return batch.select(["row", "col", "label"]).filter(pa.array(keep))
+
+    bnd = labeled.map_batches(
+        boundary_rows, batch_format="pyarrow"
+    ).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    by_pid = dict(
+        zip(
+            (bnd["row"].to_numpy() * ncols + bnd["col"].to_numpy()).tolist(),
+            bnd["label"].tolist(),
+        )
+    )
+    lastrow = bnd[((bnd["row"] - row_min) % stripe_h) == stripe_h - 1]
+    for r, c, lab in zip(lastrow["row"], lastrow["col"], lastrow["label"]):
+        below = by_pid.get((r + 1) * ncols + c)
+        if below is not None:
+            union(int(lab), int(below))
+    remap = {x: find(x) for x in parent}
+
+    try:
+        import ray
+
+        remap_ref = ray.put(remap)
+    except Exception:
+        remap_ref = remap
+
+    def relabel(batch: pa.Table) -> pa.Table:
+        m = remap_ref
+        try:
+            import ray
+
+            if isinstance(m, ray.ObjectRef):
+                m = ray.get(m)
+        except Exception:
+            pass
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if m:
+            keys = np.fromiter(m.keys(), dtype=np.int64, count=len(m))
+            vals = np.fromiter(m.values(), dtype=np.int64, count=len(m))
+            order = np.argsort(keys)
+            keys, vals = keys[order], vals[order]
+            idx = np.searchsorted(keys, lab)
+            idx = np.clip(idx, 0, len(keys) - 1)
+            hit = keys[idx] == lab
+            lab = np.where(hit, vals[idx], lab)
+        i = batch.schema.get_field_index("label")
+        return batch.set_column(i, "label", pa.array(lab))
+
+    relabeled = labeled.map_batches(relabel, batch_format="pyarrow")
+
+    counts = grouped_aggregate(
+        relabeled, ["label"], [("label", "count", "n")]
+    )
+    big = counts.filter(expr=f"n >= {min_cells}").to_pandas()
+    keep_labels = (
+        big["label"].to_numpy(dtype=np.int64)
+        if "label" in big.columns
+        else np.empty(0, dtype=np.int64)
+    )
+    # broadcast keep-set: |components >= min_cells| <= nonzero/min_cells;
+    # if that ever outgrows the object store, swap for a native hash
+    # join of (label, keep) — same relabeled input.
+    keep_arr = pa.array(np.sort(keep_labels))
+
     def zero_small(batch: pa.Table) -> pa.Table:
-        keep = batch["keep"].to_numpy(zero_copy_only=False)
+        lab = batch["label"]
+        keep = pc.is_in(lab, value_set=keep_arr).to_numpy(zero_copy_only=False)
         v = batch["value"].to_numpy(zero_copy_only=False)
         out = np.where(keep, v, 0.0).astype(np.float32)
         i = batch.schema.get_field_index("value")
         batch = batch.set_column(i, "value", pa.array(out))
-        return batch.drop_columns(["keep"])
+        return batch.drop_columns(["label"])
 
-    return labeled.map_batches(zero_small, batch_format="pyarrow")
+    return relabeled.map_batches(zero_small, batch_format="pyarrow")

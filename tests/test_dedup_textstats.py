@@ -172,3 +172,33 @@ def test_lsh_verify_modes_agree():
     )
     assert a[["id_a", "id_b"]].values.tolist() == b[["id_a", "id_b"]].values.tolist()
     assert len(a) == 3  # (1,2),(1,4),(2,4)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_pairs_partitioning_invariant():
+    """Sharded pair generation (no single-block stage) returns the
+    identical pair set regardless of input block structure."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(words, size=20)) for _ in range(40)]
+    # plant near-dups: doc i+100 = doc i with one appended token
+    ids = list(range(40)) + [i + 100 for i in range(40)]
+    all_texts = texts + [t + " extra" for t in texts]
+    corpus = pa.table({"doc_id": ids, "text": all_texts})
+
+    def run(nblocks):
+        ds = rd.from_arrow(corpus).repartition(nblocks)
+        return (
+            dedup.minhash_lsh_pairs(
+                ds, k=3, bands=64, num_hashes=64, threshold=0.5,
+                verify_corpus=corpus,
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+
+    a, b = run(1), run(9)
+    assert len(a) >= 40  # every planted pair found
+    assert a.values.tolist() == b.values.tolist()

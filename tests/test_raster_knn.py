@@ -178,3 +178,30 @@ def test_knn_matches_brute_force():
         want = np.argsort(d, kind="stable")[:3]
         got = out[out.query_id == qi].ref_id.to_numpy()
         assert np.array_equal(got, ref_ids[want]), qi
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_min_area_distributed_partitioning_invariant():
+    """Distributed connected components (striped union-find + boundary
+    merge) is invariant to both the input block structure and the
+    stripe count — including stripes that slice straight through
+    components."""
+    import ray.data as rd
+
+    land = raster_table(layer="landcover")
+
+    def run(nblocks, n_stripes):
+        ds = rd.from_arrow(land).repartition(nblocks)
+        return (
+            R.min_area_filter(ds, min_cells=5, n_stripes=n_stripes)
+            .to_pandas()
+            .sort_values(["row", "col"], ignore_index=True)
+        )
+
+    base = run(1, 1)
+    for nblocks, stripes in ((12, 8), (6, 3), (4, 16)):
+        other = run(nblocks, stripes)
+        assert base[["row", "col"]].values.tolist() == other[["row", "col"]].values.tolist()
+        np.testing.assert_array_equal(
+            base["value"].to_numpy(), other["value"].to_numpy()
+        )
