@@ -31,6 +31,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from geodata_ray.pipelines.fixtures import ensure_fixture_parquet
     from geodata_ray.pipelines.queries import ORACLE_SQL
 
+    # conversion/raster oracles read the persisted fixture parquet;
+    # write it here too so the files exist even if the driver runs the
+    # SQL before the Ray queries
+    ensure_fixture_parquet()
     return dict(ORACLE_SQL)

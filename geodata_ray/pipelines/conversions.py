@@ -33,13 +33,19 @@ def _from(table: pa.Table):
 
 def normalize_winds_batch(batch: pa.Table) -> pa.Table:
     """Derive wind-speed columns from components: wnd{h}m =
-    hypot(u{h}m, v{h}m) — the reference's surface-flux normalizer
-    (datasets/merra2.py:208-241 M4; datasets/era5.py:392-453 M7)."""
+    sqrt(u^2 + v^2) — the reference's surface-flux normalizer
+    (datasets/merra2.py:208-241 M4; datasets/era5.py:392-453 M7).
+
+    Computed as a float64 sqrt of the squared sum (NOT np.hypot): IEEE
+    sqrt is correctly rounded in every engine, so the identical
+    expression tree in DuckDB (``CAST(sqrt(u*u + v*v) AS REAL)``)
+    reproduces these float32 speeds bit-for-bit — np.hypot's scaling
+    algorithm (and its float32 inner loop) has no SQL equivalent."""
     for h in ("2m", "10m", "50m"):
-        u = batch[f"u{h}"].to_numpy(zero_copy_only=False)
-        v = batch[f"v{h}"].to_numpy(zero_copy_only=False)
+        u = batch[f"u{h}"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = batch[f"v{h}"].to_numpy(zero_copy_only=False).astype(np.float64)
         batch = batch.append_column(
-            f"wnd{h}", pa.array(np.hypot(u, v).astype(np.float32))
+            f"wnd{h}", pa.array(np.sqrt(u * u + v * v).astype(np.float32))
         )
     return batch
 

@@ -1237,29 +1237,48 @@ def quality_docs(sf_dir: str):
 
 def _grid_ds(sf_dir: str):
     """Deterministic grid fixture scaled by sf (same table at any
-    parallelism); sf only sets the number of hours."""
-    from geodata_ray.pipelines.conversions import grid_source
+    parallelism); sf only sets the number of hours.  Read from the
+    persisted fixture parquet so the DuckDB oracle consumes the
+    byte-identical input file (oracle SQL targets the 120-hour file —
+    the driver's sf0.01 gate)."""
+    import ray.data as rd
 
-    hours = 240 if "0.1" in sf_dir else 120
-    return grid_source(hours=hours)
+    from geodata_ray.pipelines.fixtures import (
+        ensure_fixture_parquet,
+        fixture_path,
+    )
+
+    name = "grid_240" if "0.1" in sf_dir else "grid_120"
+    ensure_fixture_parquet([name])
+    return rd.read_parquet(fixture_path(name)).repartition(8)
+
+
+_GRID_PQ = "read_parquet('/tmp/geodata_fixtures/grid_120.parquet')"
+_RASTER_PQ = {
+    lay: f"read_parquet('/tmp/geodata_fixtures/raster_{lay}.parquet')"
+    for lay in ("landcover", "slope", "scatter")
+}
 
 
 def windspd_grid(sf_dir: str):
     from geodata_ray.pipelines import conversions as P
 
-    return P.windspd(_grid_ds(sf_dir), hub_height=80.0)
+    out = P.windspd(_grid_ds(sf_dir), hub_height=80.0)
+    return _scaled_renamed(out, "wnd80m", "wnd80m_umps", 1_000_000)
 
 
 def wind_power_grid(sf_dir: str):
     from geodata_ray.pipelines import conversions as P
 
-    return P.wind_power(_grid_ds(sf_dir), "fixture_1500kw", smooth=True)
+    out = P.wind_power(_grid_ds(sf_dir), "fixture_1500kw", smooth=True)
+    return _scaled_renamed(out, "capacity_factor", "cf_ppm", 1_000_000)
 
 
 def windwpd_grid(sf_dir: str):
     from geodata_ray.pipelines import conversions as P
 
-    return P.windwpd(_grid_ds(sf_dir), hub_height=50.0)
+    out = P.windwpd(_grid_ds(sf_dir), hub_height=50.0)
+    return _scaled_renamed(out, "wpd", "wpd_x10k", 10_000)
 
 
 def pv_grid(sf_dir: str):
@@ -1304,44 +1323,58 @@ def heat_demand_grid(sf_dir: str):
 def winddir_grid(sf_dir: str):
     from geodata_ray.pipelines import conversions as P
 
-    return P.winddir(_grid_ds(sf_dir))
+    out = P.winddir(_grid_ds(sf_dir))
+    return _scaled_renamed(out, "winddir", "winddir_udeg", 1_000_000)
 
 
 def _raster_ds(layer: str):
     import ray.data as rd
 
-    from geodata_ray.sources.synth import raster_table
+    from geodata_ray.pipelines.fixtures import (
+        ensure_fixture_parquet,
+        fixture_path,
+    )
 
-    return rd.from_arrow(raster_table(layer=layer)).repartition(6)
+    name = f"raster_{layer}"
+    ensure_fixture_parquet([name])
+    return rd.read_parquet(fixture_path(name)).repartition(6)
+
+
+def _scaled_renamed(ds, old: str, new: str, scale: int):
+    """Rename a derived float column and emit it as ``round(x * scale)``
+    int64 — the engine-independent convention for trig/log-heavy
+    chains where numpy's SIMD kernels and DuckDB's libm may differ in
+    the last ulp (see module docstring conventions)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index(old)
+        v = pc.round(
+            pc.multiply(pc.cast(batch[old], pa.float64()), float(scale))
+        )
+        return batch.set_column(i, new, pc.cast(v, pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _raster_both_ds():
+    return _raster_ds("landcover").union(_raster_ds("slope"))
 
 
 def raster_and_merge(sf_dir: str):
-    from geodata_ray.sources.synth import raster_table
     from geodata_ray.stages import raster as R
 
-    both = pa.concat_tables(
-        [raster_table(layer="landcover"), raster_table(layer="slope")]
-    )
-    import ray.data as rd
-
     return R.merge_layers_and(
-        rd.from_arrow(both).repartition(6),
+        _raster_both_ds(),
         layers=["landcover", "slope"],
         reference_layer="slope",
     )
 
 
 def raster_sum_merge(sf_dir: str):
-    from geodata_ray.sources.synth import raster_table
     from geodata_ray.stages import raster as R
 
-    both = pa.concat_tables(
-        [raster_table(layer="landcover"), raster_table(layer="slope")]
-    )
-    import ray.data as rd
-
     return R.merge_layers_sum(
-        rd.from_arrow(both).repartition(6),
+        _raster_both_ds(),
         weights={"landcover": 2.0, "slope": 0.5},
     )
 
@@ -1361,9 +1394,209 @@ def raster_resample_r5(sf_dir: str):
 
 
 def raster_min_area(sf_dir: str):
+    """Min-area filter over the sparse ``scatter`` layer: components
+    are small by construction, which keeps the DuckDB oracle's
+    recursive-CTE label propagation (cost ~ sum size^2) tractable.
+    Dense-raster coverage (big components sliced by stripes) lives in
+    tests/test_raster_knn.py."""
     from geodata_ray.stages import raster as R
 
-    return R.min_area_filter(_raster_ds("landcover"), min_cells=5)
+    return R.min_area_filter(_raster_ds("scatter"), min_cells=3)
+
+
+# --- DuckDB oracles for the conversion family (VERDICT.md next-round
+# item 1).  The SQL reads the SAME persisted fixture parquet the Ray
+# query reads (pipelines/fixtures.py) and independently recomputes the
+# conversion math.  Exact-float outputs where both engines evaluate the
+# identical IEEE tree (linear chains, exact-summable float32 inputs);
+# round(x*scale) BIGINT outputs for trig/log chains where numpy SIMD
+# kernels and DuckDB libm may differ in the last ulp.
+
+TEMPERATURE_SQL = f"""
+SELECT ts, lat, lon, CAST(temperature AS DOUBLE) - 273.15 AS temperature_c
+FROM {_GRID_PQ}
+"""
+
+PM25_SQL = f"""
+SELECT ts, lat, lon,
+       1e9 * (CAST(dusmass25 AS DOUBLE) + CAST(sssmass25 AS DOUBLE)
+              + CAST(bcsmass AS DOUBLE)
+              + 1.4 * CAST(ocsmass AS DOUBLE)
+              + 1.375 * CAST(so4smass AS DOUBLE)) AS pm25
+FROM {_GRID_PQ}
+"""
+
+WINDDIR_SQL = f"""
+WITH g AS (
+  SELECT ts, lat, lon, CAST(ulml AS DOUBLE) AS u, CAST(vlml AS DOUBLE) AS v
+  FROM {_GRID_PQ}
+),
+d AS (SELECT ts, lat, lon, u, v, degrees(atan(u / v)) AS base FROM g)
+SELECT ts, lat, lon,
+       CAST(ROUND((CASE WHEN v < 0.0 THEN base + 180.0
+                        WHEN v > 0.0 AND u < 0.0 THEN base + 360.0
+                        ELSE base END) * 1000000) AS BIGINT) AS winddir_udeg
+FROM d
+"""
+
+# float32 wind speed at 50m + sanitized roughness, shared by the three
+# hub-height queries (mirrors conversions.normalize_winds_batch +
+# functions.wind.sanitize_roughness bit-for-bit: IEEE sqrt is
+# correctly rounded, so f64-sqrt -> f32 matches numpy exactly)
+_WND50_CTE = f"""
+  SELECT ts, lat, lon,
+         CAST(sqrt(CAST(u50m AS DOUBLE) * CAST(u50m AS DOUBLE)
+                 + CAST(v50m AS DOUBLE) * CAST(v50m AS DOUBLE)) AS REAL)
+           AS wnd50m,
+         CASE WHEN CAST(roughness AS DOUBLE) <= 0.0 THEN 0.0002
+              ELSE CAST(roughness AS DOUBLE) END AS z0,
+         CAST(rhoa AS DOUBLE) AS rhoa_d
+  FROM {_GRID_PQ}
+"""
+
+WINDSPD_SQL = f"""
+WITH g AS ({_WND50_CTE})
+SELECT ts, lat, lon,
+       CAST(ROUND(CAST(wnd50m AS DOUBLE) * (ln(80.0 / z0) / ln(50.0 / z0))
+                  * 1000000) AS BIGINT) AS wnd80m_umps
+FROM g
+"""
+
+WINDWPD_SQL = f"""
+WITH g AS ({_WND50_CTE})
+SELECT ts, lat, lon,
+       CAST(ROUND((0.5 * rhoa_d) * power(CAST(wnd50m AS DOUBLE), 3)
+                  * 10000) AS BIGINT) AS wpd_x10k
+FROM g
+"""
+
+
+def _interp_case_sql(x_expr: str, xs, ys) -> str:
+    """np.interp as a CASE chain with full-precision literals — the
+    same ``slope * (x - x0) + y0`` tree numpy evaluates."""
+    parts = [f"CASE WHEN {x_expr} <= {float(xs[0])!r} THEN {float(ys[0])!r}"]
+    for i in range(len(xs) - 1):
+        x0, x1 = float(xs[i]), float(xs[i + 1])
+        y0, y1 = float(ys[i]), float(ys[i + 1])
+        parts.append(
+            f"WHEN {x_expr} < {x1!r} THEN "
+            f"(({y1!r} - {y0!r}) / ({x1!r} - {x0!r})) * ({x_expr} - {x0!r})"
+            f" + {y0!r}"
+        )
+    parts.append(f"ELSE {float(ys[-1])!r} END")
+    return "\n       ".join(parts)
+
+
+def _wind_power_sql() -> str:
+    from geodata_ray.functions import convert as C
+
+    t = C.windturbine_smooth(C.TURBINES["fixture_1500kw"], None)
+    case = _interp_case_sql("v80", t["V"], t["POW"] / t["P"])
+    return f"""
+WITH g AS ({_WND50_CTE}),
+h AS (SELECT ts, lat, lon,
+             CAST(wnd50m AS DOUBLE) * (ln(80.0 / z0) / ln(50.0 / z0)) AS v80
+      FROM g)
+SELECT ts, lat, lon,
+       CAST(ROUND(({case}) * 1000000) AS BIGINT) AS cf_ppm
+FROM h
+"""
+
+
+WIND_POWER_SQL = _wind_power_sql()
+
+HEAT_DEMAND_SQL = f"""
+WITH g AS (
+  SELECT lat, lon, DATE_TRUNC('day', ts) AS day,
+         CASE WHEN isnan(CAST(temperature AS DOUBLE)) THEN NULL
+              ELSE CAST(temperature AS DOUBLE) END AS t
+  FROM {_GRID_PQ}
+),
+d AS (SELECT lat, lon, day, AVG(t) AS t_daily FROM g GROUP BY 1, 2, 3)
+SELECT lat, lon, day,
+       CASE WHEN t_daily IS NULL THEN NULL
+            ELSE 0.0 + GREATEST(1.0 * ((15.0 + 273.15) - t_daily), 0.0)
+       END AS heat_demand
+FROM d
+"""
+
+_RASTER_BOTH = f"""
+  SELECT * FROM {_RASTER_PQ["landcover"]}
+  UNION ALL
+  SELECT * FROM {_RASTER_PQ["slope"]}
+"""
+
+RASTER_AND_SQL = f"""
+WITH layers2 AS ({_RASTER_BOTH}),
+agg AS (
+  SELECT row, col,
+         SUM(CASE WHEN CAST(value AS DOUBLE) <> 0.0 THEN 1 ELSE 0 END)
+           AS n_nonzero,
+         SUM(CASE WHEN layer = 'slope' THEN CAST(value AS DOUBLE)
+                  ELSE 0.0 END) AS ref_value
+  FROM layers2 GROUP BY 1, 2
+)
+SELECT row, col,
+       CAST(CASE WHEN n_nonzero = 2 THEN ref_value ELSE 0.0 END AS REAL)
+         AS value
+FROM agg
+"""
+
+RASTER_SUM_SQL = f"""
+WITH layers2 AS ({_RASTER_BOTH})
+SELECT row, col,
+       SUM(CASE WHEN layer = 'landcover' THEN 2.0 * CAST(value AS DOUBLE)
+                WHEN layer = 'slope' THEN 0.5 * CAST(value AS DOUBLE)
+                ELSE 1.0 * CAST(value AS DOUBLE) END) AS value
+FROM layers2 GROUP BY 1, 2
+"""
+
+RASTER_FILTER_TRIM_SQL = f"""
+WITH f AS (
+  SELECT layer, row, col, lat, lon,
+         CASE WHEN CAST(value AS DOUBLE) IN (1.0, 2.0, 3.0) THEN value
+              ELSE CAST(0.0 AS REAL) END AS value
+  FROM {_RASTER_PQ["landcover"]}
+),
+b AS (
+  SELECT MIN(row) AS rmin, MAX(row) AS rmax,
+         MIN(col) AS cmin, MAX(col) AS cmax
+  FROM f WHERE CAST(value AS DOUBLE) <> 0.0
+)
+SELECT f.layer, f.row, f.col, f.lat, f.lon, f.value
+FROM f, b
+WHERE f.row BETWEEN b.rmin AND b.rmax AND f.col BETWEEN b.cmin AND b.cmax
+"""
+
+RASTER_RESAMPLE_SQL = f"""
+SELECT {qcell.cell_sql_expr("lat", "lon", 5)} AS cell,
+       AVG(CAST(value AS DOUBLE)) AS value
+FROM {_RASTER_PQ["slope"]}
+GROUP BY 1
+"""
+
+RASTER_MIN_AREA_SQL = f"""
+WITH RECURSIVE nz AS (
+  SELECT layer, row, col, lat, lon, value
+  FROM {_RASTER_PQ["scatter"]}
+  WHERE CAST(value AS DOUBLE) <> 0.0
+),
+walk(row, col, label) AS (
+  SELECT row, col, CAST(row AS BIGINT) * 80 + col FROM nz
+  UNION
+  SELECT n.row, n.col, w.label
+  FROM walk w
+  CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) d(dr, dc)
+  JOIN nz n ON n.row = w.row + d.dr AND n.col = w.col + d.dc
+),
+lab AS (SELECT row, col, MIN(label) AS label FROM walk GROUP BY 1, 2),
+sz AS (SELECT label, COUNT(*) AS n FROM lab GROUP BY 1)
+SELECT nz.layer, nz.row, nz.col, nz.lat, nz.lon,
+       CAST(CASE WHEN sz.n >= 3 THEN nz.value ELSE 0.0 END AS REAL) AS value
+FROM nz
+JOIN lab ON lab.row = nz.row AND lab.col = nz.col
+JOIN sz ON sz.label = lab.label
+"""
 
 
 def knn_events_gazetteer(sf_dir: str):
@@ -1806,4 +2039,19 @@ ORACLE_SQL = {
     "range_join_orders_events": RANGE_JOIN_SQL,
     "langid_docs": LANGID_SQL,
     "quality_docs": QUALITY_SQL,
+    # conversion family (fixture-parquet oracles; see comment above
+    # TEMPERATURE_SQL)
+    "temperature_grid": TEMPERATURE_SQL,
+    "pm25_grid": PM25_SQL,
+    "winddir_grid": WINDDIR_SQL,
+    "windspd_grid": WINDSPD_SQL,
+    "windwpd_grid": WINDWPD_SQL,
+    "wind_power_grid": WIND_POWER_SQL,
+    "heat_demand_grid": HEAT_DEMAND_SQL,
+    # raster algebra family
+    "raster_and_merge": RASTER_AND_SQL,
+    "raster_sum_merge": RASTER_SUM_SQL,
+    "raster_filter_trim": RASTER_FILTER_TRIM_SQL,
+    "raster_resample_r5": RASTER_RESAMPLE_SQL,
+    "raster_min_area": RASTER_MIN_AREA_SQL,
 }

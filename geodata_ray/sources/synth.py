@@ -429,6 +429,16 @@ def raster_table(
         val = (_h(seed, idx, 60) % np.uint64(6)).astype(np.float32)
         blob = ((rr // 3) * 31 + (cc // 3) * 17) % 13 == 0
         val = np.where(blob, np.float32(9.0), val)  # small isolated blobs
+    elif layer == "scatter":
+        # sparse scattered occupancy (~1/7 density, far below the 2-D
+        # percolation threshold): connected components stay SMALL, so
+        # the min-area DuckDB oracle's recursive-CTE label propagation
+        # (cost ~ sum of component-size^2) stays cheap
+        occ = _h(seed, idx, 62) % np.uint64(7) == np.uint64(0)
+        mag = (_h(seed, idx, 63) % np.uint64(5) + np.uint64(1)).astype(
+            np.float32
+        )
+        val = np.where(occ, mag, np.float32(0.0))
     else:  # slope: smooth continuous field
         val = (
             20.0

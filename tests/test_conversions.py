@@ -28,9 +28,11 @@ def _cols(t):
 def _with_winds(cols):
     out = dict(cols)
     for h in ("2m", "10m", "50m"):
-        out[f"wnd{h}"] = np.hypot(
-            out[f"u{h}"].astype(np.float32), out[f"v{h}"].astype(np.float32)
-        )
+        u = out[f"u{h}"].astype(np.float64)
+        v = out[f"v{h}"].astype(np.float64)
+        # f64 sqrt of squared sum, cast f32 — the SQL-reproducible form
+        # normalize_winds_batch uses (see conversions.py docstring)
+        out[f"wnd{h}"] = np.sqrt(u * u + v * v).astype(np.float32)
     return out
 
 
