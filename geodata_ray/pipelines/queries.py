@@ -61,9 +61,21 @@ def _derive_lon_sql(col: str) -> str:
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    """read_parquet with the file's pandas schema-metadata blob
+    stripped: a ``pa.Schema`` whose metadata holds a dict is
+    UNHASHABLE, which makes Ray's schema-dedup log 'Failed to hash the
+    schemas: unhashable type dict' on every read/shuffle of the driver
+    tables.  Passing an explicit metadata-free schema fixes it at the
+    datasource (no extra stage)."""
+    import pyarrow.parquet as pq
+
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    schema = pq.read_schema(path).remove_metadata()
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=schema)
 
 
 def _scale_to_int(ds, spec: dict[str, int]):
@@ -1404,6 +1416,114 @@ def raster_min_area(sf_dir: str):
     return R.min_area_filter(_raster_ds("scatter"), min_cells=3)
 
 
+# --- DuckDB oracles for the engine's own text hashes: fingerprint is
+# MD5-based (md5() + hex-pair reversal in SQL); simhash's token-hash
+# chain (FNV offset + per-byte splitmix64) is UNROLLED into one CTE
+# per byte position with HUGEINT wrap arithmetic — the SQL recomputes
+# the exact 64-bit values, not a lookalike.
+
+FINGERPRINT_SQL = """
+WITH h AS (SELECT doc_id, md5(lower(text)) AS x FROM documents),
+u AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substr(x,15,2), substr(x,13,2), substr(x,11,2),
+                     substr(x,9,2), substr(x,7,2), substr(x,5,2),
+                     substr(x,3,2), substr(x,1,2)) AS UBIGINT)::HUGEINT AS v
+  FROM h
+)
+SELECT doc_id,
+       CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+                 THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT)
+         AS fingerprint
+FROM u
+"""
+
+_U64_M = 1 << 64
+_U63 = 1 << 63
+
+
+def _sql_xor_u64(a: str, b: str) -> str:
+    """xor of two u64-valued HUGEINT expressions via BIGINT two's
+    complement (DuckDB xor() takes BIGINT)."""
+    ai = f"CAST(CASE WHEN ({a}) >= {_U63} THEN ({a}) - {_U64_M} ELSE ({a}) END AS BIGINT)"
+    bi = f"CAST(CASE WHEN ({b}) >= {_U63} THEN ({b}) - {_U64_M} ELSE ({b}) END AS BIGINT)"
+    x = f"xor({ai}, {bi})"
+    return f"(CASE WHEN {x} < 0 THEN {x}::HUGEINT + {_U64_M} ELSE {x}::HUGEINT END)"
+
+
+def _sql_mulmod64(a: str, c: int) -> str:
+    """(a * c) mod 2^64 without overflowing HUGEINT: split ``a`` into
+    32-bit halves (each partial product < 2^96)."""
+    lo = f"((({a}) % 4294967296) * {c})"
+    hi = f"((((({a}) // 4294967296) * {c}) % 4294967296) * 4294967296)"
+    return f"(({lo} + {hi}) % {_U64_M})"
+
+
+def _simhash_sql(max_token_len: int = 24) -> str:
+    """SimHash oracle: per-byte splitmix64 token-hash chain unrolled
+    into ``max_token_len`` CTE stages (driver-corpus tokens are ASCII,
+    max observed length 16), then bit votes per doc.  Each stage is a
+    chain of nested subqueries so every intermediate (z1..z5) is
+    referenced by NAME — linear SQL size despite splitmix's repeated
+    subterms."""
+    stages = [
+        "t0 AS (SELECT doc_id, tok, "
+        f"{dedup_mod._FNV_OFFSET}::HUGEINT AS acc FROM toks)"
+    ]
+    keep = "doc_id, tok, acc"
+    for j in range(1, max_token_len + 1):
+        x0 = _sql_xor_u64("acc", f"ascii(substr(tok, {j}, 1))::HUGEINT")
+        z1 = f"((x0 + 11400714819323198485) % {_U64_M})"
+        z2 = _sql_xor_u64("z1", "z1 // 1073741824")
+        z3 = _sql_mulmod64("z2", 13787848793156543929)
+        z4 = _sql_xor_u64("z3", "z3 // 134217728")
+        z5 = _sql_mulmod64("z4", 10723151780598845931)
+        z6 = _sql_xor_u64("z5", "z5 // 2147483648")
+        stages.append(
+            f"t{j} AS (\n"
+            f" SELECT doc_id, tok, COALESCE({z6}, acc) AS acc FROM (\n"
+            f"  SELECT {keep}, z1, z2, z3, z4, {z5} AS z5 FROM (\n"
+            f"   SELECT {keep}, z1, z2, z3, {z4} AS z4 FROM (\n"
+            f"    SELECT {keep}, z1, z2, {z3} AS z3 FROM (\n"
+            f"     SELECT {keep}, z1, {z2} AS z2 FROM (\n"
+            f"      SELECT {keep}, {z1} AS z1 FROM (\n"
+            f"       SELECT {keep}, CASE WHEN length(tok) >= {j} "
+            f"THEN {x0} ELSE NULL END AS x0 FROM t{j - 1}\n"
+            f"      ))))))\n)"
+        )
+    pow2 = ", ".join(f"({b}, {1 << b})" for b in range(64))
+    stages_sql = ",\n".join(stages)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+{stages_sql},
+bits AS (
+  SELECT t.doc_id, pw.b, pw.p, CAST((t.acc // pw.p) % 2 AS INTEGER) AS bit
+  FROM t{max_token_len} t
+  CROSS JOIN (VALUES {pow2}) pw(b, p)
+),
+votes AS (
+  SELECT doc_id, b, p, SUM(bit) AS v, COUNT(*) AS ntok
+  FROM bits GROUP BY 1, 2, 3
+),
+sim0 AS (
+  SELECT doc_id,
+         SUM(CASE WHEN 2 * v > ntok THEN p::HUGEINT ELSE 0::HUGEINT END) AS s
+  FROM votes GROUP BY 1
+)
+SELECT doc_id,
+       CAST(CASE WHEN s >= {_U63} THEN s - {_U64_M} ELSE s END AS BIGINT)
+         AS simhash
+FROM sim0
+"""
+
+
+from geodata_ray.stages import dedup as dedup_mod  # noqa: E402
+
+SIMHASH_SQL = _simhash_sql()
+
+
 # --- DuckDB oracles for the conversion family (VERDICT.md next-round
 # item 1).  The SQL reads the SAME persisted fixture parquet the Ray
 # query reads (pipelines/fixtures.py) and independently recomputes the
@@ -1830,8 +1950,11 @@ def decode_images_stub(sf_dir: str):
 
 
 def lsh_buckets_embeddings(sf_dir: str):
-    """Hyperplane-LSH bucket assignment (the ANN/dedup scale path;
-    rows-only — locality property tested in tests)."""
+    """Hyperplane-LSH bucket assignment (the ANN/dedup scale path).
+    SQL-audited: the oracle inlines the same 16 hyperplanes as literals
+    and recomputes every sign bit with ``list_inner_product`` (sign
+    flips would need |dot| within float-sum reordering error ~1e-13 —
+    never observed on this corpus)."""
     import ray.data as rd
 
     from geodata_ray.stages.dedup import hyperplane_buckets
@@ -1840,6 +1963,27 @@ def lsh_buckets_embeddings(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return hyperplane_buckets(ds, bits=16)
+
+
+def _lsh_buckets_sql(dim: int = 64, bits: int = 16) -> str:
+    from geodata_ray.stages.dedup import _hyperplanes
+
+    H = _hyperplanes(dim, bits)  # (dim, bits), rng seed 7
+    terms = []
+    for j in range(bits):
+        vec = ", ".join(repr(float(x)) for x in H[:, j])
+        terms.append(
+            f"(CASE WHEN list_inner_product(embedding::DOUBLE[], [{vec}])"
+            f" > 0.0 THEN {1 << (bits - 1 - j)} ELSE 0 END)"
+        )
+    expr = "\n     + ".join(terms)
+    return f"""
+SELECT vec_id, CAST({expr} AS BIGINT) AS bucket
+FROM embeddings
+"""
+
+
+LSH_BUCKETS_SQL = _lsh_buckets_sql()
 
 
 def kmeans_embeddings(sf_dir: str):
@@ -2039,6 +2183,9 @@ ORACLE_SQL = {
     "range_join_orders_events": RANGE_JOIN_SQL,
     "langid_docs": LANGID_SQL,
     "quality_docs": QUALITY_SQL,
+    "fingerprint_docs": FINGERPRINT_SQL,
+    "simhash_docs": SIMHASH_SQL,
+    "lsh_buckets_embeddings": LSH_BUCKETS_SQL,
     # conversion family (fixture-parquet oracles; see comment above
     # TEMPERATURE_SQL)
     "temperature_grid": TEMPERATURE_SQL,

@@ -49,6 +49,91 @@ def _token_hash(tok: str) -> int:
     return h
 
 
+_FNV_OFFSET = np.uint64(1469598103934665603)
+
+
+def _as_string_array(col) -> pa.Array:
+    arr = col
+    if isinstance(arr, (list, tuple, np.ndarray)):
+        arr = pa.array(arr, type=pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr
+
+
+def hash_tokens_batch(tokens: pa.Array) -> np.ndarray:
+    """Vectorized :func:`_token_hash` over a flat Arrow string array:
+    the identical FNV-offset + per-byte splitmix64 chain, evaluated
+    COLUMN-wise (one vectorized step per byte position, masked by
+    token length) instead of a Python loop per token.  Bit-identical
+    to the scalar path; the hot 100-TB shingling/simhash stages call
+    this."""
+    arr = _as_string_array(tokens)
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if arr.null_count:
+        arr = arr.fill_null("")
+    buf_off, buf_dat = arr.buffers()[1], arr.buffers()[2]
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(buf_off, dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(buf_dat, dtype=np.uint8)
+        if buf_dat is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    starts = offsets[:-1]
+    lengths = offsets[1:] - starts
+    acc = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    maxlen = int(lengths.max()) if n else 0
+    for j in range(maxlen):
+        m = lengths > j
+        if not m.any():
+            break
+        b = data[starts[m] + j].astype(np.uint64)
+        acc[m] = splitmix64(acc[m] ^ b)
+    return acc
+
+
+def _batch_shingles(texts, k: int):
+    """Per-doc sorted-unique shingle-hash sets for a whole batch in one
+    vectorized pass: flat token hashes (``hash_tokens_batch``) ->
+    windowed combine over the flat array with doc-boundary masking ->
+    one global (doc, hash) sort-dedup.  Returns ``(counts, flat)``
+    where ``flat`` concatenates each doc's sorted unique shingles.
+    Bit-identical to per-doc :func:`shingle_hashes`."""
+    texts = _as_string_array(texts)
+    n = len(texts)
+    toks = pc.split_pattern(texts, " ")
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    lengths = lengths.astype(np.int64)
+    flat = _as_string_array(toks).flatten()
+    th = hash_tokens_batch(flat)
+    m = th.size
+    counts = np.zeros(n, dtype=np.int64)
+    if m < k or n == 0:
+        return counts, np.empty(0, dtype=np.uint64)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    W = m - k + 1
+    with np.errstate(over="ignore"):
+        sh = th[:W] * _C1
+        for j in range(1, k):
+            sh = sh ^ (th[j : W + j] * (_C2 if j == 1 else _C3))
+    sh = splitmix64(sh)
+    valid = doc_of[:W] == doc_of[k - 1 :]
+    d, s = doc_of[:W][valid], sh[valid]
+    order = np.lexsort((s, d))
+    d, s = d[order], s[order]
+    if d.size:
+        keep = np.ones(d.size, dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+        d, s = d[keep], s[keep]
+    counts = np.bincount(d, minlength=n).astype(np.int64)
+    return counts, s
+
+
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Word-k-gram shingle hash set (sorted unique u64) for one doc.
     Docs with fewer than k tokens have NO shingles (empty set) — the
@@ -80,18 +165,13 @@ def minhash_signature(shingles: np.ndarray, num: int = 64) -> np.ndarray:
 
 
 def _band_rows(ids, texts, *, k, num_hashes, bands):
-    """Vectorized banding for a whole batch: all docs' shingles are
-    concatenated once and each permutation's min is taken with one
-    segmented ``minimum.reduceat`` — no per-doc Python loop."""
+    """Vectorized banding for a whole batch: shingle hashing is one
+    column-wise pass over the flat token array (``_batch_shingles`` —
+    no per-doc Python loop), and each permutation's min is taken with
+    one segmented ``minimum.reduceat``."""
     rows_per_band = num_hashes // bands
     n = len(ids)
-    sh_list = [shingle_hashes(t, k) for t in texts]
-    counts = np.array([s.size for s in sh_list], dtype=np.int64)
-    flat = (
-        np.concatenate(sh_list)
-        if n
-        else np.empty(0, dtype=np.uint64)
-    )
+    counts, flat = _batch_shingles(texts, k)
     offsets = np.r_[0, np.cumsum(counts)[:-1]]
     nonempty = counts > 0
     ne_offsets = offsets[nonempty]  # strictly increasing, < flat.size
@@ -145,9 +225,8 @@ def minhash_lsh_pairs(
 
     def to_bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
         out_id, out_band, out_bh = _band_rows(
-            ids, texts, k=k, num_hashes=num_hashes, bands=bands
+            ids, batch[text_col], k=k, num_hashes=num_hashes, bands=bands
         )
         return pa.table(
             {
@@ -257,16 +336,34 @@ def minhash_lsh_pairs(
         )
         ia = batch["id_a"].to_numpy()
         ib = batch["id_b"].to_numpy()
-        keep = np.zeros(len(ia), dtype=bool)
-        for row in range(len(ia)):
-            sa = shingle_hashes(texts[int(ia[row])], k)
-            sb = shingle_hashes(texts[int(ib[row])], k)
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            keep[row] = union > 0 and inter / union >= threshold
+        keep = _pairwise_jaccard_keep(
+            [texts[int(x)] for x in ia],
+            [texts[int(x)] for x in ib],
+            k,
+            threshold,
+        )
         return batch.filter(pa.array(keep))
 
     return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def _pairwise_jaccard_keep(texts_a, texts_b, k, threshold) -> np.ndarray:
+    """Exact shingle-Jaccard >= threshold per (text_a, text_b) row.
+    Shingle hashing is one vectorized pass per column; only the
+    per-row sorted-set intersection remains row-wise (C-speed
+    ``intersect1d`` over small unique arrays)."""
+    ca, fa = _batch_shingles(texts_a, k)
+    cb, fb = _batch_shingles(texts_b, k)
+    oa = np.r_[0, np.cumsum(ca)]
+    ob = np.r_[0, np.cumsum(cb)]
+    keep = np.zeros(ca.size, dtype=bool)
+    for i in range(ca.size):
+        sa = fa[oa[i] : oa[i + 1]]
+        sb = fb[ob[i] : ob[i + 1]]
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        keep[i] = union > 0 and inter / union >= threshold
+    return keep
 
 
 def _verify_pairs_shuffle(pairs, corpus_ds, id_col, text_col, k, threshold):
@@ -293,15 +390,9 @@ def _verify_pairs_shuffle(pairs, corpus_ds, id_col, text_col, k, threshold):
     j2 = native_join(j1, cb, on="id_b", num_partitions=8)
 
     def verify(batch: pa.Table) -> pa.Table:
-        ta = batch["text_a"].to_pylist()
-        tb = batch["text_b"].to_pylist()
-        keep = np.zeros(len(ta), dtype=bool)
-        for i in range(len(ta)):
-            sa = shingle_hashes(ta[i], k)
-            sb = shingle_hashes(tb[i], k)
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            keep[i] = union > 0 and inter / union >= threshold
+        keep = _pairwise_jaccard_keep(
+            batch["text_a"], batch["text_b"], k, threshold
+        )
         return batch.filter(pa.array(keep)).select(["id_a", "id_b"])
 
     return j2.map_batches(verify, batch_format="pyarrow")
@@ -310,22 +401,33 @@ def _verify_pairs_shuffle(pairs, corpus_ds, id_col, text_col, k, threshold):
 def simhash_batch(
     batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> pa.Table:
-    """64-bit SimHash per doc (token-hash bit-vote fingerprint)."""
+    """64-bit SimHash per doc (token-hash bit-vote fingerprint).
+
+    Fully vectorized: one column-wise pass hashes every token in the
+    batch (``hash_tokens_batch``), bit votes are a single segmented
+    ``add.reduceat`` — no per-doc Python loop.  Bit-identical to the
+    scalar definition (same token-hash chain, same bit packing)."""
     ids = batch[id_col]
-    out = np.empty(len(batch), dtype=np.uint64)
-    texts = batch[text_col].to_pylist()
+    n = len(batch)
+    if n == 0:
+        return pa.table({id_col: ids, "simhash": pa.array([], pa.int64())})
+    toks = pc.split_pattern(_as_string_array(batch[text_col]), " ")
+    lengths = (
+        pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    th = hash_tokens_batch(_as_string_array(toks).flatten())
     bit_idx = np.arange(64, dtype=np.uint64)
-    for i, text in enumerate(texts):
-        th = np.array(
-            [_token_hash(t) for t in text.split(" ")], dtype=np.uint64
-        )
-        bits = (th[:, None] >> bit_idx[None, :]) & np.uint64(1)
-        # signed votes: uint64 arithmetic would wrap for minority bits
-        votes = bits.sum(axis=0).astype(np.int64) * 2 - len(th)
-        out[i] = np.uint64(0) if len(th) == 0 else np.packbits(
-            (votes > 0)[::-1]
-        ).view(">u8")[0]
-    return pa.table({id_col: ids, "simhash": pa.array(out.astype(np.int64))})
+    bits = ((th[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int32)
+    # every doc has >= 1 token (''.split(' ') == ['']), so reduceat
+    # segments are never empty
+    offs = np.r_[0, np.cumsum(lengths)[:-1]]
+    votes = np.add.reduceat(bits, offs, axis=0).astype(np.int64)
+    flags = (votes * 2 - lengths[:, None]) > 0
+    out = np.packbits(flags[:, ::-1], axis=1).view(">u8").ravel()
+    return pa.table(
+        {id_col: ids, "simhash": pa.array(out.astype(np.uint64).astype(np.int64))}
+    )
 
 
 def hash_strings_nomemo(strings) -> np.ndarray:

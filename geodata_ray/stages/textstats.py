@@ -80,37 +80,66 @@ def quality_score_batch(
 def langid_batch(
     batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> pa.Table:
-    """Stopword-profile language ID: argmax of per-language stopword
-    hits, 'und' (undetermined) when nothing matches."""
+    """Stopword-profile language ID: argmax of per-language DISTINCT
+    stopword hits, 'und' (undetermined) when nothing matches.
+
+    Vectorized: one token split for the batch, then per language an
+    ``index_in`` over the flat token array + a (doc, word)-key dedup —
+    no per-doc Python loop (this sits on the 100-TB text path)."""
     langs = list(LANG_PROFILES)
-    texts = batch[text_col].to_pylist()
-    out = []
-    for t in texts:
-        words = set(t.lower().split(" "))
-        best, best_n = "und", 0
-        for lang in langs:
-            n = len(words & LANG_PROFILES[lang])
-            if n > best_n:
-                best, best_n = lang, n
-        out.append(best)
+    n = len(batch)
+    if n == 0:
+        return pa.table(
+            {id_col: batch[id_col], "lang_pred": pa.array([], pa.string())}
+        )
+    text = pc.utf8_lower(batch[text_col])
+    toks = pc.split_pattern(text, " ")
+    lengths = (
+        pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = flat.flatten()
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    counts = np.zeros((n, len(langs)), dtype=np.int64)
+    for li, lang in enumerate(langs):
+        words = sorted(LANG_PROFILES[lang])
+        iv = (
+            pc.index_in(flat, value_set=pa.array(words))
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        sel = iv >= 0
+        # distinct (doc, profile-word) pairs, like the set-intersection
+        key = doc_idx[sel] * len(words) + iv[sel]
+        uk = np.unique(key)
+        counts[:, li] = np.bincount(uk // len(words), minlength=n)
+    best = counts.argmax(axis=1)  # first-wins tie-break, like the loop
+    pred = np.where(
+        counts.max(axis=1) == 0, "und", np.asarray(langs, dtype=object)[best]
+    )
     return pa.table(
-        {id_col: batch[id_col], "lang_pred": pa.array(out, type=pa.string())}
+        {id_col: batch[id_col], "lang_pred": pa.array(pred, type=pa.string())}
     )
 
 
 def fingerprint_batch(
     batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> pa.Table:
-    """64-bit document fingerprint: polynomial rolling hash over the
-    utf-8 bytes of the lower-cased text (deterministic across
-    processes; SURVEY.md D6 support)."""
+    """64-bit document fingerprint: the first 8 digest bytes
+    (little-endian) of MD5 over the lower-cased utf-8 text —
+    deterministic across processes AND reproducible in ANSI SQL
+    (``md5(lower(text))`` + hex-pair reversal), so the driver's DuckDB
+    oracle audits it (SURVEY.md D6 support).  MD5 runs at C speed per
+    doc; cryptographic strength is irrelevant here."""
     import hashlib
 
     texts = pc.utf8_lower(batch[text_col]).to_pylist()
     out = np.empty(len(texts), dtype=np.uint64)
     for i, t in enumerate(texts):
-        d = hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest()
-        out[i] = int.from_bytes(d, "little")
+        d = hashlib.md5(t.encode("utf-8")).digest()
+        out[i] = int.from_bytes(d[:8], "little")
     return pa.table(
         {
             id_col: batch[id_col],

@@ -202,3 +202,28 @@ def test_lsh_pairs_partitioning_invariant():
     a, b = run(1), run(9)
     assert len(a) >= 40  # every planted pair found
     assert a.values.tolist() == b.values.tolist()
+
+
+def test_vectorized_token_hash_bit_identical():
+    """hash_tokens_batch / _batch_shingles reproduce the scalar
+    _token_hash / shingle_hashes chains bit-for-bit."""
+    toks = ["", "a", "quick", "brown", "a", "x" * 40, "zz0"]
+    got = dedup.hash_tokens_batch(pa.array(toks, type=pa.string()))
+    want = np.array([dedup._token_hash(t) for t in toks], dtype=np.uint64)
+    assert np.array_equal(got, want)
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "one two",
+        "alpha beta gamma  delta",  # double space -> empty token
+        "the quick brown fox jumps over the lazy dog",
+    ]
+    counts, flat = dedup._batch_shingles(texts, 3)
+    off = 0
+    for t, c in zip(texts, counts):
+        want = dedup.shingle_hashes(t, 3)
+        assert c == want.size
+        assert np.array_equal(flat[off : off + c], want), t
+        off += c
+    assert off == flat.size
