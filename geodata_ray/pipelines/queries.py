@@ -1719,6 +1719,145 @@ JOIN sz ON sz.label = lab.label
 """
 
 
+def embedding_dups_lsh(sf_dir: str):
+    """Bucketed (multi-table hyperplane LSH) embedding near-dup — the
+    10^12-vector path, audited by the SAME exact-cosine SQL oracle as
+    the broadcast plan: green means the bucketed pipeline recovered
+    every cos>=0.99 pair on this corpus (recall 1, precision 1 by
+    construction)."""
+    import ray.data as rd
+
+    from geodata_ray.stages.dedup import embedding_dup_pairs_lsh
+
+    corpus = _embedding_corpus(sf_dir)
+    ds = rd.from_arrow(corpus).repartition(4)
+    return embedding_dup_pairs_lsh(
+        ds, id_col="vec_id", vec_col="embedding", threshold=0.99,
+        bits=8, tables=8,
+    )
+
+
+def mask_save_load_attach(sf_dir: str):
+    """The reference's full mask workflow end-to-end (mask.py:786-933
+    save_mask / Mask.from_name + cutout.py:363-392 add_mask): build a
+    merged AND-mask from two layers, SAVE it by name, RELOAD it from
+    disk, resample to res-5 cells, attach to the grid table.  The
+    oracle recomputes merge+resample+join in SQL from the same fixture
+    parquet, so a green row proves the round trip preserved the mask
+    bit-for-bit."""
+    from geodata_ray.stages import raster as R
+    from geodata_ray.state.maskstore import attach_named_mask, save_mask
+
+    merged = R.merge_layers_and(
+        _raster_both_ds(), layers=["landcover", "slope"],
+        reference_layer="slope",
+    )
+
+    def addll(batch: pa.Table) -> pa.Table:
+        r = batch["row"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = batch["col"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "lat": pa.array(30.0 + (r + 0.5) * 0.25),
+                "lon": pa.array(-15.0 + (c + 0.5) * 0.25),
+                "value": batch["value"],
+            }
+        )
+
+    merged_ll = merged.map_batches(addll, batch_format="pyarrow")
+    save_mask(
+        "suitability_q",
+        layers={
+            "landcover": _raster_ds("landcover"),
+            "slope": _raster_ds("slope"),
+        },
+        merged=merged_ll,
+    )
+
+    grid = _grid_ds(sf_dir)
+
+    def gridpoints(batch: pa.Table) -> pa.Table:
+        return batch.select(["ts", "lat", "lon"])
+
+    pts = grid.map_batches(gridpoints, batch_format="pyarrow")
+    out = attach_named_mask(pts, "suitability_q", res=5)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["ts", "lat", "lon", "cell", "mask_value"])
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+MASK_ATTACH_SQL = f"""
+WITH m AS (
+  SELECT row, col,
+         CAST(CASE WHEN SUM(CASE WHEN CAST(value AS DOUBLE) <> 0.0
+                                 THEN 1 ELSE 0 END) = 2
+                   THEN SUM(CASE WHEN layer = 'slope'
+                                 THEN CAST(value AS DOUBLE) ELSE 0.0 END)
+                   ELSE 0.0 END AS REAL) AS value
+  FROM ({_RASTER_BOTH}) GROUP BY 1, 2
+),
+mm AS (
+  SELECT 30.0 + (CAST(row AS DOUBLE) + 0.5) * 0.25 AS mlat,
+         -15.0 + (CAST(col AS DOUBLE) + 0.5) * 0.25 AS mlon,
+         value
+  FROM m
+),
+cells AS (
+  SELECT {qcell.cell_sql_expr("mlat", "mlon", 5)} AS cell,
+         AVG(CAST(value AS DOUBLE)) AS mask_value
+  FROM mm GROUP BY 1
+)
+SELECT g.ts, g.lat, g.lon,
+       {qcell.cell_sql_expr("g.lat", "g.lon", 5)} AS cell,
+       c.mask_value
+FROM {_GRID_PQ} g
+LEFT JOIN cells c ON c.cell = {qcell.cell_sql_expr("g.lat", "g.lon", 5)}
+"""
+
+
+def partitioned_view_events(sf_dir: str):
+    """Manifest-pruned VIEW over a resumable partitioned write (the
+    reference's prepared-cutout view semantics, cutout.py:129-177):
+    events are written once to part=<bucket>/ dirs, then the view
+    reopens ONLY buckets {{1, 3}} — file-level pruning, proven by
+    input_files() in tests."""
+    import hashlib
+    import os
+
+    from geodata_ray.state.lineage import (
+        read_partitioned_view,
+        write_partitioned_resumable,
+    )
+
+    fp = hashlib.sha256(
+        str(os.path.getmtime(f"{sf_dir}/events.parquet")).encode()
+        + sf_dir.encode()
+    ).hexdigest()
+    out_dir = f"/tmp/geodata_views/events_{fp[:12]}"
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy()
+        b = ((ids * _GEO_A) % _GEO_M) % 8
+        return batch.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    keyed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    write_partitioned_resumable(
+        keyed, out_dir, "bucket", stage_version="v1", input_fingerprint=fp
+    )
+    return read_partitioned_view(out_dir, keys=[1, 3])
+
+
+PARTITIONED_VIEW_SQL = f"""
+SELECT event_id, user_id, value,
+       ((event_id * {_GEO_A}) % {_GEO_M}) % 8 AS bucket
+FROM events
+WHERE ((event_id * {_GEO_A}) % {_GEO_M}) % 8 IN (1, 3)
+"""
+
+
 def knn_events_gazetteer(sf_dir: str):
     """Cell-local kNN: derived event coords -> 3 nearest gazetteer
     cities (rows-only; exactness vs brute force in tests)."""
@@ -2102,6 +2241,11 @@ RAY_QUERIES = {
     "normalize_era5_raw": normalize_era5_raw,
     "top_pages_per_tile": top_pages_per_tile,
     "value_quantiles_events": value_quantiles_events,
+    # round-2: mask persistence round-trip, manifest-pruned views,
+    # bucketed embedding dedup (all SQL-audited)
+    "embedding_dups_lsh": embedding_dups_lsh,
+    "mask_save_load_attach": mask_save_load_attach,
+    "partitioned_view_events": partitioned_view_events,
 }
 
 LANGID_SQL = """
@@ -2201,4 +2345,8 @@ ORACLE_SQL = {
     "raster_filter_trim": RASTER_FILTER_TRIM_SQL,
     "raster_resample_r5": RASTER_RESAMPLE_SQL,
     "raster_min_area": RASTER_MIN_AREA_SQL,
+    # round-2 additions
+    "embedding_dups_lsh": EMBEDDING_DUPS_SQL,
+    "mask_save_load_attach": MASK_ATTACH_SQL,
+    "partitioned_view_events": PARTITIONED_VIEW_SQL,
 }

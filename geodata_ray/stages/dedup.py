@@ -545,13 +545,111 @@ _HYPERPLANES: dict[tuple[int, int], np.ndarray] = {}
 
 
 def _hyperplanes(dim: int, bits: int, seed: int = 7) -> np.ndarray:
-    key = (dim, bits)
+    key = (dim, bits, seed)
     H = _HYPERPLANES.get(key)
     if H is None:
         rng = np.random.default_rng(seed)
         H = rng.standard_normal((dim, bits))
         _HYPERPLANES[key] = H
     return H
+
+
+def embedding_dup_pairs_lsh(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    bits: int = 8,
+    tables: int = 8,
+    n_shards: int = 32,
+):
+    """Bucketed embedding near-dup: the 100-TB path, end-to-end.
+
+    Multi-table hyperplane LSH (OR-amplified: ``tables`` independent
+    ``bits``-bit sign buckets, seeds 7..7+tables-1): a pair is a
+    candidate if it co-buckets in ANY table, then the EXACT cosine
+    kernel runs within buckets — so precision is 1 and the only
+    approximation is recall (a cos>=0.99 pair must flip a bit in all
+    ``tables`` tables to be missed; with 8x8 the miss probability is
+    ~(1-(1-p)^8)^8 for per-bit flip p<<1 — on the driver fixture the
+    result is bit-equal to the exact broadcast plan, which is what the
+    DuckDB oracle checks).
+
+    Physical plan: vectors ship once per table into hash-sharded
+    groups (bounded ``n_shards`` shards — no per-bucket map_groups over
+    thousands of tiny groups, no single-block stage), pairs dedupe with
+    a grouped distinct.  Contrast with :func:`embedding_dup_pairs`,
+    whose broadcast matrix is the small-corpus exact baseline.
+    """
+
+    def bucketize_all(batch: pa.Table) -> pa.Table:
+        V = _as_matrix(batch[vec_col])
+        n = len(batch)
+        ids = batch[id_col].to_numpy()
+        out_id, out_t, out_b, out_sh, out_vec = [], [], [], [], []
+        for t in range(tables):
+            H = _hyperplanes(V.shape[1], bits, seed=7 + t)
+            code = (V @ H > 0).astype(np.uint64)
+            bucket = np.zeros(n, dtype=np.uint64)
+            for j in range(bits):
+                bucket = (bucket << np.uint64(1)) | code[:, j]
+            out_id.append(ids)
+            out_t.append(np.full(n, t, dtype=np.int32))
+            out_b.append(bucket.astype(np.int64))
+            shard = splitmix64(
+                bucket ^ (np.uint64(t) * _C1)
+            ) % np.uint64(n_shards)
+            out_sh.append(shard.astype(np.int32))
+        vecs = batch[vec_col]
+        vec_rep = pa.concat_arrays(
+            [vecs.combine_chunks() if isinstance(vecs, pa.ChunkedArray)
+             else vecs] * tables
+        )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id)),
+                "table": pa.array(np.concatenate(out_t)),
+                "bucket": pa.array(np.concatenate(out_b)),
+                "__shard": pa.array(np.concatenate(out_sh)),
+                vec_col: vec_rep,
+            }
+        )
+
+    cand = ds.map_batches(bucketize_all, batch_format="pyarrow")
+
+    def shard_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby(["table", "bucket"], sort=False):
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            V = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = V @ V.T
+            ai, bj = np.nonzero(sims >= threshold)
+            a, b = ids[ai], ids[bj]
+            keep = a < b
+            out_a.append(a[keep])
+            out_b.append(b[keep])
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
+            )
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        ).drop_duplicates(ignore_index=True)
+
+    raw = cand.groupby("__shard").map_groups(shard_pairs, batch_format="pandas")
+
+    from geodata_ray.stages.relational import grouped_aggregate as _gagg
+
+    def drop_n(batch: pa.Table) -> pa.Table:
+        return batch.select(["id_a", "id_b"])
+
+    return _gagg(
+        raw, ["id_a", "id_b"], [("id_a", "count", "__n")]
+    ).map_batches(drop_n, batch_format="pyarrow", batch_size=65536)
 
 
 def hyperplane_buckets(

@@ -127,6 +127,52 @@ def write_partitioned_resumable(
     return result.to_pandas()
 
 
+def read_partitioned_view(
+    out_dir: str,
+    *,
+    keys=None,
+    predicate=None,
+):
+    """Reopen a ``write_partitioned_resumable`` output restricted to a
+    subset of partitions WITHOUT re-reading the rest — the analogue of
+    the reference's prepared-cutout *views* (``cutout.py:129-177``,
+    ``preparation.py:294-333``: reopen a prepared output restricted to
+    a stored sub-slice, no recompute).
+
+    Pruning happens at the FILE level: only ``part=<key>/`` directories
+    whose manifest key passes ``keys`` (an iterable of keys) and/or
+    ``predicate(key_str) -> bool`` are handed to ``read_parquet`` — the
+    other partitions' bytes never leave storage.  Verify with
+    ``Dataset.input_files()``.
+    """
+    import ray.data as rd
+
+    manifest = load_manifest(out_dir)
+    want = None if keys is None else {str(k) for k in keys}
+    sel = sorted(
+        k
+        for k in manifest
+        if (want is None or k in want)
+        and (predicate is None or predicate(k))
+    )
+    import glob as _glob
+
+    paths = [
+        f
+        for k in sel
+        for f in sorted(
+            _glob.glob(os.path.join(out_dir, f"part={k}", "*.parquet"))
+        )
+    ]
+    if not paths:
+        raise FileNotFoundError(
+            f"no partitions of {out_dir} match the view selection"
+        )
+    # partitioning=None: the part=<key>/ path segments are lineage
+    # structure, not hive columns — the key is already in the data
+    return rd.read_parquet(paths, partitioning=None)
+
+
 def stage_metrics(ds) -> list[dict]:
     """Parse ``ds.stats()`` into per-stage metric records (rows, wall
     seconds, rows/s) — the per-stage throughput emission the north rule
