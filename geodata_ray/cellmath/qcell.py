@@ -180,12 +180,20 @@ def grid_disk(cell, k: int = 1):
     return np.unique(rowcol_to_cell(res_i, rr, cc))
 
 
-def grid_disk_multi(cells, k: int = 1):
+def grid_disk_multi(cells, k: int = 1, *, adaptive_lon: bool = False):
     """Vectorized kRing for an array of same-resolution cells.
 
     Returns ``(origin_idx, neighbor_cell)`` flat arrays: for each input
     index i, all neighbor cells of ``cells[i]`` (with wrap/clamp).
     Used by the cell-local kNN expansion (SURVEY.md J10).
+
+    ``adaptive_lon=True`` widens the COLUMN half-width per origin to
+    ``ceil(k / cos(lat))`` (clamped to the full circle): lat-lon cells
+    shrink in true width toward the poles, so a fixed Chebyshev ring
+    under-covers there — a point at lat -85 can have nearer neighbors
+    60 degrees of longitude away than a ring-5 disk reaches.  Near the
+    poles the disk degenerates to whole row bands, which also covers
+    across-the-pole neighbors.
     """
     cells = np.asarray(cells, dtype=np.int64)
     res, row, col = cell_to_rowcol(cells)
@@ -194,21 +202,31 @@ def grid_disk_multi(cells, k: int = 1):
     r0 = int(res.flat[0])
     nlat = np.int64(1) << (r0 + 2)
     nlon = np.int64(1) << (r0 + 3)
-    side = 2 * k + 1
-    dr = np.arange(-k, k + 1, dtype=np.int64)
-    dc = np.arange(-k, k + 1, dtype=np.int64)
-    drr, dcc = np.meshgrid(dr, dc, indexing="ij")
-    drr = drr.ravel()
-    dcc = dcc.ravel()
     n = cells.shape[0]
-    rr = row[:, None] + drr[None, :]  # (n, side*side)
-    cc = np.mod(col[:, None] + dcc[None, :], nlon)
-    keep = (rr >= 0) & (rr < nlat)
-    origin = np.broadcast_to(np.arange(n, dtype=np.int64)[:, None], rr.shape)
-    return (
-        origin[keep],
-        rowcol_to_cell(r0, rr[keep], cc[keep]),
-    )
+    if adaptive_lon:
+        cell_h = 180.0 / float(nlat)
+        lat_c = -90.0 + (row.astype(np.float64) + 0.5) * cell_h
+        need = np.ceil(
+            k / np.maximum(np.cos(np.deg2rad(lat_c)), 1e-9)
+        ).astype(np.int64)
+        width = np.minimum(need, np.int64(nlon) // 2)
+    else:
+        width = np.full(n, k, dtype=np.int64)
+
+    dr = np.arange(-k, k + 1, dtype=np.int64)
+    out_origin, out_cell = [], []
+    for w in np.unique(width):
+        sel = np.nonzero(width == w)[0]
+        dc = np.arange(-w, w + 1, dtype=np.int64)
+        drr, dcc = np.meshgrid(dr, dc, indexing="ij")
+        drr, dcc = drr.ravel(), dcc.ravel()
+        rr = row[sel, None] + drr[None, :]
+        cc = np.mod(col[sel, None] + dcc[None, :], nlon)
+        keep = (rr >= 0) & (rr < nlat)
+        origin = np.broadcast_to(sel[:, None], rr.shape)
+        out_origin.append(origin[keep])
+        out_cell.append(rowcol_to_cell(r0, rr[keep], cc[keep]))
+    return np.concatenate(out_origin), np.concatenate(out_cell)
 
 
 def cell_to_boundary(cell):

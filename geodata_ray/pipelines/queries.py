@@ -1878,9 +1878,81 @@ def knn_events_gazetteer(sf_dir: str):
         )
 
     pts = ds.map_batches(coords, batch_format="pyarrow")
-    return knn_join(
-        pts, np.arange(len(names)), lats, lons, k=3, res=2, ring=2
+    # ring=5 at res 2 (11.25-degree cells): the disk spans ~±56 degrees,
+    # which covers the 3rd-nearest of 500 global cities everywhere incl.
+    # polar/anti-meridian sparse regions — proven exact by the
+    # brute-force SQL oracle below (ring=2 missed ~3% of ranks)
+    out = knn_join(
+        pts, np.arange(len(names)), lats, lons, k=3, res=2, ring=5
     )
+    return out.select_columns(["query_id", "ref_id", "rank"])
+
+
+def _knn_gazetteer_sql() -> str:
+    """Brute-force haversine oracle for the cell-local kNN against the
+    REAL gazetteer: the 500 (id, lat, lon) rows are inlined as literals
+    (np.round(x, 4) float64 repr round-trips exactly), queries derive
+    coords from event ids with the shared integer-hash formulas.  A
+    green row proves the kRing-pruned plan is exact on this corpus."""
+    from geodata_ray.sources.synth import gazetteer_arrays
+
+    _, lats, lons, _ = gazetteer_arrays()
+    rows = ", ".join(
+        f"({i}, {float(lats[i])!r}, {float(lons[i])!r})"
+        for i in range(len(lats))
+    )
+    return f"""
+WITH refs(ref_id, rlat, rlon) AS (VALUES {rows}),
+qs AS (
+  SELECT event_id, {_derive_lat_sql("event_id")} AS qlat,
+         {_derive_lon_sql("event_id")} AS qlon
+  FROM events
+),
+d AS (
+  SELECT event_id AS query_id, ref_id,
+         2 * 6371.0088 * ASIN(SQRT(
+           POWER(SIN(RADIANS(rlat - qlat) / 2), 2)
+           + COS(RADIANS(qlat)) * COS(RADIANS(rlat))
+             * POWER(SIN(RADIANS(rlon - qlon) / 2), 2))) AS dist
+  FROM qs, refs
+),
+ranked AS (
+  SELECT query_id, ref_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dist, ref_id) AS rank
+  FROM d
+)
+SELECT query_id, ref_id, rank FROM ranked WHERE rank <= 3
+"""
+
+
+KNN_GAZETTEER_SQL = _knn_gazetteer_sql()
+
+
+def top3_events_per_type_salted(sf_dir: str):
+    """Salted top-k against a SQL oracle: every event_type is hot at
+    this threshold, so the query exercises the full salt -> per-(key,
+    salt) partial top-k -> per-key merge path (``stages/skew.py``) and
+    hash-matches a plain ROW_NUMBER window."""
+    from geodata_ray.stages.skew import salted_topk_per_key
+
+    ds = _read(sf_dir, "events", columns=["event_type", "event_id", "value"])
+    return salted_topk_per_key(
+        ds, key="event_type", order_col="value", k=3, n_salts=4,
+        threshold_rows=100,
+    )
+
+
+TOP3_SALTED_SQL = """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_type, event_id)
+           AS rank
+  FROM events
+)
+SELECT event_type, event_id, value, rank FROM ranked WHERE rank <= 3
+"""
 
 
 def wind_model_fit_grid(sf_dir: str):
@@ -2246,6 +2318,7 @@ RAY_QUERIES = {
     "embedding_dups_lsh": embedding_dups_lsh,
     "mask_save_load_attach": mask_save_load_attach,
     "partitioned_view_events": partitioned_view_events,
+    "top3_events_per_type_salted": top3_events_per_type_salted,
 }
 
 LANGID_SQL = """
@@ -2349,4 +2422,6 @@ ORACLE_SQL = {
     "embedding_dups_lsh": EMBEDDING_DUPS_SQL,
     "mask_save_load_attach": MASK_ATTACH_SQL,
     "partitioned_view_events": PARTITIONED_VIEW_SQL,
+    "knn_events_gazetteer": KNN_GAZETTEER_SQL,
+    "top3_events_per_type_salted": TOP3_SALTED_SQL,
 }

@@ -19,8 +19,14 @@ class SourceConfig:
     name: str
     prepare_fn: Callable  # Dataset -> Dataset normalizer
     variables: tuple[str, ...]  # canonical columns guaranteed present
-    file_granularity: str = "monthly"  # partitioning template
+    # daily | daily_multiple | monthly | monthly_multiple — drives the
+    # expected-partition enumeration (sources/manifest.py; reference
+    # dataset.py:121-274)
+    file_granularity: str = "monthly"
     partition_template: str = "part={year}-{month:02d}"
+    # for *_multiple granularities: one file per period per key (the
+    # reference's multi-collection sources)
+    file_keys: tuple[str, ...] = ()
 
 
 def _era5():

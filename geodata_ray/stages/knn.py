@@ -106,7 +106,9 @@ def knn_join(
             # work per UNIQUE cell with one (Q_cell x C) distance matrix
             # instead of a Python loop per query point
             uniq, inv = np.unique(cells, return_inverse=True)
-            u_origin, u_nbr = qcell.grid_disk_multi(uniq, ring)
+            u_origin, u_nbr = qcell.grid_disk_multi(
+                uniq, ring, adaptive_lon=True
+            )
             lo, hi = idx.candidates(u_nbr)
             for ui in range(uniq.shape[0]):
                 m = u_origin == ui

@@ -125,3 +125,45 @@ def test_embedding_lsh_matches_broadcast_exact():
     )
     assert len(exact) >= 80
     assert exact.values.tolist() == lsh.values.tolist()
+
+
+def test_source_manifest_reconciliation(tmp_path):
+    """Expected-vs-present diff across all four file granularities
+    (reference dataset.py:121-274 enumeration semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geodata_ray.sources.manifest import (
+        expected_partitions,
+        reconcile_source,
+    )
+    from geodata_ray.sources.registry import SourceConfig
+
+    def cfg(gran, fkeys=()):
+        return SourceConfig(
+            name="t", prepare_fn=lambda ds: ds, variables=(),
+            file_granularity=gran, file_keys=fkeys,
+        )
+
+    assert expected_partitions(cfg("monthly"), [2023], [1, 2]) == [
+        "2023-01", "2023-02",
+    ]
+    feb = expected_partitions(cfg("daily"), [2024], [2])
+    assert len(feb) == 29 and feb[0] == "2024-02-01"  # leap year
+    multi = expected_partitions(
+        cfg("monthly_multiple", ("flux", "rad")), [2023], [1]
+    )
+    assert multi == ["2023-01.flux", "2023-01.rad"]
+
+    root = str(tmp_path / "src")
+    for key in ("2023-01", "2023-02"):
+        d = os.path.join(root, f"part={key}")
+        os.makedirs(d)
+        if key == "2023-01":  # only Jan gets real data
+            pq.write_table(pa.table({"x": [1]}), os.path.join(d, "p.parquet"))
+    man = reconcile_source(root, cfg("monthly"), years=[2023], months=[1, 2, 3])
+    assert man.present == ["2023-01"]
+    # Feb dir exists but holds no parquet (killed run): still missing
+    assert man.missing == ["2023-02", "2023-03"]
+    assert not man.prepared
+    assert man.summary()["n_missing"] == 2
