@@ -1817,6 +1817,74 @@ LEFT JOIN cells c ON c.cell = {qcell.cell_sql_expr("g.lat", "g.lon", 5)}
 """
 
 
+RUNNING_ACTOR_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id,
+       CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS running_sum,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS running_n
+FROM w
+"""
+
+NORMALIZE_ERA5_SQL = f"""
+WITH raw AS (
+  SELECT event_id,
+         make_timestamp(event_id * 3600000000) AS ts,
+         (((event_id * {_GEO_A} + 3 * 7919) % {_GEO_M}) / {_GEO_M})
+           * 120.0 - 60.0 AS lat,
+         (((event_id * {_GEO_A} + 4 * 7919) % {_GEO_M}) / {_GEO_M})
+           * 360.0 - 180.0 AS lon,
+         (((event_id * {_GEO_A} + 5 * 7919) % {_GEO_M}) / {_GEO_M})
+           * 5e4 AS z,
+         (((event_id * {_GEO_A} + 1 * 7919) % {_GEO_M}) / {_GEO_M})
+           * 3.6e6 AS ssrd,
+         (((event_id * {_GEO_A} + 2 * 7919) % {_GEO_M}) / {_GEO_M}) AS u2,
+         (((event_id * {_GEO_A} + 6 * 7919) % {_GEO_M}) / {_GEO_M}) AS u6,
+         (((event_id * {_GEO_A} + 7 * 7919) % {_GEO_M}) / {_GEO_M}) AS u7,
+         (((event_id * {_GEO_A} + 8 * 7919) % {_GEO_M}) / {_GEO_M})
+           * 20 - 10 AS u100,
+         (((event_id * {_GEO_A} + 9 * 7919) % {_GEO_M}) / {_GEO_M})
+           * 20 - 10 AS v100,
+         (((event_id * {_GEO_A} + 10 * 7919) % {_GEO_M}) / {_GEO_M})
+           * 2e-4 - 1e-4 AS ro,
+         250.0 + (((event_id * {_GEO_A} + 11 * 7919) % {_GEO_M}) / {_GEO_M})
+           * 60.0 AS t2m,
+         9e4 + (((event_id * {_GEO_A} + 12 * 7919) % {_GEO_M}) / {_GEO_M})
+           * 1.5e4 AS sp,
+         260.0 + (((event_id * {_GEO_A} + 13 * 7919) % {_GEO_M}) / {_GEO_M})
+           * 40.0 AS stl4,
+         (((event_id * {_GEO_A} + 14 * 7919) % {_GEO_M}) / {_GEO_M}) AS fsr
+  FROM events
+),
+d AS (
+  SELECT *, ssrd * (0.2 + 0.7 * u2) AS fdir,
+         ssrd * (0.7 + 0.25 * u6) AS ssr,
+         ssrd * (1.0 + 0.3 * u7) AS tisr
+  FROM raw
+)
+SELECT ts, lat, lon,
+       z / 9.80665 AS height,
+       CASE WHEN isnan((ssrd - ssr) / ssrd) THEN 0.0
+            ELSE (ssrd - ssr) / ssrd END AS albedo,
+       GREATEST(fdir, 0.0) / 3600.0 AS influx_direct,
+       GREATEST(ssrd - fdir, 0.0) / 3600.0 AS influx_diffuse,
+       GREATEST(tisr, 0.0) / 3600.0 AS influx_toa,
+       sqrt(u100 * u100 + v100 * v100) AS wnd100m,
+       GREATEST(ro, 0.0) AS runoff,
+       t2m AS temperature,
+       sp AS pressure,
+       stl4 AS soil_temperature,
+       fsr AS roughness
+FROM d
+"""
+
+
 def partitioned_view_events(sf_dir: str):
     """Manifest-pruned VIEW over a resumable partitioned write (the
     reference's prepared-cutout view semantics, cutout.py:129-177):
@@ -1965,7 +2033,82 @@ def wind_model_estimate_grid(sf_dir: str):
     from geodata_ray.stages import wind_model as WM
 
     params = WM.fit_extrapolation(_grid_ds(sf_dir))
-    return WM.estimate_extrapolation(params, 30.0)
+    out = WM.estimate_extrapolation(params, 30.0)
+    return _scaled_renamed(out, "wnd30m_est", "wnd30m_est_um", 1_000_000)
+
+
+def _wind_fit_core_sql() -> str:
+    """Per-row closed-form 2x2 least squares (speed vs log-height) as
+    lateral-alias SQL mirroring ``fit_extrapolation_batch``'s exact
+    IEEE trees (4-term sums are sequential in numpy at this width)."""
+    terms = [
+        ("50.0", "u50m", "v50m"),
+        ("10.0", "u10m", "v10m"),
+        ("2.0", "u2m", "v2m"),
+        ("CAST(hlml AS DOUBLE)", "ulml", "vlml"),
+    ]
+    cols = []
+    for i, (h, u, v) in enumerate(terms, 1):
+        H = f"({h} - CAST(disph AS DOUBLE))"
+        cols.append(
+            f"(CASE WHEN {H} > 0.0 THEN ln({H}) ELSE -1.0 END) AS x{i}"
+        )
+        cols.append(
+            f"sqrt(CAST({u} AS DOUBLE) * CAST({u} AS DOUBLE)"
+            f" + CAST({v} AS DOUBLE) * CAST({v} AS DOUBLE)) AS y{i}"
+        )
+    xy = ",\n         ".join(cols)
+    return f"""
+  SELECT ts, lat, lon, disph,
+         {xy}
+  FROM {_GRID_PQ}
+"""
+
+
+WIND_FIT_SQL = f"""
+WITH b AS ({_wind_fit_core_sql()}),
+s AS (
+  SELECT ts, lat, lon, disph, x1, x2, x3, x4, y1, y2, y3, y4,
+         x1 + x2 + x3 + x4 AS sx,
+         y1 + y2 + y3 + y4 AS sy,
+         x1 * x1 + x2 * x2 + x3 * x3 + x4 * x4 AS sxx,
+         x1 * y1 + x2 * y2 + x3 * y3 + x4 * y4 AS sxy,
+         4 * sxx - sx * sx AS det,
+         (4 * sxy - sx * sy) / det AS alpha,
+         (sy - alpha * sx) / 4 AS beta,
+         (y1 - (alpha * x1 + beta)) * (y1 - (alpha * x1 + beta))
+         + (y2 - (alpha * x2 + beta)) * (y2 - (alpha * x2 + beta))
+         + (y3 - (alpha * x3 + beta)) * (y3 - (alpha * x3 + beta))
+         + (y4 - (alpha * x4 + beta)) * (y4 - (alpha * x4 + beta)) AS ssr
+  FROM b
+)
+SELECT ts, lat, lon, disph,
+       CAST(alpha AS REAL) AS alpha,
+       CAST(beta AS REAL) AS beta,
+       CAST(ssr AS REAL) AS ssr
+FROM s
+"""
+
+WIND_ESTIMATE_SQL = f"""
+WITH b AS ({_wind_fit_core_sql()}),
+s AS (
+  SELECT ts, lat, lon, disph, x1, x2, x3, x4, y1, y2, y3, y4,
+         x1 + x2 + x3 + x4 AS sx,
+         y1 + y2 + y3 + y4 AS sy,
+         x1 * x1 + x2 * x2 + x3 * x3 + x4 * x4 AS sxx,
+         x1 * y1 + x2 * y2 + x3 * y3 + x4 * y4 AS sxy,
+         4 * sxx - sx * sx AS det,
+         CAST(CAST((4 * sxy - sx * sy) / det AS REAL) AS DOUBLE) AS a,
+         CAST(CAST((sy - ((4 * sxy - sx * sy) / det) * sx) / 4 AS REAL)
+              AS DOUBLE) AS bt
+  FROM b
+)
+SELECT ts, lat, lon,
+       CAST(ROUND(a * ln((30.0 - CAST(disph AS DOUBLE))
+                         / exp(-bt / a)) * 1000000) AS BIGINT)
+         AS wnd30m_est_um
+FROM s
+"""
 
 
 def wind_spline_estimate_grid(sf_dir: str):
@@ -2424,4 +2567,8 @@ ORACLE_SQL = {
     "partitioned_view_events": PARTITIONED_VIEW_SQL,
     "knn_events_gazetteer": KNN_GAZETTEER_SQL,
     "top3_events_per_type_salted": TOP3_SALTED_SQL,
+    "running_totals_actor_stream": RUNNING_ACTOR_SQL,
+    "normalize_era5_raw": NORMALIZE_ERA5_SQL,
+    "wind_model_fit_grid": WIND_FIT_SQL,
+    "wind_model_estimate_grid": WIND_ESTIMATE_SQL,
 }

@@ -597,9 +597,10 @@ def embedding_dup_pairs_lsh(
             out_id.append(ids)
             out_t.append(np.full(n, t, dtype=np.int32))
             out_b.append(bucket.astype(np.int64))
-            shard = splitmix64(
-                bucket ^ (np.uint64(t) * _C1)
-            ) % np.uint64(n_shards)
+            with np.errstate(over="ignore"):  # u64 wrap is intended
+                shard = splitmix64(
+                    bucket ^ (np.uint64(t) * _C1)
+                ) % np.uint64(n_shards)
             out_sh.append(shard.astype(np.int32))
         vecs = batch[vec_col]
         vec_rep = pa.concat_arrays(

@@ -22,7 +22,7 @@ def normalize_era5_batch(batch: pa.Table) -> pa.Table:
     - albedo = ((ssrd - ssr) / ssrd) with NaN -> 0;
     - influx_diffuse = ssrd - fdir;
     - fluxes J m^-2 -> W m^-2 (/3600) with clip >= 0;
-    - wnd100m = hypot(u100, v100);
+    - wnd100m = sqrt(u100^2 + v100^2);
     - renames to the canonical schema (fdir -> influx_direct, tisr ->
       influx_toa, ro -> runoff with clip >= 0, t2m -> temperature,
       sp -> pressure, stl4 -> soil_temperature, fsr -> roughness).
@@ -53,7 +53,9 @@ def normalize_era5_batch(batch: pa.Table) -> pa.Table:
     out["influx_diffuse"] = pa.array(influx_diffuse)
     out["influx_toa"] = pa.array(influx_toa)
 
-    out["wnd100m"] = pa.array(np.hypot(col("u100"), col("v100")))
+    # f64 sqrt of squared sum (NOT np.hypot): IEEE sqrt is correctly
+    # rounded, so the DuckDB oracle reproduces it bit-for-bit
+    out["wnd100m"] = pa.array(np.sqrt(col("u100") ** 2 + col("v100") ** 2))
     out["runoff"] = pa.array(np.maximum(col("ro"), 0.0))
     out["temperature"] = pa.array(col("t2m"))
     out["pressure"] = pa.array(col("sp"))
@@ -64,7 +66,7 @@ def normalize_era5_batch(batch: pa.Table) -> pa.Table:
 
 def normalize_merra2_flux_batch(batch: pa.Table) -> pa.Table:
     """``prepare_month_surface_flux`` semantics (merra2.py:208-241):
-    z0m -> roughness, wndlml = hypot(ulml, vlml), tlml aliased to
+    z0m -> roughness, wndlml = sqrt(ulml^2 + vlml^2), tlml aliased to
     temperature; other flux variables pass through lower-cased."""
 
     def col(n):
@@ -76,7 +78,7 @@ def normalize_merra2_flux_batch(batch: pa.Table) -> pa.Table:
         out[rename.get(n.lower(), n.lower())] = batch[n]
     if "tlml" in batch.schema.names:
         out["tlml"] = batch["tlml"]  # keep the raw name too (Obukhov)
-    out["wndlml"] = pa.array(np.hypot(col("ulml"), col("vlml")))
+    out["wndlml"] = pa.array(np.sqrt(col("ulml") ** 2 + col("vlml") ** 2))
     return pa.table(out)
 
 

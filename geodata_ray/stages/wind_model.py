@@ -50,18 +50,18 @@ def _speeds_and_log_heights(cols: dict, compute_lml: bool = True):
     names = [u for u in HEIGHTS if u in cols and u.replace("u", "v") in cols]
     hs = [np.full_like(disph, HEIGHTS[u]) - disph for u in names]
     vs = [
-        np.hypot(
-            np.asarray(cols[u], dtype=np.float64),
-            np.asarray(cols[u.replace("u", "v")], dtype=np.float64),
+        np.sqrt(  # f64 sqrt form: bit-reproducible in the SQL oracle
+            np.asarray(cols[u], dtype=np.float64) ** 2
+            + np.asarray(cols[u.replace("u", "v")], dtype=np.float64) ** 2
         )
         for u in names
     ]
     if compute_lml and "ulml" in cols:
         hs.append(np.asarray(cols["hlml"], dtype=np.float64) - disph)
         vs.append(
-            np.hypot(
-                np.asarray(cols["ulml"], dtype=np.float64),
-                np.asarray(cols["vlml"], dtype=np.float64),
+            np.sqrt(
+                np.asarray(cols["ulml"], dtype=np.float64) ** 2
+                + np.asarray(cols["vlml"], dtype=np.float64) ** 2
             )
         )
     H = np.stack(hs, axis=-1)  # (N, k)
