@@ -1296,22 +1296,25 @@ def windwpd_grid(sf_dir: str):
 def pv_grid(sf_dir: str):
     from geodata_ray.pipelines import conversions as P
 
-    return P.pv(_grid_ds(sf_dir), "fixture_huld")
+    out = P.pv(_grid_ds(sf_dir), "fixture_huld")
+    return _scaled_renamed(out, "pv_power", "pv_power_ppm", 1_000_000)
 
 
 def pv_tracking_grid(sf_dir: str):
     from geodata_ray.pipelines import conversions as P
 
-    return P.pv(
+    out = P.pv(
         _grid_ds(sf_dir), "fixture_bofinger",
         orientation="latitude_optimal", trigon_model="hay-davies",
     )
+    return _scaled_renamed(out, "pv_power", "pv_power_ppm", 1_000_000)
 
 
 def solar_thermal_grid(sf_dir: str):
     from geodata_ray.pipelines import conversions as P
 
-    return P.solar_thermal(_grid_ds(sf_dir))
+    out = P.solar_thermal(_grid_ds(sf_dir))
+    return _scaled_renamed(out, "solar_thermal", "solar_thermal_x10k", 10_000)
 
 
 def pm25_grid(sf_dir: str):
@@ -1363,6 +1366,9 @@ def _scaled_renamed(ds, old: str, new: str, scale: int):
         v = pc.round(
             pc.multiply(pc.cast(batch[old], pa.float64()), float(scale))
         )
+        # NaN -> null so the int cast survives (e.g. sea-cell NaNs in
+        # panel models); SQL mirrors with CASE isnan THEN NULL
+        v = pc.if_else(pc.is_nan(v), pa.scalar(None, pa.float64()), v)
         return batch.set_column(i, new, pc.cast(v, pa.int64()))
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -1639,6 +1645,332 @@ SELECT lat, lon, day,
        END AS heat_demand
 FROM d
 """
+
+# --- PV / solar-thermal oracle SQL.  The whole solar chain (Michalsky
+# position -> Reindl clearsky split -> transposition -> panel model)
+# is mirrored expression-by-expression; numpy NaN maps to SQL NULL
+# (DuckDB: 0/0 -> NULL, 0*NULL -> NULL, GREATEST/LEAST ignore NULL —
+# exactly np.fmax/np.fmin's NaN-ignoring semantics), nan_to_num maps
+# to COALESCE, and scalar trig CONSTANTS are inlined as numpy-computed
+# literals.  Outputs are round(x*scale) BIGINT, which absorbs last-ulp
+# libm differences in the trig chain.
+
+
+def _solar_position_sql() -> str:
+    """CTE chain computing (alt, az, atmo=influx_toa) per grid row —
+    functions/pv.py solar_position mirrored with identical operation
+    order (incl. the fmod-then-correct np.mod idiom for hour angle)."""
+    pi = repr(float(np.pi))
+    twopi = repr(float(2 * np.pi))
+    return f"""
+sp0 AS (
+  SELECT ts, lat, lon,
+         CAST(influx AS DOUBLE) AS influx_r,
+         CAST(influx_toa AS DOUBLE) AS atmo,
+         CAST(albedo AS DOUBLE) AS albedo_r,
+         CAST(temperature AS DOUBLE) AS t_amb,
+         epoch_us(ts) / 1e6 AS unixx
+  FROM {_GRID_PQ}
+),
+sp1 AS (
+  SELECT *,
+         (unixx / 86400.0 + 2440587.5) - 2451545.0 AS n_,
+         radians(lat) AS lat_r
+  FROM sp0
+),
+sp2 AS (
+  SELECT *,
+         radians(357.528 + 0.9856003 * n_) AS g_,
+         radians((280.460 + 0.9856474 * n_)
+                 + 1.915 * sin(radians(357.528 + 0.9856003 * n_))
+                 + 0.020 * sin(2 * radians(357.528 + 0.9856003 * n_)))
+           AS ell,
+         radians(23.439 - 4e-7 * n_) AS ep
+  FROM sp1
+),
+sp3 AS (
+  SELECT *,
+         atan2(cos(ep) * sin(ell), cos(ell)) AS ra,
+         ((6.697375 + (unixx % 86400.0) / 3600.0 + 0.0657098242 * n_)
+          * 15.0 + lon) AS lmst,
+         asin(sin(ep) * sin(ell)) AS dec
+  FROM sp2
+),
+sp4 AS (
+  SELECT *, radians(lmst) - ra + {pi} AS hx FROM sp3
+),
+sp5 AS (
+  SELECT *, hx % {twopi} AS hm FROM sp4
+),
+sp6 AS (
+  SELECT *,
+         (CASE WHEN hm <> 0.0 AND hm < 0.0 THEN hm + {twopi} ELSE hm END)
+           - {pi} AS h
+  FROM sp5
+),
+sp7 AS (
+  SELECT *,
+         asin(LEAST(GREATEST(sin(lat_r) * sin(dec)
+                             + cos(lat_r) * cos(dec) * cos(h), -1.0), 1.0))
+           AS alt
+  FROM sp6
+),
+sp8 AS (
+  SELECT *,
+         acos(LEAST(GREATEST(
+           (sin(dec) * cos(lat_r) - cos(dec) * sin(lat_r) * cos(h))
+           / cos(alt), -1.0), 1.0)) AS az0
+  FROM sp7
+),
+sp9 AS (
+  SELECT *,
+         CASE WHEN h <= 0.0 THEN az0 ELSE {twopi} - az0 END AS az
+  FROM sp8
+)"""
+
+
+def _tilted_simple_sql(slope_deg: float) -> str:
+    """Clearsky split + simple transposition for a FIXED slope/south
+    azimuth — mirrors diffuse_horizontal + tilted_irradiation(simple).
+    Emits column ``irr``."""
+    sin_s = repr(float(np.sin(np.deg2rad(slope_deg))))
+    cos_s = repr(float(np.cos(np.deg2rad(slope_deg))))
+    az_c = repr(float(np.deg2rad(180.0)))
+    alt_thr = repr(float(np.deg2rad(1.0)))
+    # np.fmin/np.fmax NaN-ignoring semantics via IS NULL guards
+    f1v = "(1.020 - 0.254 * k + 0.0123 * sinalt)"
+    f2v = "(1.400 - 1.749 * k + 0.177 * sinalt)"
+    f3v = "(0.486 * k - 0.182 * sinalt)"
+    return f"""
+t0 AS (
+  SELECT *,
+         sin(alt) AS sinalt,
+         GREATEST({sin_s} * cos(alt) * cos({az_c} - az)
+                  + {cos_s} * sin(alt), 0.0) AS cosinc,
+         LEAST(GREATEST(influx_r, 0.0), atmo) AS infc
+  FROM sp9
+),
+t1 AS (
+  SELECT *, infc / atmo AS k FROM t0
+),
+t2 AS (
+  SELECT *,
+         (CASE WHEN k > 0.0 AND k <= 0.3 THEN 1.0 ELSE 0.0 END)
+           * (CASE WHEN {f1v} IS NULL THEN 1.0
+                   ELSE LEAST(1.0, {f1v}) END)
+         + (CASE WHEN k > 0.3 AND k < 0.78 THEN 1.0 ELSE 0.0 END)
+           * LEAST(0.97, CASE WHEN {f2v} IS NULL THEN 0.1
+                              ELSE GREATEST(0.1, {f2v}) END)
+         + (CASE WHEN k >= 0.78 THEN 1.0 ELSE 0.0 END)
+           * (CASE WHEN {f3v} IS NULL THEN 0.1
+                   ELSE GREATEST(0.1, {f3v}) END)
+           AS fraction
+  FROM t1
+),
+t3 AS (
+  SELECT *, infc * fraction AS diffuse FROM t2
+),
+t4 AS (
+  SELECT *, infc - diffuse AS direct FROM t3
+),
+t5 AS (
+  SELECT *,
+         direct + diffuse AS total_i,
+         (cosinc / sinalt) * direct AS direct_t,
+         (1.0 + {cos_s}) / 2.0 * diffuse
+           + albedo_r * (direct + diffuse) * ((1.0 - {cos_s}) / 2.0)
+           AS diffuse_t
+  FROM t4
+),
+t6 AS (
+  SELECT *,
+         CASE WHEN alt < {alt_thr} OR total_i <= 0.01 THEN 0.0
+              ELSE COALESCE(direct_t, 0.0) + COALESCE(diffuse_t, 0.0)
+         END AS irr
+  FROM t5
+)"""
+
+
+def _pv_grid_sql() -> str:
+    pc_ = {
+        "k_1": -0.017162, "k_2": -0.040289, "k_3": -0.004681,
+        "k_4": 0.000148, "k_5": 0.000169, "k_6": 0.000005,
+    }
+    eff = (
+        "1 + ({k_1}) * lg + ({k_2}) * (lg * lg)"
+        " + t_mod * (({k_3}) + ({k_4}) * lg + ({k_5}) * (lg * lg))"
+        " + ({k_6}) * (t_mod * t_mod)"
+    ).format(**pc_)
+    return f"""
+WITH {_solar_position_sql()},
+{_tilted_simple_sql(30.0)},
+h0 AS (
+  SELECT *,
+         (1.0 * t_amb + 0.035 * irr) - 25.0 AS t_mod,
+         irr / 1000.0 AS gnorm
+  FROM t6
+),
+h1 AS (
+  SELECT *, CASE WHEN gnorm > 0.0 THEN ln(gnorm) ELSE NULL END AS lg FROM h0
+),
+h1b AS (
+  SELECT *, {eff} AS eff0 FROM h1
+),
+h2 AS (
+  -- np.nan_to_num(nan=0, neginf=0) then np.maximum(·, 0): parquet sea
+  -- cells carry REAL NaN (not NULL) through t_amb, so guard both
+  SELECT *,
+         GREATEST(CASE WHEN eff0 IS NULL OR isnan(eff0) THEN 0.0
+                       ELSE eff0 END, 0.0) AS eff
+  FROM h1b
+)
+SELECT ts, lat, lon,
+       CAST(ROUND(gnorm * eff * 0.9 * 1000000) AS BIGINT) AS pv_power_ppm
+FROM h2
+"""
+
+
+def _solar_thermal_sql() -> str:
+    return f"""
+WITH {_solar_position_sql()},
+{_tilted_simple_sql(45.0)},
+s0 AS (
+  SELECT *,
+         irr * (0.8 - 3.0 * (((80.0 + 273.15) - t_amb) / irr)) AS raw_out
+  FROM t6
+)
+SELECT ts, lat, lon,
+       CAST(ROUND((CASE WHEN raw_out IS NULL OR isnan(raw_out)
+                        OR raw_out <= 0.0
+                        THEN 0.0 ELSE raw_out END) * 10000) AS BIGINT)
+         AS solar_thermal_x10k
+FROM s0
+"""
+
+
+def _pv_tracking_sql() -> str:
+    """Bofinger panel + Hay-Davies transposition + latitude-optimal
+    slope — the pv_tracking_grid chain mirrored per expression.
+    Python-computed scalar constants (capacity, D*fraction/ta parts)
+    are inlined as literals; sea-cell NaN temperatures surface as NULL
+    BIGINT (matching the engine's NaN -> null scaled-int convention).
+    """
+    d25 = repr(float(np.deg2rad(25.0)))
+    d50 = repr(float(np.deg2rad(50.0)))
+    d031 = repr(float(np.deg2rad(0.31)))
+    d40 = repr(float(np.deg2rad(40.0)))
+    az_c = repr(float(np.deg2rad(180.0)))
+    alt_thr = repr(float(np.deg2rad(1.0)))
+    # bofinger constants (fixture_bofinger)
+    A_, B_, C_, D_ = 1.1233, -3.106e-5, -0.0341, 0.00109
+    NOCT, Tamb, Intc, Tstd, ta, inv, thr = (
+        320.0, 293.0, 800.0, 298.0, 0.9, 0.93, 5.0,
+    )
+    frac = (NOCT - Tamb) / Intc
+    capacity = (A_ + B_ * 1000.0 + C_ * float(np.log(1000.0))) * 1e3
+    inv_over_cap = repr(float(inv / capacity))
+    f1v = "(1.020 - 0.254 * k + 0.0123 * sinalt)"
+    f2v = "(1.400 - 1.749 * k + 0.177 * sinalt)"
+    f3v = "(0.486 * k - 0.182 * sinalt)"
+    return f"""
+WITH {_solar_position_sql()},
+o0 AS (
+  SELECT *,
+         CASE WHEN lat_r <= {d25} THEN 0.87 * lat_r
+              WHEN lat_r <= {d50} THEN 0.76 * lat_r + {d031}
+              ELSE {d40} END AS slope_l
+  FROM sp9
+),
+o1 AS (
+  SELECT *, sin(slope_l) AS sin_s, cos(slope_l) AS cos_s,
+         sin(alt) AS sinalt,
+         LEAST(GREATEST(influx_r, 0.0), atmo) AS infc
+  FROM o0
+),
+o2 AS (
+  SELECT *,
+         GREATEST(sin_s * cos(alt) * cos({az_c} - az)
+                  + cos_s * sin(alt), 0.0) AS cosinc,
+         infc / atmo AS k
+  FROM o1
+),
+o3 AS (
+  SELECT *,
+         (CASE WHEN k > 0.0 AND k <= 0.3 THEN 1.0 ELSE 0.0 END)
+           * (CASE WHEN {f1v} IS NULL THEN 1.0
+                   ELSE LEAST(1.0, {f1v}) END)
+         + (CASE WHEN k > 0.3 AND k < 0.78 THEN 1.0 ELSE 0.0 END)
+           * LEAST(0.97, CASE WHEN {f2v} IS NULL THEN 0.1
+                              ELSE GREATEST(0.1, {f2v}) END)
+         + (CASE WHEN k >= 0.78 THEN 1.0 ELSE 0.0 END)
+           * (CASE WHEN {f3v} IS NULL THEN 0.1
+                   ELSE GREATEST(0.1, {f3v}) END)
+           AS fraction
+  FROM o2
+),
+o4 AS (SELECT *, infc * fraction AS diffuse FROM o3),
+o5 AS (SELECT *, infc - diffuse AS direct FROM o4),
+o6 AS (
+  SELECT *,
+         direct + diffuse AS total_i,
+         sqrt(CASE WHEN direct + diffuse > 0.0
+                   THEN direct / (direct + diffuse) ELSE 0.0 END) AS fhd,
+         direct / atmo AS a_i,
+         cosinc / sinalt AS r_b
+  FROM o5
+),
+o7 AS (
+  SELECT *,
+         ((1.0 - a_i) * ((1 + cos_s) / 2.0)
+          * (1.0 + fhd * power(sin(slope_l / 2.0), 3)) + a_i * r_b)
+           * diffuse AS diffuse_t0,
+         r_b * direct AS direct_t,
+         total_i * albedo_r * (1.0 - cos_s) / 2.0 AS ground_t
+  FROM o6
+),
+o8 AS (
+  SELECT *,
+         CASE WHEN diffuse_t0 IS NULL OR isnan(diffuse_t0)
+                   OR diffuse_t0 < 0.0
+              THEN 0.0 ELSE diffuse_t0 END AS diffuse_t
+  FROM o7
+),
+o9 AS (
+  SELECT *,
+         CASE WHEN alt < {alt_thr} OR total_i <= 0.01 THEN 0.0
+              ELSE direct_t + diffuse_t + ground_t END AS irr
+  FROM o8
+),
+b0 AS (
+  SELECT *,
+         ({A_!r} + {B_!r} * irr
+          + {C_!r} * (CASE WHEN irr > 0.0 THEN ln(irr) ELSE NULL END))
+           AS eta_ref
+  FROM o9
+),
+b1 AS (
+  SELECT *,
+         eta_ref * (1.0 + {D_!r} * ({frac!r} * irr + (t_amb - {Tstd!r})))
+           / (1.0 + {D_!r} * {frac!r} / {ta!r} * eta_ref * irr) AS eta
+  FROM b0
+),
+b2 AS (
+  SELECT *,
+         CASE WHEN irr < {thr!r} THEN 0.0
+              ELSE irr * eta * {inv_over_cap} END AS pwr
+  FROM b1
+)
+SELECT ts, lat, lon,
+       CASE WHEN pwr IS NULL OR isnan(pwr) THEN NULL
+            ELSE CAST(ROUND(pwr * 1000000) AS BIGINT) END AS pv_power_ppm
+FROM b2
+"""
+
+
+PV_GRID_SQL = _pv_grid_sql()
+SOLAR_THERMAL_SQL = _solar_thermal_sql()
+PV_TRACKING_SQL = _pv_tracking_sql()
+
 
 _RASTER_BOTH = f"""
   SELECT * FROM {_RASTER_PQ["landcover"]}
@@ -2569,6 +2901,9 @@ ORACLE_SQL = {
     "top3_events_per_type_salted": TOP3_SALTED_SQL,
     "running_totals_actor_stream": RUNNING_ACTOR_SQL,
     "normalize_era5_raw": NORMALIZE_ERA5_SQL,
+    "pv_grid": PV_GRID_SQL,
+    "solar_thermal_grid": SOLAR_THERMAL_SQL,
+    "pv_tracking_grid": PV_TRACKING_SQL,
     "wind_model_fit_grid": WIND_FIT_SQL,
     "wind_model_estimate_grid": WIND_ESTIMATE_SQL,
 }
