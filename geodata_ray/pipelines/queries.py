@@ -1972,6 +1972,283 @@ SOLAR_THERMAL_SQL = _solar_thermal_sql()
 PV_TRACKING_SQL = _pv_tracking_sql()
 
 
+def _sql_splitmix_stages(prefix: str, x0_exprs: dict[str, str], src: str) -> str:
+    """CTE chain applying ONE splitmix64 finalizer to each named input
+    expression (HUGEINT u64), stage-by-stage so every intermediate is
+    referenced by name (linear SQL size).  Emits columns ``h_<name>``
+    in the final stage ``{prefix}6``."""
+    names = list(x0_exprs)
+    s0 = ", ".join(f"{x0_exprs[n]} AS x0_{n}" for n in names)
+    stages = [f"{prefix}0 AS (SELECT *, {s0} FROM {src})"]
+    exprs = [
+        lambda c: f"(({c} + 11400714819323198485) % {_U64_M})",
+        lambda c: _sql_xor_u64(c, f"{c} // 1073741824"),
+        lambda c: _sql_mulmod64(c, 13787848793156543929),
+        lambda c: _sql_xor_u64(c, f"{c} // 134217728"),
+        lambda c: _sql_mulmod64(c, 10723151780598845931),
+        lambda c: _sql_xor_u64(c, f"{c} // 2147483648"),
+    ]
+    prev = "x0"
+    for j, fn in enumerate(exprs, 1):
+        out = f"h" if j == len(exprs) else f"z{j}"
+        cols = ", ".join(f"{fn(f'{prev}_{n}')} AS {out}_{n}" for n in names)
+        stages.append(
+            f"{prefix}{j} AS (SELECT *, {cols} FROM {prefix}{j - 1})"
+        )
+        prev = out
+    return ",\n".join(stages)
+
+
+def _top_pages_sql() -> str:
+    """Full SQL mirror of the flagship page-synthesis + geocode +
+    tile + salted-top-k chain (pages_from_documents_batch ->
+    enrich_pages -> salted_topk_per_key): hash streams are one
+    splitmix64 application each (inner constant precomputed), the
+    gazetteer with its zipf cumulative weights is inlined, the
+    byte-identical extract round-trip reduces score to constructed
+    text length, and geocode precedence (coord tag > mention > host)
+    becomes CASEs.  Rank = ROW_NUMBER per res-5 cell."""
+    from geodata_ray.sources.synth import gazetteer_arrays, splitmix64
+
+    names, glat, glon, cum = gazetteer_arrays()
+    g_rows = ", ".join(
+        f"({i}, '{names[i]}', {float(glat[i])!r}, {float(glon[i])!r},"
+        f" {float(cum[i])!r})"
+        for i in range(len(names))
+    )
+    streams = {70: "city", 71: "nogeo", 72: "coords", 73: "jlat", 74: "jlon"}
+    x0 = {}
+    for s, nm in streams.items():
+        inner = int(splitmix64(np.uint64(42 + s * 0x9E37)))
+        inner_i64 = inner - (1 << 64) if inner >= (1 << 63) else inner
+        x = f"xor(doc_id, CAST({inner_i64} AS BIGINT))"
+        x0[nm] = (
+            f"(CASE WHEN {x} < 0 THEN {x}::HUGEINT + {_U64_M}"
+            f" ELSE {x}::HUGEINT END)"
+        )
+    sm = _sql_splitmix_stages("hs", x0, "d0")
+    u = {nm: f"((h_{nm} // 2048) / 9007199254740992.0)" for nm in streams.values()}
+    return f"""
+WITH d0 AS (SELECT doc_id, text FROM documents),
+{sm},
+gz(gi, gname, glat, glon, gcum) AS (VALUES {g_rows}),
+c0 AS (
+  SELECT doc_id, text,
+         {u["city"]} AS u_city,
+         (h_nogeo % 20 = 0) AS no_geo,
+         (h_coords % 5 = 0) AND NOT (h_nogeo % 20 = 0) AS has_coords,
+         {u["jlat"]} AS u_jlat,
+         {u["jlon"]} AS u_jlon
+  FROM hs6
+),
+c1 AS (
+  SELECT c0.*,
+         LEAST((SELECT COUNT(*) FROM gz WHERE gz.gcum <= c0.u_city), 499)
+           AS city
+  FROM c0
+),
+c2 AS (
+  SELECT c1.*, gz.gname, gz.glat, gz.glon
+  FROM c1 JOIN gz ON gz.gi = c1.city
+),
+c3 AS (
+  SELECT *,
+         ROUND(glat + (u_jlat - 0.5) * 0.4, 4) AS jlat,
+         ROUND(glon + (u_jlon - 0.5) * 0.4, 4) AS jlon
+  FROM c2
+),
+c4 AS (
+  SELECT *,
+         'https://' || (CASE WHEN no_geo THEN 'www' ELSE gname END)
+           || '.example.com/d' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+           AS url,
+         CAST(length(text)
+              + CASE WHEN no_geo THEN 0
+                     ELSE length(' Observations near ' || gname
+                                 || ' continue.') END
+              + CASE WHEN has_coords
+                     THEN length(' Position @' || printf('%.4f', jlat)
+                                 || ',' || printf('%.4f', jlon)
+                                 || ' recorded.')
+                     ELSE 0 END AS DOUBLE) AS score,
+         CASE WHEN has_coords THEN CAST(printf('%.4f', jlat) AS DOUBLE)
+              WHEN NOT no_geo THEN glat ELSE NULL END AS geolat,
+         CASE WHEN has_coords THEN CAST(printf('%.4f', jlon) AS DOUBLE)
+              WHEN NOT no_geo THEN glon ELSE NULL END AS geolon
+  FROM c3
+),
+c5 AS (
+  SELECT url, score,
+         {qcell.cell_sql_expr("geolat", "geolon", 5)} AS cell
+  FROM c4 WHERE geolat IS NOT NULL
+),
+ranked AS (
+  SELECT cell, url, score,
+         ROW_NUMBER() OVER (PARTITION BY cell
+                            ORDER BY score DESC, url) AS rank
+  FROM c5
+)
+SELECT url, cell, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
+TOP_PAGES_SQL = _top_pages_sql()
+
+
+def _kmeans_sql(k: int = 8, iters: int = 6, dim: int = 64) -> str:
+    """Fully-independent SQL Lloyd: the SAME init (first k rows), then
+    ``iters`` assign+recompute rounds entirely in SQL (cross-join
+    distances, ROW_NUMBER argmin with lowest-cluster tie-break,
+    element-wise AVG via generate_series indexing, empty clusters keep
+    their previous centroid).  Per-cluster mean sums are exact (float32
+    -valued inputs summed in float64), so SQL centroids equal the
+    engine's bit-for-bit as long as assignments agree — distance
+    expressions differ only in last-ulp accumulation order."""
+    d2 = (
+        "list_inner_product(e.v, e.v) - 2 * list_inner_product(e.v, c.v)"
+        " + list_inner_product(c.v, c.v)"
+    )
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl, v"
+        f" FROM e WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""asg{i} AS MATERIALIZED (
+  SELECT vec_id, v, cl FROM (
+    SELECT e.vec_id, e.v, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2}, c.cl) AS rk
+    FROM e CROSS JOIN c{i - 1} c
+  ) WHERE rk = 1
+)"""
+        )
+        parts.append(
+            f"""cn{i} AS MATERIALIZED (
+  SELECT cl, list(m ORDER BY pos) AS v FROM (
+    SELECT cl, gs.i AS pos, AVG(v[gs.i]) AS m
+    FROM asg{i} CROSS JOIN generate_series(1, {dim}) gs(i)
+    GROUP BY 1, 2
+  ) GROUP BY cl
+)"""
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT cl, v FROM cn{i} UNION ALL"
+            f" SELECT cl, v FROM c{i - 1}"
+            f" WHERE cl NOT IN (SELECT cl FROM cn{i}))"
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM (
+  SELECT e.vec_id, c.cl,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {d2}, c.cl) AS rk
+  FROM e CROSS JOIN c{iters} c
+) WHERE rk = 1
+"""
+
+
+KMEANS_SQL = _kmeans_sql()
+
+
+def _ivf_sql(n_lists: int = 16, iters: int = 10, dim: int = 64,
+             n_probe: int = 4, k: int = 5) -> str:
+    """Independent SQL mirror of the IVF pipeline: seeded-choice init
+    (indices precomputed — the only non-SQL piece), spherical Lloyd in
+    SQL (normalize -> argmax dot -> renormalized means), probe-list
+    selection per query, cluster pruning, exact cosine top-k over the
+    survivors.  Normalized values make the means inexact-by-ulp across
+    engines; assignments tolerate that because cluster margins are
+    orders of magnitude wider."""
+    rng = np.random.default_rng(5)
+    init_pos = sorted(int(x) for x in rng.choice(500, size=n_lists, replace=False))
+    init_ids = ", ".join(str(x) for x in init_pos)
+    dot = "list_inner_product(e.nv, c.v)"
+    parts = [
+        """e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_inner_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))) AS nv
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl, nv AS v
+  FROM e WHERE vec_id IN ({init_ids})
+)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""asg{i} AS MATERIALIZED (
+  SELECT vec_id, nv, cl FROM (
+    SELECT e.vec_id, e.nv, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot} DESC, c.cl) AS rk
+    FROM e CROSS JOIN c{i - 1} c
+  ) WHERE rk = 1
+)"""
+        )
+        parts.append(
+            f"""cm{i} AS MATERIALIZED (
+  SELECT cl, list(m ORDER BY pos) AS mv FROM (
+    SELECT cl, gs.i AS pos, AVG(nv[gs.i]) AS m
+    FROM asg{i} CROSS JOIN generate_series(1, {dim}) gs(i)
+    GROUP BY 1, 2
+  ) GROUP BY cl
+)"""
+        )
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT cl, list_transform(mv,
+           x -> x / sqrt(list_inner_product(mv, mv))) AS v
+  FROM cm{i}
+  UNION ALL
+  SELECT cl, v FROM c{i - 1} WHERE cl NOT IN (SELECT cl FROM cm{i})
+)"""
+        )
+    parts.append(
+        f"""q AS (SELECT vec_id AS query_id, nv AS qv FROM e WHERE vec_id < 5),
+probe AS (
+  SELECT DISTINCT cl FROM (
+    SELECT q.query_id, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY list_inner_product(q.qv, c.v) DESC,
+                                       c.cl) AS rk
+    FROM q CROSS JOIN c{iters} c
+  ) WHERE rk <= {n_probe}
+),
+vassign AS (
+  SELECT vec_id, nv, cl FROM (
+    SELECT e.vec_id, e.nv, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot} DESC, c.cl) AS rk
+    FROM e CROSS JOIN c{iters} c
+  ) WHERE rk = 1
+),
+surv AS (
+  SELECT v.vec_id, v.nv FROM vassign v WHERE v.cl IN (SELECT cl FROM probe)
+),
+scored AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+         list_inner_product(q.qv, s.nv) AS sim
+  FROM q CROSS JOIN surv s WHERE s.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}"""
+    )
+    body = ",\n".join(parts)
+    return f"WITH {body}\n"
+
+
+IVF_SQL = _ivf_sql()
+
+
 _RASTER_BOTH = f"""
   SELECT * FROM {_RASTER_PQ["landcover"]}
   UNION ALL
@@ -2466,7 +2743,71 @@ def wind_spline_estimate_grid(sf_dir: str):
 
     src = _grid_ds(sf_dir).map_batches(profile, batch_format="pyarrow")
     params = WM.fit_spline(src)
-    return WM.estimate_spline(params, 80.0)
+    out = WM.estimate_spline(params, 80.0)
+    return _scaled_renamed(out, "wnd80m_est", "wnd80m_est_um", 1_000_000)
+
+
+def _spline_profile_const() -> float:
+    """Independent (pure-Python Gaussian elimination, no numpy solve)
+    evaluation of the not-a-knot spline through the power-law profile
+    constants c_h = (h/10)^0.14 at h=80.  Because the spline is LINEAR
+    in its data values and every profile column is ``base * c_h``, the
+    whole fit+estimate collapses to ``est = base * K`` — the oracle
+    inlines K and recomputes only the base wind speed."""
+    from geodata_ray.stages.wind_model import _SPLINE_HEIGHTS
+
+    xs = [float(h) for h in _SPLINE_HEIGHTS]
+    ys = [(h / 10.0) ** 0.14 for h in xs]
+    K = len(xs)
+    h = [xs[i + 1] - xs[i] for i in range(K - 1)]
+    A = [[0.0] * K for _ in range(K)]
+    d = [0.0] * K
+    for i in range(1, K - 1):
+        A[i][i - 1] = h[i - 1]
+        A[i][i] = 2.0 * (h[i - 1] + h[i])
+        A[i][i + 1] = h[i]
+        d[i] = 6.0 * ((ys[i + 1] - ys[i]) / h[i] - (ys[i] - ys[i - 1]) / h[i - 1])
+    A[0][0], A[0][1], A[0][2] = h[1], -(h[0] + h[1]), h[0]
+    A[K - 1][K - 3] = h[K - 2]
+    A[K - 1][K - 2] = -(h[K - 3] + h[K - 2])
+    A[K - 1][K - 1] = h[K - 3]
+    # plain partial-pivot elimination
+    for col in range(K):
+        p = max(range(col, K), key=lambda r: abs(A[r][col]))
+        A[col], A[p] = A[p], A[col]
+        d[col], d[p] = d[p], d[col]
+        for r in range(col + 1, K):
+            f = A[r][col] / A[col][col]
+            for c in range(col, K):
+                A[r][c] -= f * A[col][c]
+            d[r] -= f * d[col]
+    m = [0.0] * K
+    for r in range(K - 1, -1, -1):
+        s = d[r] - sum(A[r][c] * m[c] for c in range(r + 1, K))
+        m[r] = s / A[r][r]
+    xq = 80.0
+    i = 0
+    while i < K - 2 and xs[i + 1] <= xq:
+        i += 1
+    hi = xs[i + 1] - xs[i]
+    a = (xs[i + 1] - xq) / hi
+    b = (xq - xs[i]) / hi
+    return (
+        m[i] * (a**3 - a) * hi**2 / 6.0
+        + m[i + 1] * (b**3 - b) * hi**2 / 6.0
+        + ys[i] * a
+        + ys[i + 1] * b
+    )
+
+
+WIND_SPLINE_SQL = f"""
+SELECT ts, lat, lon,
+       CAST(ROUND(sqrt(CAST(ulml AS DOUBLE) * CAST(ulml AS DOUBLE)
+                       + CAST(vlml AS DOUBLE) * CAST(vlml AS DOUBLE))
+                  * {_spline_profile_const()!r} * 1000000) AS BIGINT)
+         AS wnd80m_est_um
+FROM {_GRID_PQ}
+"""
 
 
 def flagship_resumable(sf_dir: str):
@@ -2534,6 +2875,62 @@ def value_quantiles_events(sf_dir: str):
     return pd.DataFrame(
         {"q_pct": [int(q * 100) for q in qs], "value": [res[q] for q in qs]}
     )
+
+
+def exact_quantiles_events(sf_dir: str):
+    """EXACT distributed quantiles via two-phase bucket histogram:
+    the driver values are exact 2-decimal, so a grouped count per cents
+    bucket (bounded cardinality regardless of row count — only (bucket,
+    partial-count) rows shuffle) plus a driver-side cumulative walk
+    gives quantile_disc semantics with no approximation.  Complements
+    the mergeable sketch (value_quantiles_events), which trades
+    exactness for unbounded-resolution values."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        return pa.table({"cents": c})
+
+    hist = (
+        grouped_aggregate(
+            ds.map_batches(cents, batch_format="pyarrow"),
+            ["cents"],
+            [("cents", "count", "n")],
+        )
+        .to_pandas()
+        .sort_values("cents", ignore_index=True)
+    )
+    cum = hist["n"].cumsum().to_numpy()
+    vals = hist["cents"].to_numpy()
+    n = int(cum[-1])
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    out_v = []
+    for q in qs:
+        target = int(np.ceil(q * n))  # smallest v with #(x <= v) >= ceil(q*n)
+        out_v.append(int(vals[np.searchsorted(cum, target)]))
+    return pd.DataFrame(
+        {"q_pct": [int(q * 100) for q in qs], "value_cents": out_v}
+    )
+
+
+EXACT_QUANTILES_SQL = """
+WITH o AS (
+  SELECT CAST(ROUND(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (ORDER BY value) AS rn,
+         COUNT(*) OVER () AS n
+  FROM events
+)
+SELECT q.q_pct, o.cents AS value_cents
+FROM o
+JOIN (VALUES (10, 0.1), (25, 0.25), (50, 0.5),
+             (75, 0.75), (90, 0.9), (99, 0.99)) q(q_pct, qq)
+  ON o.rn = CAST(ceil(q.qq * o.n) AS BIGINT)
+"""
 
 
 def sample_frames_stub(sf_dir: str):
@@ -2794,6 +3191,7 @@ RAY_QUERIES = {
     "mask_save_load_attach": mask_save_load_attach,
     "partitioned_view_events": partitioned_view_events,
     "top3_events_per_type_salted": top3_events_per_type_salted,
+    "exact_quantiles_events": exact_quantiles_events,
 }
 
 LANGID_SQL = """
@@ -2904,6 +3302,11 @@ ORACLE_SQL = {
     "pv_grid": PV_GRID_SQL,
     "solar_thermal_grid": SOLAR_THERMAL_SQL,
     "pv_tracking_grid": PV_TRACKING_SQL,
+    "top_pages_per_tile": TOP_PAGES_SQL,
+    "exact_quantiles_events": EXACT_QUANTILES_SQL,
+    "kmeans_embeddings": KMEANS_SQL,
+    "ivf_topk_embeddings": IVF_SQL,
+    "wind_spline_estimate_grid": WIND_SPLINE_SQL,
     "wind_model_fit_grid": WIND_FIT_SQL,
     "wind_model_estimate_grid": WIND_ESTIMATE_SQL,
 }
