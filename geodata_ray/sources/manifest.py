@@ -95,16 +95,8 @@ def reconcile_source(
 
 
 def read_present(root: str, manifest: SourceManifest):
-    """Dataset over the present partitions only (file-level pruning)."""
-    import glob
+    """Dataset over the present partitions only (file-level pruning;
+    shares the lineage module's part-dir reader)."""
+    from geodata_ray.state.lineage import read_part_dirs
 
-    import ray.data as rd
-
-    paths = [
-        f
-        for k in manifest.present
-        for f in sorted(glob.glob(os.path.join(root, f"part={k}", "*.parquet")))
-    ]
-    if not paths:
-        raise FileNotFoundError(f"no present partitions under {root}")
-    return rd.read_parquet(paths, partitioning=None)
+    return read_part_dirs(root, manifest.present)

@@ -88,12 +88,21 @@ def hash_tokens_batch(tokens: pa.Array) -> np.ndarray:
     lengths = offsets[1:] - starts
     acc = np.full(n, _FNV_OFFSET, dtype=np.uint64)
     maxlen = int(lengths.max()) if n else 0
+    # process tokens sorted by length DESC so byte-position j touches
+    # only the still-live prefix: total work is O(sum of lengths), and
+    # one pathological 10KB token no longer drags an O(n) mask over
+    # the whole batch for each of its bytes
+    order = np.argsort(-lengths, kind="stable")
+    s_starts = starts[order]
+    s_len = np.sort(lengths)  # ascending, for the live-count lookup
+    s_acc = acc[order]
     for j in range(maxlen):
-        m = lengths > j
-        if not m.any():
+        live = n - int(np.searchsorted(s_len, j, side="right"))
+        if live == 0:
             break
-        b = data[starts[m] + j].astype(np.uint64)
-        acc[m] = splitmix64(acc[m] ^ b)
+        b = data[s_starts[:live] + j].astype(np.uint64)
+        s_acc[:live] = splitmix64(s_acc[:live] ^ b)
+    acc[order] = s_acc
     return acc
 
 

@@ -315,7 +315,10 @@ def min_area_filter(ds, *, min_cells: int, n_stripes: int = 8):
         v = batch["value"].to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(v != 0))
 
-    nz = ds.map_batches(nonzero, batch_format="pyarrow")
+    # materialize the nonzero set ONCE: the extent aggregate below and
+    # the striped labeling both consume it (otherwise the full input
+    # scan runs twice)
+    nz = ds.map_batches(nonzero, batch_format="pyarrow").materialize()
 
     ext = grouped_aggregate(
         nz.map_batches(

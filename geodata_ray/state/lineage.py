@@ -155,21 +155,30 @@ def read_partitioned_view(
         if (want is None or k in want)
         and (predicate is None or predicate(k))
     )
+    return read_part_dirs(out_dir, sel)
+
+
+def read_part_dirs(root: str, keys):
+    """Dataset over ``root/part=<key>/*.parquet`` for the given keys
+    only (shared by the lineage views and source manifests).
+
+    ``partitioning=None``: the part=<key>/ path segments are lineage
+    structure, not hive columns — the key is already in the data."""
     import glob as _glob
+
+    import ray.data as rd
 
     paths = [
         f
-        for k in sel
+        for k in keys
         for f in sorted(
-            _glob.glob(os.path.join(out_dir, f"part={k}", "*.parquet"))
+            _glob.glob(os.path.join(root, f"part={k}", "*.parquet"))
         )
     ]
     if not paths:
         raise FileNotFoundError(
-            f"no partitions of {out_dir} match the view selection"
+            f"no partitions of {root} match the selection"
         )
-    # partitioning=None: the part=<key>/ path segments are lineage
-    # structure, not hive columns — the key is already in the data
     return rd.read_parquet(paths, partitioning=None)
 
 

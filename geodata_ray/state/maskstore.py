@@ -86,7 +86,15 @@ def save_mask(
         json.dump(manifest, f, indent=1)
     if os.path.isdir(final):
         shutil.rmtree(final)
-    os.rename(tmp, final)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        # another saver re-created `final` between rmtree and rename
+        # (concurrent re-save of the same name): clear and retry once —
+        # last writer wins, both writers wrote identical content if the
+        # inputs were identical
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
     return manifest
 
 

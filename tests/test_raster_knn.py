@@ -205,3 +205,19 @@ def test_min_area_distributed_partitioning_invariant():
         np.testing.assert_array_equal(
             base["value"].to_numpy(), other["value"].to_numpy()
         )
+
+
+def test_grid_disk_adaptive_no_duplicate_neighbors():
+    """Regression: near the poles the adaptive column window wraps onto
+    itself (2w+1 >= nlon) and used to emit duplicate (origin, cell)
+    pairs, double-counting their reference points in kNN candidates."""
+    from geodata_ray.cellmath import qcell
+
+    cells = qcell.latlng_to_cell(np.array([84.0, -85.0]), np.array([0.0, -180.0]), 2)
+    o, c = qcell.grid_disk_multi(cells, 5, adaptive_lon=True)
+    pairs = set(zip(o.tolist(), c.tolist()))
+    assert len(pairs) == o.size  # no duplicates
+    # polar disk degenerates to full row bands: every longitude present
+    res, row, col = qcell.cell_to_rowcol(c[o == 0])
+    top_rows = row[row == row.max()]
+    assert top_rows.size == 32  # nlon at res 2
