@@ -118,6 +118,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "session_windows_users",
         "pip_boxes_events",
         "q3_shipping_native",
+        "embedding_dups_lsh",
+        "top_pages_per_tile",
+        "raster_min_area",
     ):
         t0 = time.perf_counter()
         res = RAY_QUERIES[name](sf_dir)

@@ -2923,6 +2923,42 @@ def value_quantiles_events(sf_dir: str):
     )
 
 
+def ts_series_grid(sf_dir: str):
+    """Plot-prep time series (reference plot.py:35-131
+    ``ds_ts_aggregate``): daily spatial-mean temperature over the grid
+    fixture.  Exact-float oracle: float32 inputs sum exactly in
+    float64, so the grouped mean is engine-independent."""
+    from geodata_ray.pipelines.plotprep import time_series
+
+    return time_series(_grid_ds(sf_dir), "temperature", freq="day")
+
+
+TS_SERIES_SQL = f"""
+SELECT DATE_TRUNC('day', ts) AS bucket,
+       AVG(CASE WHEN isnan(CAST(temperature AS DOUBLE)) THEN NULL
+                ELSE CAST(temperature AS DOUBLE) END) AS temperature_mean
+FROM {_GRID_PQ}
+GROUP BY 1
+"""
+
+
+def heatmap_grid(sf_dir: str):
+    """Plot-prep heatmap (reference plot.py:61-336 map inputs):
+    time-mean temperature per (lat, lon) cell."""
+    from geodata_ray.pipelines.plotprep import heatmap_table
+
+    return heatmap_table(_grid_ds(sf_dir), "temperature")
+
+
+HEATMAP_SQL = f"""
+SELECT lat, lon,
+       AVG(CASE WHEN isnan(CAST(temperature AS DOUBLE)) THEN NULL
+                ELSE CAST(temperature AS DOUBLE) END) AS temperature_mean
+FROM {_GRID_PQ}
+GROUP BY 1, 2
+"""
+
+
 def exact_quantiles_events(sf_dir: str):
     """EXACT distributed quantiles via two-phase bucket histogram:
     the driver values are exact 2-decimal, so a grouped count per cents
@@ -3238,6 +3274,8 @@ RAY_QUERIES = {
     "partitioned_view_events": partitioned_view_events,
     "top3_events_per_type_salted": top3_events_per_type_salted,
     "exact_quantiles_events": exact_quantiles_events,
+    "ts_series_grid": ts_series_grid,
+    "heatmap_grid": heatmap_grid,
 }
 
 LANGID_SQL = """
@@ -3350,6 +3388,8 @@ ORACLE_SQL = {
     "pv_tracking_grid": PV_TRACKING_SQL,
     "top_pages_per_tile": TOP_PAGES_SQL,
     "exact_quantiles_events": EXACT_QUANTILES_SQL,
+    "ts_series_grid": TS_SERIES_SQL,
+    "heatmap_grid": HEATMAP_SQL,
     "kmeans_embeddings": KMEANS_SQL,
     "ivf_topk_embeddings": IVF_SQL,
     "wind_spline_estimate_grid": WIND_SPLINE_SQL,
