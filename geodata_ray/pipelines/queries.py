@@ -3015,27 +3015,31 @@ JOIN (VALUES (10, 0.1), (25, 0.25), (50, 0.5),
 """
 
 
-def sample_frames_stub(sf_dir: str):
-    """Video frame-sampling plumbing (flat-map actor stage; rows-only)."""
+def sample_frames_stream(sf_dir: str):
+    """Video frame sampling over REAL PPM-stream payloads: the actor
+    parses every frame header, skips pixel blocks, and emits every
+    n-th decoded frame's mean intensity (flat-map shape; rows-only —
+    binary decode has no SQL expression)."""
     import ray.data as rd
 
-    from geodata_ray.stages.multimodal import sample_frames, synth_image_table
+    from geodata_ray.stages.multimodal import sample_frames, synth_video_table
 
-    ds = rd.from_arrow(synth_image_table(200)).repartition(4)
+    ds = rd.from_arrow(synth_video_table(60)).repartition(4)
     return sample_frames(ds)
 
 
-def audio_features_stub(sf_dir: str):
-    """Audio feature-extraction plumbing (actor pool, payload dropped;
-    rows-only)."""
+def audio_features_wav(sf_dir: str):
+    """Audio features from REAL decoded PCM WAV samples (RIFF chunk
+    walk + int16 decode + cosine cepstrum; actor pool, payload dropped
+    before output; rows-only)."""
     import ray.data as rd
 
     from geodata_ray.stages.multimodal import (
         extract_audio_features,
-        synth_image_table,
+        synth_audio_table,
     )
 
-    ds = rd.from_arrow(synth_image_table(200)).repartition(4)
+    ds = rd.from_arrow(synth_audio_table(200)).repartition(4)
     return extract_audio_features(ds)
 
 
@@ -3103,9 +3107,10 @@ def normalize_era5_raw(sf_dir: str):
     return normalize_era5(ds.map_batches(raw, batch_format="pyarrow"))
 
 
-def decode_images_stub(sf_dir: str):
-    """Multimodal plumbing: fake image corpus -> actor-pool decode ->
-    feature vectors (binary dropped before output)."""
+def decode_images_ppm(sf_dir: str):
+    """Image decode over REAL binary-PPM payloads: the actor parses the
+    Netpbm header and computes grid features from the decoded pixels
+    (binary dropped before output; rows-only)."""
     import ray.data as rd
 
     from geodata_ray.stages.multimodal import decode_images, synth_image_table
@@ -3255,14 +3260,15 @@ RAY_QUERIES = {
     "raster_resample_r5": raster_resample_r5,
     "raster_min_area": raster_min_area,
     "knn_events_gazetteer": knn_events_gazetteer,
-    # model fit/estimate + lineage + multimodal plumbing (rows-only)
+    # model fit/estimate + lineage + multimodal decode (real pure-numpy
+    # PPM/WAV/PPM-stream codecs; rows-only - binary decode has no SQL)
     "wind_model_fit_grid": wind_model_fit_grid,
     "wind_model_estimate_grid": wind_model_estimate_grid,
     "wind_spline_estimate_grid": wind_spline_estimate_grid,
     "flagship_resumable": flagship_resumable,
-    "decode_images_stub": decode_images_stub,
-    "sample_frames_stub": sample_frames_stub,
-    "audio_features_stub": audio_features_stub,
+    "decode_images_ppm": decode_images_ppm,
+    "sample_frames_stream": sample_frames_stream,
+    "audio_features_wav": audio_features_wav,
     "running_totals_actor_stream": running_totals_actor_stream,
     "normalize_era5_raw": normalize_era5_raw,
     "top_pages_per_tile": top_pages_per_tile,
