@@ -230,10 +230,12 @@ def grid_disk_multi(cells, k: int = 1, *, adaptive_lon: bool = False):
     cell = np.concatenate(out_cell)
     # dedupe (origin, cell): when 2w+1 >= nlon the column window wraps
     # onto itself and a neighbor cell would otherwise appear TWICE,
-    # double-counting its reference points in kNN candidate lists
-    order = np.lexsort((cell, origin))
-    origin, cell = origin[order], cell[order]
-    if origin.size:
+    # double-counting its reference points in kNN candidate lists.
+    # Only possible for wrapping windows — skip the sort on the common
+    # non-wrapping path (the hot per-batch kNN expansion).
+    if origin.size and 2 * int(width.max()) + 1 >= nlon:
+        order = np.lexsort((cell, origin))
+        origin, cell = origin[order], cell[order]
         keep = np.ones(origin.size, dtype=bool)
         keep[1:] = (origin[1:] != origin[:-1]) | (cell[1:] != cell[:-1])
         origin, cell = origin[keep], cell[keep]

@@ -21,13 +21,14 @@ import pyarrow.compute as pc
 from geodata_ray.stages.relational import grouped_aggregate
 
 
-def time_series(ds, value_col: str, *, freq: str = "day", agg: str = "mean"):
+def time_series(ds, value_col: str, *, ts_col: str = "ts",
+                freq: str = "day", agg: str = "mean"):
     """Spatially-aggregated time series: one row per time bucket with
     the mean (or sum) of ``value_col`` over all cells — the
     ``ds_ts_aggregate`` shape (plot.py:35-131)."""
 
     def prep(batch: pa.Table) -> pa.Table:
-        bucket = pc.floor_temporal(batch["ts"], unit=freq)
+        bucket = pc.floor_temporal(batch[ts_col], unit=freq)
         v = pc.cast(batch[value_col], pa.float64())
         v = pc.if_else(pc.is_nan(v), pa.scalar(None, pa.float64()), v)
         return pa.table({"bucket": bucket, value_col: v})

@@ -2105,29 +2105,34 @@ TOP_PAGES_SQL = _top_pages_sql()
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
-def _embedding_head_ids(k: int) -> list[int]:
-    """vec_ids of the first k rows (FILE order) of the gate corpus —
-    the engine's kmeans init_table rows."""
-    try:
-        import pyarrow.parquet as pq
+_GATE_VEC_IDS: list[int] | None = None
 
-        t = pq.read_table(
-            f"{_ORACLE_SF_DIR}/embeddings.parquet", columns=["vec_id"]
-        )
-        return [int(x) for x in t["vec_id"].to_numpy()[:k]]
-    except Exception:  # gate corpus absent (unit-test envs): 0..k-1
-        return list(range(k))
+
+def _gate_vec_ids() -> list[int]:
+    """vec_ids of the gate corpus in FILE order (single cached read —
+    both iterative-ML oracle builders share it)."""
+    global _GATE_VEC_IDS
+    if _GATE_VEC_IDS is None:
+        try:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                f"{_ORACLE_SF_DIR}/embeddings.parquet", columns=["vec_id"]
+            )
+            _GATE_VEC_IDS = [int(x) for x in t["vec_id"].to_numpy()]
+        except Exception:  # gate corpus absent (unit-test envs)
+            _GATE_VEC_IDS = list(range(500))
+    return _GATE_VEC_IDS
+
+
+def _embedding_head_ids(k: int) -> list[int]:
+    """vec_ids of the first k rows (FILE order) — the engine's kmeans
+    init_table rows."""
+    return _gate_vec_ids()[:k]
 
 
 def _embedding_corpus_size() -> int:
-    try:
-        import pyarrow.parquet as pq
-
-        return pq.ParquetFile(
-            f"{_ORACLE_SF_DIR}/embeddings.parquet"
-        ).metadata.num_rows
-    except Exception:
-        return 500
+    return len(_gate_vec_ids())
 
 
 def _kmeans_sql(k: int = 8, iters: int = 6, dim: int = 64) -> str:
@@ -2205,8 +2210,11 @@ def _ivf_sql(n_lists: int = 16, iters: int = 10, dim: int = 64,
     orders of magnitude wider."""
     rng = np.random.default_rng(5)
     n_corpus = _embedding_corpus_size()
-    init_pos = sorted(
-        int(x) for x in rng.choice(n_corpus, size=n_lists, replace=False)
+    init_pos = sorted(  # clamp like ivf_build's min(n_lists, N)
+        int(x)
+        for x in rng.choice(
+            n_corpus, size=min(n_lists, n_corpus), replace=False
+        )
     )
     # positions -> vec_ids in file order (identity when the file is
     # vec_id-ordered starting at 0, as the driver corpus is)

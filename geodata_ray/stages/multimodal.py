@@ -90,9 +90,13 @@ def wav_decode(buf: bytes):
         cid, size = buf[pos : pos + 4], struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
         body = buf[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            fmt, _ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
             if fmt != 1:
                 raise NotImplementedError(f"compressed WAV fmt {fmt}")
+            if ch != 1:
+                # interleaved channels would silently decode as one
+                # zigzag mono stream — refuse instead
+                raise NotImplementedError(f"{ch}-channel WAV (mono only)")
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)
@@ -197,6 +201,11 @@ class ImageDecoder:
     load once per actor."""
 
     def __init__(self, *, feature_dim: int = 15):
+        if feature_dim % 3:
+            raise ValueError(
+                f"feature_dim must be a multiple of 3 (RGB cell means), "
+                f"got {feature_dim}"
+            )
         self.cells = max(1, feature_dim // 3)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -238,8 +247,13 @@ class ImageResizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
+        fmts = batch["format"].to_pylist()
         out_p, out_w, out_h = [], [], []
-        for p in payloads:
+        for p, fmt in zip(payloads, fmts):
+            if fmt != "ppm":
+                raise NotImplementedError(
+                    f"no codec for {fmt!r} in this environment (ppm only)"
+                )
             px, _ = ppm_decode(p)
             h, w, _ = px.shape
             scale = min(1.0, self.max_side / max(w, h))

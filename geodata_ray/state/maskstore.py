@@ -88,11 +88,15 @@ def save_mask(
         shutil.rmtree(final)
     try:
         os.rename(tmp, final)
-    except OSError:
-        # another saver re-created `final` between rmtree and rename
-        # (concurrent re-save of the same name): clear and retry once —
-        # last writer wins, both writers wrote identical content if the
-        # inputs were identical
+    except OSError as e:
+        import errno as _errno
+
+        # only the concurrent-recreate race is retryable (another saver
+        # re-created `final` between rmtree and rename); any other
+        # failure (ENOENT on tmp, EXDEV, EACCES) must NOT delete a
+        # complete mask it cannot replace
+        if e.errno not in (_errno.ENOTEMPTY, _errno.EEXIST, _errno.ENOTDIR):
+            raise
         shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)
     return manifest

