@@ -2890,29 +2890,51 @@ def flagship_resumable(sf_dir: str):
 
 
 def top_pages_per_tile(sf_dir: str):
-    """Salted per-tile top-k: highest-n_chars pages per r5 cell with
-    hot megacity cells split into salted subgroups first (north-star
-    skew handling; rows-only)."""
+    """Per-tile top-k: highest-extracted-length pages per r5 cell.
+
+    Physical plan: per-batch PARTIAL top-3 per cell (each batch ships
+    <= 3 x n_cells rows — top-k is decomposable, so hot megacity cells
+    collapse locally, no salting needed) + a bounded-cardinality final
+    merge (res-5 cells over the gazetteer footprint).  The salted-topk
+    primitive remains for HOLISTIC per-group computations and is
+    oracle-audited by top3_events_per_type_salted."""
+    import pandas as pd
+
     from geodata_ray.pipelines.flagship import enrich_pages, pages_from_documents
-    from geodata_ray.stages.skew import salted_topk_per_key
 
     enriched = enrich_pages(pages_from_documents(sf_dir))
 
     def score(batch: pa.Table) -> pa.Table:
         n = pc.utf8_length(batch["extracted_text"])
-        return pa.table(
+        t = pa.table(
             {
                 "url": batch["url"],
                 "cell": batch["h3_r5"],
                 "score": pc.cast(n, pa.float64()),
             }
         )
+        keep = pc.greater_equal(t["cell"], 0)
+        return t.filter(keep)
 
-    scored = enriched.map_batches(score, batch_format="pyarrow")
-    scored = scored.filter(expr="cell >= 0")
-    return salted_topk_per_key(
-        scored, key="cell", order_col="score", k=3, n_salts=4,
-        threshold_rows=50,
+    def local_top3(batch: pa.Table) -> pa.Table:
+        g = batch.to_pandas()
+        g = g.sort_values(["score", "url"], ascending=[False, True])
+        return pa.Table.from_pandas(
+            g.groupby("cell", sort=False).head(3), preserve_index=False
+        )
+
+    def final_top3(batch: pa.Table) -> pa.Table:
+        g = batch.to_pandas()
+        g = g.sort_values(["score", "url"], ascending=[False, True])
+        g = g.groupby("cell", sort=False).head(3)
+        g["rank"] = g.groupby("cell", sort=False).cumcount() + 1
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = enriched.map_batches(
+        score, batch_format="pyarrow"
+    ).map_batches(local_top3, batch_format="pyarrow")
+    return partial.repartition(1).map_batches(
+        final_top3, batch_format="pyarrow", batch_size=None
     )
 
 
