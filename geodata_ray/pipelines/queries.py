@@ -1428,6 +1428,21 @@ def raster_min_area(sf_dir: str):
     return R.min_area_filter(_raster_ds("scatter"), min_cells=3)
 
 
+def raster_min_area_km2(sf_dir: str):
+    """AREA-weighted min-area filter (the reference's actual
+    ``filter_area`` semantics, mask.py:1309-1398: components below a
+    minimum km^2, not pixel count): per-component SUM of the
+    lat-dependent spherical pixel area.  1800 km^2 sits between a
+    3-pixel component at high latitude (~1692 km^2) and at low latitude
+    (~1993 km^2), so the oracle proves the km^2 measure — not the
+    count — decides (11 of the 17 three-cell components pass)."""
+    from geodata_ray.stages import raster as R
+
+    return R.min_area_filter(
+        _raster_ds("scatter"), min_km2=1800.0, pitch_deg=0.25
+    )
+
+
 # --- DuckDB oracles for the engine's own text hashes: fingerprint is
 # MD5-based (md5() + hex-pair reversal in SQL); simhash's token-hash
 # chain (FNV offset + per-byte splitmix64) is UNROLLED into one CTE
@@ -2382,6 +2397,42 @@ JOIN lab ON lab.row = nz.row AND lab.col = nz.col
 JOIN sz ON sz.label = lab.label
 """
 
+# area-weighted variant: identical label propagation, but the
+# per-component measure is SUM of the spherical pixel area
+# R^2 * dlon * (sin(lat+dlat/2) - sin(lat-dlat/2)) — the same IEEE
+# expression pixel_area_km2 evaluates (threshold margin >= 6.9 km^2 on
+# this fixture, so last-ulp sin/radians differences cannot flip a row).
+RASTER_MIN_AREA_KM2_SQL = f"""
+WITH RECURSIVE nz AS (
+  SELECT layer, row, col, lat, lon, value,
+         POWER(6371.0088, 2) * RADIANS(0.25)
+           * (SIN(RADIANS(lat) + RADIANS(0.25) / 2)
+              - SIN(RADIANS(lat) - RADIANS(0.25) / 2)) AS px_area
+  FROM {_RASTER_PQ["scatter"]}
+  WHERE CAST(value AS DOUBLE) <> 0.0
+),
+walk(row, col, label) AS (
+  SELECT row, col, CAST(row AS BIGINT) * 80 + col FROM nz
+  UNION
+  SELECT n.row, n.col, w.label
+  FROM walk w
+  CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) d(dr, dc)
+  JOIN nz n ON n.row = w.row + d.dr AND n.col = w.col + d.dc
+),
+lab AS (SELECT row, col, MIN(label) AS label FROM walk GROUP BY 1, 2),
+sz AS (
+  SELECT lab.label, SUM(nz.px_area) AS area
+  FROM lab JOIN nz ON nz.row = lab.row AND nz.col = lab.col
+  GROUP BY 1
+)
+SELECT nz.layer, nz.row, nz.col, nz.lat, nz.lon,
+       CAST(CASE WHEN sz.area >= 1800.0 THEN nz.value ELSE 0.0 END AS REAL)
+         AS value
+FROM nz
+JOIN lab ON lab.row = nz.row AND lab.col = nz.col
+JOIN sz ON sz.label = lab.label
+"""
+
 
 def embedding_dups_lsh(sf_dir: str):
     """Bucketed (multi-table hyperplane LSH) embedding near-dup — the
@@ -3289,6 +3340,7 @@ RAY_QUERIES = {
     "raster_filter_trim": raster_filter_trim,
     "raster_resample_r5": raster_resample_r5,
     "raster_min_area": raster_min_area,
+    "raster_min_area_km2": raster_min_area_km2,
     "knn_events_gazetteer": knn_events_gazetteer,
     # model fit/estimate + lineage + multimodal decode (real pure-numpy
     # PPM/WAV/PPM-stream codecs; rows-only - binary decode has no SQL)
@@ -3411,6 +3463,7 @@ ORACLE_SQL = {
     "raster_filter_trim": RASTER_FILTER_TRIM_SQL,
     "raster_resample_r5": RASTER_RESAMPLE_SQL,
     "raster_min_area": RASTER_MIN_AREA_SQL,
+    "raster_min_area_km2": RASTER_MIN_AREA_KM2_SQL,
     # round-2 additions
     "embedding_dups_lsh": EMBEDDING_DUPS_SQL,
     "mask_save_load_attach": MASK_ATTACH_SQL,

@@ -253,9 +253,10 @@ def attach_mask(data_ds, mask_table: pa.Table, *, res: int,
 
 
 def _union_find_labels(rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
-    """4-connected components over sparse nonzero pixels (local
-    union-find; replaces the reference's shape-vectorize round-trip
-    through rasterio, mask.py:1335-1398)."""
+    """4-connected components over sparse nonzero pixels — PER-PIXEL
+    reference implementation, kept ONLY as the brute-force cross-check
+    for :func:`_label_components` in tests.  Production labeling is the
+    vectorized run-based version below (no per-pixel Python loop)."""
     order = np.lexsort((cols, rows))
     parent = np.arange(rows.shape[0], dtype=np.int64)
 
@@ -283,10 +284,134 @@ def _union_find_labels(rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
     return np.array([find(i) for i in range(rows.shape[0])], dtype=np.int64)
 
 
-def min_area_filter(ds, *, min_cells: int, n_stripes: int = 8):
-    """Zero out connected components smaller than ``min_cells``
-    (reference ``filter_area`` semantics, mask.py:1309-1398, with min
-    km^2 -> min pixel count on the uniform fixture grid).
+def _label_components(
+    rows: np.ndarray, cols: np.ndarray, ncols: int
+) -> np.ndarray:
+    """Vectorized 4-connected labeling over sparse nonzero pixels
+    (replaces the reference's rasterio shape-vectorize round-trip,
+    mask.py:1335-1398).  Returns the per-pixel component label = min
+    global pixel id (``row * ncols + col``) in the component —
+    deterministic across partitionings.
+
+    RUN-based, not pixel-based: sort by (row, col); horizontal runs are
+    maximal col-consecutive spans found with one ``np.diff``-style
+    break test; vertical adjacency between runs of consecutive rows is
+    a pair of composite-key ``searchsorted`` calls (runs within a row
+    are disjoint, so (row, c0) and (row, c1) are both globally sorted);
+    union-find then operates over RUNS — orders of magnitude fewer than
+    pixels on dense masks, which kills the old per-pixel Python loop's
+    ~µs/pixel cost on continental-scale components."""
+    n = rows.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.lexsort((cols, rows))
+    r = rows[order].astype(np.int64)
+    c = cols[order].astype(np.int64)
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    np.logical_or(r[1:] != r[:-1], c[1:] != c[:-1] + 1, out=new_run[1:])
+    run_of = np.cumsum(new_run) - 1  # run index per sorted pixel
+    starts = np.flatnonzero(new_run)
+    nruns = starts.size
+    run_row = r[starts]
+    run_c0 = c[starts]
+    run_c1 = np.empty(nruns, dtype=np.int64)
+    run_c1[:-1] = c[starts[1:] - 1]
+    run_c1[-1] = c[-1]
+
+    # runs u (row x-1) overlapping run v (row x): c0_u <= c1_v and
+    # c1_u >= c0_v.  With K > max col the composite keys row*K+c0 and
+    # row*K+c1 are each globally sorted, so the overlap set for every
+    # v is one contiguous [lo, hi) slice found without any per-row loop.
+    K = np.int64(ncols) + 1
+    key_start = run_row * K + run_c0
+    key_end = run_row * K + run_c1
+    lo = np.searchsorted(key_end, (run_row - 1) * K + run_c0, side="left")
+    hi = np.searchsorted(key_start, (run_row - 1) * K + run_c1, side="right")
+    cnt = np.maximum(hi - lo, 0)
+    total = int(cnt.sum())
+
+    # connected components over the run graph: min-label propagation
+    # with pointer jumping — every step is a whole-array kernel (no
+    # Python loop over edges; a 1M-pixel blob has ~100k-300k runs and
+    # converges in O(log diameter) rounds).  lab[i] converges to the
+    # min run index in i's component.
+    lab = np.arange(nruns, dtype=np.int64)
+    if total:
+        v_idx = np.repeat(np.arange(nruns, dtype=np.int64), cnt)
+        offs = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        u_idx = np.repeat(lo, cnt) + (np.arange(total, dtype=np.int64) - offs)
+        # fixed edge->target permutation, computed once: per round the
+        # grouped min over targets is a single minimum.reduceat
+        t = np.concatenate([u_idx, v_idx])
+        perm = np.argsort(t, kind="stable")
+        t_sorted = t[perm]
+        bounds = np.flatnonzero(np.r_[True, t_sorted[1:] != t_sorted[:-1]])
+        targets = t_sorted[bounds]
+        while True:
+            m = np.minimum(lab[u_idx], lab[v_idx])
+            vals = np.concatenate([m, m])[perm]
+            new = lab.copy()
+            new[targets] = np.minimum(
+                new[targets], np.minimum.reduceat(vals, bounds)
+            )
+            while True:  # pointer jumping to the round's fixpoint
+                nn = new[new]
+                if np.array_equal(nn, new):
+                    break
+                new = nn
+            if np.array_equal(new, lab):
+                break
+            lab = new
+
+    # run_min_pid is strictly increasing with run index (runs sorted by
+    # (row, c0)), so the min run index in a component IS the run holding
+    # the component's min pixel id.
+    run_min_pid = run_row * np.int64(ncols) + run_c0
+    out = np.empty(n, dtype=np.int64)
+    out[order] = run_min_pid[lab[run_of]]
+    return out
+
+
+_EARTH_R_KM = 6371.0088
+
+
+def pixel_area_km2(lat_deg, dlat_deg: float, dlon_deg: float) -> np.ndarray:
+    """Spherical area (km^2) of a ``dlat x dlon`` pixel centered at
+    ``lat_deg`` — the lat-dependent cell measure behind the reference's
+    km^2-based ``filter_area`` (mask.py:1309-1398 via ``calc_shp_area``'s
+    equal-area projection): R^2 * dlon * (sin(lat+dlat/2) - sin(lat-dlat/2)).
+    The identical expression is SQL-reproducible (RADIANS/SIN), which is
+    what the ``raster_min_area_km2`` oracle recomputes."""
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    half = np.radians(dlat_deg) / 2.0
+    return (
+        (_EARTH_R_KM * _EARTH_R_KM)
+        * np.radians(dlon_deg)
+        * (np.sin(lat + half) - np.sin(lat - half))
+    )
+
+
+def min_area_filter(
+    ds,
+    *,
+    min_cells: int | None = None,
+    min_km2: float | None = None,
+    pitch_deg: float | None = None,
+    n_stripes: int = 8,
+):
+    """Zero out connected components smaller than a minimum size
+    (reference ``filter_area`` semantics, mask.py:1309-1398).
+
+    Two measures, one plan:
+
+    - ``min_cells``: minimum PIXEL COUNT — exact on uniform grids;
+    - ``min_km2``: minimum area in km^2, summing the lat-dependent
+      spherical pixel area (:func:`pixel_area_km2`, requires
+      ``pitch_deg`` = the grid spacing) per component — the reference's
+      actual semantics on lat-lon grids, where a high-latitude
+      component covers less area than the same pixel count near the
+      equator.
 
     DISTRIBUTED plan (SURVEY.md §7.4 item 5 — no single-block stage):
 
@@ -310,6 +435,11 @@ def min_area_filter(ds, *, min_cells: int, n_stripes: int = 8):
     counting) should run BEFORE this filter.
     """
     import pandas as pd
+
+    if (min_cells is None) == (min_km2 is None):
+        raise ValueError("pass exactly one of min_cells / min_km2")
+    if min_km2 is not None and pitch_deg is None:
+        raise ValueError("min_km2 mode requires pitch_deg (grid spacing)")
 
     def nonzero(batch: pa.Table) -> pa.Table:
         v = batch["value"].to_numpy(zero_copy_only=False)
@@ -344,12 +474,8 @@ def min_area_filter(ds, *, min_cells: int, n_stripes: int = 8):
     def label_stripe(g: pd.DataFrame) -> pd.DataFrame:
         rows = g["row"].to_numpy().astype(np.int64)
         cols = g["col"].to_numpy().astype(np.int64)
-        roots = _union_find_labels(rows, cols)
-        pid = rows * ncols + cols
-        # component label = min pixel id in the (local) component
-        lab = pd.Series(pid).groupby(roots).transform("min").to_numpy()
         g = g.drop(columns=["__stripe"]).copy()
-        g["label"] = lab
+        g["label"] = _label_components(rows, cols, ncols)
         return g
 
     labeled = (
@@ -400,7 +526,11 @@ def min_area_filter(ds, *, min_cells: int, n_stripes: int = 8):
         import ray
 
         remap_ref = ray.put(remap)
-    except Exception:
+    except (ImportError, ConnectionError, RuntimeError):
+        # no ray / not initialized: fall back to closure capture (test
+        # paths only).  Anything else — e.g. an object-store put failure
+        # at real scale — must PROPAGATE, not silently re-serialize the
+        # remap into every task closure.
         remap_ref = remap
 
     def relabel(batch: pa.Table) -> pa.Table:
@@ -427,10 +557,27 @@ def min_area_filter(ds, *, min_cells: int, n_stripes: int = 8):
 
     relabeled = labeled.map_batches(relabel, batch_format="pyarrow")
 
-    counts = grouped_aggregate(
-        relabeled, ["label"], [("label", "count", "n")]
-    )
-    big = counts.filter(expr=f"n >= {min_cells}").to_pandas()
+    if min_km2 is not None:
+        # lat-dependent spherical pixel area summed per component —
+        # same two-phase grouped aggregate, weight instead of count
+        def add_area(batch: pa.Table) -> pa.Table:
+            lat = batch["lat"].to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "__area", pa.array(pixel_area_km2(lat, pitch_deg, pitch_deg))
+            )
+
+        counts = grouped_aggregate(
+            relabeled.map_batches(add_area, batch_format="pyarrow"),
+            ["label"],
+            [("__area", "sum", "n")],
+        )
+        threshold = float(min_km2)
+    else:
+        counts = grouped_aggregate(
+            relabeled, ["label"], [("label", "count", "n")]
+        )
+        threshold = min_cells
+    big = counts.filter(expr=f"n >= {threshold}").to_pandas()
     keep_labels = (
         big["label"].to_numpy(dtype=np.int64)
         if "label" in big.columns

@@ -207,6 +207,76 @@ def test_min_area_distributed_partitioning_invariant():
         )
 
 
+def test_label_components_matches_per_pixel_union_find():
+    """The vectorized run-based labeler is bit-identical to the
+    per-pixel union-find reference on random grids across the density
+    spectrum (sparse speckle, near-percolation, dense blob)."""
+    rng = np.random.default_rng(7)
+    for dens in (0.05, 0.3, 0.6, 0.72, 0.95):
+        for _ in range(4):
+            nr = int(rng.integers(1, 50))
+            nc = int(rng.integers(1, 50))
+            occ = rng.random((nr, nc)) < dens
+            rows, cols = np.nonzero(occ)
+            if rows.size == 0:
+                continue
+            rows = rows.astype(np.int64)
+            cols = cols.astype(np.int64)
+            roots = R._union_find_labels(rows, cols)
+            pid = rows * nc + cols
+            want = pd.Series(pid).groupby(roots).transform("min").to_numpy()
+            got = R._label_components(rows, cols, nc)
+            np.testing.assert_array_equal(got, want)
+
+
+def test_pixel_area_km2_sums_to_sphere():
+    """Summing the per-pixel spherical area over a full 1-degree
+    lat-lon grid reproduces the area of the sphere."""
+    lat_centers = np.arange(-89.5, 90, 1.0)
+    total = R.pixel_area_km2(lat_centers, 1.0, 1.0).sum() * 360
+    sphere = 4 * np.pi * R._EARTH_R_KM**2
+    np.testing.assert_allclose(total, sphere, rtol=1e-12)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_min_area_km2_is_latitude_dependent():
+    """min_km2 keeps/drops equal-pixel-count components differently by
+    latitude — the behavior that distinguishes the reference's km^2
+    semantics (mask.py:1309-1398) from a pixel count."""
+    import ray.data as rd
+
+    scatter = raster_table(layer="scatter")
+    out = (
+        R.min_area_filter(_from(scatter), min_km2=1800.0, pitch_deg=0.25)
+        .to_pandas()
+    )
+    # brute-force: BFS components + area sums
+    nz = scatter.to_pandas()
+    nz = nz[nz.value != 0]
+    lab = R._label_components(
+        nz.row.to_numpy().astype(np.int64),
+        nz.col.to_numpy().astype(np.int64),
+        80,
+    )
+    nz = nz.assign(
+        label=lab, area=R.pixel_area_km2(nz.lat.to_numpy(), 0.25, 0.25)
+    )
+    comp = nz.groupby("label").agg(n=("label", "size"), area=("area", "sum"))
+    three = comp[comp.n == 3]
+    # the fixture has 3-cell components on BOTH sides of the threshold
+    assert (three.area >= 1800.0).any() and (three.area < 1800.0).any()
+    got = {
+        (int(r), int(c)): v for r, c, v in zip(out.row, out.col, out.value)
+    }
+    keep = set(comp.index[comp.area >= 1800.0])
+    for (_, row), l in zip(nz.iterrows(), nz.label):
+        p = (int(row.row), int(row.col))
+        if l in keep:
+            assert got[p] != 0.0, p
+        else:
+            assert got[p] == 0.0, p
+
+
 def test_grid_disk_adaptive_no_duplicate_neighbors():
     """Regression: near the poles the adaptive column window wraps onto
     itself (2w+1 >= nlon) and used to emit duplicate (origin, cell)
