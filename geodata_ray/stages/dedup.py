@@ -37,6 +37,11 @@ _TOKEN_CACHE: dict[str, int] = {}
 
 
 def _token_hash(tok: str) -> int:
+    # null tokens hash as the empty string — the same convention
+    # hash_tokens_batch applies via fill_null(""), keeping the scalar
+    # and vectorized paths bit-identical on null-bearing columns
+    if tok is None:
+        tok = ""
     h = _TOKEN_CACHE.get(tok)
     if h is None:
         b = np.frombuffer(tok.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
@@ -66,8 +71,8 @@ def hash_tokens_batch(tokens: pa.Array) -> np.ndarray:
     the identical FNV-offset + per-byte splitmix64 chain, evaluated
     COLUMN-wise (one vectorized step per byte position, masked by
     token length) instead of a Python loop per token.  Bit-identical
-    to the scalar path; the hot 100-TB shingling/simhash stages call
-    this."""
+    to the scalar path (null tokens hash as "" in BOTH paths); the hot
+    100-TB shingling/simhash stages call this."""
     arr = _as_string_array(tokens)
     n = len(arr)
     if n == 0:
@@ -205,6 +210,13 @@ def _band_rows(ids, texts, *, k, num_hashes, bands):
     return out_id, out_band, bh.reshape(-1).view(np.int64)
 
 
+# auto-switch bounds for the scale-path selection (documented in
+# DEPLOYMENT.md): broadcast is chosen only below these, so no plan ever
+# ships an unbounded value set through the driver or task closures.
+MAX_BROADCAST_COLLISIONS = 5_000_000  # band-hash ids (~40 MB of int64)
+MAX_BROADCAST_VERIFY_BYTES = 1 << 30  # (id, text) corpus bytes
+
+
 def minhash_lsh_pairs(
     ds,
     *,
@@ -216,6 +228,8 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     verify_corpus: pa.Table | None = None,
     verify_mode: str = "broadcast",
+    collision_filter: str = "auto",
+    max_broadcast_collisions: int = MAX_BROADCAST_COLLISIONS,
 ):
     """Near-duplicate pairs by MinHash banding + exact-Jaccard verify.
 
@@ -229,7 +243,22 @@ def minhash_lsh_pairs(
     candidate-pair ids back to the input texts with two bucketed
     shuffle joins — the 10^12-doc path where the corpus cannot be
     broadcast (same exact-Jaccard kernel, only candidate pairs and
-    their two texts ever co-locate).
+    their two texts ever co-locate).  ``verify_mode="auto"`` picks
+    broadcast only when ``verify_corpus`` fits
+    :data:`MAX_BROADCAST_VERIFY_BYTES`.
+
+    Collision filter (keep only colliding band buckets before pair
+    generation): ``collision_filter="distributed"`` semi-joins the band
+    rows against the ``n >= 2`` bucket counts with Ray's native hash
+    join — nothing ever lands on the driver, the 100-TB path for
+    boilerplate-heavy crawls where the colliding set scales with dup
+    density x bands.  ``"broadcast"`` pulls the colliding ids to the
+    driver and filters with a broadcast membership set (cheaper at
+    small scale: no extra shuffle of the band rows).  ``"auto"``
+    (default) counts the colliding buckets — the count runs on the
+    already-materialized (distributed) collision Dataset — and
+    broadcasts only below ``max_broadcast_collisions``, so the driver
+    hop is bounded by a constant, never by dup density.
     """
 
     def to_bands(batch: pa.Table) -> pa.Table:
@@ -255,16 +284,43 @@ def minhash_lsh_pairs(
     counts = grouped_aggregate(
         band_ds, ["band_hash"], [("band_hash", "count", "n")]
     )
-    # filter to collisions BEFORE materializing: the full count table is
-    # docs x bands rows at scale; the colliding subset is small by
-    # construction (near-dups are sparse)
-    cdf = counts.filter(expr="n >= 2").to_pandas()
-    colliding = (
-        cdf["band_hash"].to_numpy()
-        if "band_hash" in cdf.columns  # empty result loses its schema
-        else np.empty(0, dtype=np.int64)
+    # filter to collisions BEFORE any per-group work; the colliding
+    # subset stays a DISTRIBUTED Dataset (object-store resident) — the
+    # driver never sees it unless the bounded broadcast path is chosen
+    colliding_ds = (
+        counts.filter(expr="n >= 2")
+        .select_columns(["band_hash"])
+        .materialize()
     )
-    band_ds = semi_join(band_ds, colliding, "band_hash")
+    mode = collision_filter
+    if mode == "auto":
+        n_colliding = colliding_ds.count()  # scalar; set stays remote
+        mode = (
+            "broadcast" if n_colliding <= max_broadcast_collisions
+            else "distributed"
+        )
+    if mode == "broadcast":
+        cdf = colliding_ds.to_pandas()  # bounded by the auto threshold
+        colliding = (
+            cdf["band_hash"].to_numpy()
+            if "band_hash" in cdf.columns  # empty result loses its schema
+            else np.empty(0, dtype=np.int64)
+        )
+        band_ds = semi_join(band_ds, colliding, "band_hash")
+    elif mode == "distributed":
+        from geodata_ray.stages.relational import native_join
+
+        # bucket counts are unique per band_hash, so the inner join IS
+        # a semi-join (no row duplication).  Re-block the filtered side
+        # first: Ray's sort-aggregate can emit schema-less empty blocks
+        # that crash the native hash join, and only a sized re-batching
+        # dissolves them.
+        keys = colliding_ds.map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=65536
+        )
+        band_ds = native_join(band_ds, keys, on="band_hash")
+    else:
+        raise ValueError(f"unknown collision_filter {collision_filter!r}")
 
     # pair generation is SHARDED by band_hash (a bounded number of
     # shards, each holding complete buckets): no single-block funnel,
@@ -319,6 +375,13 @@ def minhash_lsh_pairs(
         raw_pairs, ["id_a", "id_b"], [("id_a", "count", "__n")]
     ).map_batches(drop_n, batch_format="pyarrow", batch_size=65536)
 
+    if verify_mode == "auto":
+        verify_mode = (
+            "broadcast"
+            if verify_corpus is not None
+            and verify_corpus.nbytes <= MAX_BROADCAST_VERIFY_BYTES
+            else "shuffle"
+        )
     if verify_mode == "shuffle":
         return _verify_pairs_shuffle(pairs, ds, id_col, text_col, k, threshold)
     if verify_corpus is None:
@@ -660,6 +723,36 @@ def embedding_dup_pairs_lsh(
     return _gagg(
         raw, ["id_a", "id_b"], [("id_a", "count", "__n")]
     ).map_batches(drop_n, batch_format="pyarrow", batch_size=65536)
+
+
+EMBED_BROADCAST_MAX_ROWS = 1_000_000  # ~0.5 GB at d=128 float32
+
+
+def embedding_dup_pairs_auto(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    ref_table: pa.Table | None = None,
+    max_broadcast_rows: int = EMBED_BROADCAST_MAX_ROWS,
+    **lsh_kwargs,
+):
+    """Auto-select the embedding near-dup plan (threshold documented in
+    DEPLOYMENT.md): the exact broadcast matmul when a ``ref_table``
+    corpus is provided and fits the object store
+    (:data:`EMBED_BROADCAST_MAX_ROWS`), else the bucketed multi-table
+    hyperplane-LSH plan — the 10^12-vector path that never broadcasts
+    the corpus.  Both return the same (id_a, id_b) schema."""
+    if ref_table is not None and ref_table.num_rows <= max_broadcast_rows:
+        return embedding_dup_pairs(
+            ds, id_col=id_col, vec_col=vec_col, threshold=threshold,
+            ref_table=ref_table,
+        )
+    return embedding_dup_pairs_lsh(
+        ds, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        **lsh_kwargs,
+    )
 
 
 def hyperplane_buckets(

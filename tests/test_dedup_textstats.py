@@ -204,6 +204,127 @@ def test_lsh_pairs_partitioning_invariant():
     assert a.values.tolist() == b.values.tolist()
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_collision_filter_distributed_matches_broadcast():
+    """The fully-distributed collision filter (native hash semi-join of
+    the band rows against the n>=2 bucket counts — no driver hop)
+    returns the identical pair set on a HIGH-duplicate-density corpus
+    (50% dup rate), where the colliding-bucket set is largest relative
+    to the corpus."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(30)]
+    base = [" ".join(rng.choice(words, size=15)) for _ in range(30)]
+    # 50% duplicate density: every doc has an exact twin
+    corpus = pa.table(
+        {
+            "doc_id": list(range(30)) + [i + 500 for i in range(30)],
+            "text": base + list(base),
+        }
+    )
+
+    def run(mode):
+        ds = rd.from_arrow(corpus).repartition(4)
+        return (
+            dedup.minhash_lsh_pairs(
+                ds, k=3, bands=16, num_hashes=64, threshold=0.5,
+                verify_corpus=corpus, collision_filter=mode,
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+
+    a = run("broadcast")
+    b = run("distributed")
+    assert len(a) >= 30  # every planted twin pair found
+    assert a.values.tolist() == b.values.tolist()
+    # auto picks broadcast below the bound and distributed above it —
+    # exercise the switch both ways through the public kwarg
+    ds = rd.from_arrow(corpus).repartition(4)
+    c = (
+        dedup.minhash_lsh_pairs(
+            ds, k=3, bands=16, num_hashes=64, threshold=0.5,
+            verify_corpus=corpus, collision_filter="auto",
+            max_broadcast_collisions=0,  # force the distributed branch
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    assert a.values.tolist() == c.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_verify_mode_auto_switches_on_corpus_bytes(monkeypatch):
+    """verify_mode='auto' picks broadcast for a small corpus and the
+    shuffle join above MAX_BROADCAST_VERIFY_BYTES — same pairs."""
+    import ray.data as rd
+
+    corpus = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma delta epsilon zeta",
+                "alpha beta gamma delta epsilon zeta",
+                "one two three four five six",
+            ],
+        }
+    )
+
+    def run():
+        ds = rd.from_arrow(corpus).repartition(2)
+        return (
+            dedup.minhash_lsh_pairs(
+                ds, k=3, bands=64, num_hashes=64, threshold=0.5,
+                verify_corpus=corpus, verify_mode="auto",
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+
+    small = run()  # corpus.nbytes << bound -> broadcast branch
+    monkeypatch.setattr(dedup, "MAX_BROADCAST_VERIFY_BYTES", 0)
+    big = run()  # forced over the bound -> shuffle branch
+    assert small.values.tolist() == big.values.tolist()
+    assert small[["id_a", "id_b"]].values.tolist() == [[1, 2]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_dedup_auto_switches_on_rows():
+    """embedding_dup_pairs_auto: broadcast-exact below the row bound,
+    bucketed LSH above it — identical pairs either way."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((20, 16))
+    vecs = np.vstack([base, base[:5] + rng.standard_normal((5, 16)) * 1e-4])
+    ids = np.arange(25, dtype=np.int64)
+    table = pa.table(
+        {
+            "vec_id": ids,
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(table).repartition(3)
+
+    exact = (
+        dedup.embedding_dup_pairs_auto(
+            ds, threshold=0.99, ref_table=table
+        )  # 25 rows << bound -> broadcast-exact branch
+        .to_pandas().sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    lsh = (
+        dedup.embedding_dup_pairs_auto(
+            rd.from_arrow(table).repartition(3),
+            threshold=0.99, ref_table=table, max_broadcast_rows=0,
+            bits=8, tables=8,  # forced over the bound -> LSH branch
+        )
+        .to_pandas().sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    assert len(exact) == 5
+    assert exact.values.tolist() == lsh.values.tolist()
+
+
 def test_vectorized_token_hash_bit_identical():
     """hash_tokens_batch / _batch_shingles reproduce the scalar
     _token_hash / shingle_hashes chains bit-for-bit."""
