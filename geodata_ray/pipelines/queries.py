@@ -1524,6 +1524,18 @@ def _simhash_sql(max_token_len: int = 24) -> str:
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ),
+guard AS (
+  -- the per-byte unroll only covers {max_token_len} ASCII bytes; a
+  -- longer or non-ASCII token would make the ORACLE (not the engine)
+  -- compute a wrong hash — fail loudly instead of silently mismatching
+  SELECT CASE WHEN MAX(strlen(tok)) > {max_token_len}
+              OR MAX(CASE WHEN strlen(tok) <> length(tok)
+                          THEN 1 ELSE 0 END) = 1
+         THEN error('simhash oracle: corpus token exceeds the unrolled '
+                    || '{max_token_len}-byte ASCII limit')
+         ELSE 1 END AS ok
+  FROM toks
+),
 {stages_sql},
 bits AS (
   SELECT t.doc_id, pw.b, pw.p, CAST((t.acc // pw.p) % 2 AS INTEGER) AS bit
@@ -1542,7 +1554,8 @@ sim0 AS (
 SELECT doc_id,
        CAST(CASE WHEN s >= {_U63} THEN s - {_U64_M} ELSE s END AS BIGINT)
          AS simhash
-FROM sim0
+FROM sim0 CROSS JOIN guard
+WHERE guard.ok = 1
 """
 
 
@@ -2135,8 +2148,15 @@ def _gate_vec_ids() -> list[int]:
                 f"{_ORACLE_SF_DIR}/embeddings.parquet", columns=["vec_id"]
             )
             _GATE_VEC_IDS = [int(x) for x in t["vec_id"].to_numpy()]
-        except Exception:  # gate corpus absent (unit-test envs)
-            _GATE_VEC_IDS = list(range(500))
+        except Exception as e:
+            # a silent range(500) fallback here would make every
+            # kmeans/IVF oracle wrong with no hint why — fail loudly
+            raise RuntimeError(
+                f"oracle gate corpus missing/unreadable at "
+                f"{_ORACLE_SF_DIR}/embeddings.parquet; the kmeans/IVF "
+                f"oracle SQL is bound to the gate corpus and cannot be "
+                f"built without it"
+            ) from e
     return _GATE_VEC_IDS
 
 

@@ -88,6 +88,13 @@ def wav_decode(buf: bytes):
     pos, rate, bits, data = 12, None, None, None
     while pos + 8 <= len(buf):
         cid, size = buf[pos : pos + 4], struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+        if pos + 8 + size > len(buf):
+            # a truncated payload would otherwise silently decode to
+            # fewer samples than the chunk declares
+            raise ValueError(
+                f"truncated WAV chunk {cid!r}: declares {size} bytes, "
+                f"{len(buf) - pos - 8} available"
+            )
         body = buf[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])

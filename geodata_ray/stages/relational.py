@@ -244,8 +244,10 @@ def shuffle_join(
 
     Both sides get ``__b = hash(key) % num_buckets`` and a side tag,
     are unioned (one shuffle total), grouped by bucket, and merged
-    per-bucket with pandas inside ``map_groups``.  ``num_buckets``
-    bounds per-group memory (size the bucket count so
+    per-bucket with pyarrow's acero hash join inside ``map_groups`` —
+    Arrow-native, so empty or one-sided buckets keep the declared
+    column types (the pandas empty-merge float-upcast hazard is gone).
+    ``num_buckets`` bounds per-group memory (size the bucket count so
     |left|/num_buckets fits a worker heap).  Hot join keys skew their
     bucket; remedies are raising ``num_buckets`` (splits hash space,
     not a single hot key) or pre-filtering/broadcast for the hot keys —
@@ -302,13 +304,28 @@ def shuffle_join(
     r_rename = {
         c: c + suffix for c in r_cols if c in l_cols and c not in keys
     }
+    arrow_how = {
+        "inner": "inner",
+        "left": "left outer",
+        "right": "right outer",
+        "outer": "full outer",
+    }[how]
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g.loc[g["__side"] == "l", l_cols]
-        rg = g.loc[g["__side"] == "r", r_keep].rename(columns=r_rename)
-        return lg.merge(rg, on=keys, how=how, suffixes=("", suffix))
+    # canonical pandas-style column order regardless of join type
+    # (arrow's right/full outer joins reposition the key columns)
+    out_cols = l_cols + [
+        r_rename.get(c, c) for c in r_keep if c not in keys
+    ]
 
-    return both.groupby("__b").map_groups(merge, batch_format="pandas")
+    def merge(g: pa.Table) -> pa.Table:
+        is_l = pc.equal(g["__side"], "l")
+        lg = g.filter(is_l).select(l_cols)
+        rg = g.filter(pc.invert(is_l)).select(r_keep)
+        if r_rename:
+            rg = rg.rename_columns([r_rename.get(c, c) for c in r_keep])
+        return lg.join(rg, keys=keys, join_type=arrow_how).select(out_cols)
+
+    return both.groupby("__b").map_groups(merge, batch_format="pyarrow")
 
 
 def native_join(left, right, on, *, join_type: str = "inner",

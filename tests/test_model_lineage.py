@@ -207,6 +207,10 @@ def test_ppm_wav_codec_roundtrip():
     assert rate == 8000
     np.testing.assert_array_equal(got, samples)
 
+    # truncated payload raises instead of silently decoding fewer samples
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        wav_decode(wav_encode(samples, rate=8000)[:-10])
+
 
 @pytest.mark.usefixtures("ray_session")
 def test_image_decoder_rejects_unknown_format():

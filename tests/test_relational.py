@@ -1,0 +1,86 @@
+"""shuffle_join: Arrow-native per-bucket merge semantics + the
+empty-left-bucket dtype regression (the pandas merge used to
+float-upcast int columns in buckets whose left side was empty)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geodata_ray.stages.relational import shuffle_join
+
+
+def _ds(table, nblocks=3):
+    import ray.data as rd
+
+    return rd.from_arrow(table).repartition(nblocks)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shuffle_join_empty_left_bucket_keeps_int_dtypes():
+    """Right keys that hash to buckets with no left rows must not
+    degrade the joined schema: every int column stays int64."""
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 2], type=pa.int64()),
+            "lv": pa.array([10, 11, 12], type=pa.int64()),
+        }
+    )
+    # right has many keys absent from left -> with 64 buckets some
+    # buckets are right-only (empty left side)
+    right = pa.table(
+        {
+            "k": pa.array(list(range(1, 40)), type=pa.int64()),
+            "rv": pa.array(list(range(100, 139)), type=pa.int64()),
+        }
+    )
+    out = shuffle_join(_ds(left), _ds(right), ["k"], num_buckets=64)
+    df = out.to_pandas()
+    want = (
+        left.to_pandas()
+        .merge(right.to_pandas(), on="k")
+        .sort_values(["k", "lv"], ignore_index=True)
+    )
+    got = df.sort_values(["k", "lv"], ignore_index=True)
+    assert got[["k", "lv", "rv"]].values.tolist() == want[
+        ["k", "lv", "rv"]
+    ].values.tolist()
+    for c in ("k", "lv", "rv"):
+        assert got[c].dtype == np.int64, (c, got[c].dtype)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shuffle_join_how_variants_match_pandas():
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 3], type=pa.int64()),
+            "lv": pa.array([1.0, 2.0, 3.0, 3.5]),
+            "name": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([2, 3, 4], type=pa.int64()),
+            "rv": pa.array([20, 30, 40], type=pa.int64()),
+            "name": pa.array(["x", "y", "z"]),  # collides -> name_r
+        }
+    )
+    lp, rp = left.to_pandas(), right.to_pandas()
+    for how in ("inner", "left", "right", "outer"):
+        out = (
+            shuffle_join(_ds(left), _ds(right), ["k"], how=how, num_buckets=8)
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"], ignore_index=True)
+        )
+        want = (
+            lp.merge(
+                rp.rename(columns={"name": "name_r"}), on="k", how=how
+            )
+            .sort_values(["k", "lv", "rv"], ignore_index=True)
+        )
+        assert list(out.columns) == list(want.columns), how
+        pd.testing.assert_frame_equal(
+            out.astype({"rv": "float64"}),
+            want.astype({"rv": "float64"}),
+            check_dtype=False,
+        )

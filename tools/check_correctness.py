@@ -67,6 +67,20 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # the oracle SQL constants are BOUND to the driver's sf0.01 gate
+    # corpus (kmeans init ids, grid_120 fixture, simhash token stats);
+    # comparing at any other sf would yield silent value mismatches
+    # that look like engine bugs — refuse instead.
+    sys.path.insert(0, "/root/repo")
+    from geodata_ray.pipelines import queries as _q
+
+    if sf_dir.rstrip("/") != _q._ORACLE_SF_DIR:
+        sys.exit(
+            f"check_correctness: oracle SQL targets {_q._ORACLE_SF_DIR} "
+            f"(the driver gate corpus); got {sf_dir}.  Run benches at "
+            f"other sfs with bench.py, not this gate."
+        )
+
     import ray
 
     if not ray.is_initialized():
