@@ -2937,7 +2937,13 @@ FROM {_GRID_PQ}
 
 def flagship_resumable(sf_dir: str):
     """Flagship enrichment written as resumable partitioned parquet
-    with per-partition lineage records; returns the manifest."""
+    with per-partition lineage records — SELF-AUDITING: after the
+    write, every partition is re-read from disk, re-hashed with the
+    same canonical content hash, and compared (rows + hash) against
+    the manifest record; the query RAISES on any mismatch, so a green
+    run proves write -> manifest -> re-read bit-identity even though
+    the side effect itself has no SQL expression.  Returns the audited
+    manifest (key, rows, skipped, roundtrip_ok)."""
     import tempfile
 
     from geodata_ray.pipelines.flagship import enrich_pages, pages_from_documents
@@ -2957,7 +2963,17 @@ def flagship_resumable(sf_dir: str):
         sharded, out_dir, "shard", stage_version="v1",
         input_fingerprint=sf_dir,
     )
-    return manifest
+    audit = L.audit_partitions(out_dir).to_pandas()
+    if not audit["roundtrip_ok"].all():
+        bad = audit[~audit["roundtrip_ok"]]["key"].tolist()
+        raise RuntimeError(
+            f"flagship_resumable round-trip audit FAILED for "
+            f"partitions {bad}"
+        )
+    out = manifest.merge(
+        audit[["key", "roundtrip_ok"]], on="key", how="left"
+    ).sort_values("key", ignore_index=True)
+    return out
 
 
 def top_pages_per_tile(sf_dir: str):

@@ -182,6 +182,50 @@ def read_part_dirs(root: str, keys):
     return rd.read_parquet(paths, partitioning=None)
 
 
+def audit_partitions(out_dir: str):
+    """Self-audit of a ``write_partitioned_resumable`` output: RE-READ
+    every committed partition from disk, recompute the canonical
+    content hash, and compare rows+hash against the manifest record
+    written at commit time.  Returns a Dataset of (key, rows,
+    roundtrip_ok) — one row per partition, audited in parallel (each
+    task reads only its own partition file)."""
+    import ray.data as rd
+
+    manifest = load_manifest(out_dir)
+    items = [
+        {
+            "key": k,
+            "want_hash": rec["content_hash"],
+            "want_rows": int(rec["rows"]),
+        }
+        for k, rec in sorted(manifest.items())
+    ]
+
+    def check(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in batch.iterrows():
+            part_dir = os.path.join(out_dir, f"part={row['key']}")
+            files = sorted(os.listdir(part_dir))
+            g = pd.concat(
+                [pd.read_parquet(os.path.join(part_dir, f)) for f in files],
+                ignore_index=True,
+            )
+            g = g.sort_values(list(g.columns), ignore_index=True)
+            out.append(
+                {
+                    "key": row["key"],
+                    "rows": len(g),
+                    "roundtrip_ok": bool(
+                        len(g) == row["want_rows"]
+                        and _content_hash(g) == row["want_hash"]
+                    ),
+                }
+            )
+        return pd.DataFrame(out)
+
+    return rd.from_items(items).map_batches(check, batch_format="pandas")
+
+
 def stage_metrics(ds) -> list[dict]:
     """Parse ``ds.stats()`` into per-stage metric records (rows, wall
     seconds, rows/s) — the per-stage throughput emission the north rule
