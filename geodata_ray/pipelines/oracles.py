@@ -1,0 +1,1823 @@
+"""DuckDB oracle SQL for every auditable ``queries()`` entry.
+
+The verification half of the driver contract, split out of
+``pipelines/queries.py`` (which keeps the Ray Data plans): each
+constant here is the ANSI-SQL recomputation of one query's math over
+the same parquet inputs (driver sf0.01 tables + the persisted fixture
+parquet, ``pipelines/fixtures.py``).  The SQL is independent math, not
+a restatement of the engine — hash rules in MEMORY/oracle docs.
+
+Import order is free of cycles: this module pulls a handful of shared
+corpus constants from ``queries`` at import time; ``queries`` exposes
+these names back lazily via module ``__getattr__`` so existing
+``queries.FOO_SQL`` imports keep working.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geodata_ray.cellmath import qcell
+from geodata_ray.pipelines.fixtures import fixture_path as _fxp
+from geodata_ray.pipelines.queries import (
+    _GEO_A,
+    _GEO_B,
+    _GEO_M,
+    _MUT_OFFSET,
+    _MUT_SUFFIX,
+    _NDUP_LIMIT,
+    _ORACLE_SF_DIR,
+    _PIP_BOXES,
+    _spline_profile_const,
+)
+from geodata_ray.stages import dedup as dedup_mod
+
+def _derive_lat_sql(col: str) -> str:
+    return f"((({col} * {_GEO_A}) % {_GEO_M}) / {_GEO_M} * 170.0 - 85.0)"
+
+
+def _derive_lon_sql(col: str) -> str:
+    return f"((({col} * {_GEO_B}) % {_GEO_M}) / {_GEO_M} * 360.0 - 180.0)"
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity)) AS BIGINT)             AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT)  AS sum_base_price_cents,
+       CAST(ROUND(SUM(l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)
+                                                          AS sum_disc_price_bp,
+       COUNT(*)                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+TILES_R7_SQL = f"""
+SELECT {qcell.cell_sql_expr(_derive_lat_sql('event_id'), _derive_lon_sql('event_id'), 7)} AS cell,
+       COUNT(*) AS n_points
+FROM events
+GROUP BY 1
+"""
+
+
+BBOX_SQL = f"""
+WITH pts AS (
+  SELECT event_id,
+         {_derive_lat_sql('event_id')} AS lat0,
+         {_derive_lon_sql('event_id')} AS lon0
+  FROM events
+)
+SELECT event_id, lat0 AS lat, lon0 AS lon
+FROM pts
+WHERE lat0 BETWEEN -70.0 AND 70.0 AND (lon0 >= 120.0 OR lon0 <= -120.0)
+"""
+
+
+TOP10_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+DEDUP_SQL = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY text
+"""
+
+
+DAILY_SQL = """
+SELECT user_id, DATE_TRUNC('day', ts) AS day,
+       CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+CUST_NATION_SQL = """
+SELECT n_name, CAST(ROUND(SUM(c_acctbal) * 100) AS BIGINT) AS sum_acctbal_cents,
+       COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+SEGMENT_SQL = """
+SELECT c_mktsegment, CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+NO_BIG_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+"""
+
+
+LANG_SQL = "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"
+
+
+NEAR_DUP_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {_NDUP_LIMIT}
+  UNION ALL
+  SELECT doc_id + {_MUT_OFFSET}, text || '{_MUT_SUFFIX}' FROM documents
+  WHERE doc_id < {_NDUP_LIMIT}
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, len(string_split(text, ' ')) - 1),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS s
+  FROM corpus
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      / len(list_distinct(a.s || b.s)) >= 0.5
+"""
+
+
+EMBEDDING_DUPS_SQL = f"""
+WITH allv AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_MUT_OFFSET},
+         list_transform(embedding::DOUBLE[], x -> x + 0.01) FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+"""
+
+
+ANN_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+"""
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars,
+       len(list_filter(string_split(text, ' '),
+           w -> w IN ('the','a','of','to','and','in','is','it')))::BIGINT
+         AS n_stopwords
+FROM documents
+"""
+
+
+HOURLY_SQL = """
+SELECT event_type, DATE_TRUNC('hour', ts) AS window,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+SESSIONS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+SLIDING_SQL = """
+WITH assigned AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS window_start FROM events
+  UNION ALL
+  SELECT event_type, DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR FROM events
+)
+SELECT event_type, window_start, COUNT(*) AS n_events
+FROM assigned GROUP BY 1, 2
+"""
+
+
+TOP3_SEGMENT_SQL = """
+WITH ranked AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, o_orderkey, o_totalprice, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+SAMPLE_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id * {_GEO_A}) % {_GEO_M}) % 5 = 0
+"""
+
+
+_PIP_SQL_CASES = "\nUNION ALL\n".join(
+    f"""SELECT event_id, '{pid}' AS poly_id FROM pts
+WHERE lat0 > {a0} AND lat0 < {a1} AND lon0 > {o0} AND lon0 < {o1}"""
+    for pid, a0, a1, o0, o1 in _PIP_BOXES
+)
+
+
+PIP_BOXES_SQL = f"""
+WITH pts AS (
+  SELECT event_id,
+         {_derive_lat_sql('event_id')} AS lat0,
+         {_derive_lon_sql('event_id')} AS lon0
+  FROM events
+)
+{_PIP_SQL_CASES}
+"""
+
+
+KNN_ORACLE_SQL = f"""
+WITH refs AS (
+  SELECT r AS ref_id,
+         40.0 + ((r * {_GEO_A}) % {_GEO_M}) / {_GEO_M} * 10.0 AS rlat,
+         ((r * {_GEO_B}) % {_GEO_M}) / {_GEO_M} * 10.0 AS rlon
+  FROM range(0, 300) t(r)
+),
+qs AS (
+  SELECT event_id,
+         42.0 + ((event_id * {_GEO_A}) % {_GEO_M}) / {_GEO_M} * 6.0 AS qlat,
+         2.0 + ((event_id * {_GEO_B}) % {_GEO_M}) / {_GEO_M} * 6.0 AS qlon
+  FROM events WHERE event_id < 200
+),
+d AS (
+  SELECT event_id AS query_id, ref_id,
+         2 * 6371.0088 * ASIN(SQRT(
+           POWER(SIN(RADIANS(rlat - qlat) / 2), 2)
+           + COS(RADIANS(qlat)) * COS(RADIANS(rlat))
+             * POWER(SIN(RADIANS(rlon - qlon) / 2), 2))) AS dist
+  FROM qs, refs
+),
+ranked AS (
+  SELECT query_id, ref_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dist, ref_id) AS rank
+  FROM d
+)
+SELECT query_id, ref_id, rank FROM ranked WHERE rank <= 3
+"""
+
+
+ASOF_SQL = """
+WITH right_d AS (
+  SELECT o_custkey AS custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+),
+left_e AS (
+  SELECT event_id, ts, user_id % 150 + 1 AS custkey FROM events
+)
+SELECT e.event_id, r.o_orderkey
+FROM left_e e
+ASOF JOIN right_d r ON e.custkey = r.custkey AND e.ts >= r.o_orderdate
+"""
+
+
+RUNNING_SQL = """
+SELECT event_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_cents
+FROM events
+"""
+
+
+_PIP_ANTI_COND = " AND ".join(
+    f"NOT (lat0 > {a0} AND lat0 < {a1} AND lon0 > {o0} AND lon0 < {o1})"
+    for _, a0, a1, o0, o1 in _PIP_BOXES
+)
+
+
+PIP_ANTI_SQL = f"""
+WITH pts AS (
+  SELECT event_id,
+         {_derive_lat_sql('event_id')} AS lat0,
+         {_derive_lon_sql('event_id')} AS lon0
+  FROM events
+)
+SELECT event_id FROM pts WHERE {_PIP_ANTI_COND}
+"""
+
+
+Q3_NATIVE_SQL = """
+SELECT o_orderkey,
+       CAST(ROUND(SUM(l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)
+         AS revenue_bp
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey
+ORDER BY revenue_bp DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+RANGE_JOIN_SQL = """
+WITH e AS (
+  SELECT event_id,
+         TIMESTAMP '1995-01-01'
+           + (((event_id * 2654435761) % 4294967296) % 200000000)
+             * INTERVAL 1 SECOND AS ts,
+         user_id % 150 + 1 AS custkey
+  FROM events
+)
+SELECT e.event_id, o.o_orderkey
+FROM e JOIN orders o
+  ON e.custkey = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts <= o.o_orderdate + INTERVAL 30 DAY
+"""
+
+
+PROPS_JSON_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+PART_JOIN_SQL = """
+SELECT p_brand, CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+_GRID_PQ = f"read_parquet('{_fxp('grid_120')}')"
+
+
+_RASTER_PQ = {
+    lay: f"read_parquet('{_fxp(f'raster_{lay}')}')"
+    for lay in ("landcover", "slope", "scatter")
+}
+
+
+FINGERPRINT_SQL = """
+WITH h AS (SELECT doc_id, md5(lower(text)) AS x FROM documents),
+u AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substr(x,15,2), substr(x,13,2), substr(x,11,2),
+                     substr(x,9,2), substr(x,7,2), substr(x,5,2),
+                     substr(x,3,2), substr(x,1,2)) AS UBIGINT)::HUGEINT AS v
+  FROM h
+)
+SELECT doc_id,
+       CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+                 THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT)
+         AS fingerprint
+FROM u
+"""
+
+
+_U64_M = 1 << 64
+
+
+_U63 = 1 << 63
+
+
+def _sql_xor_u64(a: str, b: str) -> str:
+    """xor of two u64-valued HUGEINT expressions via BIGINT two's
+    complement (DuckDB xor() takes BIGINT)."""
+    ai = f"CAST(CASE WHEN ({a}) >= {_U63} THEN ({a}) - {_U64_M} ELSE ({a}) END AS BIGINT)"
+    bi = f"CAST(CASE WHEN ({b}) >= {_U63} THEN ({b}) - {_U64_M} ELSE ({b}) END AS BIGINT)"
+    x = f"xor({ai}, {bi})"
+    return f"(CASE WHEN {x} < 0 THEN {x}::HUGEINT + {_U64_M} ELSE {x}::HUGEINT END)"
+
+
+def _sql_mulmod64(a: str, c: int) -> str:
+    """(a * c) mod 2^64 without overflowing HUGEINT: split ``a`` into
+    32-bit halves (each partial product < 2^96)."""
+    lo = f"((({a}) % 4294967296) * {c})"
+    hi = f"((((({a}) // 4294967296) * {c}) % 4294967296) * 4294967296)"
+    return f"(({lo} + {hi}) % {_U64_M})"
+
+
+def _simhash_sql(max_token_len: int = 24) -> str:
+    """SimHash oracle: per-byte splitmix64 token-hash chain unrolled
+    into ``max_token_len`` CTE stages (driver-corpus tokens are ASCII,
+    max observed length 16), then bit votes per doc.  Each stage is a
+    chain of nested subqueries so every intermediate (z1..z5) is
+    referenced by NAME — linear SQL size despite splitmix's repeated
+    subterms."""
+    stages = [
+        "t0 AS (SELECT doc_id, tok, "
+        f"{dedup_mod._FNV_OFFSET}::HUGEINT AS acc FROM toks)"
+    ]
+    keep = "doc_id, tok, acc"
+    for j in range(1, max_token_len + 1):
+        x0 = _sql_xor_u64("acc", f"ascii(substr(tok, {j}, 1))::HUGEINT")
+        z1 = f"((x0 + 11400714819323198485) % {_U64_M})"
+        z2 = _sql_xor_u64("z1", "z1 // 1073741824")
+        z3 = _sql_mulmod64("z2", 13787848793156543929)
+        z4 = _sql_xor_u64("z3", "z3 // 134217728")
+        z5 = _sql_mulmod64("z4", 10723151780598845931)
+        z6 = _sql_xor_u64("z5", "z5 // 2147483648")
+        stages.append(
+            f"t{j} AS (\n"
+            f" SELECT doc_id, tok, COALESCE({z6}, acc) AS acc FROM (\n"
+            f"  SELECT {keep}, z1, z2, z3, z4, {z5} AS z5 FROM (\n"
+            f"   SELECT {keep}, z1, z2, z3, {z4} AS z4 FROM (\n"
+            f"    SELECT {keep}, z1, z2, {z3} AS z3 FROM (\n"
+            f"     SELECT {keep}, z1, {z2} AS z2 FROM (\n"
+            f"      SELECT {keep}, {z1} AS z1 FROM (\n"
+            f"       SELECT {keep}, CASE WHEN length(tok) >= {j} "
+            f"THEN {x0} ELSE NULL END AS x0 FROM t{j - 1}\n"
+            f"      ))))))\n)"
+        )
+    pow2 = ", ".join(f"({b}, {1 << b})" for b in range(64))
+    stages_sql = ",\n".join(stages)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+guard AS (
+  -- the per-byte unroll only covers {max_token_len} ASCII bytes; a
+  -- longer or non-ASCII token would make the ORACLE (not the engine)
+  -- compute a wrong hash — fail loudly instead of silently mismatching
+  SELECT CASE WHEN MAX(strlen(tok)) > {max_token_len}
+              OR MAX(CASE WHEN strlen(tok) <> length(tok)
+                          THEN 1 ELSE 0 END) = 1
+         THEN error('simhash oracle: corpus token exceeds the unrolled '
+                    || '{max_token_len}-byte ASCII limit')
+         ELSE 1 END AS ok
+  FROM toks
+),
+{stages_sql},
+bits AS (
+  SELECT t.doc_id, pw.b, pw.p, CAST((t.acc // pw.p) % 2 AS INTEGER) AS bit
+  FROM t{max_token_len} t
+  CROSS JOIN (VALUES {pow2}) pw(b, p)
+),
+votes AS (
+  SELECT doc_id, b, p, SUM(bit) AS v, COUNT(*) AS ntok
+  FROM bits GROUP BY 1, 2, 3
+),
+sim0 AS (
+  SELECT doc_id,
+         SUM(CASE WHEN 2 * v > ntok THEN p::HUGEINT ELSE 0::HUGEINT END) AS s
+  FROM votes GROUP BY 1
+)
+SELECT doc_id,
+       CAST(CASE WHEN s >= {_U63} THEN s - {_U64_M} ELSE s END AS BIGINT)
+         AS simhash
+FROM sim0 CROSS JOIN guard
+WHERE guard.ok = 1
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+
+TEMPERATURE_SQL = f"""
+SELECT ts, lat, lon, CAST(temperature AS DOUBLE) - 273.15 AS temperature_c
+FROM {_GRID_PQ}
+"""
+
+
+PM25_SQL = f"""
+SELECT ts, lat, lon,
+       1e9 * (CAST(dusmass25 AS DOUBLE) + CAST(sssmass25 AS DOUBLE)
+              + CAST(bcsmass AS DOUBLE)
+              + 1.4 * CAST(ocsmass AS DOUBLE)
+              + 1.375 * CAST(so4smass AS DOUBLE)) AS pm25
+FROM {_GRID_PQ}
+"""
+
+
+WINDDIR_SQL = f"""
+WITH g AS (
+  SELECT ts, lat, lon, CAST(ulml AS DOUBLE) AS u, CAST(vlml AS DOUBLE) AS v
+  FROM {_GRID_PQ}
+),
+d AS (SELECT ts, lat, lon, u, v, degrees(atan(u / v)) AS base FROM g)
+SELECT ts, lat, lon,
+       CAST(ROUND((CASE WHEN v < 0.0 THEN base + 180.0
+                        WHEN v > 0.0 AND u < 0.0 THEN base + 360.0
+                        ELSE base END) * 1000000) AS BIGINT) AS winddir_udeg
+FROM d
+"""
+
+
+# float32 wind speed at 50m + sanitized roughness, shared by the three
+# hub-height queries (mirrors conversions.normalize_winds_batch +
+# functions.wind.sanitize_roughness bit-for-bit: IEEE sqrt is
+# correctly rounded, so f64-sqrt -> f32 matches numpy exactly)
+_WND50_CTE = f"""
+  SELECT ts, lat, lon,
+         CAST(sqrt(CAST(u50m AS DOUBLE) * CAST(u50m AS DOUBLE)
+                 + CAST(v50m AS DOUBLE) * CAST(v50m AS DOUBLE)) AS REAL)
+           AS wnd50m,
+         CASE WHEN CAST(roughness AS DOUBLE) <= 0.0 THEN 0.0002
+              ELSE CAST(roughness AS DOUBLE) END AS z0,
+         CAST(rhoa AS DOUBLE) AS rhoa_d
+  FROM {_GRID_PQ}
+"""
+
+
+WINDSPD_SQL = f"""
+WITH g AS ({_WND50_CTE})
+SELECT ts, lat, lon,
+       CAST(ROUND(CAST(wnd50m AS DOUBLE) * (ln(80.0 / z0) / ln(50.0 / z0))
+                  * 1000000) AS BIGINT) AS wnd80m_umps
+FROM g
+"""
+
+
+WINDWPD_SQL = f"""
+WITH g AS ({_WND50_CTE})
+SELECT ts, lat, lon,
+       CAST(ROUND((0.5 * rhoa_d) * power(CAST(wnd50m AS DOUBLE), 3)
+                  * 10000) AS BIGINT) AS wpd_x10k
+FROM g
+"""
+
+
+def _interp_case_sql(x_expr: str, xs, ys) -> str:
+    """np.interp as a CASE chain with full-precision literals — the
+    same ``slope * (x - x0) + y0`` tree numpy evaluates."""
+    parts = [f"CASE WHEN {x_expr} <= {float(xs[0])!r} THEN {float(ys[0])!r}"]
+    for i in range(len(xs) - 1):
+        x0, x1 = float(xs[i]), float(xs[i + 1])
+        y0, y1 = float(ys[i]), float(ys[i + 1])
+        parts.append(
+            f"WHEN {x_expr} < {x1!r} THEN "
+            f"(({y1!r} - {y0!r}) / ({x1!r} - {x0!r})) * ({x_expr} - {x0!r})"
+            f" + {y0!r}"
+        )
+    parts.append(f"ELSE {float(ys[-1])!r} END")
+    return "\n       ".join(parts)
+
+
+def _wind_power_sql() -> str:
+    from geodata_ray.functions import convert as C
+
+    t = C.windturbine_smooth(C.TURBINES["fixture_1500kw"], None)
+    case = _interp_case_sql("v80", t["V"], t["POW"] / t["P"])
+    return f"""
+WITH g AS ({_WND50_CTE}),
+h AS (SELECT ts, lat, lon,
+             CAST(wnd50m AS DOUBLE) * (ln(80.0 / z0) / ln(50.0 / z0)) AS v80
+      FROM g)
+SELECT ts, lat, lon,
+       CAST(ROUND(({case}) * 1000000) AS BIGINT) AS cf_ppm
+FROM h
+"""
+
+
+WIND_POWER_SQL = _wind_power_sql()
+
+
+HEAT_DEMAND_SQL = f"""
+WITH g AS (
+  SELECT lat, lon, DATE_TRUNC('day', ts) AS day,
+         CASE WHEN isnan(CAST(temperature AS DOUBLE)) THEN NULL
+              ELSE CAST(temperature AS DOUBLE) END AS t
+  FROM {_GRID_PQ}
+),
+d AS (SELECT lat, lon, day, AVG(t) AS t_daily FROM g GROUP BY 1, 2, 3)
+SELECT lat, lon, day,
+       CASE WHEN t_daily IS NULL THEN NULL
+            ELSE 0.0 + GREATEST(1.0 * ((15.0 + 273.15) - t_daily), 0.0)
+       END AS heat_demand
+FROM d
+"""
+
+
+# --- PV / solar-thermal oracle SQL.  The whole solar chain (Michalsky
+# position -> Reindl clearsky split -> transposition -> panel model)
+# is mirrored expression-by-expression; numpy NaN maps to SQL NULL
+# (DuckDB: 0/0 -> NULL, 0*NULL -> NULL, GREATEST/LEAST ignore NULL —
+# exactly np.fmax/np.fmin's NaN-ignoring semantics), nan_to_num maps
+# to COALESCE, and scalar trig CONSTANTS are inlined as numpy-computed
+# literals.  Outputs are round(x*scale) BIGINT, which absorbs last-ulp
+# libm differences in the trig chain.
+def _solar_position_sql() -> str:
+    """CTE chain computing (alt, az, atmo=influx_toa) per grid row —
+    functions/pv.py solar_position mirrored with identical operation
+    order (incl. the fmod-then-correct np.mod idiom for hour angle)."""
+    pi = repr(float(np.pi))
+    twopi = repr(float(2 * np.pi))
+    return f"""
+sp0 AS (
+  SELECT ts, lat, lon,
+         CAST(influx AS DOUBLE) AS influx_r,
+         CAST(influx_toa AS DOUBLE) AS atmo,
+         CAST(albedo AS DOUBLE) AS albedo_r,
+         CAST(temperature AS DOUBLE) AS t_amb,
+         epoch_us(ts) / 1e6 AS unixx
+  FROM {_GRID_PQ}
+),
+sp1 AS (
+  SELECT *,
+         (unixx / 86400.0 + 2440587.5) - 2451545.0 AS n_,
+         radians(lat) AS lat_r
+  FROM sp0
+),
+sp2 AS (
+  SELECT *,
+         radians(357.528 + 0.9856003 * n_) AS g_,
+         radians((280.460 + 0.9856474 * n_)
+                 + 1.915 * sin(radians(357.528 + 0.9856003 * n_))
+                 + 0.020 * sin(2 * radians(357.528 + 0.9856003 * n_)))
+           AS ell,
+         radians(23.439 - 4e-7 * n_) AS ep
+  FROM sp1
+),
+sp3 AS (
+  SELECT *,
+         atan2(cos(ep) * sin(ell), cos(ell)) AS ra,
+         ((6.697375 + (unixx % 86400.0) / 3600.0 + 0.0657098242 * n_)
+          * 15.0 + lon) AS lmst,
+         asin(sin(ep) * sin(ell)) AS dec
+  FROM sp2
+),
+sp4 AS (
+  SELECT *, radians(lmst) - ra + {pi} AS hx FROM sp3
+),
+sp5 AS (
+  SELECT *, hx % {twopi} AS hm FROM sp4
+),
+sp6 AS (
+  SELECT *,
+         (CASE WHEN hm <> 0.0 AND hm < 0.0 THEN hm + {twopi} ELSE hm END)
+           - {pi} AS h
+  FROM sp5
+),
+sp7 AS (
+  SELECT *,
+         asin(LEAST(GREATEST(sin(lat_r) * sin(dec)
+                             + cos(lat_r) * cos(dec) * cos(h), -1.0), 1.0))
+           AS alt
+  FROM sp6
+),
+sp8 AS (
+  SELECT *,
+         acos(LEAST(GREATEST(
+           (sin(dec) * cos(lat_r) - cos(dec) * sin(lat_r) * cos(h))
+           / cos(alt), -1.0), 1.0)) AS az0
+  FROM sp7
+),
+sp9 AS (
+  SELECT *,
+         CASE WHEN h <= 0.0 THEN az0 ELSE {twopi} - az0 END AS az
+  FROM sp8
+)"""
+
+
+def _tilted_simple_sql(slope_deg: float) -> str:
+    """Clearsky split + simple transposition for a FIXED slope/south
+    azimuth — mirrors diffuse_horizontal + tilted_irradiation(simple).
+    Emits column ``irr``."""
+    sin_s = repr(float(np.sin(np.deg2rad(slope_deg))))
+    cos_s = repr(float(np.cos(np.deg2rad(slope_deg))))
+    az_c = repr(float(np.deg2rad(180.0)))
+    alt_thr = repr(float(np.deg2rad(1.0)))
+    # np.fmin/np.fmax NaN-ignoring semantics via IS NULL guards
+    f1v = "(1.020 - 0.254 * k + 0.0123 * sinalt)"
+    f2v = "(1.400 - 1.749 * k + 0.177 * sinalt)"
+    f3v = "(0.486 * k - 0.182 * sinalt)"
+    return f"""
+t0 AS (
+  SELECT *,
+         sin(alt) AS sinalt,
+         GREATEST({sin_s} * cos(alt) * cos({az_c} - az)
+                  + {cos_s} * sin(alt), 0.0) AS cosinc,
+         LEAST(GREATEST(influx_r, 0.0), atmo) AS infc
+  FROM sp9
+),
+t1 AS (
+  SELECT *, infc / atmo AS k FROM t0
+),
+t2 AS (
+  SELECT *,
+         (CASE WHEN k > 0.0 AND k <= 0.3 THEN 1.0 ELSE 0.0 END)
+           * (CASE WHEN {f1v} IS NULL THEN 1.0
+                   ELSE LEAST(1.0, {f1v}) END)
+         + (CASE WHEN k > 0.3 AND k < 0.78 THEN 1.0 ELSE 0.0 END)
+           * LEAST(0.97, CASE WHEN {f2v} IS NULL THEN 0.1
+                              ELSE GREATEST(0.1, {f2v}) END)
+         + (CASE WHEN k >= 0.78 THEN 1.0 ELSE 0.0 END)
+           * (CASE WHEN {f3v} IS NULL THEN 0.1
+                   ELSE GREATEST(0.1, {f3v}) END)
+           AS fraction
+  FROM t1
+),
+t3 AS (
+  SELECT *, infc * fraction AS diffuse FROM t2
+),
+t4 AS (
+  SELECT *, infc - diffuse AS direct FROM t3
+),
+t5 AS (
+  SELECT *,
+         direct + diffuse AS total_i,
+         (cosinc / sinalt) * direct AS direct_t,
+         (1.0 + {cos_s}) / 2.0 * diffuse
+           + albedo_r * (direct + diffuse) * ((1.0 - {cos_s}) / 2.0)
+           AS diffuse_t
+  FROM t4
+),
+t6 AS (
+  SELECT *,
+         CASE WHEN alt < {alt_thr} OR total_i <= 0.01 THEN 0.0
+              ELSE COALESCE(direct_t, 0.0) + COALESCE(diffuse_t, 0.0)
+         END AS irr
+  FROM t5
+)"""
+
+
+def _pv_grid_sql() -> str:
+    pc_ = {
+        "k_1": -0.017162, "k_2": -0.040289, "k_3": -0.004681,
+        "k_4": 0.000148, "k_5": 0.000169, "k_6": 0.000005,
+    }
+    eff = (
+        "1 + ({k_1}) * lg + ({k_2}) * (lg * lg)"
+        " + t_mod * (({k_3}) + ({k_4}) * lg + ({k_5}) * (lg * lg))"
+        " + ({k_6}) * (t_mod * t_mod)"
+    ).format(**pc_)
+    return f"""
+WITH {_solar_position_sql()},
+{_tilted_simple_sql(30.0)},
+h0 AS (
+  SELECT *,
+         (1.0 * t_amb + 0.035 * irr) - 25.0 AS t_mod,
+         irr / 1000.0 AS gnorm
+  FROM t6
+),
+h1 AS (
+  SELECT *, CASE WHEN gnorm > 0.0 THEN ln(gnorm) ELSE NULL END AS lg FROM h0
+),
+h1b AS (
+  SELECT *, {eff} AS eff0 FROM h1
+),
+h2 AS (
+  -- np.nan_to_num(nan=0, neginf=0) then np.maximum(·, 0): parquet sea
+  -- cells carry REAL NaN (not NULL) through t_amb, so guard both
+  SELECT *,
+         GREATEST(CASE WHEN eff0 IS NULL OR isnan(eff0) THEN 0.0
+                       ELSE eff0 END, 0.0) AS eff
+  FROM h1b
+)
+SELECT ts, lat, lon,
+       CAST(ROUND(gnorm * eff * 0.9 * 1000000) AS BIGINT) AS pv_power_ppm
+FROM h2
+"""
+
+
+def _solar_thermal_sql() -> str:
+    return f"""
+WITH {_solar_position_sql()},
+{_tilted_simple_sql(45.0)},
+s0 AS (
+  SELECT *,
+         irr * (0.8 - 3.0 * (((80.0 + 273.15) - t_amb) / irr)) AS raw_out
+  FROM t6
+)
+SELECT ts, lat, lon,
+       CAST(ROUND((CASE WHEN raw_out IS NULL OR isnan(raw_out)
+                        OR raw_out <= 0.0
+                        THEN 0.0 ELSE raw_out END) * 10000) AS BIGINT)
+         AS solar_thermal_x10k
+FROM s0
+"""
+
+
+def _pv_tracking_sql() -> str:
+    """Bofinger panel + Hay-Davies transposition + latitude-optimal
+    slope — the pv_tracking_grid chain mirrored per expression.
+    Python-computed scalar constants (capacity, D*fraction/ta parts)
+    are inlined as literals; sea-cell NaN temperatures surface as NULL
+    BIGINT (matching the engine's NaN -> null scaled-int convention).
+    """
+    d25 = repr(float(np.deg2rad(25.0)))
+    d50 = repr(float(np.deg2rad(50.0)))
+    d031 = repr(float(np.deg2rad(0.31)))
+    d40 = repr(float(np.deg2rad(40.0)))
+    az_c = repr(float(np.deg2rad(180.0)))
+    alt_thr = repr(float(np.deg2rad(1.0)))
+    # bofinger constants (fixture_bofinger)
+    A_, B_, C_, D_ = 1.1233, -3.106e-5, -0.0341, 0.00109
+    NOCT, Tamb, Intc, Tstd, ta, inv, thr = (
+        320.0, 293.0, 800.0, 298.0, 0.9, 0.93, 5.0,
+    )
+    frac = (NOCT - Tamb) / Intc
+    capacity = (A_ + B_ * 1000.0 + C_ * float(np.log(1000.0))) * 1e3
+    inv_over_cap = repr(float(inv / capacity))
+    f1v = "(1.020 - 0.254 * k + 0.0123 * sinalt)"
+    f2v = "(1.400 - 1.749 * k + 0.177 * sinalt)"
+    f3v = "(0.486 * k - 0.182 * sinalt)"
+    return f"""
+WITH {_solar_position_sql()},
+o0 AS (
+  SELECT *,
+         CASE WHEN lat_r <= {d25} THEN 0.87 * lat_r
+              WHEN lat_r <= {d50} THEN 0.76 * lat_r + {d031}
+              ELSE {d40} END AS slope_l
+  FROM sp9
+),
+o1 AS (
+  SELECT *, sin(slope_l) AS sin_s, cos(slope_l) AS cos_s,
+         sin(alt) AS sinalt,
+         LEAST(GREATEST(influx_r, 0.0), atmo) AS infc
+  FROM o0
+),
+o2 AS (
+  SELECT *,
+         GREATEST(sin_s * cos(alt) * cos({az_c} - az)
+                  + cos_s * sin(alt), 0.0) AS cosinc,
+         infc / atmo AS k
+  FROM o1
+),
+o3 AS (
+  SELECT *,
+         (CASE WHEN k > 0.0 AND k <= 0.3 THEN 1.0 ELSE 0.0 END)
+           * (CASE WHEN {f1v} IS NULL THEN 1.0
+                   ELSE LEAST(1.0, {f1v}) END)
+         + (CASE WHEN k > 0.3 AND k < 0.78 THEN 1.0 ELSE 0.0 END)
+           * LEAST(0.97, CASE WHEN {f2v} IS NULL THEN 0.1
+                              ELSE GREATEST(0.1, {f2v}) END)
+         + (CASE WHEN k >= 0.78 THEN 1.0 ELSE 0.0 END)
+           * (CASE WHEN {f3v} IS NULL THEN 0.1
+                   ELSE GREATEST(0.1, {f3v}) END)
+           AS fraction
+  FROM o2
+),
+o4 AS (SELECT *, infc * fraction AS diffuse FROM o3),
+o5 AS (SELECT *, infc - diffuse AS direct FROM o4),
+o6 AS (
+  SELECT *,
+         direct + diffuse AS total_i,
+         sqrt(CASE WHEN direct + diffuse > 0.0
+                   THEN direct / (direct + diffuse) ELSE 0.0 END) AS fhd,
+         direct / atmo AS a_i,
+         cosinc / sinalt AS r_b
+  FROM o5
+),
+o7 AS (
+  SELECT *,
+         ((1.0 - a_i) * ((1 + cos_s) / 2.0)
+          * (1.0 + fhd * power(sin(slope_l / 2.0), 3)) + a_i * r_b)
+           * diffuse AS diffuse_t0,
+         r_b * direct AS direct_t,
+         total_i * albedo_r * (1.0 - cos_s) / 2.0 AS ground_t
+  FROM o6
+),
+o8 AS (
+  SELECT *,
+         CASE WHEN diffuse_t0 IS NULL OR isnan(diffuse_t0)
+                   OR diffuse_t0 < 0.0
+              THEN 0.0 ELSE diffuse_t0 END AS diffuse_t
+  FROM o7
+),
+o9 AS (
+  SELECT *,
+         CASE WHEN alt < {alt_thr} OR total_i <= 0.01 THEN 0.0
+              ELSE direct_t + diffuse_t + ground_t END AS irr
+  FROM o8
+),
+b0 AS (
+  SELECT *,
+         ({A_!r} + {B_!r} * irr
+          + {C_!r} * (CASE WHEN irr > 0.0 THEN ln(irr) ELSE NULL END))
+           AS eta_ref
+  FROM o9
+),
+b1 AS (
+  SELECT *,
+         eta_ref * (1.0 + {D_!r} * ({frac!r} * irr + (t_amb - {Tstd!r})))
+           / (1.0 + {D_!r} * {frac!r} / {ta!r} * eta_ref * irr) AS eta
+  FROM b0
+),
+b2 AS (
+  SELECT *,
+         CASE WHEN irr < {thr!r} THEN 0.0
+              ELSE irr * eta * {inv_over_cap} END AS pwr
+  FROM b1
+)
+SELECT ts, lat, lon,
+       CASE WHEN pwr IS NULL OR isnan(pwr) THEN NULL
+            ELSE CAST(ROUND(pwr * 1000000) AS BIGINT) END AS pv_power_ppm
+FROM b2
+"""
+
+
+PV_GRID_SQL = _pv_grid_sql()
+
+
+SOLAR_THERMAL_SQL = _solar_thermal_sql()
+
+
+PV_TRACKING_SQL = _pv_tracking_sql()
+
+
+def _sql_splitmix_stages(prefix: str, x0_exprs: dict[str, str], src: str) -> str:
+    """CTE chain applying ONE splitmix64 finalizer to each named input
+    expression (HUGEINT u64), stage-by-stage so every intermediate is
+    referenced by name (linear SQL size).  Emits columns ``h_<name>``
+    in the final stage ``{prefix}6``."""
+    names = list(x0_exprs)
+    s0 = ", ".join(f"{x0_exprs[n]} AS x0_{n}" for n in names)
+    stages = [f"{prefix}0 AS (SELECT *, {s0} FROM {src})"]
+    exprs = [
+        lambda c: f"(({c} + 11400714819323198485) % {_U64_M})",
+        lambda c: _sql_xor_u64(c, f"{c} // 1073741824"),
+        lambda c: _sql_mulmod64(c, 13787848793156543929),
+        lambda c: _sql_xor_u64(c, f"{c} // 134217728"),
+        lambda c: _sql_mulmod64(c, 10723151780598845931),
+        lambda c: _sql_xor_u64(c, f"{c} // 2147483648"),
+    ]
+    prev = "x0"
+    for j, fn in enumerate(exprs, 1):
+        out = f"h" if j == len(exprs) else f"z{j}"
+        cols = ", ".join(f"{fn(f'{prev}_{n}')} AS {out}_{n}" for n in names)
+        stages.append(
+            f"{prefix}{j} AS (SELECT *, {cols} FROM {prefix}{j - 1})"
+        )
+        prev = out
+    return ",\n".join(stages)
+
+
+def _top_pages_sql() -> str:
+    """Full SQL mirror of the flagship page-synthesis + geocode +
+    tile + salted-top-k chain (pages_from_documents_batch ->
+    enrich_pages -> salted_topk_per_key): hash streams are one
+    splitmix64 application each (inner constant precomputed), the
+    gazetteer with its zipf cumulative weights is inlined, the
+    byte-identical extract round-trip reduces score to constructed
+    text length, and geocode precedence (coord tag > mention > host)
+    becomes CASEs.  Rank = ROW_NUMBER per res-5 cell."""
+    from geodata_ray.sources.synth import gazetteer_arrays, splitmix64
+
+    names, glat, glon, cum = gazetteer_arrays()
+    g_rows = ", ".join(
+        f"({i}, '{names[i]}', {float(glat[i])!r}, {float(glon[i])!r},"
+        f" {float(cum[i])!r})"
+        for i in range(len(names))
+    )
+    streams = {70: "city", 71: "nogeo", 72: "coords", 73: "jlat", 74: "jlon"}
+    x0 = {}
+    for s, nm in streams.items():
+        inner = int(splitmix64(np.uint64(42 + s * 0x9E37)))
+        inner_i64 = inner - (1 << 64) if inner >= (1 << 63) else inner
+        x = f"xor(doc_id, CAST({inner_i64} AS BIGINT))"
+        x0[nm] = (
+            f"(CASE WHEN {x} < 0 THEN {x}::HUGEINT + {_U64_M}"
+            f" ELSE {x}::HUGEINT END)"
+        )
+    sm = _sql_splitmix_stages("hs", x0, "d0")
+    u = {nm: f"((h_{nm} // 2048) / 9007199254740992.0)" for nm in streams.values()}
+    return f"""
+WITH d0 AS (SELECT doc_id, text FROM documents),
+{sm},
+gz(gi, gname, glat, glon, gcum) AS (VALUES {g_rows}),
+c0 AS (
+  SELECT doc_id, text,
+         {u["city"]} AS u_city,
+         (h_nogeo % 20 = 0) AS no_geo,
+         (h_coords % 5 = 0) AND NOT (h_nogeo % 20 = 0) AS has_coords,
+         {u["jlat"]} AS u_jlat,
+         {u["jlon"]} AS u_jlon
+  FROM hs6
+),
+c1 AS (
+  SELECT c0.*,
+         LEAST((SELECT COUNT(*) FROM gz WHERE gz.gcum <= c0.u_city), 499)
+           AS city
+  FROM c0
+),
+c2 AS (
+  SELECT c1.*, gz.gname, gz.glat, gz.glon
+  FROM c1 JOIN gz ON gz.gi = c1.city
+),
+c3 AS (
+  SELECT *,
+         ROUND(glat + (u_jlat - 0.5) * 0.4, 4) AS jlat,
+         ROUND(glon + (u_jlon - 0.5) * 0.4, 4) AS jlon
+  FROM c2
+),
+c4 AS (
+  SELECT *,
+         'https://' || (CASE WHEN no_geo THEN 'www' ELSE gname END)
+           || '.example.com/d' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+           AS url,
+         CAST(length(text)
+              + CASE WHEN no_geo THEN 0
+                     ELSE length(' Observations near ' || gname
+                                 || ' continue.') END
+              + CASE WHEN has_coords
+                     THEN length(' Position @' || printf('%.4f', jlat)
+                                 || ',' || printf('%.4f', jlon)
+                                 || ' recorded.')
+                     ELSE 0 END AS DOUBLE) AS score,
+         CASE WHEN has_coords THEN CAST(printf('%.4f', jlat) AS DOUBLE)
+              WHEN NOT no_geo THEN glat ELSE NULL END AS geolat,
+         CASE WHEN has_coords THEN CAST(printf('%.4f', jlon) AS DOUBLE)
+              WHEN NOT no_geo THEN glon ELSE NULL END AS geolon
+  FROM c3
+),
+c5 AS (
+  SELECT url, score,
+         {qcell.cell_sql_expr("geolat", "geolon", 5)} AS cell
+  FROM c4 WHERE geolat IS NOT NULL
+),
+ranked AS (
+  SELECT cell, url, score,
+         ROW_NUMBER() OVER (PARTITION BY cell
+                            ORDER BY score DESC, url) AS rank
+  FROM c5
+)
+SELECT url, cell, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
+TOP_PAGES_SQL = _top_pages_sql()
+
+
+_GATE_VEC_IDS: list[int] | None = None
+
+
+def _gate_vec_ids() -> list[int]:
+    """vec_ids of the gate corpus in FILE order (single cached read —
+    both iterative-ML oracle builders share it)."""
+    global _GATE_VEC_IDS
+    if _GATE_VEC_IDS is None:
+        try:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                f"{_ORACLE_SF_DIR}/embeddings.parquet", columns=["vec_id"]
+            )
+            _GATE_VEC_IDS = [int(x) for x in t["vec_id"].to_numpy()]
+        except Exception as e:
+            # a silent range(500) fallback here would make every
+            # kmeans/IVF oracle wrong with no hint why — fail loudly
+            raise RuntimeError(
+                f"oracle gate corpus missing/unreadable at "
+                f"{_ORACLE_SF_DIR}/embeddings.parquet; the kmeans/IVF "
+                f"oracle SQL is bound to the gate corpus and cannot be "
+                f"built without it"
+            ) from e
+    return _GATE_VEC_IDS
+
+
+def _embedding_head_ids(k: int) -> list[int]:
+    """vec_ids of the first k rows (FILE order) — the engine's kmeans
+    init_table rows."""
+    return _gate_vec_ids()[:k]
+
+
+def _embedding_corpus_size() -> int:
+    return len(_gate_vec_ids())
+
+
+def _kmeans_sql(k: int = 8, iters: int = 6, dim: int = 64) -> str:
+    """Fully-independent SQL Lloyd: the SAME init (first k rows), then
+    ``iters`` assign+recompute rounds entirely in SQL (cross-join
+    distances, ROW_NUMBER argmin with lowest-cluster tie-break,
+    element-wise AVG via generate_series indexing, empty clusters keep
+    their previous centroid).  Per-cluster mean sums are exact (float32
+    -valued inputs summed in float64), so SQL centroids equal the
+    engine's bit-for-bit as long as assignments agree — distance
+    expressions differ only in last-ulp accumulation order."""
+    d2 = (
+        "list_inner_product(e.v, e.v) - 2 * list_inner_product(e.v, c.v)"
+        " + list_inner_product(c.v, c.v)"
+    )
+    # the engine inits from the FIRST k rows in FILE order; read the
+    # actual driver file so cluster labels line up even if vec_ids are
+    # not 0..k-1 in sorted order (gate runs at sf0.01)
+    init_pairs = ", ".join(
+        f"({j}, {vid})" for j, vid in enumerate(_embedding_head_ids(k))
+    )
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT i.cl, e.v FROM (VALUES {init_pairs}) i(cl, vid)"
+        f" JOIN e ON e.vec_id = i.vid)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""asg{i} AS MATERIALIZED (
+  SELECT vec_id, v, cl FROM (
+    SELECT e.vec_id, e.v, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2}, c.cl) AS rk
+    FROM e CROSS JOIN c{i - 1} c
+  ) WHERE rk = 1
+)"""
+        )
+        parts.append(
+            f"""cn{i} AS MATERIALIZED (
+  SELECT cl, list(m ORDER BY pos) AS v FROM (
+    SELECT cl, gs.i AS pos, AVG(v[gs.i]) AS m
+    FROM asg{i} CROSS JOIN generate_series(1, {dim}) gs(i)
+    GROUP BY 1, 2
+  ) GROUP BY cl
+)"""
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT cl, v FROM cn{i} UNION ALL"
+            f" SELECT cl, v FROM c{i - 1}"
+            f" WHERE cl NOT IN (SELECT cl FROM cn{i}))"
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM (
+  SELECT e.vec_id, c.cl,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {d2}, c.cl) AS rk
+  FROM e CROSS JOIN c{iters} c
+) WHERE rk = 1
+"""
+
+
+KMEANS_SQL = _kmeans_sql()
+
+
+def _ivf_sql(n_lists: int = 16, iters: int = 10, dim: int = 64,
+             n_probe: int = 4, k: int = 5) -> str:
+    """Independent SQL mirror of the IVF pipeline: seeded-choice init
+    (indices precomputed — the only non-SQL piece), spherical Lloyd in
+    SQL (normalize -> argmax dot -> renormalized means), probe-list
+    selection per query, cluster pruning, exact cosine top-k over the
+    survivors.  Normalized values make the means inexact-by-ulp across
+    engines; assignments tolerate that because cluster margins are
+    orders of magnitude wider."""
+    rng = np.random.default_rng(5)
+    n_corpus = _embedding_corpus_size()
+    init_pos = sorted(  # clamp like ivf_build's min(n_lists, N)
+        int(x)
+        for x in rng.choice(
+            n_corpus, size=min(n_lists, n_corpus), replace=False
+        )
+    )
+    # positions -> vec_ids in file order (identity when the file is
+    # vec_id-ordered starting at 0, as the driver corpus is)
+    head = _embedding_head_ids(n_corpus)
+    init_ids = ", ".join(str(head[p]) for p in init_pos)
+    dot = "list_inner_product(e.nv, c.v)"
+    parts = [
+        """e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_inner_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))) AS nv
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl, nv AS v
+  FROM e WHERE vec_id IN ({init_ids})
+)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""asg{i} AS MATERIALIZED (
+  SELECT vec_id, nv, cl FROM (
+    SELECT e.vec_id, e.nv, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot} DESC, c.cl) AS rk
+    FROM e CROSS JOIN c{i - 1} c
+  ) WHERE rk = 1
+)"""
+        )
+        parts.append(
+            f"""cm{i} AS MATERIALIZED (
+  SELECT cl, list(m ORDER BY pos) AS mv FROM (
+    SELECT cl, gs.i AS pos, AVG(nv[gs.i]) AS m
+    FROM asg{i} CROSS JOIN generate_series(1, {dim}) gs(i)
+    GROUP BY 1, 2
+  ) GROUP BY cl
+)"""
+        )
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT cl, list_transform(mv,
+           x -> x / sqrt(list_inner_product(mv, mv))) AS v
+  FROM cm{i}
+  UNION ALL
+  SELECT cl, v FROM c{i - 1} WHERE cl NOT IN (SELECT cl FROM cm{i})
+)"""
+        )
+    parts.append(
+        f"""q AS (SELECT vec_id AS query_id, nv AS qv FROM e WHERE vec_id < 5),
+probe AS (
+  SELECT DISTINCT cl FROM (
+    SELECT q.query_id, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY list_inner_product(q.qv, c.v) DESC,
+                                       c.cl) AS rk
+    FROM q CROSS JOIN c{iters} c
+  ) WHERE rk <= {n_probe}
+),
+vassign AS (
+  SELECT vec_id, nv, cl FROM (
+    SELECT e.vec_id, e.nv, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot} DESC, c.cl) AS rk
+    FROM e CROSS JOIN c{iters} c
+  ) WHERE rk = 1
+),
+surv AS (
+  SELECT v.vec_id, v.nv FROM vassign v WHERE v.cl IN (SELECT cl FROM probe)
+),
+scored AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+         list_inner_product(q.qv, s.nv) AS sim
+  FROM q CROSS JOIN surv s WHERE s.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}"""
+    )
+    body = ",\n".join(parts)
+    return f"WITH {body}\n"
+
+
+IVF_SQL = _ivf_sql()
+
+
+_RASTER_BOTH = f"""
+  SELECT * FROM {_RASTER_PQ["landcover"]}
+  UNION ALL
+  SELECT * FROM {_RASTER_PQ["slope"]}
+"""
+
+
+RASTER_AND_SQL = f"""
+WITH layers2 AS ({_RASTER_BOTH}),
+agg AS (
+  SELECT row, col,
+         SUM(CASE WHEN CAST(value AS DOUBLE) <> 0.0 THEN 1 ELSE 0 END)
+           AS n_nonzero,
+         SUM(CASE WHEN layer = 'slope' THEN CAST(value AS DOUBLE)
+                  ELSE 0.0 END) AS ref_value
+  FROM layers2 GROUP BY 1, 2
+)
+SELECT row, col,
+       CAST(CASE WHEN n_nonzero = 2 THEN ref_value ELSE 0.0 END AS REAL)
+         AS value
+FROM agg
+"""
+
+
+RASTER_SUM_SQL = f"""
+WITH layers2 AS ({_RASTER_BOTH})
+SELECT row, col,
+       SUM(CASE WHEN layer = 'landcover' THEN 2.0 * CAST(value AS DOUBLE)
+                WHEN layer = 'slope' THEN 0.5 * CAST(value AS DOUBLE)
+                ELSE 1.0 * CAST(value AS DOUBLE) END) AS value
+FROM layers2 GROUP BY 1, 2
+"""
+
+
+RASTER_FILTER_TRIM_SQL = f"""
+WITH f AS (
+  SELECT layer, row, col, lat, lon,
+         CASE WHEN CAST(value AS DOUBLE) IN (1.0, 2.0, 3.0) THEN value
+              ELSE CAST(0.0 AS REAL) END AS value
+  FROM {_RASTER_PQ["landcover"]}
+),
+b AS (
+  SELECT MIN(row) AS rmin, MAX(row) AS rmax,
+         MIN(col) AS cmin, MAX(col) AS cmax
+  FROM f WHERE CAST(value AS DOUBLE) <> 0.0
+)
+SELECT f.layer, f.row, f.col, f.lat, f.lon, f.value
+FROM f, b
+WHERE f.row BETWEEN b.rmin AND b.rmax AND f.col BETWEEN b.cmin AND b.cmax
+"""
+
+
+RASTER_RESAMPLE_SQL = f"""
+SELECT {qcell.cell_sql_expr("lat", "lon", 5)} AS cell,
+       AVG(CAST(value AS DOUBLE)) AS value
+FROM {_RASTER_PQ["slope"]}
+GROUP BY 1
+"""
+
+
+RASTER_MIN_AREA_SQL = f"""
+WITH RECURSIVE nz AS (
+  SELECT layer, row, col, lat, lon, value
+  FROM {_RASTER_PQ["scatter"]}
+  WHERE CAST(value AS DOUBLE) <> 0.0
+),
+walk(row, col, label) AS (
+  SELECT row, col, CAST(row AS BIGINT) * 80 + col FROM nz
+  UNION
+  SELECT n.row, n.col, w.label
+  FROM walk w
+  CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) d(dr, dc)
+  JOIN nz n ON n.row = w.row + d.dr AND n.col = w.col + d.dc
+),
+lab AS (SELECT row, col, MIN(label) AS label FROM walk GROUP BY 1, 2),
+sz AS (SELECT label, COUNT(*) AS n FROM lab GROUP BY 1)
+SELECT nz.layer, nz.row, nz.col, nz.lat, nz.lon,
+       CAST(CASE WHEN sz.n >= 3 THEN nz.value ELSE 0.0 END AS REAL) AS value
+FROM nz
+JOIN lab ON lab.row = nz.row AND lab.col = nz.col
+JOIN sz ON sz.label = lab.label
+"""
+
+
+# area-weighted variant: identical label propagation, but the
+# per-component measure is SUM of the spherical pixel area
+# R^2 * dlon * (sin(lat+dlat/2) - sin(lat-dlat/2)) — the same IEEE
+# expression pixel_area_km2 evaluates (threshold margin >= 6.9 km^2 on
+# this fixture, so last-ulp sin/radians differences cannot flip a row).
+RASTER_MIN_AREA_KM2_SQL = f"""
+WITH RECURSIVE nz AS (
+  SELECT layer, row, col, lat, lon, value,
+         POWER(6371.0088, 2) * RADIANS(0.25)
+           * (SIN(RADIANS(lat) + RADIANS(0.25) / 2)
+              - SIN(RADIANS(lat) - RADIANS(0.25) / 2)) AS px_area
+  FROM {_RASTER_PQ["scatter"]}
+  WHERE CAST(value AS DOUBLE) <> 0.0
+),
+walk(row, col, label) AS (
+  SELECT row, col, CAST(row AS BIGINT) * 80 + col FROM nz
+  UNION
+  SELECT n.row, n.col, w.label
+  FROM walk w
+  CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) d(dr, dc)
+  JOIN nz n ON n.row = w.row + d.dr AND n.col = w.col + d.dc
+),
+lab AS (SELECT row, col, MIN(label) AS label FROM walk GROUP BY 1, 2),
+sz AS (
+  SELECT lab.label, SUM(nz.px_area) AS area
+  FROM lab JOIN nz ON nz.row = lab.row AND nz.col = lab.col
+  GROUP BY 1
+)
+SELECT nz.layer, nz.row, nz.col, nz.lat, nz.lon,
+       CAST(CASE WHEN sz.area >= 1800.0 THEN nz.value ELSE 0.0 END AS REAL)
+         AS value
+FROM nz
+JOIN lab ON lab.row = nz.row AND lab.col = nz.col
+JOIN sz ON sz.label = lab.label
+"""
+
+
+MASK_ATTACH_SQL = f"""
+WITH m AS (
+  SELECT row, col,
+         CAST(CASE WHEN SUM(CASE WHEN CAST(value AS DOUBLE) <> 0.0
+                                 THEN 1 ELSE 0 END) = 2
+                   THEN SUM(CASE WHEN layer = 'slope'
+                                 THEN CAST(value AS DOUBLE) ELSE 0.0 END)
+                   ELSE 0.0 END AS REAL) AS value
+  FROM ({_RASTER_BOTH}) GROUP BY 1, 2
+),
+mm AS (
+  SELECT 30.0 + (CAST(row AS DOUBLE) + 0.5) * 0.25 AS mlat,
+         -15.0 + (CAST(col AS DOUBLE) + 0.5) * 0.25 AS mlon,
+         value
+  FROM m
+),
+cells AS (
+  SELECT {qcell.cell_sql_expr("mlat", "mlon", 5)} AS cell,
+         AVG(CAST(value AS DOUBLE)) AS mask_value
+  FROM mm GROUP BY 1
+)
+SELECT g.ts, g.lat, g.lon,
+       {qcell.cell_sql_expr("g.lat", "g.lon", 5)} AS cell,
+       c.mask_value
+FROM {_GRID_PQ} g
+LEFT JOIN cells c ON c.cell = {qcell.cell_sql_expr("g.lat", "g.lon", 5)}
+"""
+
+
+RUNNING_ACTOR_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id,
+       CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS running_sum,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS running_n
+FROM w
+"""
+
+
+NORMALIZE_ERA5_SQL = f"""
+WITH raw AS (
+  SELECT event_id,
+         make_timestamp(event_id * 3600000000) AS ts,
+         (((event_id * {_GEO_A} + 3 * 7919) % {_GEO_M}) / {_GEO_M})
+           * 120.0 - 60.0 AS lat,
+         (((event_id * {_GEO_A} + 4 * 7919) % {_GEO_M}) / {_GEO_M})
+           * 360.0 - 180.0 AS lon,
+         (((event_id * {_GEO_A} + 5 * 7919) % {_GEO_M}) / {_GEO_M})
+           * 5e4 AS z,
+         (((event_id * {_GEO_A} + 1 * 7919) % {_GEO_M}) / {_GEO_M})
+           * 3.6e6 AS ssrd,
+         (((event_id * {_GEO_A} + 2 * 7919) % {_GEO_M}) / {_GEO_M}) AS u2,
+         (((event_id * {_GEO_A} + 6 * 7919) % {_GEO_M}) / {_GEO_M}) AS u6,
+         (((event_id * {_GEO_A} + 7 * 7919) % {_GEO_M}) / {_GEO_M}) AS u7,
+         (((event_id * {_GEO_A} + 8 * 7919) % {_GEO_M}) / {_GEO_M})
+           * 20 - 10 AS u100,
+         (((event_id * {_GEO_A} + 9 * 7919) % {_GEO_M}) / {_GEO_M})
+           * 20 - 10 AS v100,
+         (((event_id * {_GEO_A} + 10 * 7919) % {_GEO_M}) / {_GEO_M})
+           * 2e-4 - 1e-4 AS ro,
+         250.0 + (((event_id * {_GEO_A} + 11 * 7919) % {_GEO_M}) / {_GEO_M})
+           * 60.0 AS t2m,
+         9e4 + (((event_id * {_GEO_A} + 12 * 7919) % {_GEO_M}) / {_GEO_M})
+           * 1.5e4 AS sp,
+         260.0 + (((event_id * {_GEO_A} + 13 * 7919) % {_GEO_M}) / {_GEO_M})
+           * 40.0 AS stl4,
+         (((event_id * {_GEO_A} + 14 * 7919) % {_GEO_M}) / {_GEO_M}) AS fsr
+  FROM events
+),
+d AS (
+  SELECT *, ssrd * (0.2 + 0.7 * u2) AS fdir,
+         ssrd * (0.7 + 0.25 * u6) AS ssr,
+         ssrd * (1.0 + 0.3 * u7) AS tisr
+  FROM raw
+)
+SELECT ts, lat, lon,
+       z / 9.80665 AS height,
+       CASE WHEN isnan((ssrd - ssr) / ssrd) THEN 0.0
+            ELSE (ssrd - ssr) / ssrd END AS albedo,
+       GREATEST(fdir, 0.0) / 3600.0 AS influx_direct,
+       GREATEST(ssrd - fdir, 0.0) / 3600.0 AS influx_diffuse,
+       GREATEST(tisr, 0.0) / 3600.0 AS influx_toa,
+       sqrt(u100 * u100 + v100 * v100) AS wnd100m,
+       GREATEST(ro, 0.0) AS runoff,
+       t2m AS temperature,
+       sp AS pressure,
+       stl4 AS soil_temperature,
+       fsr AS roughness
+FROM d
+"""
+
+
+PARTITIONED_VIEW_SQL = f"""
+SELECT event_id, user_id, value,
+       ((event_id * {_GEO_A}) % {_GEO_M}) % 8 AS bucket
+FROM events
+WHERE ((event_id * {_GEO_A}) % {_GEO_M}) % 8 IN (1, 3)
+"""
+
+
+def _knn_gazetteer_sql() -> str:
+    """Brute-force haversine oracle for the cell-local kNN against the
+    REAL gazetteer: the 500 (id, lat, lon) rows are inlined as literals
+    (np.round(x, 4) float64 repr round-trips exactly), queries derive
+    coords from event ids with the shared integer-hash formulas.  A
+    green row proves the kRing-pruned plan is exact on this corpus."""
+    from geodata_ray.sources.synth import gazetteer_arrays
+
+    _, lats, lons, _ = gazetteer_arrays()
+    rows = ", ".join(
+        f"({i}, {float(lats[i])!r}, {float(lons[i])!r})"
+        for i in range(len(lats))
+    )
+    return f"""
+WITH refs(ref_id, rlat, rlon) AS (VALUES {rows}),
+qs AS (
+  SELECT event_id, {_derive_lat_sql("event_id")} AS qlat,
+         {_derive_lon_sql("event_id")} AS qlon
+  FROM events
+),
+d AS (
+  SELECT event_id AS query_id, ref_id,
+         2 * 6371.0088 * ASIN(SQRT(
+           POWER(SIN(RADIANS(rlat - qlat) / 2), 2)
+           + COS(RADIANS(qlat)) * COS(RADIANS(rlat))
+             * POWER(SIN(RADIANS(rlon - qlon) / 2), 2))) AS dist
+  FROM qs, refs
+),
+ranked AS (
+  SELECT query_id, ref_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dist, ref_id) AS rank
+  FROM d
+)
+SELECT query_id, ref_id, rank FROM ranked WHERE rank <= 3
+"""
+
+
+KNN_GAZETTEER_SQL = _knn_gazetteer_sql()
+
+
+TOP3_SALTED_SQL = """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_type, event_id)
+           AS rank
+  FROM events
+)
+SELECT event_type, event_id, value, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def _wind_fit_core_sql() -> str:
+    """Per-row closed-form 2x2 least squares (speed vs log-height) as
+    lateral-alias SQL mirroring ``fit_extrapolation_batch``'s exact
+    IEEE trees (4-term sums are sequential in numpy at this width)."""
+    terms = [
+        ("50.0", "u50m", "v50m"),
+        ("10.0", "u10m", "v10m"),
+        ("2.0", "u2m", "v2m"),
+        ("CAST(hlml AS DOUBLE)", "ulml", "vlml"),
+    ]
+    cols = []
+    for i, (h, u, v) in enumerate(terms, 1):
+        H = f"({h} - CAST(disph AS DOUBLE))"
+        cols.append(
+            f"(CASE WHEN {H} > 0.0 THEN ln({H}) ELSE -1.0 END) AS x{i}"
+        )
+        cols.append(
+            f"sqrt(CAST({u} AS DOUBLE) * CAST({u} AS DOUBLE)"
+            f" + CAST({v} AS DOUBLE) * CAST({v} AS DOUBLE)) AS y{i}"
+        )
+    xy = ",\n         ".join(cols)
+    return f"""
+  SELECT ts, lat, lon, disph,
+         {xy}
+  FROM {_GRID_PQ}
+"""
+
+
+WIND_FIT_SQL = f"""
+WITH b AS ({_wind_fit_core_sql()}),
+s AS (
+  SELECT ts, lat, lon, disph, x1, x2, x3, x4, y1, y2, y3, y4,
+         x1 + x2 + x3 + x4 AS sx,
+         y1 + y2 + y3 + y4 AS sy,
+         x1 * x1 + x2 * x2 + x3 * x3 + x4 * x4 AS sxx,
+         x1 * y1 + x2 * y2 + x3 * y3 + x4 * y4 AS sxy,
+         4 * sxx - sx * sx AS det,
+         (4 * sxy - sx * sy) / det AS alpha,
+         (sy - alpha * sx) / 4 AS beta,
+         (y1 - (alpha * x1 + beta)) * (y1 - (alpha * x1 + beta))
+         + (y2 - (alpha * x2 + beta)) * (y2 - (alpha * x2 + beta))
+         + (y3 - (alpha * x3 + beta)) * (y3 - (alpha * x3 + beta))
+         + (y4 - (alpha * x4 + beta)) * (y4 - (alpha * x4 + beta)) AS ssr
+  FROM b
+)
+SELECT ts, lat, lon, disph,
+       CAST(alpha AS REAL) AS alpha,
+       CAST(beta AS REAL) AS beta,
+       CAST(ssr AS REAL) AS ssr
+FROM s
+"""
+
+
+WIND_ESTIMATE_SQL = f"""
+WITH b AS ({_wind_fit_core_sql()}),
+s AS (
+  SELECT ts, lat, lon, disph, x1, x2, x3, x4, y1, y2, y3, y4,
+         x1 + x2 + x3 + x4 AS sx,
+         y1 + y2 + y3 + y4 AS sy,
+         x1 * x1 + x2 * x2 + x3 * x3 + x4 * x4 AS sxx,
+         x1 * y1 + x2 * y2 + x3 * y3 + x4 * y4 AS sxy,
+         4 * sxx - sx * sx AS det,
+         CAST(CAST((4 * sxy - sx * sy) / det AS REAL) AS DOUBLE) AS a,
+         CAST(CAST((sy - ((4 * sxy - sx * sy) / det) * sx) / 4 AS REAL)
+              AS DOUBLE) AS bt
+  FROM b
+)
+SELECT ts, lat, lon,
+       CAST(ROUND(a * ln((30.0 - CAST(disph AS DOUBLE))
+                         / exp(-bt / a)) * 1000000) AS BIGINT)
+         AS wnd30m_est_um
+FROM s
+"""
+
+
+WIND_SPLINE_SQL = f"""
+SELECT ts, lat, lon,
+       CAST(ROUND(sqrt(CAST(ulml AS DOUBLE) * CAST(ulml AS DOUBLE)
+                       + CAST(vlml AS DOUBLE) * CAST(vlml AS DOUBLE))
+                  * {_spline_profile_const()!r} * 1000000) AS BIGINT)
+         AS wnd80m_est_um
+FROM {_GRID_PQ}
+"""
+
+
+TS_SERIES_SQL = f"""
+SELECT DATE_TRUNC('day', ts) AS bucket,
+       AVG(CASE WHEN isnan(CAST(temperature AS DOUBLE)) THEN NULL
+                ELSE CAST(temperature AS DOUBLE) END) AS temperature_mean
+FROM {_GRID_PQ}
+GROUP BY 1
+"""
+
+
+HEATMAP_SQL = f"""
+SELECT lat, lon,
+       AVG(CASE WHEN isnan(CAST(temperature AS DOUBLE)) THEN NULL
+                ELSE CAST(temperature AS DOUBLE) END) AS temperature_mean
+FROM {_GRID_PQ}
+GROUP BY 1, 2
+"""
+
+
+EXACT_QUANTILES_SQL = """
+WITH o AS (
+  SELECT CAST(ROUND(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (ORDER BY value) AS rn,
+         COUNT(*) OVER () AS n
+  FROM events
+)
+SELECT q.q_pct, o.cents AS value_cents
+FROM o
+JOIN (VALUES (10, 0.1), (25, 0.25), (50, 0.5),
+             (75, 0.75), (90, 0.9), (99, 0.99)) q(q_pct, qq)
+  ON o.rn = CAST(ceil(q.qq * o.n) AS BIGINT)
+"""
+
+
+def _lsh_buckets_sql(dim: int = 64, bits: int = 16) -> str:
+    from geodata_ray.stages.dedup import _hyperplanes
+
+    H = _hyperplanes(dim, bits)  # (dim, bits), rng seed 7
+    terms = []
+    for j in range(bits):
+        vec = ", ".join(repr(float(x)) for x in H[:, j])
+        terms.append(
+            f"(CASE WHEN list_inner_product(embedding::DOUBLE[], [{vec}])"
+            f" > 0.0 THEN {1 << (bits - 1 - j)} ELSE 0 END)"
+        )
+    expr = "\n     + ".join(terms)
+    return f"""
+SELECT vec_id, CAST({expr} AS BIGINT) AS bucket
+FROM embeddings
+"""
+
+
+LSH_BUCKETS_SQL = _lsh_buckets_sql()
+
+
+LANGID_SQL = """
+WITH w AS (
+  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    len(list_intersect(ws, ['the','a','of','to','and','is'])) AS n_en,
+    len(list_intersect(ws, ['el','la','de','que','y','los'])) AS n_es,
+    len(list_intersect(ws, ['der','die','und','das','nicht','ist'])) AS n_de,
+    len(list_intersect(ws, ['le','la','et','les','des','un'])) AS n_fr
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN GREATEST(n_en, n_es, n_de, n_fr) = 0 THEN 'und'
+       WHEN n_en = GREATEST(n_en, n_es, n_de, n_fr) THEN 'en'
+       WHEN n_es = GREATEST(n_en, n_es, n_de, n_fr) THEN 'es'
+       WHEN n_de = GREATEST(n_en, n_es, n_de, n_fr) THEN 'de'
+       ELSE 'fr' END AS lang_pred
+FROM c
+"""
+
+
+QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         length(text)::BIGINT AS n_chars,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','a','of','to','and','in','is','it')))::BIGINT
+           AS n_stopwords
+  FROM documents
+),
+m AS (
+  SELECT *,
+    CASE WHEN n_tokens > 0 THEN n_chars / GREATEST(n_tokens, 1) ELSE 0.0 END
+      AS mean_word,
+    CASE WHEN n_tokens > 0 THEN n_stopwords / GREATEST(n_tokens, 1) ELSE 0.0 END
+      AS stop_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, n_chars, n_stopwords,
+  0.4 * (CASE WHEN mean_word >= 3.0 AND mean_word <= 12.0 THEN 1 ELSE 0 END)
+  + 0.3 * (CASE WHEN stop_ratio >= 0.01 THEN 1 ELSE 0 END)
+  + 0.3 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1 ELSE 0 END)
+  AS quality
+FROM m
+"""
+
+
+ORACLE_SQL = {
+    "q1_pricing_summary": Q1_SQL,
+    "tiles_r7_events": TILES_R7_SQL,
+    "bbox_filter_events": BBOX_SQL,
+    "top10_orders": TOP10_SQL,
+    "dedup_documents_exact": DEDUP_SQL,
+    "daily_user_value": DAILY_SQL,
+    "customer_nation_revenue": CUST_NATION_SQL,
+    "orders_per_segment": SEGMENT_SQL,
+    "customers_without_big_orders": NO_BIG_ORDERS_SQL,
+    "lang_counts": LANG_SQL,
+    "near_dup_pairs": NEAR_DUP_SQL,
+    "embedding_dups": EMBEDDING_DUPS_SQL,
+    "ann_topk_embeddings": ANN_TOPK_SQL,
+    "token_stats_docs": TOKEN_STATS_SQL,
+    "hourly_event_counts": HOURLY_SQL,
+    "session_windows_users": SESSIONS_SQL,
+    "lineitem_part_join": PART_JOIN_SQL,
+    "sliding_event_counts": SLIDING_SQL,
+    "top3_orders_per_segment": TOP3_SEGMENT_SQL,
+    "sample_docs_hash": SAMPLE_SQL,
+    "props_json_extract": PROPS_JSON_SQL,
+    "pip_boxes_events": PIP_BOXES_SQL,
+    "knn_oracle_events": KNN_ORACLE_SQL,
+    "asof_latest_order": ASOF_SQL,
+    "running_user_totals": RUNNING_SQL,
+    "pip_boxes_anti": PIP_ANTI_SQL,
+    "q3_shipping_native": Q3_NATIVE_SQL,
+    "range_join_orders_events": RANGE_JOIN_SQL,
+    "langid_docs": LANGID_SQL,
+    "quality_docs": QUALITY_SQL,
+    "fingerprint_docs": FINGERPRINT_SQL,
+    "simhash_docs": SIMHASH_SQL,
+    "lsh_buckets_embeddings": LSH_BUCKETS_SQL,
+    # conversion family (fixture-parquet oracles; see comment above
+    # TEMPERATURE_SQL)
+    "temperature_grid": TEMPERATURE_SQL,
+    "pm25_grid": PM25_SQL,
+    "winddir_grid": WINDDIR_SQL,
+    "windspd_grid": WINDSPD_SQL,
+    "windwpd_grid": WINDWPD_SQL,
+    "wind_power_grid": WIND_POWER_SQL,
+    "heat_demand_grid": HEAT_DEMAND_SQL,
+    # raster algebra family
+    "raster_and_merge": RASTER_AND_SQL,
+    "raster_sum_merge": RASTER_SUM_SQL,
+    "raster_filter_trim": RASTER_FILTER_TRIM_SQL,
+    "raster_resample_r5": RASTER_RESAMPLE_SQL,
+    "raster_min_area": RASTER_MIN_AREA_SQL,
+    "raster_min_area_km2": RASTER_MIN_AREA_KM2_SQL,
+    # round-2 additions
+    "embedding_dups_lsh": EMBEDDING_DUPS_SQL,
+    "mask_save_load_attach": MASK_ATTACH_SQL,
+    "partitioned_view_events": PARTITIONED_VIEW_SQL,
+    "knn_events_gazetteer": KNN_GAZETTEER_SQL,
+    "top3_events_per_type_salted": TOP3_SALTED_SQL,
+    "running_totals_actor_stream": RUNNING_ACTOR_SQL,
+    "normalize_era5_raw": NORMALIZE_ERA5_SQL,
+    "pv_grid": PV_GRID_SQL,
+    "solar_thermal_grid": SOLAR_THERMAL_SQL,
+    "pv_tracking_grid": PV_TRACKING_SQL,
+    "top_pages_per_tile": TOP_PAGES_SQL,
+    "exact_quantiles_events": EXACT_QUANTILES_SQL,
+    "ts_series_grid": TS_SERIES_SQL,
+    "heatmap_grid": HEATMAP_SQL,
+    "kmeans_embeddings": KMEANS_SQL,
+    "ivf_topk_embeddings": IVF_SQL,
+    "wind_spline_estimate_grid": WIND_SPLINE_SQL,
+    "wind_model_fit_grid": WIND_FIT_SQL,
+    "wind_model_estimate_grid": WIND_ESTIMATE_SQL,
+}

@@ -1,0 +1,217 @@
+"""One-order-of-magnitude stress point (VERDICT r2 item 7).
+
+Runs the flagship at sf1 scale (60M pages, 10x the bench corpus) plus
+sf1-amplified versions of the most expensive gate queries, and prints
+ONE JSON line with wall seconds per pipeline.  Inputs are the driver
+sf0.1 tables amplified 10x by deterministic id-offset replication —
+same value distributions, 10x the rows — because no sf1 driver tables
+exist in this sandbox.
+
+The point is EVIDENCE, not a benchmark: no OOM, no single-block stage,
+spill-tolerant streaming at 10x the gate scale.  Results land in
+BASELINE.md "Measured (sf1)".
+
+Usage: python tools/stress_sf1.py  (env RAY_GRAFT_CPUS, default 32)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+AMP = 10  # sf0.1 -> sf1
+
+
+def amplify(ds, factor: int, offsets: dict[str, int]):
+    """factor copies of every batch with id columns offset per copy —
+    deterministic, preserves all value distributions, multiplies group
+    cardinality by ``factor``."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        copies = []
+        for i in range(factor):
+            t = batch
+            for col, off in offsets.items():
+                arr = pc.add(batch[col], i * off)
+                t = t.set_column(t.schema.get_field_index(col), col, arr)
+            copies.append(t)
+        return pa.concat_tables(copies)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def main() -> None:
+    import ray
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=ncpu,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    import bench
+    from geodata_ray.pipelines.flagship import enrich_pages, tile_counts
+    from geodata_ray.sources.synth import polygons_table
+    from geodata_ray.stages.dedup import (
+        exact_dedup_normalized,
+        minhash_lsh_pairs,
+    )
+    from geodata_ray.stages.relational import grouped_aggregate, native_join
+    from geodata_ray.stages.spatial_join import spatial_join
+    from geodata_ray.stages.windows import tumbling_counts
+
+    walls: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        walls[name] = round(time.perf_counter() - t0, 2)
+        rows[name] = int(n)
+        print(f"[stress] {name}: {walls[name]}s ({n} rows)", file=sys.stderr)
+
+    # --- flagship at 60M pages (cache generation untimed) ---
+    pages_path = bench._pages_cache(60_000_000)
+    rd.read_parquet(pages_path).count()  # untimed page-cache warm
+
+    def flagship60m():
+        pages = rd.read_parquet(pages_path)
+        enriched = enrich_pages(pages)
+        joined = spatial_join(enriched, polygons_table(200), mode="inner")
+        return len(tile_counts(joined, res=7).to_pandas())
+
+    timed("flagship_60m_pages", flagship60m)
+
+    # --- q1-style grouped aggregate over 6M lineitem rows ---
+    def q1_10x():
+        ds = amplify(
+            rd.read_parquet(
+                f"{SF_DIR}/lineitem.parquet",
+                columns=["l_returnflag", "l_linestatus", "l_quantity",
+                         "l_extendedprice", "l_discount", "l_orderkey"],
+            ),
+            AMP,
+            {"l_orderkey": 10_000_000},
+        )
+        out = grouped_aggregate(
+            ds,
+            ["l_returnflag", "l_linestatus"],
+            [
+                ("l_quantity", "sum", "sum_qty"),
+                ("l_extendedprice", "sum", "sum_base"),
+                ("l_quantity", "count", "n"),
+            ],
+        )
+        return len(out.to_pandas())
+
+    timed("q1_lineitem_6m", q1_10x)
+
+    # --- near-dup over 50k docs, FORCED scale paths (distributed
+    # collision filter + shuffle verify) with 10x duplicate density:
+    # every doc has 10 exact copies, the worst case for the collision
+    # filter's colliding-bucket volume ---
+    def near_dup_50k():
+        docs = amplify(
+            rd.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            AMP,
+            {"doc_id": 10_000_000},
+        )
+        pairs = minhash_lsh_pairs(
+            docs, k=3, num_hashes=64, bands=16, threshold=0.8,
+            collision_filter="distributed", verify_mode="shuffle",
+        )
+        return pairs.count()
+
+    timed("near_dup_50k_docs_scalepaths", near_dup_50k)
+
+    # --- exact dedup over 500k docs (50k distinct texts x 10) ---
+    def dedup_500k():
+        docs = amplify(
+            rd.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            AMP * 10,
+            {"doc_id": 10_000_000},
+        )
+        return exact_dedup_normalized(docs).count()
+
+    timed("exact_dedup_500k_docs", dedup_500k)
+
+    # --- hourly windows over 1M events ---
+    def hourly_1m():
+        ev = amplify(
+            rd.read_parquet(
+                f"{SF_DIR}/events.parquet",
+                columns=["event_id", "user_id", "ts"],
+            ),
+            AMP,
+            {"event_id": 100_000_000},
+        )
+        return tumbling_counts(ev, key_col="user_id", ts_col="ts").count()
+
+    timed("hourly_windows_1m_events", hourly_1m)
+
+    # --- q3-style native hash join: 1.5M orders x 6M lineitem ---
+    def q3_join_10x():
+        orders = amplify(
+            rd.read_parquet(
+                f"{SF_DIR}/orders.parquet",
+                columns=["o_orderkey", "o_custkey"],
+            ),
+            AMP,
+            {"o_orderkey": 10_000_000},
+        )
+        li = amplify(
+            rd.read_parquet(
+                f"{SF_DIR}/lineitem.parquet",
+                columns=["l_orderkey", "l_extendedprice"],
+            ),
+            AMP,
+            {"l_orderkey": 10_000_000},
+        )
+        j = native_join(
+            li, orders, on="l_orderkey", right_on="o_orderkey",
+            num_partitions=ncpu,
+        )
+        agg = grouped_aggregate(
+            j, ["o_custkey"], [("l_extendedprice", "sum", "rev")],
+            coalesce=0,
+        )
+        return agg.count()
+
+    timed("q3_native_join_6m_x_1m5", q3_join_10x)
+
+    print(json.dumps({
+        "metric": "sf1 stress walls (10x gate scale)",
+        "unit": "sec",
+        "num_cpus": ncpu,
+        "pages": 60_000_000,
+        "walls": walls,
+        "rows": rows,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
