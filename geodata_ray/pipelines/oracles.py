@@ -1750,6 +1750,30 @@ FROM m
 """
 
 
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((n.nd + 1.0) / (df.df + 1.0)) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rk
+  FROM s
+)
+SELECT doc_id, term, CAST(rk AS BIGINT) AS "rank" FROM r WHERE rk <= 3
+"""
+
+
 ORACLE_SQL = {
     "q1_pricing_summary": Q1_SQL,
     "tiles_r7_events": TILES_R7_SQL,
@@ -1781,6 +1805,7 @@ ORACLE_SQL = {
     "range_join_orders_events": RANGE_JOIN_SQL,
     "langid_docs": LANGID_SQL,
     "quality_docs": QUALITY_SQL,
+    "tfidf_top_terms_docs": TFIDF_SQL,
     "fingerprint_docs": FINGERPRINT_SQL,
     "simhash_docs": SIMHASH_SQL,
     "lsh_buckets_embeddings": LSH_BUCKETS_SQL,

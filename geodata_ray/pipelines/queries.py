@@ -897,6 +897,16 @@ def quality_docs(sf_dir: str):
     return ds.map_batches(quality_score_batch, batch_format="pyarrow")
 
 
+def tfidf_top_terms_docs(sf_dir: str):
+    """Top-3 TF-IDF keywords per document (two-phase DF + broadcast
+    score/rank; rank-only output so no float ever reaches the hash —
+    exact ties share (tf, df) and break on term ASC in both engines)."""
+    from geodata_ray.stages.textstats import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, k=3)
+
+
 def _grid_ds(sf_dir: str):
     """Deterministic grid fixture scaled by sf (same table at any
     parallelism); sf only sets the number of hours.  Read from the
@@ -1699,6 +1709,7 @@ RAY_QUERIES = {
     "fingerprint_docs": fingerprint_docs,
     "langid_docs": langid_docs,
     "quality_docs": quality_docs,
+    "tfidf_top_terms_docs": tfidf_top_terms_docs,
     "ivf_topk_embeddings": ivf_topk_embeddings,
     "kmeans_embeddings": kmeans_embeddings,
     "lsh_buckets_embeddings": lsh_buckets_embeddings,

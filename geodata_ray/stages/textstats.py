@@ -146,3 +146,122 @@ def fingerprint_batch(
             "fingerprint": pa.array(out.astype(np.int64)),
         }
     )
+
+
+def doc_term_counts(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc, term, tf) rows — the per-document term-frequency table.
+    One vectorized pass per batch (lowercase split + pyarrow hash
+    aggregation); a document is one input row, so each (doc, term)
+    count is complete within its batch and no shuffle is needed."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(batch[text_col]), " ")
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(
+            batch[id_col].to_numpy(zero_copy_only=False),
+            lengths.astype(np.int64),
+        )
+        flat = toks.combine_chunks().flatten()
+        t = pa.table({id_col: pa.array(doc_of), "term": flat})
+        out = t.group_by([id_col, "term"]).aggregate([([], "count_all")])
+        return out.rename_columns([id_col, "term", "tf"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+class _TfidfTopK:
+    """Tokenize raw doc rows, score tf * ln((N+1)/(df+1)) against the
+    broadcast DF table, keep the top-k terms per doc (ties broken by
+    term ASC — the same deterministic ordering the SQL oracle's
+    ROW_NUMBER uses).  Operates on RAW documents (one row per doc), so
+    per-doc top-k is exact in-batch: a document never spans batches —
+    a (doc, term, tf) intermediate would NOT have that property."""
+
+    def __init__(self, df_ref, n_docs: int, id_col: str, text_col: str,
+                 k: int):
+        try:
+            import ray
+
+            if isinstance(df_ref, ray.ObjectRef):
+                df_ref = ray.get(df_ref)
+        except Exception:
+            pass
+        self.df_map = df_ref  # pa.Table (term, df)
+        self.n_docs = n_docs
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(batch[self.text_col]), " ")
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(
+            batch[self.id_col].to_numpy(zero_copy_only=False),
+            lengths.astype(np.int64),
+        )
+        flat = toks.combine_chunks().flatten()
+        t = pa.table({self.id_col: pa.array(doc_of), "term": flat})
+        t = t.group_by([self.id_col, "term"]).aggregate([([], "count_all")])
+        t = t.rename_columns([self.id_col, "term", "tf"])
+        j = t.join(self.df_map, keys=["term"], join_type="inner")
+        tf = j["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = j["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = tf * np.log((self.n_docs + 1.0) / (df + 1.0))
+        d = j.select([self.id_col, "term"]).to_pandas()
+        d["score"] = score
+        d = d.sort_values(
+            [self.id_col, "score", "term"],
+            ascending=[True, False, True],
+            kind="stable",
+            ignore_index=True,
+        )
+        d["rank"] = (d.groupby(self.id_col).cumcount() + 1).astype(np.int64)
+        d = d[d["rank"] <= self.k].drop(columns=["score"])
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+
+def tfidf_top_terms(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_df: int = 1,
+):
+    """Top-k TF-IDF terms per document (keyword extraction).
+
+    Physical plan: DF = two-phase grouped count over the one-pass
+    (doc, term, tf) table; the DF table broadcasts once (``ray.put``)
+    and a second pass over the RAW documents re-tokenizes, scores and
+    ranks locally — per-doc top-k is exact in-batch because a document
+    is one input row and never spans batches.  At 10^12 docs the DF
+    table is vocabulary-sized, not corpus-sized; prune it with
+    ``min_df`` (and a vocabulary cap upstream) before broadcast — the
+    same bound every TF-IDF engine needs.
+    """
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    tf = doc_term_counts(ds, id_col=id_col, text_col=text_col)
+    n_docs = ds.count()
+    df_tbl = grouped_aggregate(tf, ["term"], [(id_col, "count", "df")])
+    if min_df > 1:
+        df_tbl = df_tbl.filter(expr=f"df >= {min_df}")
+    df_pa = pa.Table.from_pandas(df_tbl.to_pandas(), preserve_index=False)
+    try:
+        import ray
+
+        df_ref = ray.put(df_pa)
+    except Exception:
+        df_ref = df_pa
+    return ds.map_batches(
+        _TfidfTopK,
+        fn_constructor_kwargs={
+            "df_ref": df_ref,
+            "n_docs": n_docs,
+            "id_col": id_col,
+            "text_col": text_col,
+            "k": k,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

@@ -325,6 +325,51 @@ def test_embedding_dedup_auto_switches_on_rows():
     assert exact.values.tolist() == lsh.values.tolist()
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_top_terms_matches_brute_force():
+    """tfidf_top_terms equals an independent pandas TF-IDF ranking,
+    including the rank-tie rule (equal score -> term ASC)."""
+    import pandas as pd
+    import ray.data as rd
+
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "apple banana apple cherry",
+                "banana cherry cherry dates",
+                "apple apple apple banana",
+                "eel eel fig fig",  # within-doc score ties -> term ASC
+            ],
+        }
+    )
+    out = (
+        textstats.tfidf_top_terms(rd.from_arrow(docs).repartition(2), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"], ignore_index=True)
+    )
+    rows = []
+    texts = {i: t.split(" ") for i, t in zip(docs["doc_id"].to_pylist(),
+                                             docs["text"].to_pylist())}
+    df_count = {}
+    for toks in texts.values():
+        for t in set(toks):
+            df_count[t] = df_count.get(t, 0) + 1
+    n = len(texts)
+    for did, toks in texts.items():
+        tf = pd.Series(toks).value_counts()
+        score = {
+            t: tf[t] * np.log((n + 1.0) / (df_count[t] + 1.0)) for t in tf.index
+        }
+        ranked = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        for r, (t, _) in enumerate(ranked, 1):
+            rows.append({"doc_id": did, "term": t, "rank": r})
+    want = pd.DataFrame(rows).sort_values(
+        ["doc_id", "rank"], ignore_index=True
+    )
+    assert out[["doc_id", "term", "rank"]].values.tolist() == want.values.tolist()
+
+
 def test_vectorized_token_hash_bit_identical():
     """hash_tokens_batch / _batch_shingles reproduce the scalar
     _token_hash / shingle_hashes chains bit-for-bit."""
