@@ -415,17 +415,26 @@ def range_join(
         c: c + "_r" for c in r_cols
         if c in l_cols and c not in (by, right_start, right_end)
     }
+    out_cols = l_cols + [
+        r_rename.get(c, c) for c in r_cols if c != by
+    ]
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g.loc[g["__side"] == "l", l_cols]
-        rg = g.loc[g["__side"] == "r", r_cols].rename(columns=r_rename)
-        m = lg.merge(rg, on=by, how="inner")
-        if len(m) == 0:
-            return m
-        keep = (m[right_start] <= m[left_on]) & (m[left_on] <= m[right_end])
-        return m.loc[keep].reset_index(drop=True)
+    def merge(g: pa.Table) -> pa.Table:
+        # Arrow acero equi-join on the key + interval filter: like
+        # shuffle_join, empty or one-sided buckets keep declared types
+        is_l = pc.equal(g["__side"], "l")
+        lg = g.filter(is_l).select(l_cols)
+        rg = g.filter(pc.invert(is_l)).select(r_cols)
+        if r_rename:
+            rg = rg.rename_columns([r_rename.get(c, c) for c in r_cols])
+        m = lg.join(rg, keys=[by], join_type="inner").select(out_cols)
+        keep = pc.and_(
+            pc.less_equal(m[right_start], m[left_on]),
+            pc.less_equal(m[left_on], m[right_end]),
+        )
+        return m.filter(keep)
 
-    return both.groupby("__b").map_groups(merge, batch_format="pandas")
+    return both.groupby("__b").map_groups(merge, batch_format="pyarrow")
 
 
 def asof_join(

@@ -50,6 +50,36 @@ def test_shuffle_join_empty_left_bucket_keeps_int_dtypes():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_range_join_empty_left_bucket_keeps_int_dtypes():
+    """Same hazard as shuffle_join: right-only buckets must keep
+    declared int types through the per-bucket Arrow merge."""
+    from geodata_ray.stages.relational import range_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1], type=pa.int64()),
+            "x": pa.array([5, 15], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(list(range(1, 30)), type=pa.int64()),
+            "lo": pa.array([0] * 29, type=pa.int64()),
+            "hi": pa.array([10] * 29, type=pa.int64()),
+            "rv": pa.array(list(range(29)), type=pa.int64()),
+        }
+    )
+    out = range_join(
+        _ds(left), _ds(right), by="k", left_on="x",
+        right_start="lo", right_end="hi", num_buckets=16,
+    ).to_pandas()
+    # only (k=1, x=5) lands inside [0, 10]
+    assert out[["k", "x", "rv"]].values.tolist() == [[1, 5, 0]]
+    for c in ("k", "x", "lo", "hi", "rv"):
+        assert out[c].dtype == np.int64, (c, out[c].dtype)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_shuffle_join_how_variants_match_pandas():
     left = pa.table(
         {
