@@ -1173,7 +1173,6 @@ SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM (
 """
 
 
-KMEANS_SQL = _kmeans_sql()
 
 
 def _ivf_sql(n_lists: int = 16, iters: int = 10, dim: int = 64,
@@ -1278,7 +1277,6 @@ SELECT query_id, neighbor_id, rank FROM (
     return f"WITH {body}\n"
 
 
-IVF_SQL = _ivf_sql()
 
 
 _RASTER_BOTH = f"""
@@ -1774,7 +1772,7 @@ SELECT doc_id, term, CAST(rk AS BIGINT) AS "rank" FROM r WHERE rk <= 3
 """
 
 
-ORACLE_SQL = {
+_ORACLE_SQL_STATIC = {
     "q1_pricing_summary": Q1_SQL,
     "tiles_r7_events": TILES_R7_SQL,
     "bbox_filter_events": BBOX_SQL,
@@ -1840,9 +1838,33 @@ ORACLE_SQL = {
     "exact_quantiles_events": EXACT_QUANTILES_SQL,
     "ts_series_grid": TS_SERIES_SQL,
     "heatmap_grid": HEATMAP_SQL,
-    "kmeans_embeddings": KMEANS_SQL,
-    "ivf_topk_embeddings": IVF_SQL,
     "wind_spline_estimate_grid": WIND_SPLINE_SQL,
     "wind_model_fit_grid": WIND_FIT_SQL,
     "wind_model_estimate_grid": WIND_ESTIMATE_SQL,
 }
+
+
+_LAZY: dict[str, object] = {}
+
+
+def __getattr__(name: str):
+    """KMEANS_SQL / IVF_SQL / ORACLE_SQL build on FIRST ACCESS: their
+    builders inline kmeans init ids read from the gate corpus, and an
+    eager build would make every corpus-independent constant in this
+    module unimportable in environments without /root/testdata."""
+    if name not in ("KMEANS_SQL", "IVF_SQL", "ORACLE_SQL"):
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}"
+        )
+    v = _LAZY.get(name)
+    if v is None:
+        if name == "KMEANS_SQL":
+            v = _kmeans_sql()
+        elif name == "IVF_SQL":
+            v = _ivf_sql()
+        else:
+            v = dict(_ORACLE_SQL_STATIC)
+            v["kmeans_embeddings"] = __getattr__("KMEANS_SQL")
+            v["ivf_topk_embeddings"] = __getattr__("IVF_SQL")
+        _LAZY[name] = v
+    return v

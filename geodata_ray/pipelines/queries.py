@@ -900,7 +900,9 @@ def quality_docs(sf_dir: str):
 def tfidf_top_terms_docs(sf_dir: str):
     """Top-3 TF-IDF keywords per document (two-phase DF + broadcast
     score/rank; rank-only output so no float ever reaches the hash —
-    exact ties share (tf, df) and break on term ASC in both engines)."""
+    see tfidf_top_terms' cross-engine-ordering analysis: on this
+    corpus every exact score tie is tie-broken identically by term ASC
+    in both engines)."""
     from geodata_ray.stages.textstats import tfidf_top_terms
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])

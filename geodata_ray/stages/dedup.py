@@ -293,12 +293,18 @@ def minhash_lsh_pairs(
         .materialize()
     )
     mode = collision_filter
+    n_colliding = colliding_ds.count()  # scalar; the set stays remote
     if mode == "auto":
-        n_colliding = colliding_ds.count()  # scalar; set stays remote
         mode = (
             "broadcast" if n_colliding <= max_broadcast_collisions
             else "distributed"
         )
+    if n_colliding == 0 and mode == "distributed":
+        # an all-unique corpus leaves ZERO colliding buckets; the empty
+        # filtered Dataset has no schema and would crash the native
+        # hash join — the broadcast membership filter handles empty
+        # exactly (and ships nothing)
+        mode = "broadcast"
     if mode == "broadcast":
         cdf = colliding_ds.to_pandas()  # bounded by the auto threshold
         colliding = (
@@ -743,11 +749,23 @@ def embedding_dup_pairs_auto(
     corpus is provided and fits the object store
     (:data:`EMBED_BROADCAST_MAX_ROWS`), else the bucketed multi-table
     hyperplane-LSH plan — the 10^12-vector path that never broadcasts
-    the corpus.  Both return the same (id_a, id_b) schema."""
-    if ref_table is not None and ref_table.num_rows <= max_broadcast_rows:
-        return embedding_dup_pairs(
-            ds, id_col=id_col, vec_col=vec_col, threshold=threshold,
-            ref_table=ref_table,
+    the corpus.  Both return the same (id_a, id_b) schema.
+
+    The LSH plan pairs vectors WITHIN ``ds`` only, so a ``ref_table``
+    too large to broadcast is an ERROR, not a silent semantics change
+    (ds-vs-ref matching would quietly become ds-vs-ds and miss every
+    duplicate of a reference vector): union the reference corpus into
+    ``ds`` and call with ``ref_table=None``, or raise the bound."""
+    if ref_table is not None:
+        if ref_table.num_rows <= max_broadcast_rows:
+            return embedding_dup_pairs(
+                ds, id_col=id_col, vec_col=vec_col, threshold=threshold,
+                ref_table=ref_table,
+            )
+        raise ValueError(
+            f"ref_table has {ref_table.num_rows} rows, above the "
+            f"{max_broadcast_rows}-row broadcast bound; union it into "
+            f"ds and pass ref_table=None for the LSH plan"
         )
     return embedding_dup_pairs_lsh(
         ds, id_col=id_col, vec_col=vec_col, threshold=threshold,

@@ -438,8 +438,18 @@ def min_area_filter(
 
     if (min_cells is None) == (min_km2 is None):
         raise ValueError("pass exactly one of min_cells / min_km2")
-    if min_km2 is not None and pitch_deg is None:
-        raise ValueError("min_km2 mode requires pitch_deg (grid spacing)")
+    if min_km2 is not None:
+        if pitch_deg is None:
+            raise ValueError(
+                "min_km2 mode requires pitch_deg (grid spacing)"
+            )
+        if "lat" not in ds.schema().names:
+            # fail upfront, not as a KeyError deep inside a task
+            raise ValueError(
+                "min_km2 mode requires a 'lat' column (the per-pixel "
+                "area is latitude-dependent); use min_cells for "
+                "coordinate-free rasters"
+            )
 
     def nonzero(batch: pa.Table) -> pa.Table:
         v = batch["value"].to_numpy(zero_copy_only=False)

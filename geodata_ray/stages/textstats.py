@@ -148,25 +148,32 @@ def fingerprint_batch(
     )
 
 
+def _doc_term_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """(doc, term, tf) for one batch of raw documents: lowercase
+    single-space split + pyarrow hash aggregation.  THE tokenization —
+    the DF pass and the scoring pass both call this, so they can never
+    desynchronize."""
+    toks = pc.split_pattern(pc.utf8_lower(batch[text_col]), " ")
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    doc_of = np.repeat(
+        batch[id_col].to_numpy(zero_copy_only=False),
+        lengths.astype(np.int64),
+    )
+    flat = toks.combine_chunks().flatten()
+    t = pa.table({id_col: pa.array(doc_of), "term": flat})
+    out = t.group_by([id_col, "term"]).aggregate([([], "count_all")])
+    return out.rename_columns([id_col, "term", "tf"])
+
+
 def doc_term_counts(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     """(doc, term, tf) rows — the per-document term-frequency table.
-    One vectorized pass per batch (lowercase split + pyarrow hash
-    aggregation); a document is one input row, so each (doc, term)
-    count is complete within its batch and no shuffle is needed."""
-
-    def f(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(pc.utf8_lower(batch[text_col]), " ")
-        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        doc_of = np.repeat(
-            batch[id_col].to_numpy(zero_copy_only=False),
-            lengths.astype(np.int64),
-        )
-        flat = toks.combine_chunks().flatten()
-        t = pa.table({id_col: pa.array(doc_of), "term": flat})
-        out = t.group_by([id_col, "term"]).aggregate([([], "count_all")])
-        return out.rename_columns([id_col, "term", "tf"])
-
-    return ds.map_batches(f, batch_format="pyarrow")
+    One vectorized pass per batch; a document is one input row, so each
+    (doc, term) count is complete within its batch and no shuffle is
+    needed."""
+    return ds.map_batches(
+        lambda b: _doc_term_batch(b, id_col, text_col),
+        batch_format="pyarrow",
+    )
 
 
 class _TfidfTopK:
@@ -193,16 +200,7 @@ class _TfidfTopK:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(pc.utf8_lower(batch[self.text_col]), " ")
-        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        doc_of = np.repeat(
-            batch[self.id_col].to_numpy(zero_copy_only=False),
-            lengths.astype(np.int64),
-        )
-        flat = toks.combine_chunks().flatten()
-        t = pa.table({self.id_col: pa.array(doc_of), "term": flat})
-        t = t.group_by([self.id_col, "term"]).aggregate([([], "count_all")])
-        t = t.rename_columns([self.id_col, "term", "tf"])
+        t = _doc_term_batch(batch, self.id_col, self.text_col)
         j = t.join(self.df_map, keys=["term"], join_type="inner")
         tf = j["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
         df = j["df"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -234,10 +232,22 @@ def tfidf_top_terms(
     (doc, term, tf) table; the DF table broadcasts once (``ray.put``)
     and a second pass over the RAW documents re-tokenizes, scores and
     ranks locally — per-doc top-k is exact in-batch because a document
-    is one input row and never spans batches.  At 10^12 docs the DF
-    table is vocabulary-sized, not corpus-sized; prune it with
-    ``min_df`` (and a vocabulary cap upstream) before broadcast — the
-    same bound every TF-IDF engine needs.
+    is one input row and never spans batches.  Two full data scans are
+    inherent to TF-IDF (DF must be complete before scoring); the
+    ``ds.count()`` for N is metadata-only on parquet sources.  At
+    10^12 docs the DF table is vocabulary-sized, not corpus-sized;
+    prune it with ``min_df`` (and a vocabulary cap upstream) before
+    broadcast — the same bound every TF-IDF engine needs.
+
+    Cross-engine ordering: the rank sorts on tf*ln((N+1)/(df+1)) with
+    term-ASC tie-break.  Equal (tf, df) pairs give bit-equal scores in
+    both engines (same IEEE expression); MATHEMATICALLY equal scores
+    from distinct (tf, df) pairs require (df1+1)^2 = (N+1)(df2+1) with
+    a rational tf ratio — for the N=500 gate corpus that forces
+    df=N (score exactly 0.0 in both engines, tie-broken identically),
+    so no last-ulp libm disagreement can reorder ranks there; other
+    near-ties live in the same wide-margin float-threshold class the
+    repo's threshold oracles already rely on.
     """
     from geodata_ray.stages.relational import grouped_aggregate
 

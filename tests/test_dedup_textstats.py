@@ -239,6 +239,26 @@ def test_lsh_collision_filter_distributed_matches_broadcast():
     b = run("distributed")
     assert len(a) >= 30  # every planted twin pair found
     assert a.values.tolist() == b.values.tolist()
+    # regression: an all-unique corpus leaves ZERO colliding buckets;
+    # the distributed path must not crash on the schema-less empty
+    # filter result (it falls back to the empty broadcast filter)
+    uniq = pa.table(
+        {
+            "doc_id": list(range(8)),
+            "text": [
+                " ".join(f"u{i}w{j}" for j in range(12)) for i in range(8)
+            ],
+        }
+    )
+    empty = (
+        dedup.minhash_lsh_pairs(
+            rd.from_arrow(uniq).repartition(2),
+            k=3, bands=16, num_hashes=64, threshold=0.5,
+            verify_corpus=uniq, collision_filter="distributed",
+        )
+        .to_pandas()
+    )
+    assert len(empty) == 0
     # auto picks broadcast below the bound and distributed above it —
     # exercise the switch both ways through the public kwarg
     ds = rd.from_arrow(corpus).repartition(4)
@@ -316,13 +336,19 @@ def test_embedding_dedup_auto_switches_on_rows():
     lsh = (
         dedup.embedding_dup_pairs_auto(
             rd.from_arrow(table).repartition(3),
-            threshold=0.99, ref_table=table, max_broadcast_rows=0,
-            bits=8, tables=8,  # forced over the bound -> LSH branch
+            threshold=0.99, ref_table=None,  # no corpus -> LSH branch
+            bits=8, tables=8,
         )
         .to_pandas().sort_values(["id_a", "id_b"], ignore_index=True)
     )
     assert len(exact) == 5
     assert exact.values.tolist() == lsh.values.tolist()
+    # a ref_table too large to broadcast is an ERROR (the LSH plan
+    # would silently change ds-vs-ref semantics to ds-vs-ds)
+    with pytest.raises(ValueError, match="broadcast bound"):
+        dedup.embedding_dup_pairs_auto(
+            ds, threshold=0.99, ref_table=table, max_broadcast_rows=0
+        )
 
 
 @pytest.mark.usefixtures("ray_session")
