@@ -1804,6 +1804,10 @@ _ORACLE_SQL_STATIC = {
     "langid_docs": LANGID_SQL,
     "quality_docs": QUALITY_SQL,
     "tfidf_top_terms_docs": TFIDF_SQL,
+    "heavy_hitter_users": (
+        "SELECT user_id, COUNT(*) AS n_rows FROM events "
+        "GROUP BY 1 HAVING COUNT(*) >= 80"
+    ),
     "fingerprint_docs": FINGERPRINT_SQL,
     "simhash_docs": SIMHASH_SQL,
     "lsh_buckets_embeddings": LSH_BUCKETS_SQL,

@@ -897,6 +897,17 @@ def quality_docs(sf_dir: str):
     return ds.map_batches(quality_score_batch, batch_format="pyarrow")
 
 
+def heavy_hitter_users(sf_dir: str):
+    """Exact heavy hitters over events.user_id (>= 80 rows) via the
+    two-pass Misra-Gries candidates + exact-count plan — no full-key
+    shuffle (only m summary rows per batch + the bounded candidate
+    recount move)."""
+    from geodata_ray.stages.skew import heavy_hitters
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return heavy_hitters(ds, "user_id", min_count=80)
+
+
 def tfidf_top_terms_docs(sf_dir: str):
     """Top-3 TF-IDF keywords per document (two-phase DF + broadcast
     score/rank; rank-only output so no float ever reaches the hash —
@@ -1712,6 +1723,7 @@ RAY_QUERIES = {
     "langid_docs": langid_docs,
     "quality_docs": quality_docs,
     "tfidf_top_terms_docs": tfidf_top_terms_docs,
+    "heavy_hitter_users": heavy_hitter_users,
     "ivf_topk_embeddings": ivf_topk_embeddings,
     "kmeans_embeddings": kmeans_embeddings,
     "lsh_buckets_embeddings": lsh_buckets_embeddings,

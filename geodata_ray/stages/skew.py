@@ -107,3 +107,79 @@ def salted_topk_per_key(
         return g
 
     return partial.groupby(key).map_groups(final_topk, batch_format="pandas")
+
+
+def heavy_hitters(ds, key: str, *, min_count: int,
+                  summary_size: int | None = None):
+    """EXACT heavy hitters (keys with >= ``min_count`` rows) without a
+    full-key shuffle — the 100-TB path where ``detect_hot_keys``'s
+    grouped count over EVERY distinct key would itself be the bottleneck
+    (10^12 pages have ~10^9 distinct hosts; only the heavy tail
+    matters).
+
+    Two passes (mergeable-summaries construction, Agarwal et al.,
+    "Mergeable Summaries", PODS'12):
+
+    1. per-batch Misra-Gries-style compressed counts: exact batch
+       counts, top-``m`` kept after subtracting the (m+1)-th count —
+       the summed summaries undercount any key by at most n/m, so with
+       ``m >= 2n/min_count`` (the default) every true heavy hitter
+       survives with summed count >= min_count - n/m.  Only m rows per
+       batch ever shuffle;
+    2. exact counts for the bounded candidate set (broadcast semi-join
+       + grouped count), filtered ``>= min_count`` — the output is
+       EXACT, the summary error only ever widens the candidate set.
+
+    Pass ``summary_size`` to override m (smaller = less traffic, wider
+    candidates; BELOW n/min_count the superset guarantee is lost).
+    """
+    from geodata_ray.stages.relational import semi_join
+
+    n = ds.count()
+    m = summary_size or max(64, -(-2 * n // max(min_count, 1)))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        t = batch.select([key]).group_by(key).aggregate([([], "count_all")])
+        c = t["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(c) > m:
+            order = np.argsort(-c, kind="stable")
+            cut = c[order[m]]  # (m+1)-th largest batch count
+            keep = order[:m]
+            newc = c[keep] - cut
+            pos = newc > 0
+            return pa.table(
+                {
+                    key: t[key].take(pa.array(keep[pos])),
+                    "mg": pa.array(newc[pos]),
+                }
+            )
+        return pa.table({key: t[key], "mg": pa.array(c)})
+
+    partials = ds.map_batches(summarize, batch_format="pyarrow")
+    merged = grouped_aggregate(partials, [key], [("mg", "sum", "mg")])
+    cand_thresh = max(min_count - n // max(m, 1) - 1, 1)
+    cand = merged.filter(expr=f"mg >= {cand_thresh}").to_pandas()
+    if key not in cand.columns or len(cand) == 0:
+        # no candidates: return an empty result WITH the output schema
+        # (an empty pipeline tail would lose it)
+        import ray.data as rd
+
+        from geodata_ray.stages.relational import _arrow_type
+
+        ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+        return rd.from_arrow(
+            pa.table(
+                {
+                    key: pa.array([], _arrow_type(ktype)),
+                    "n_rows": pa.array([], pa.int64()),
+                }
+            )
+        )
+    cand_keys = cand[key].to_numpy()
+
+    exact = grouped_aggregate(
+        semi_join(ds.select_columns([key]), cand_keys, key),
+        [key],
+        [(key, "count", "n_rows")],
+    )
+    return exact.filter(expr=f"n_rows >= {min_count}")

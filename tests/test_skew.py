@@ -44,3 +44,39 @@ def test_salted_topk_matches_plain_topk():
         got = out[out.cell == cell].score.to_numpy()
         want = np.sort(grp.score.to_numpy())[::-1]
         np.testing.assert_array_equal(np.sort(got)[::-1], want, err_msg=str(cell))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_exact_on_zipf_with_compression():
+    """heavy_hitters equals the exact pandas answer on a zipf corpus
+    whose distinct-key count exceeds the summary size, so the
+    Misra-Gries compression path genuinely runs — and the output is
+    still exact (pass-2 recount)."""
+    import ray.data as rd
+
+    from geodata_ray.stages.skew import heavy_hitters
+
+    rng = np.random.default_rng(17)
+    keys = rng.zipf(1.3, size=30_000) % 3000  # ~2k distinct, heavy head
+    t = pa.table({"k": pa.array(keys.astype(np.int64))})
+    ds = rd.from_arrow(t).repartition(8)
+
+    min_count = 200
+    out = (
+        heavy_hitters(ds, "k", min_count=min_count)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    vc = pd.Series(keys).value_counts()
+    want = vc[vc >= min_count].sort_index()
+    assert out["k"].tolist() == want.index.tolist()
+    assert out["n_rows"].tolist() == want.values.tolist()
+    # compression genuinely ran: distinct keys exceed the summary size
+    assert len(vc) > max(64, -(-2 * 30_000 // min_count))
+
+    # empty result path keeps the (key, n_rows) schema at the Dataset
+    # level (to_pandas of any zero-block Dataset drops columns — a
+    # known Ray quirk, not specific to this operator)
+    empty = heavy_hitters(ds, "k", min_count=10**9)
+    assert empty.schema().names == ["k", "n_rows"]
+    assert empty.count() == 0
