@@ -409,6 +409,42 @@ SELECT doc_id,
 FROM u
 """
 
+# per-key quota sample: ROW_NUMBER over the engine's Knuth sampling
+# hash (exact integer arithmetic — BIGINT-safe on both sides)
+STRATIFIED_SAMPLE_SQL = f"""
+WITH r AS (
+  SELECT event_type, event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY (event_id * {_GEO_A}) % {_GEO_M}, event_id
+         ) AS rk
+  FROM events
+)
+SELECT event_type, event_id FROM r WHERE rk <= 20
+"""
+
+# contamination: eval set = first 50 docs UPPERCASED with offset ids;
+# normalized fingerprints (md5 of lower()) collide with the originals
+CONTAMINATION_SQL = """
+WITH corpus AS (SELECT doc_id, md5(lower(text)) AS x FROM documents),
+ev AS (
+  SELECT md5(lower(upper(text))) AS x FROM documents WHERE doc_id < 50
+),
+hits AS (SELECT c.doc_id, c.x FROM corpus c WHERE c.x IN (SELECT x FROM ev)),
+u AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substr(x,15,2), substr(x,13,2), substr(x,11,2),
+                     substr(x,9,2), substr(x,7,2), substr(x,5,2),
+                     substr(x,3,2), substr(x,1,2)) AS UBIGINT)::HUGEINT AS v
+  FROM hits
+)
+SELECT doc_id,
+       CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+                 THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT)
+         AS fingerprint
+FROM u
+"""
+
 
 _U64_M = 1 << 64
 
@@ -1808,6 +1844,8 @@ _ORACLE_SQL_STATIC = {
         "SELECT user_id, COUNT(*) AS n_rows FROM events "
         "GROUP BY 1 HAVING COUNT(*) >= 80"
     ),
+    "stratified_sample_events": STRATIFIED_SAMPLE_SQL,
+    "contamination_check": CONTAMINATION_SQL,
     "fingerprint_docs": FINGERPRINT_SQL,
     "simhash_docs": SIMHASH_SQL,
     "lsh_buckets_embeddings": LSH_BUCKETS_SQL,

@@ -897,6 +897,51 @@ def quality_docs(sf_dir: str):
     return ds.map_batches(quality_score_batch, batch_format="pyarrow")
 
 
+def stratified_sample_events(sf_dir: str):
+    """Per-event-type fixed quota (20 rows each): smallest Knuth hash
+    of event_id per type — deterministic at any parallelism, ids-only
+    shuffle (payloads join back by id)."""
+    from geodata_ray.stages.skew import stratified_sample
+
+    ds = _read(sf_dir, "events", columns=["event_type", "event_id"])
+    return stratified_sample(
+        ds, key="event_type", id_col="event_id", n_per_key=20
+    )
+
+
+def contamination_check(sf_dir: str):
+    """Train/eval contamination: the first 50 docs re-ingested as an
+    UPPERCASED eval set (simulating benchmark text leaking into a
+    crawl with case differences); report corpus docs whose normalized
+    fingerprint (md5 of lower-cased text) matches an eval doc's.  The
+    eval fingerprint set broadcasts (benchmarks are small by
+    definition); the corpus side streams."""
+    from geodata_ray.stages.relational import semi_join
+    from geodata_ray.stages.textstats import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def eval_rows(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch["doc_id"], 50)
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], 900000),
+                "text": pc.utf8_upper(t["text"]),
+            }
+        )
+
+    eval_fp = (
+        ds.map_batches(eval_rows, batch_format="pyarrow")
+        .map_batches(fingerprint_batch, batch_format="pyarrow")
+        .to_pandas()  # <= eval-set size by construction
+    )
+    corpus_fp = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return semi_join(
+        corpus_fp, eval_fp["fingerprint"].to_numpy(), "fingerprint"
+    )
+
+
 def heavy_hitter_users(sf_dir: str):
     """Exact heavy hitters over events.user_id (>= 80 rows) via the
     two-pass Misra-Gries candidates + exact-count plan — no full-key
@@ -1724,6 +1769,8 @@ RAY_QUERIES = {
     "quality_docs": quality_docs,
     "tfidf_top_terms_docs": tfidf_top_terms_docs,
     "heavy_hitter_users": heavy_hitter_users,
+    "stratified_sample_events": stratified_sample_events,
+    "contamination_check": contamination_check,
     "ivf_topk_embeddings": ivf_topk_embeddings,
     "kmeans_embeddings": kmeans_embeddings,
     "lsh_buckets_embeddings": lsh_buckets_embeddings,

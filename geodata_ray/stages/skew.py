@@ -183,3 +183,37 @@ def heavy_hitters(ds, key: str, *, min_count: int,
         [(key, "count", "n_rows")],
     )
     return exact.filter(expr=f"n_rows >= {min_count}")
+
+
+def stratified_sample(ds, *, key: str, id_col: str, n_per_key: int):
+    """Deterministic per-key fixed-quota sample: the ``n_per_key`` rows
+    with the smallest Knuth-multiplicative id hash within each key —
+    the per-language / per-domain quota sampling a training-data
+    pipeline runs, reproducible at ANY parallelism (a seeded
+    ``random_sample`` depends on block structure).
+
+    Decomposable top-k plan: per-batch partial quota (at most
+    n x distinct-keys rows leave each batch — the wide payload never
+    ships; join the returned ids back for payloads), then one bounded
+    final merge.  No full shuffle.
+    """
+    A, M = 2654435761, 4294967296  # the engine's sampling hash
+
+    def quota(batch: pa.Table) -> pa.Table:
+        df = batch.select([key, id_col]).to_pandas()
+        ids = df[id_col].to_numpy().astype(np.uint64)
+        df["__h"] = ((ids * np.uint64(A)) % np.uint64(M)).astype(np.int64)
+        df = df.sort_values(["__h", id_col], kind="stable")
+        out = df.groupby(key, sort=False).head(n_per_key)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(quota, batch_format="pyarrow")
+
+    def drop_h(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["__h"])
+
+    return (
+        partials.repartition(1)
+        .map_batches(quota, batch_format="pyarrow", batch_size=None)
+        .map_batches(drop_h, batch_format="pyarrow")
+    )

@@ -80,3 +80,43 @@ def test_heavy_hitters_exact_on_zipf_with_compression():
     empty = heavy_hitters(ds, "k", min_count=10**9)
     assert empty.schema().names == ["k", "n_rows"]
     assert empty.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stratified_sample_partitioning_invariant_and_exact():
+    """Per-key quota sample equals the pandas reference and is
+    invariant to block structure (decomposable hash-order top-k)."""
+    import ray.data as rd
+
+    from geodata_ray.stages.skew import stratified_sample
+
+    rng = np.random.default_rng(23)
+    n = 5000
+    t = pa.table(
+        {
+            "grp": pa.array(rng.integers(0, 7, n).astype(np.int64)),
+            "rid": pa.array(rng.permutation(n).astype(np.int64)),
+        }
+    )
+
+    def run(nblocks):
+        return (
+            stratified_sample(
+                rd.from_arrow(t).repartition(nblocks),
+                key="grp", id_col="rid", n_per_key=10,
+            )
+            .to_pandas()
+            .sort_values(["grp", "rid"], ignore_index=True)
+        )
+
+    a, b = run(1), run(9)
+    assert a.values.tolist() == b.values.tolist()
+
+    df = t.to_pandas()
+    df["h"] = (df.rid.to_numpy().astype(np.uint64) * np.uint64(2654435761)) % np.uint64(4294967296)
+    want = (
+        df.sort_values(["h", "rid"], kind="stable")
+        .groupby("grp", sort=False).head(10)[["grp", "rid"]]
+        .sort_values(["grp", "rid"], ignore_index=True)
+    )
+    assert a[["grp", "rid"]].values.tolist() == want.values.tolist()
