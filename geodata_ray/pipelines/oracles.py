@@ -423,6 +423,31 @@ WITH r AS (
 SELECT event_type, event_id FROM r WHERE rk <= 20
 """
 
+# streaming first-occurrence dedup: with a total arrival order (id
+# ASC) the kept row per fingerprint is exactly min(doc_id)
+STREAMING_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 900000, lower(upper(text)) FROM documents
+  WHERE doc_id < 100
+),
+f AS (SELECT doc_id, md5(t) AS x FROM corpus),
+u AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substr(x,15,2), substr(x,13,2), substr(x,11,2),
+                     substr(x,9,2), substr(x,7,2), substr(x,5,2),
+                     substr(x,3,2), substr(x,1,2)) AS UBIGINT)::HUGEINT AS v
+  FROM f
+)
+SELECT doc_id,
+       CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+                 THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT)
+         AS fingerprint
+FROM u
+QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint)
+"""
+
 # contamination: eval set = first 50 docs UPPERCASED with offset ids;
 # normalized fingerprints (md5 of lower()) collide with the originals
 CONTAMINATION_SQL = """
@@ -1846,6 +1871,7 @@ _ORACLE_SQL_STATIC = {
     ),
     "stratified_sample_events": STRATIFIED_SAMPLE_SQL,
     "contamination_check": CONTAMINATION_SQL,
+    "streaming_dedup_docs": STREAMING_DEDUP_SQL,
     "fingerprint_docs": FINGERPRINT_SQL,
     "simhash_docs": SIMHASH_SQL,
     "lsh_buckets_embeddings": LSH_BUCKETS_SQL,

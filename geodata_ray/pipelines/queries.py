@@ -942,6 +942,34 @@ def contamination_check(sf_dir: str):
     )
 
 
+def streaming_dedup_docs(sf_dir: str):
+    """Incremental (crawl-style) exact dedup through seen-set actor
+    shards: the corpus plus the first 100 docs RE-INGESTED (uppercased,
+    offset ids) streams in id order; re-arrivals are dropped the moment
+    their normalized fingerprint repeats.  With a total arrival order
+    the kept row per fingerprint is exactly min(doc_id) — the SQL
+    oracle's window QUALIFY."""
+    from geodata_ray.stages.streaming import streaming_exact_dedup
+    from geodata_ray.stages.textstats import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def reingest(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less(batch["doc_id"], 100))
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], 900000),
+                "text": pc.utf8_upper(t["text"]),
+            }
+        )
+
+    stream = ds.union(ds.map_batches(reingest, batch_format="pyarrow"))
+    fp = stream.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return streaming_exact_dedup(
+        fp, order_col="doc_id", fp_col="fingerprint"
+    )
+
+
 def heavy_hitter_users(sf_dir: str):
     """Exact heavy hitters over events.user_id (>= 80 rows) via the
     two-pass Misra-Gries candidates + exact-count plan — no full-key
@@ -1771,6 +1799,7 @@ RAY_QUERIES = {
     "heavy_hitter_users": heavy_hitter_users,
     "stratified_sample_events": stratified_sample_events,
     "contamination_check": contamination_check,
+    "streaming_dedup_docs": streaming_dedup_docs,
     "ivf_topk_embeddings": ivf_topk_embeddings,
     "kmeans_embeddings": kmeans_embeddings,
     "lsh_buckets_embeddings": lsh_buckets_embeddings,

@@ -99,3 +99,71 @@ def keyed_running_aggregate(
 
 def actor_state_snapshots(actors) -> pd.DataFrame:
     return pd.DataFrame(ray.get([a.snapshot.remote() for a in actors]))
+
+
+@ray.remote
+class DedupStateActor:
+    """Seen-fingerprint set for one hash shard of an unbounded stream
+    (the incremental dedup a crawler runs: each arriving page is kept
+    only if its fingerprint was never seen).  At 10^12 docs each shard
+    holds |distinct|/num_buckets 8-byte hashes — sized by adding
+    shards, the same scaling story as any distributed seen-set."""
+
+    def __init__(self):
+        self.seen: set = set()
+
+    def process(self, table: pa.Table, fp_col: str) -> pa.Table:
+        fps = table[fp_col].to_pylist()
+        keep = np.zeros(len(fps), dtype=bool)
+        for i, f in enumerate(fps):
+            if f not in self.seen:
+                self.seen.add(f)
+                keep[i] = True
+        return table.filter(pa.array(keep))
+
+    def snapshot(self) -> dict:
+        return {"keys": len(self.seen)}
+
+
+def streaming_exact_dedup(
+    ds,
+    *,
+    order_col: str,
+    fp_col: str,
+    num_buckets: int = 8,
+    batch_size: int = 8192,
+) -> pa.Table:
+    """First-occurrence exact dedup over a stream consumed in
+    ``order_col`` order: rows whose ``fp_col`` was already seen are
+    dropped.  Deterministic — with a total arrival order the kept row
+    per fingerprint is exactly ``min(order_col)``, which is what the
+    SQL oracle checks.  Same last-resort topology as
+    :func:`keyed_running_aggregate` (per-shard pinned actors; actor
+    tasks from one submitter run in submission order)."""
+    actors = [DedupStateActor.remote() for _ in range(num_buckets)]
+    pending: list = []
+    ordered = ds.sort(order_col)
+    for batch in ordered.iter_batches(
+        batch_size=batch_size, batch_format="pyarrow"
+    ):
+        fps = batch[fp_col].to_numpy(zero_copy_only=False)
+        h = splitmix64(fps.view(np.uint64))
+        bucket = (h % np.uint64(num_buckets)).astype(np.int64)
+        for b in range(num_buckets):
+            mask = bucket == b
+            if mask.any():
+                sub = batch.filter(pa.array(mask))
+                pending.append(actors[b].process.remote(sub, fp_col))
+    parts = ray.get(pending)
+    keep = [p for p in parts if len(p)]
+    if not keep:  # empty input stream: keep the schema
+        from geodata_ray.stages.relational import _arrow_type
+
+        sch = ordered.schema()
+        return pa.table(
+            {
+                n: pa.array([], _arrow_type(t))
+                for n, t in zip(sch.names, sch.types)
+            }
+        )
+    return pa.concat_tables(keep)

@@ -49,3 +49,30 @@ def test_keyed_running_aggregate_matches_window_function():
     pd.testing.assert_series_equal(
         fin.sort_index(), want.sort_index(), check_names=False
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_streaming_exact_dedup_first_occurrence():
+    """Seen-set actor shards keep exactly the min-order row per
+    fingerprint regardless of input block structure."""
+    import ray.data as rd
+
+    from geodata_ray.stages.streaming import streaming_exact_dedup
+
+    rng = np.random.default_rng(31)
+    fps = rng.integers(0, 40, 200).astype(np.int64)  # heavy repeats
+    ids = np.arange(200, dtype=np.int64)
+    t = pa.table({"rid": pa.array(rng.permutation(ids)), "fp": pa.array(fps)})
+
+    out = streaming_exact_dedup(
+        rd.from_arrow(t).repartition(7), order_col="rid", fp_col="fp",
+        num_buckets=4, batch_size=16,
+    ).to_pandas().sort_values("rid", ignore_index=True)
+
+    df = t.to_pandas()
+    want = (
+        df.sort_values("rid")
+        .groupby("fp", sort=False).head(1)
+        .sort_values("rid", ignore_index=True)
+    )
+    assert out[["rid", "fp"]].values.tolist() == want[["rid", "fp"]].values.tolist()
