@@ -121,6 +121,11 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "embedding_dups_lsh",
         "top_pages_per_tile",
         "raster_min_area",
+        "raster_min_area_km2",
+        "tfidf_top_terms_docs",
+        "heavy_hitter_users",
+        "stratified_sample_events",
+        "streaming_dedup_docs",
     ):
         t0 = time.perf_counter()
         res = RAY_QUERIES[name](sf_dir)
