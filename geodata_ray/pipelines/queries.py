@@ -1006,7 +1006,13 @@ def _grid_ds(sf_dir: str):
         fixture_path,
     )
 
-    name = "grid_240" if "0.1" in sf_dir else "grid_120"
+    import os
+
+    # exact-basename switch (a substring test would misfire on paths
+    # merely containing "0.1"); the oracle SQL targets grid_120, and
+    # tools/check_correctness refuses non-sf0.01 dirs for that reason
+    base = os.path.basename(os.path.normpath(sf_dir))
+    name = "grid_240" if base == "sf0.1" else "grid_120"
     ensure_fixture_parquet([name])
     return rd.read_parquet(fixture_path(name)).repartition(8)
 
