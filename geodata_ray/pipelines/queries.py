@@ -39,9 +39,9 @@ from geodata_ray.stages.relational import (
 
 # deterministic synthetic geocode for integer ids (Knuth multiplicative
 # hashes; BIGINT-safe in both numpy int64 and DuckDB)
-_GEO_A = 2654435761
-_GEO_B = 1640531527
-_GEO_M = 4294967296
+from geodata_ray.sources.synth import GEO_A as _GEO_A  # noqa: E402
+from geodata_ray.sources.synth import GEO_B as _GEO_B  # noqa: E402
+from geodata_ray.sources.synth import GEO_M as _GEO_M  # noqa: E402
 
 
 def _derive_lat_np(ids: np.ndarray) -> np.ndarray:
@@ -916,26 +916,28 @@ def contamination_check(sf_dir: str):
     fingerprint (md5 of lower-cased text) matches an eval doc's.  The
     eval fingerprint set broadcasts (benchmarks are small by
     definition); the corpus side streams."""
+    import pyarrow.parquet as pq
+
     from geodata_ray.stages.relational import semi_join
     from geodata_ray.stages.textstats import fingerprint_batch
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def eval_rows(batch: pa.Table) -> pa.Table:
-        keep = pc.less(batch["doc_id"], 50)
-        t = batch.filter(keep)
-        return pa.table(
-            {
-                "doc_id": pc.add(t["doc_id"], 900000),
-                "text": pc.utf8_upper(t["text"]),
-            }
-        )
-
-    eval_fp = (
-        ds.map_batches(eval_rows, batch_format="pyarrow")
-        .map_batches(fingerprint_batch, batch_format="pyarrow")
-        .to_pandas()  # <= eval-set size by construction
+    # the eval side is a small SIDE INPUT by definition: a pushed-down
+    # row-group read of the 50 rows + local fingerprinting — no second
+    # full corpus scan just to extract it
+    ev = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", 50)],
     )
+    ev = pa.table(
+        {
+            "doc_id": pc.add(ev["doc_id"], 900000),
+            "text": pc.utf8_upper(ev["text"]),
+        }
+    )
+    eval_fp = fingerprint_batch(ev)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     corpus_fp = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
     return semi_join(
         corpus_fp, eval_fp["fingerprint"].to_numpy(), "fingerprint"

@@ -29,6 +29,13 @@ _LANG_CUM = np.cumsum((1.0 / np.arange(1, len(_LANGS) + 1))) / np.sum(
 )
 _EPOCH_2024 = np.datetime64("2024-01-01T00:00:00", "us")
 
+# the engine's Knuth multiplicative sampling/geocode hash constants —
+# the SINGLE definition; plan code (stages/) and oracle SQL
+# (pipelines/) both import these, so a retune cannot silently diverge
+GEO_A = 2654435761
+GEO_B = 1640531527
+GEO_M = 4294967296
+
 
 def splitmix64(x) -> np.ndarray:
     """Vectorized splitmix64 finalizer (public-domain PRNG mix)."""

@@ -195,14 +195,24 @@ def stratified_sample(ds, *, key: str, id_col: str, n_per_key: int):
     Decomposable top-k plan: per-batch partial quota (at most
     n x distinct-keys rows leave each batch — the wide payload never
     ships; join the returned ids back for payloads), then one bounded
-    final merge.  No full shuffle.
+    final merge.  No full shuffle.  Ids must be NON-NEGATIVE: a
+    negative id would hash differently here (uint64 wrap) than in the
+    oracle's signed SQL modulo, so it is rejected upfront.
     """
-    A, M = 2654435761, 4294967296  # the engine's sampling hash
+    from geodata_ray.sources.synth import GEO_A, GEO_M
 
     def quota(batch: pa.Table) -> pa.Table:
         df = batch.select([key, id_col]).to_pandas()
-        ids = df[id_col].to_numpy().astype(np.uint64)
-        df["__h"] = ((ids * np.uint64(A)) % np.uint64(M)).astype(np.int64)
+        raw = df[id_col].to_numpy()
+        if raw.size and raw.min() < 0:
+            raise ValueError(
+                f"stratified_sample requires non-negative {id_col!r} "
+                f"(signed-modulo hash divergence otherwise)"
+            )
+        ids = raw.astype(np.uint64)
+        df["__h"] = ((ids * np.uint64(GEO_A)) % np.uint64(GEO_M)).astype(
+            np.int64
+        )
         df = df.sort_values(["__h", id_col], kind="stable")
         out = df.groupby(key, sort=False).head(n_per_key)
         return pa.Table.from_pandas(out, preserve_index=False)

@@ -113,12 +113,19 @@ class DedupStateActor:
         self.seen: set = set()
 
     def process(self, table: pa.Table, fp_col: str) -> pa.Table:
-        fps = table[fp_col].to_pylist()
+        # vectorized in-batch first-occurrence (np.unique returns the
+        # FIRST index per value); the Python set probe runs only over
+        # the batch's UNIQUE values — under heavy duplication (the
+        # workload this exists for) that is a small fraction of rows
+        fps = table[fp_col].to_numpy(zero_copy_only=False)
+        uniq, first_idx = np.unique(fps, return_index=True)
+        fresh = np.fromiter(
+            (int(u) not in self.seen for u in uniq),
+            dtype=bool, count=len(uniq),
+        )
+        self.seen.update(int(u) for u in uniq[fresh])
         keep = np.zeros(len(fps), dtype=bool)
-        for i, f in enumerate(fps):
-            if f not in self.seen:
-                self.seen.add(f)
-                keep[i] = True
+        keep[first_idx[fresh]] = True
         return table.filter(pa.array(keep))
 
     def snapshot(self) -> dict:
@@ -132,14 +139,19 @@ def streaming_exact_dedup(
     fp_col: str,
     num_buckets: int = 8,
     batch_size: int = 8192,
-) -> pa.Table:
+):
     """First-occurrence exact dedup over a stream consumed in
     ``order_col`` order: rows whose ``fp_col`` was already seen are
     dropped.  Deterministic — with a total arrival order the kept row
     per fingerprint is exactly ``min(order_col)``, which is what the
     SQL oracle checks.  Same last-resort topology as
     :func:`keyed_running_aggregate` (per-shard pinned actors; actor
-    tasks from one submitter run in submission order)."""
+    tasks from one submitter run in submission order).
+
+    Returns a ``ray.data.Dataset`` built from the shard outputs' object
+    refs — the (corpus-sized) deduped stream never lands on the driver;
+    only the routing loop's in-flight batch does."""
+    import ray.data as rd
     actors = [DedupStateActor.remote() for _ in range(num_buckets)]
     pending: list = []
     ordered = ds.sort(order_col)
@@ -154,16 +166,16 @@ def streaming_exact_dedup(
             if mask.any():
                 sub = batch.filter(pa.array(mask))
                 pending.append(actors[b].process.remote(sub, fp_col))
-    parts = ray.get(pending)
-    keep = [p for p in parts if len(p)]
-    if not keep:  # empty input stream: keep the schema
+    if not pending:  # empty input stream: keep the schema
         from geodata_ray.stages.relational import _arrow_type
 
         sch = ordered.schema()
-        return pa.table(
-            {
-                n: pa.array([], _arrow_type(t))
-                for n, t in zip(sch.names, sch.types)
-            }
+        return rd.from_arrow(
+            pa.table(
+                {
+                    n: pa.array([], _arrow_type(t))
+                    for n, t in zip(sch.names, sch.types)
+                }
+            )
         )
-    return pa.concat_tables(keep)
+    return rd.from_arrow_refs(pending)
