@@ -107,7 +107,10 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     stages = stage_metrics(tiles)
 
     # --- representative per-query timings over the sf tables
-    for name in (
+    # (skipped in the --scaling subprocesses: efficiency is measured on
+    # the flagship alone, and the extra ~20s/level only adds
+    # contention exposure)
+    query_names = () if os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY") else (
         "q1_pricing_summary",
         "tiles_r7_events",
         "daily_user_value",
@@ -126,7 +129,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "heavy_hitter_users",
         "stratified_sample_events",
         "streaming_dedup_docs",
-    ):
+    )
+    for name in query_names:
         t0 = time.perf_counter()
         res = RAY_QUERIES[name](sf_dir)
         res.to_pandas()
@@ -150,7 +154,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
 
 
 def _subprocess_value(ncpu: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+               GRAFT_BENCH_FLAGSHIP_ONLY="1")
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
         env=env,
