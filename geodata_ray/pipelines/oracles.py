@@ -1872,6 +1872,15 @@ _ORACLE_SQL_STATIC = {
     "stratified_sample_events": STRATIFIED_SAMPLE_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "streaming_dedup_docs": STREAMING_DEDUP_SQL,
+    # ground truth canonical URL straight from the doc_id arithmetic —
+    # fully independent of the engine's regex normalizer
+    "url_canonicalize_docs": (
+        "SELECT doc_id,"
+        " 'https://site' || (doc_id % 97) || '.example.com/d' || doc_id"
+        "   AS canonical_url,"
+        " 'site' || (doc_id % 97) || '.example.com' AS host"
+        " FROM documents"
+    ),
     "fingerprint_docs": FINGERPRINT_SQL,
     "simhash_docs": SIMHASH_SQL,
     "lsh_buckets_embeddings": LSH_BUCKETS_SQL,

@@ -944,6 +944,50 @@ def contamination_check(sf_dir: str):
     )
 
 
+def url_canonicalize_docs(sf_dir: str):
+    """URL canonicalization + host extraction over deterministically
+    MESSY urls (case-mutated scheme/host, default :443 ports, trailing
+    slashes, fragments — all derived from doc_id): the oracle computes
+    the ground-truth canonical form DIRECTLY from the doc_id arithmetic,
+    so the engine's normalizer must undo every mutation exactly."""
+    from geodata_ray.stages.urls import canonicalize_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def messy(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch["doc_id"].to_numpy()
+        k = pd.Series(ids % 97).astype(str)
+        sid = pd.Series(ids).astype(str)
+        scheme = pd.Series(np.where(ids % 2 == 0, "HTTPS", "https"))
+        host = np.where(
+            ids % 3 == 0,
+            ("SITE" + k + ".Example.COM").to_numpy(),
+            ("site" + k + ".example.com").to_numpy(),
+        )
+        port = pd.Series(np.where(ids % 5 == 0, ":443", ""))
+        trail = pd.Series(np.where(ids % 7 == 0, "/", ""))
+        frag = pd.Series(
+            np.where(
+                ids % 11 == 0,
+                ("#s" + pd.Series(ids % 4).astype(str)).to_numpy(),
+                "",
+            )
+        )
+        url = (
+            scheme + "://" + pd.Series(host) + port + "/d" + sid
+            + trail + frag
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "url": pa.array(url.to_numpy())}
+        )
+
+    pages = ds.map_batches(messy, batch_format="pyarrow")
+    out = pages.map_batches(canonicalize_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "canonical_url", "host"])
+
+
 def streaming_dedup_docs(sf_dir: str):
     """Incremental (crawl-style) exact dedup through seen-set actor
     shards: the corpus plus the first 100 docs RE-INGESTED (uppercased,
@@ -1808,6 +1852,7 @@ RAY_QUERIES = {
     "stratified_sample_events": stratified_sample_events,
     "contamination_check": contamination_check,
     "streaming_dedup_docs": streaming_dedup_docs,
+    "url_canonicalize_docs": url_canonicalize_docs,
     "ivf_topk_embeddings": ivf_topk_embeddings,
     "kmeans_embeddings": kmeans_embeddings,
     "lsh_buckets_embeddings": lsh_buckets_embeddings,
