@@ -1874,6 +1874,13 @@ _ORACLE_SQL_STATIC = {
     "streaming_dedup_docs": STREAMING_DEDUP_SQL,
     # ground truth canonical URL straight from the doc_id arithmetic —
     # fully independent of the engine's regex normalizer
+    # expected clean text straight from the generator: original text +
+    # the unique tail; the common 'subscribe' line must be gone
+    "boilerplate_removal_docs": (
+        "SELECT doc_id,"
+        " text || chr(10) || 'Unique tail ' || doc_id AS clean_text"
+        " FROM documents"
+    ),
     "url_canonicalize_docs": (
         "SELECT doc_id,"
         " 'https://site' || (doc_id % 97) || '.example.com/d' || doc_id"

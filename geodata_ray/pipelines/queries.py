@@ -944,6 +944,32 @@ def contamination_check(sf_dir: str):
     )
 
 
+def boilerplate_removal_docs(sf_dir: str):
+    """CCNet-style boilerplate line removal: every doc gets a common
+    'subscribe' line + a unique tail line appended; lines appearing in
+    >= 50 docs are removed corpus-wide.  The oracle computes the
+    expected clean text straight from the generator (original text +
+    unique tail), independent of the removal machinery — so a green
+    row proves the line DF counts, the hot-set threshold, and the
+    order-preserving rejoin all at once."""
+    from geodata_ray.stages.textstats import remove_boilerplate_lines
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def with_boiler(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        sid = pd.Series(batch["doc_id"].to_numpy()).astype(str)
+        t = pd.Series(batch["text"].to_pandas())
+        t2 = t + "\nSubscribe to our newsletter today!\nUnique tail " + sid
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(t2.to_numpy())}
+        )
+
+    corpus = ds.map_batches(with_boiler, batch_format="pyarrow")
+    return remove_boilerplate_lines(corpus, min_docs=50)
+
+
 def url_canonicalize_docs(sf_dir: str):
     """URL canonicalization + host extraction over deterministically
     MESSY urls (case-mutated scheme/host, default :443 ports, trailing
@@ -1853,6 +1879,7 @@ RAY_QUERIES = {
     "contamination_check": contamination_check,
     "streaming_dedup_docs": streaming_dedup_docs,
     "url_canonicalize_docs": url_canonicalize_docs,
+    "boilerplate_removal_docs": boilerplate_removal_docs,
     "ivf_topk_embeddings": ivf_topk_embeddings,
     "kmeans_embeddings": kmeans_embeddings,
     "lsh_buckets_embeddings": lsh_buckets_embeddings,

@@ -275,3 +275,112 @@ def tfidf_top_terms(
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+
+
+def line_doc_frequencies(ds, *, id_col: str = "doc_id",
+                         text_col: str = "text"):
+    """(line_hash, n_docs) — how many documents contain each distinct
+    line.  One vectorized pass per batch (line split + column-wise
+    hashing + per-doc sort-dedup), then a two-phase grouped count."""
+    from geodata_ray.stages.dedup import hash_tokens_batch
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    def f(batch: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(batch[text_col], "\n")
+        lengths = (
+            pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = lines.combine_chunks().flatten()
+        h = hash_tokens_batch(flat).view(np.int64)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+        order = np.lexsort((h, doc_of))
+        d, s = doc_of[order], h[order]
+        keep = np.ones(d.size, dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+        return pa.table({"line_hash": pa.array(s[keep])})
+
+    pairs = ds.map_batches(f, batch_format="pyarrow")
+    return grouped_aggregate(
+        pairs, ["line_hash"], [("line_hash", "count", "n_docs")]
+    )
+
+
+class _BoilerplateCleaner:
+    """Drop lines whose hash is in the broadcast hot set, rejoin with
+    one vectorized ``binary_join`` per batch."""
+
+    def __init__(self, hot_ref, id_col: str, text_col: str):
+        try:
+            import ray
+
+            if isinstance(hot_ref, ray.ObjectRef):
+                hot_ref = ray.get(hot_ref)
+        except Exception:
+            pass
+        self.hot = pa.array(np.sort(np.asarray(hot_ref, dtype=np.int64)))
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from geodata_ray.stages.dedup import hash_tokens_batch
+
+        lines = pc.split_pattern(batch[self.text_col], "\n")
+        lengths = (
+            pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = lines.combine_chunks().flatten()
+        h = hash_tokens_batch(flat).view(np.int64)
+        keep = pc.invert(
+            pc.is_in(pa.array(h), value_set=self.hot)
+        ).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+        kept_counts = np.bincount(
+            doc_of[keep], minlength=len(batch)
+        ).astype(np.int64)
+        offsets = np.r_[0, np.cumsum(kept_counts)]
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), flat.filter(pa.array(keep))
+        )
+        clean = pc.binary_join(la, "\n")
+        return pa.table(
+            {self.id_col: batch[self.id_col], "clean_text": clean}
+        )
+
+
+def remove_boilerplate_lines(
+    ds, *, id_col: str = "doc_id", text_col: str = "text", min_docs: int
+):
+    """CCNet-style boilerplate removal: delete every line that appears
+    in >= ``min_docs`` distinct documents (cookie banners, nav menus,
+    subscribe prompts), preserving the remaining lines' order.
+
+    Two passes: line doc-frequencies (two-phase grouped count over
+    per-doc-distinct line hashes), then a broadcast hot-set filter +
+    vectorized per-doc rejoin.  The hot set is BOUNDED by
+    total-doc-line-pairs / min_docs — the same pigeonhole bound that
+    makes the heavy-hitters candidate set small."""
+    df = line_doc_frequencies(ds, id_col=id_col, text_col=text_col)
+    hot = df.filter(expr=f"n_docs >= {min_docs}").to_pandas()
+    hot_hashes = (
+        hot["line_hash"].to_numpy()
+        if "line_hash" in hot.columns
+        else np.empty(0, dtype=np.int64)
+    )
+    try:
+        import ray
+
+        hot_ref = ray.put(hot_hashes)
+    except Exception:
+        hot_ref = hot_hashes
+    return ds.map_batches(
+        _BoilerplateCleaner,
+        fn_constructor_kwargs={
+            "hot_ref": hot_ref,
+            "id_col": id_col,
+            "text_col": text_col,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

@@ -419,3 +419,39 @@ def test_vectorized_token_hash_bit_identical():
         assert np.array_equal(flat[off : off + c], want), t
         off += c
     assert off == flat.size
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_remove_boilerplate_lines_order_and_edge_cases():
+    import ray.data as rd
+
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "keep one\nBOILER\nkeep two",   # interleaved
+                "BOILER\nkeep three",            # leading
+                "keep four\nBOILER",             # trailing
+                "BOILER",                        # all-boilerplate
+            ],
+        }
+    )
+    out = (
+        textstats.remove_boilerplate_lines(
+            rd.from_arrow(docs).repartition(2), min_docs=3
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out.clean_text.tolist() == [
+        "keep one\nkeep two", "keep three", "keep four", "",
+    ]
+    # below the threshold nothing is removed
+    out2 = (
+        textstats.remove_boilerplate_lines(
+            rd.from_arrow(docs).repartition(2), min_docs=5
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out2.clean_text.tolist() == docs["text"].to_pylist()
