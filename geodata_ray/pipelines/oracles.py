@@ -1874,6 +1874,14 @@ _ORACLE_SQL_STATIC = {
     "streaming_dedup_docs": STREAMING_DEDUP_SQL,
     # ground truth canonical URL straight from the doc_id arithmetic —
     # fully independent of the engine's regex normalizer
+    # expected redacted text straight from the generator (the planted
+    # email/phone/IP become typed placeholders; originals untouched)
+    "redact_pii_docs": (
+        "SELECT doc_id,"
+        " text || ' Contact <EMAIL> or <PHONE> from <IP> now.'"
+        "   AS clean_text"
+        " FROM documents"
+    ),
     # expected clean text straight from the generator: original text +
     # the unique tail; the common 'subscribe' line must be gone
     "boilerplate_removal_docs": (

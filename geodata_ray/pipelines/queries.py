@@ -970,6 +970,37 @@ def boilerplate_removal_docs(sf_dir: str):
     return remove_boilerplate_lines(corpus, min_docs=50)
 
 
+def redact_pii_docs(sf_dir: str):
+    """PII scrubbing: every doc gets a planted email + phone + IPv4
+    appended (derived from doc_id); the redactor must replace exactly
+    those with typed placeholders.  The oracle derives the expected
+    clean text straight from the generator — independent of the regex
+    machinery (the driver corpus itself contains no digits or emails,
+    so the original text must pass through byte-identical)."""
+    from geodata_ray.stages.textstats import redact_pii_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch["doc_id"].to_numpy()
+        sid = pd.Series(ids).astype(str)
+        oct4 = pd.Series(ids % 254).astype(str)
+        t = pd.Series(batch["text"].to_pandas())
+        t2 = (
+            t + " Contact user" + sid + "@mail.example.com or"
+            + " +1 (415) 555-0142 from 192.168.0." + oct4 + " now."
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(t2.to_numpy())}
+        )
+
+    return ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        redact_pii_batch, batch_format="pyarrow"
+    )
+
+
 def url_canonicalize_docs(sf_dir: str):
     """URL canonicalization + host extraction over deterministically
     MESSY urls (case-mutated scheme/host, default :443 ports, trailing
@@ -1880,6 +1911,7 @@ RAY_QUERIES = {
     "streaming_dedup_docs": streaming_dedup_docs,
     "url_canonicalize_docs": url_canonicalize_docs,
     "boilerplate_removal_docs": boilerplate_removal_docs,
+    "redact_pii_docs": redact_pii_docs,
     "ivf_topk_embeddings": ivf_topk_embeddings,
     "kmeans_embeddings": kmeans_embeddings,
     "lsh_buckets_embeddings": lsh_buckets_embeddings,

@@ -384,3 +384,28 @@ def remove_boilerplate_lines(
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+
+
+# PII redaction patterns (RE2 syntax — pyarrow and DuckDB both run
+# RE2, so the SQL oracle applies the IDENTICAL expressions)
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii_batch(
+    batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Replace emails / phone numbers / IPv4 addresses with typed
+    placeholder tokens — the scrubbing pass a training-data pipeline
+    runs before tokenization.  One vectorized ``replace_substring_regex``
+    per pattern; patterns apply in order (email first, so its digits
+    can't be half-eaten by the phone pattern)."""
+    text = batch[text_col]
+    for pat, repl in PII_PATTERNS:
+        text = pc.replace_substring_regex(
+            text, pat, replacement=repl
+        )
+    return pa.table({id_col: batch[id_col], "clean_text": text})

@@ -455,3 +455,22 @@ def test_remove_boilerplate_lines_order_and_edge_cases():
         .sort_values("doc_id", ignore_index=True)
     )
     assert out2.clean_text.tolist() == docs["text"].to_pylist()
+
+
+def test_redact_pii_batch_cases():
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "mail a.b+c@ex-ample.org now",
+                "call +1 (415) 555-0142 or 415.555.0142",
+                "host 10.0.0.1 clean words only",
+            ],
+        }
+    )
+    out = textstats.redact_pii_batch(t)["clean_text"].to_pylist()
+    assert out == [
+        "mail <EMAIL> now",
+        "call <PHONE> or <PHONE>",
+        "host <IP> clean words only",
+    ]
