@@ -110,7 +110,10 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     # (skipped in the --scaling subprocesses: efficiency is measured on
     # the flagship alone, and the extra ~20s/level only adds
     # contention exposure)
-    query_names = () if os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY") else (
+    flagship_only = os.environ.get(
+        "GRAFT_BENCH_FLAGSHIP_ONLY", ""
+    ).lower() not in ("", "0", "false")
+    query_names = () if flagship_only else (
         "q1_pricing_summary",
         "tiles_r7_events",
         "daily_user_value",

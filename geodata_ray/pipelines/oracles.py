@@ -1872,8 +1872,6 @@ _ORACLE_SQL_STATIC = {
     "stratified_sample_events": STRATIFIED_SAMPLE_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "streaming_dedup_docs": STREAMING_DEDUP_SQL,
-    # ground truth canonical URL straight from the doc_id arithmetic —
-    # fully independent of the engine's regex normalizer
     # expected redacted text straight from the generator (the planted
     # email/phone/IP become typed placeholders; originals untouched)
     "redact_pii_docs": (
@@ -1889,6 +1887,8 @@ _ORACLE_SQL_STATIC = {
         " text || chr(10) || 'Unique tail ' || doc_id AS clean_text"
         " FROM documents"
     ),
+    # ground truth canonical URL straight from the doc_id arithmetic —
+    # fully independent of the engine's regex normalizer
     "url_canonicalize_docs": (
         "SELECT doc_id,"
         " 'https://site' || (doc_id % 97) || '.example.com/d' || doc_id"

@@ -277,23 +277,38 @@ def tfidf_top_terms(
     )
 
 
-def line_doc_frequencies(ds, *, id_col: str = "doc_id",
-                         text_col: str = "text"):
+def _line_hash_batch(batch: pa.Table, text_col: str):
+    """Shared line kernel: null-safe split (null text = empty doc),
+    column-wise line hashing, per-line doc index.  Returns
+    ``(flat_lines, line_hashes, doc_of, n_docs)`` — the DF pass and the
+    cleaner both call THIS, so a fix lands once."""
+    from geodata_ray.stages.dedup import hash_tokens_batch
+
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = text.fill_null("")  # null text would break repeat/flatten
+    lines = pc.split_pattern(text, "\n")
+    lengths = (
+        pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = lines.combine_chunks().flatten() if isinstance(
+        lines, pa.ChunkedArray
+    ) else lines.flatten()
+    h = hash_tokens_batch(flat).view(np.int64)
+    doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+    return flat, h, doc_of, len(batch)
+
+
+def line_doc_frequencies(ds, *, text_col: str = "text"):
     """(line_hash, n_docs) — how many documents contain each distinct
     line.  One vectorized pass per batch (line split + column-wise
     hashing + per-doc sort-dedup), then a two-phase grouped count."""
-    from geodata_ray.stages.dedup import hash_tokens_batch
     from geodata_ray.stages.relational import grouped_aggregate
 
     def f(batch: pa.Table) -> pa.Table:
-        lines = pc.split_pattern(batch[text_col], "\n")
-        lengths = (
-            pc.list_value_length(lines).to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        flat = lines.combine_chunks().flatten()
-        h = hash_tokens_batch(flat).view(np.int64)
-        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+        _, h, doc_of, _ = _line_hash_batch(batch, text_col)
         order = np.lexsort((h, doc_of))
         d, s = doc_of[order], h[order]
         keep = np.ones(d.size, dtype=bool)
@@ -323,22 +338,13 @@ class _BoilerplateCleaner:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from geodata_ray.stages.dedup import hash_tokens_batch
-
-        lines = pc.split_pattern(batch[self.text_col], "\n")
-        lengths = (
-            pc.list_value_length(lines).to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        flat = lines.combine_chunks().flatten()
-        h = hash_tokens_batch(flat).view(np.int64)
+        flat, h, doc_of, n = _line_hash_batch(batch, self.text_col)
         keep = pc.invert(
             pc.is_in(pa.array(h), value_set=self.hot)
         ).to_numpy(zero_copy_only=False)
-        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
-        kept_counts = np.bincount(
-            doc_of[keep], minlength=len(batch)
-        ).astype(np.int64)
+        kept_counts = np.bincount(doc_of[keep], minlength=n).astype(
+            np.int64
+        )
         offsets = np.r_[0, np.cumsum(kept_counts)]
         la = pa.ListArray.from_arrays(
             pa.array(offsets, type=pa.int32()), flat.filter(pa.array(keep))
@@ -361,7 +367,7 @@ def remove_boilerplate_lines(
     vectorized per-doc rejoin.  The hot set is BOUNDED by
     total-doc-line-pairs / min_docs — the same pigeonhole bound that
     makes the heavy-hitters candidate set small."""
-    df = line_doc_frequencies(ds, id_col=id_col, text_col=text_col)
+    df = line_doc_frequencies(ds, text_col=text_col)
     hot = df.filter(expr=f"n_docs >= {min_docs}").to_pandas()
     hot_hashes = (
         hot["line_hash"].to_numpy()
@@ -390,7 +396,14 @@ def remove_boilerplate_lines(
 # RE2, so the SQL oracle applies the IDENTICAL expressions)
 PII_PATTERNS = (
     (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}", "<PHONE>"),
+    # boundary guards without lookaround (RE2 has neither): the match
+    # must start at string-begin or after a consumed non-digit (kept
+    # via \1) and end on \b — so longer digit runs (card numbers,
+    # timestamps) are left UNTOUCHED instead of half-redacted: the
+    # pattern spans at most 12 digits and a 13+-digit run can never
+    # satisfy both guards
+    (r"(^|\D)((?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4})\b",
+     r"\1<PHONE>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
 )
 

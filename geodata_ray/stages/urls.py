@@ -4,11 +4,13 @@ normalization step before any host/domain grouping or URL-level dedup
 -style engine the north rule mandates).
 
 Vectorized: one ``pc.extract_regex`` pass splits every URL into
-(scheme, host, port, rest); canonical form is lower-cased scheme+host,
-default ports dropped (http:80 / https:443), fragments gone (the regex
-stops at ``#``), trailing slashes stripped.  Rows that do not parse as
-absolute URLs pass through unchanged (crawls contain garbage; dropping
-it is a FILTER's decision, not a normalizer's).
+(scheme, userinfo, host, port, rest); canonical form is lower-cased
+scheme+host, USERINFO DROPPED (credentials are PII and never part of
+the resource identity), default ports dropped (http:80 / https:443),
+fragments gone (the regex stops at ``#``), trailing slashes stripped.
+Rows that do not parse as absolute URLs pass through unchanged (crawls
+contain garbage; dropping it is a FILTER's decision, not a
+normalizer's).
 """
 
 from __future__ import annotations
@@ -18,23 +20,18 @@ import pyarrow.compute as pc
 
 _URL_RE = (
     r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://"
-    r"(?P<host>[^/:?#]+)(?::(?P<port>\d+))?(?P<rest>[^#]*)"
+    r"(?:(?P<userinfo>[^@/?#]*)@)?"
+    r"(?P<host>[^@/:?#]+)(?::(?P<port>\d+))?(?P<rest>[^#]*)"
 )
 
 
-def _joined(*parts) -> pa.Array:
-    # the last positional arg of binary_join_element_wise is the
-    # SEPARATOR — join with the empty string
-    return pc.binary_join_element_wise(
-        *parts, "", null_handling="replace"
-    )
-
-
-def canonicalize_urls(urls) -> pa.Array:
-    """Canonical absolute-URL form; non-URL strings pass through."""
+def _parse(urls) -> pa.StructArray:
     if isinstance(urls, pa.ChunkedArray):
         urls = urls.combine_chunks()
-    ex = pc.extract_regex(urls, _URL_RE)
+    return pc.extract_regex(urls, _URL_RE)
+
+
+def _canonical_from(ex: pa.StructArray, urls: pa.Array) -> pa.Array:
     scheme = pc.utf8_lower(pc.struct_field(ex, "scheme"))
     host = pc.utf8_lower(pc.struct_field(ex, "host"))
     port = pc.struct_field(ex, "port")
@@ -46,35 +43,45 @@ def canonicalize_urls(urls) -> pa.Array:
         pc.and_(pc.equal(scheme, "http"), pc.equal(port, "80")),
     )
     # ":" + port only for explicit non-default ports (a URL without a
-    # port yields an EMPTY — not null — optional group)
+    # port yields an EMPTY — not null — optional group); scalar
+    # operands everywhere, no per-batch Python lists
     port_str = pc.fill_null(port, "")
     has_port = pc.and_(
         pc.not_equal(port_str, ""), pc.invert(pc.fill_null(default, False))
     )
     port_part = pc.if_else(
         has_port,
-        _joined(pa.array([":"] * len(urls)), port_str),
-        pa.array([""] * len(urls)),
+        pc.binary_join_element_wise(":", port_str, ""),
+        "",
     )
-    canon = _joined(
-        scheme, pa.array(["://"] * len(urls)), host, port_part, rest
+    canon = pc.binary_join_element_wise(
+        scheme, "://", host, port_part, rest, "",
+        null_handling="replace",
     )
     return pc.if_else(pc.is_valid(pc.struct_field(ex, "host")), canon, urls)
 
 
-def url_hosts(urls) -> pa.Array:
-    """Lower-cased host per URL; null for non-URL strings."""
+def canonicalize_urls(urls) -> pa.Array:
+    """Canonical absolute-URL form; non-URL strings pass through."""
     if isinstance(urls, pa.ChunkedArray):
         urls = urls.combine_chunks()
-    ex = pc.extract_regex(urls, _URL_RE)
-    return pc.utf8_lower(pc.struct_field(ex, "host"))
+    return _canonical_from(_parse(urls), urls)
+
+
+def url_hosts(urls) -> pa.Array:
+    """Lower-cased host per URL; null for non-URL strings."""
+    return pc.utf8_lower(pc.struct_field(_parse(urls), "host"))
 
 
 def canonicalize_batch(
     batch: pa.Table, *, url_col: str = "url"
 ) -> pa.Table:
-    """Append canonical_url + host columns to a pages batch."""
+    """Append canonical_url + host columns to a pages batch — ONE
+    regex pass shared by both outputs."""
     urls = batch[url_col]
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    ex = _parse(urls)
     return batch.append_column(
-        "canonical_url", canonicalize_urls(urls)
-    ).append_column("host", url_hosts(urls))
+        "canonical_url", _canonical_from(ex, urls)
+    ).append_column("host", pc.utf8_lower(pc.struct_field(ex, "host")))

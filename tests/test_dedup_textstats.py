@@ -474,3 +474,21 @@ def test_redact_pii_batch_cases():
         "call <PHONE> or <PHONE>",
         "host <IP> clean words only",
     ]
+    # boundary guards: longer digit runs stay UNTOUCHED (no leaked
+    # fragments), adjacent phones both redact, string-start works
+    t2 = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "card 4111111111111111 and ts 20260817120000 stay",
+                "4155550142 4155550142",
+                "+1 (415) 555-0142 leads",
+            ],
+        }
+    )
+    out2 = textstats.redact_pii_batch(t2)["clean_text"].to_pylist()
+    assert out2 == [
+        "card 4111111111111111 and ts 20260817120000 stay",
+        "<PHONE> <PHONE>",
+        "<PHONE> leads",
+    ]
