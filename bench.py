@@ -132,6 +132,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "heavy_hitter_users",
         "stratified_sample_events",
         "streaming_dedup_docs",
+        "url_canonicalize_docs",
+        "boilerplate_removal_docs",
+        "redact_pii_docs",
     )
     for name in query_names:
         t0 = time.perf_counter()
