@@ -1757,7 +1757,8 @@ def running_totals_actor_stream(sf_dir: str):
         prepped, key_col="user_id", ts_col="ts", value_col="cents",
         num_buckets=4,
     )
-    return out.select(["event_id", "running_sum", "running_n"])
+    # out is a Dataset (shard outputs stay in the object store)
+    return out.select_columns(["event_id", "running_sum", "running_n"])
 
 
 def normalize_era5_raw(sf_dir: str):
@@ -1870,7 +1871,50 @@ def ivf_topk_embeddings(sf_dir: str):
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Query registry ordering contract (see COVERAGE.md):
+# the external driver's correctness gate checks exactly the FIRST 50 names in
+# dict order.  Round 4 rotates the window so the 28 queries that never had (or
+# lost) a driver row in rounds 1-3 come first, followed by queries new in this
+# round, then long-stable driver-green backfill.  Names and implementations
+# are stable across rounds; ONLY the ordering moves.  Never append a new query
+# at the end — insert it after the rotation block so it gets a driver row.
+# ---------------------------------------------------------------------------
 RAY_QUERIES = {
+    # -- rotation block: 8 queries displaced from the r3 window (all were
+    #    driver-green in CORRECTNESS_r02) --
+    "temperature_grid": temperature_grid,
+    "heat_demand_grid": heat_demand_grid,
+    "winddir_grid": winddir_grid,
+    "raster_and_merge": raster_and_merge,
+    "raster_sum_merge": raster_sum_merge,
+    "raster_filter_trim": raster_filter_trim,
+    "raster_resample_r5": raster_resample_r5,
+    "raster_min_area": raster_min_area,
+    # -- rotation block: 20 queries that never had a driver row (green in the
+    #    identical local gate, tools/check_correctness.py) --
+    "raster_min_area_km2": raster_min_area_km2,
+    "knn_events_gazetteer": knn_events_gazetteer,
+    "wind_model_fit_grid": wind_model_fit_grid,
+    "wind_model_estimate_grid": wind_model_estimate_grid,
+    "wind_spline_estimate_grid": wind_spline_estimate_grid,
+    "flagship_resumable": flagship_resumable,
+    "decode_images_ppm": decode_images_ppm,
+    "sample_frames_stream": sample_frames_stream,
+    "audio_features_wav": audio_features_wav,
+    "running_totals_actor_stream": running_totals_actor_stream,
+    "normalize_era5_raw": normalize_era5_raw,
+    "top_pages_per_tile": top_pages_per_tile,
+    "value_quantiles_events": value_quantiles_events,
+    "embedding_dups_lsh": embedding_dups_lsh,
+    "mask_save_load_attach": mask_save_load_attach,
+    "partitioned_view_events": partitioned_view_events,
+    "top3_events_per_type_salted": top3_events_per_type_salted,
+    "exact_quantiles_events": exact_quantiles_events,
+    "ts_series_grid": ts_series_grid,
+    "heatmap_grid": heatmap_grid,
+    # -- round-4 additions slot in here (before the backfill) --
+    # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,
     "bbox_filter_events": bbox_filter_events,
@@ -1899,7 +1943,6 @@ RAY_QUERIES = {
     "pip_boxes_anti": pip_boxes_anti,
     "q3_shipping_native": q3_shipping_native,
     "range_join_orders_events": range_join_orders_events,
-    # rows-only (non-SQL-expressible: engine-internal hashes / models)
     "simhash_docs": simhash_docs,
     "fingerprint_docs": fingerprint_docs,
     "langid_docs": langid_docs,
@@ -1915,8 +1958,6 @@ RAY_QUERIES = {
     "ivf_topk_embeddings": ivf_topk_embeddings,
     "kmeans_embeddings": kmeans_embeddings,
     "lsh_buckets_embeddings": lsh_buckets_embeddings,
-    # conversion library over the deterministic grid fixture (golden
-    # values checked in tests/test_conversions.py; rows-only here)
     "windspd_grid": windspd_grid,
     "wind_power_grid": wind_power_grid,
     "windwpd_grid": windwpd_grid,
@@ -1924,39 +1965,6 @@ RAY_QUERIES = {
     "pv_tracking_grid": pv_tracking_grid,
     "solar_thermal_grid": solar_thermal_grid,
     "pm25_grid": pm25_grid,
-    "temperature_grid": temperature_grid,
-    "heat_demand_grid": heat_demand_grid,
-    "winddir_grid": winddir_grid,
-    # raster / mask algebra + kNN (rows-only; goldens in tests)
-    "raster_and_merge": raster_and_merge,
-    "raster_sum_merge": raster_sum_merge,
-    "raster_filter_trim": raster_filter_trim,
-    "raster_resample_r5": raster_resample_r5,
-    "raster_min_area": raster_min_area,
-    "raster_min_area_km2": raster_min_area_km2,
-    "knn_events_gazetteer": knn_events_gazetteer,
-    # model fit/estimate + lineage + multimodal decode (real pure-numpy
-    # PPM/WAV/PPM-stream codecs; rows-only - binary decode has no SQL)
-    "wind_model_fit_grid": wind_model_fit_grid,
-    "wind_model_estimate_grid": wind_model_estimate_grid,
-    "wind_spline_estimate_grid": wind_spline_estimate_grid,
-    "flagship_resumable": flagship_resumable,
-    "decode_images_ppm": decode_images_ppm,
-    "sample_frames_stream": sample_frames_stream,
-    "audio_features_wav": audio_features_wav,
-    "running_totals_actor_stream": running_totals_actor_stream,
-    "normalize_era5_raw": normalize_era5_raw,
-    "top_pages_per_tile": top_pages_per_tile,
-    "value_quantiles_events": value_quantiles_events,
-    # round-2: mask persistence round-trip, manifest-pruned views,
-    # bucketed embedding dedup (all SQL-audited)
-    "embedding_dups_lsh": embedding_dups_lsh,
-    "mask_save_load_attach": mask_save_load_attach,
-    "partitioned_view_events": partitioned_view_events,
-    "top3_events_per_type_salted": top3_events_per_type_salted,
-    "exact_quantiles_events": exact_quantiles_events,
-    "ts_series_grid": ts_series_grid,
-    "heatmap_grid": heatmap_grid,
 }
 
 

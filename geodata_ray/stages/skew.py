@@ -185,7 +185,22 @@ def heavy_hitters(ds, key: str, *, min_count: int,
     return exact.filter(expr=f"n_rows >= {min_count}")
 
 
-def stratified_sample(ds, *, key: str, id_col: str, n_per_key: int):
+def _shard_of(values: np.ndarray, n_shards: int) -> np.ndarray:
+    """Deterministic value-only shard assignment for the final-merge
+    grouping: splitmix64 for integer keys, pandas' fixed-key siphash
+    (``pd.util.hash_array``) for strings/objects.  Consistent across
+    batches and runs — a key's partials always land in one shard."""
+    arr = np.asarray(values)
+    if np.issubdtype(arr.dtype, np.integer):
+        h = splitmix64(arr.astype(np.uint64))
+    else:
+        h = pd.util.hash_array(arr.astype(object))
+    return (h % np.uint64(n_shards)).astype(np.int64)
+
+
+def stratified_sample(
+    ds, *, key: str, id_col: str, n_per_key: int, n_shards: int = 16
+):
     """Deterministic per-key fixed-quota sample: the ``n_per_key`` rows
     with the smallest Knuth-multiplicative id hash within each key —
     the per-language / per-domain quota sampling a training-data
@@ -194,10 +209,14 @@ def stratified_sample(ds, *, key: str, id_col: str, n_per_key: int):
 
     Decomposable top-k plan: per-batch partial quota (at most
     n x distinct-keys rows leave each batch — the wide payload never
-    ships; join the returned ids back for payloads), then one bounded
-    final merge.  No full shuffle.  Ids must be NON-NEGATIVE: a
-    negative id would hash differently here (uint64 wrap) than in the
-    oracle's signed SQL modulo, so it is rejected upfront.
+    ships; join the returned ids back for payloads), then a SHARDED
+    final merge: partials group by ``hash(key) % n_shards`` so each
+    key's candidates co-locate in one of ``n_shards`` bounded groups —
+    no single-block funnel even at per-domain cardinality (~10^8 keys
+    x n rows split across shards; raise ``n_shards`` with cardinality).
+    Ids must be NON-NEGATIVE: a negative id would hash differently here
+    (uint64 wrap) than in the oracle's signed SQL modulo, so it is
+    rejected upfront.
     """
     from geodata_ray.sources.synth import GEO_A, GEO_M
 
@@ -219,11 +238,19 @@ def stratified_sample(ds, *, key: str, id_col: str, n_per_key: int):
 
     partials = ds.map_batches(quota, batch_format="pyarrow")
 
-    def drop_h(batch: pa.Table) -> pa.Table:
-        return batch.drop_columns(["__h"])
+    def add_shard(batch: pa.Table) -> pa.Table:
+        kv = batch[key].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__shard", pa.array(_shard_of(kv, n_shards))
+        )
+
+    def final_quota(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__h", id_col], kind="stable")
+        g = g.groupby(key, sort=False).head(n_per_key)
+        return g.drop(columns=["__h", "__shard"])
 
     return (
-        partials.repartition(1)
-        .map_batches(quota, batch_format="pyarrow", batch_size=None)
-        .map_batches(drop_h, batch_format="pyarrow")
+        partials.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(final_quota, batch_format="pandas")
     )

@@ -38,18 +38,44 @@ class BucketStateActor:
         self.counts: dict = {}
 
     def process(self, table: pa.Table, key_col: str, value_col: str) -> pa.Table:
-        keys = table[key_col].to_numpy(zero_copy_only=False)
-        vals = table[value_col].to_numpy(zero_copy_only=False)
-        out_sum = np.empty(len(keys), dtype=np.int64)
-        out_n = np.empty(len(keys), dtype=np.int64)
-        for i, (k, v) in enumerate(zip(keys, vals)):
-            k = int(k)
-            s = self.sums.get(k, 0) + int(v)
-            c = self.counts.get(k, 0) + 1
-            self.sums[k] = s
-            self.counts[k] = c
-            out_sum[i] = s
-            out_n[i] = c
+        """Vectorized per-key running sum/count over one event-time-ordered
+        batch: stable-sort rows by key, compute within-segment cumulative
+        sums (one ``np.cumsum`` + a segment-base subtraction), add each
+        key's carried-in state, scatter back to arrival order, and touch
+        the state dict exactly once per UNIQUE key."""
+        n = len(table)
+        if n == 0:
+            return table.append_column(
+                "running_sum", pa.array([], pa.int64())
+            ).append_column("running_n", pa.array([], pa.int64()))
+        keys = table[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = table[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(keys, kind="stable")  # event order kept per key
+        sk, sv = keys[order], vals[order]
+        uniq, starts = np.unique(sk, return_index=True)
+        counts = np.diff(np.append(starts, n))
+        cs = np.cumsum(sv)
+        # within-segment cumsum: subtract the cumsum up to (excl.) each start
+        seg = cs - np.repeat(cs[starts] - sv[starts], counts)
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts) + 1
+        prev_sum = np.fromiter(
+            (self.sums.get(int(k), 0) for k in uniq),
+            dtype=np.int64, count=len(uniq),
+        )
+        prev_cnt = np.fromiter(
+            (self.counts.get(int(k), 0) for k in uniq),
+            dtype=np.int64, count=len(uniq),
+        )
+        seg += np.repeat(prev_sum, counts)
+        pos += np.repeat(prev_cnt, counts)
+        ends = starts + counts - 1
+        for k, s, c in zip(uniq, seg[ends], pos[ends]):
+            self.sums[int(k)] = int(s)
+            self.counts[int(k)] = int(c)
+        out_sum = np.empty(n, dtype=np.int64)
+        out_n = np.empty(n, dtype=np.int64)
+        out_sum[order] = seg
+        out_n[order] = pos
         return table.append_column(
             "running_sum", pa.array(out_sum)
         ).append_column("running_n", pa.array(out_n))
@@ -69,8 +95,12 @@ def keyed_running_aggregate(
 ):
     """Running per-key aggregates over an event-time-ordered stream.
 
-    Returns a pyarrow Table of the input rows + running_sum/running_n
-    (order of output rows follows event time within each bucket).
+    Returns a ``ray.data.Dataset`` of the input rows +
+    running_sum/running_n, built with ``from_arrow_refs`` over the
+    actor-task outputs — the (input-sized) result stays in the object
+    store and never materializes on the driver; only the routing loop's
+    in-flight batch does.  Row order follows event time within each
+    bucket.
 
     The driver routes batches; per-bucket work and all state live in
     actors.  This is the documented last-resort pattern — the driver
@@ -79,6 +109,8 @@ def keyed_running_aggregate(
     ``map_groups`` (needs the whole group at once) cannot provide for
     unbounded keys.
     """
+    import ray.data as rd
+
     actors = [BucketStateActor.remote() for _ in range(num_buckets)]
     pending: list = []
     ordered = ds.sort(ts_col)
@@ -93,8 +125,18 @@ def keyed_running_aggregate(
             if mask.any():
                 sub = batch.filter(pa.array(mask))
                 pending.append(actors[b].process.remote(sub, key_col, value_col))
-    parts = ray.get(pending)
-    return pa.concat_tables([p for p in parts if len(p)])
+    if not pending:  # empty input stream: keep the schema + output cols
+        sch = ordered.schema()
+        from geodata_ray.stages.relational import _arrow_type
+
+        cols = {
+            n: pa.array([], _arrow_type(t))
+            for n, t in zip(sch.names, sch.types)
+        }
+        cols["running_sum"] = pa.array([], pa.int64())
+        cols["running_n"] = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table(cols))
+    return rd.from_arrow_refs(pending)
 
 
 def actor_state_snapshots(actors) -> pd.DataFrame:
@@ -155,9 +197,25 @@ def streaming_exact_dedup(
     actors = [DedupStateActor.remote() for _ in range(num_buckets)]
     pending: list = []
     ordered = ds.sort(order_col)
+    from geodata_ray.stages.relational import _arrow_type
+
+    _sch = ordered.schema()
+    fp_type = _arrow_type(dict(zip(_sch.names, _sch.types))[fp_col])
+    if fp_type not in (pa.int64(), pa.uint64()):
+        raise ValueError(
+            f"streaming_exact_dedup: fp_col {fp_col!r} must be int64/uint64 "
+            f"(a 64-bit fingerprint), got {fp_type}; a narrower dtype would "
+            "be silently reinterpreted by the uint64 bit view"
+        )
     for batch in ordered.iter_batches(
         batch_size=batch_size, batch_format="pyarrow"
     ):
+        if batch[fp_col].null_count:
+            raise ValueError(
+                f"streaming_exact_dedup: fp_col {fp_col!r} contains nulls; "
+                "fingerprints must be non-null (nulls degrade to object "
+                "dtype and break the seen-set probe)"
+            )
         fps = batch[fp_col].to_numpy(zero_copy_only=False)
         h = splitmix64(fps.view(np.uint64))
         bucket = (h % np.uint64(num_buckets)).astype(np.int64)

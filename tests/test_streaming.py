@@ -27,10 +27,14 @@ def test_keyed_running_aggregate_matches_window_function():
         }
     )
     ds = rd.from_arrow(t).repartition(7)
-    out = keyed_running_aggregate(
+    result = keyed_running_aggregate(
         ds, key_col="user_id", ts_col="ts", value_col="cents", num_buckets=4,
         batch_size=512,
-    ).to_pandas()
+    )
+    # scale contract: the (input-sized) output must stay in the object
+    # store, not be concatenated on the driver
+    assert isinstance(result, rd.Dataset)
+    out = result.to_pandas()
 
     # pandas window-function reference (ts is unique by construction)
     ref = t.to_pandas().sort_values("ts", ignore_index=True)
@@ -76,3 +80,23 @@ def test_streaming_exact_dedup_first_occurrence():
         .sort_values("rid", ignore_index=True)
     )
     assert out[["rid", "fp"]].values.tolist() == want[["rid", "fp"]].values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_streaming_exact_dedup_rejects_bad_fp_dtype():
+    """int32 fingerprints would be silently reinterpreted by the uint64
+    bit view; the stage must refuse them loudly (ADVICE r3)."""
+    import ray.data as rd
+
+    from geodata_ray.stages.streaming import streaming_exact_dedup
+
+    t = pa.table(
+        {
+            "rid": pa.array(np.arange(10, dtype=np.int64)),
+            "fp": pa.array(np.arange(10, dtype=np.int32)),
+        }
+    )
+    with pytest.raises(ValueError, match="int64/uint64"):
+        streaming_exact_dedup(
+            rd.from_arrow(t), order_col="rid", fp_col="fp", num_buckets=2
+        )
