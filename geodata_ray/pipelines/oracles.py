@@ -1876,8 +1876,8 @@ _ORACLE_SQL_STATIC = {
     # email/phone/IP become typed placeholders; originals untouched)
     "redact_pii_docs": (
         "SELECT doc_id,"
-        " text || ' Contact <EMAIL> or <PHONE> from <IP> now.'"
-        "   AS clean_text"
+        " text || ' Contact <EMAIL> or <PHONE> from <IP> now."
+        " SSN <SSN> IBAN <IBAN> end.' AS clean_text"
         " FROM documents"
     ),
     # expected clean text straight from the generator: original text +

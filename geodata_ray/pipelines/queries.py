@@ -971,12 +971,12 @@ def boilerplate_removal_docs(sf_dir: str):
 
 
 def redact_pii_docs(sf_dir: str):
-    """PII scrubbing: every doc gets a planted email + phone + IPv4
-    appended (derived from doc_id); the redactor must replace exactly
-    those with typed placeholders.  The oracle derives the expected
-    clean text straight from the generator — independent of the regex
-    machinery (the driver corpus itself contains no digits or emails,
-    so the original text must pass through byte-identical)."""
+    """PII scrubbing: every doc gets a planted email + phone + IPv4 +
+    SSN + IBAN appended (derived from doc_id); the redactor must
+    replace exactly those with typed placeholders.  The oracle derives
+    the expected clean text straight from the generator — independent
+    of the regex machinery (the driver corpus itself contains no digits
+    or emails, so the original text must pass through byte-identical)."""
     from geodata_ray.stages.textstats import redact_pii_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -987,10 +987,20 @@ def redact_pii_docs(sf_dir: str):
         ids = batch["doc_id"].to_numpy()
         sid = pd.Series(ids).astype(str)
         oct4 = pd.Series(ids % 254).astype(str)
+        ssn = (
+            pd.Series(ids % 900 + 100).astype(str)
+            + "-" + pd.Series(ids % 90 + 10).astype(str)
+            + "-" + pd.Series(ids % 9000 + 1000).astype(str)
+        )
+        iban = (
+            "DE" + pd.Series(ids % 90 + 10).astype(str)
+            + "BANK" + sid.str.zfill(10)
+        )
         t = pd.Series(batch["text"].to_pandas())
         t2 = (
             t + " Contact user" + sid + "@mail.example.com or"
             + " +1 (415) 555-0142 from 192.168.0." + oct4 + " now."
+            + " SSN " + ssn + " IBAN " + iban + " end."
         )
         return pa.table(
             {"doc_id": batch["doc_id"], "text": pa.array(t2.to_numpy())}
@@ -1023,7 +1033,16 @@ def url_canonicalize_docs(sf_dir: str):
             ("SITE" + k + ".Example.COM").to_numpy(),
             ("site" + k + ".example.com").to_numpy(),
         )
-        port = pd.Series(np.where(ids % 5 == 0, ":443", ""))
+        # ids%10==0 zero-pads the default port (':0443') — still the
+        # default, so the generator-derived oracle is unchanged, but the
+        # normalizer must compare ports numerically to drop it
+        port = pd.Series(
+            np.where(
+                ids % 10 == 0,
+                ":0443",
+                np.where(ids % 5 == 0, ":443", ""),
+            )
+        )
         trail = pd.Series(np.where(ids % 7 == 0, "/", ""))
         frag = pd.Series(
             np.where(

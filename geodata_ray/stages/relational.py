@@ -253,6 +253,13 @@ def shuffle_join(
     not a single hot key) or pre-filtering/broadcast for the hot keys —
     a salted two-sided join would have to replicate one side per salt,
     which is only worth it for extreme skew.
+
+    NULL JOIN KEYS follow SQL semantics (Arrow's acero hash join):
+    a null key never matches anything — not even another null — unlike
+    pandas ``merge``, which matches NaN==NaN.  Null-keyed rows still
+    appear (null-extended) in the appropriate outer-join outputs.  If
+    pandas-style null matching is needed, sentinel-encode nulls before
+    the join.
     """
     keys = list(keys)
     lsch = left.schema()

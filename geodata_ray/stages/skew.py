@@ -136,7 +136,22 @@ def heavy_hitters(ds, key: str, *, min_count: int,
     from geodata_ray.stages.relational import semi_join
 
     n = ds.count()
-    m = summary_size or max(64, -(-2 * n // max(min_count, 1)))
+    if summary_size is None:
+        m = max(64, -(-2 * n // max(min_count, 1)))
+    else:
+        # a summary below n/min_count voids the superset guarantee —
+        # true heavy hitters could silently vanish from an output that
+        # claims to be EXACT, so refuse instead of degrading
+        floor = -(-n // max(min_count, 1))
+        if summary_size < floor:
+            raise ValueError(
+                f"heavy_hitters: summary_size={summary_size} is below "
+                f"ceil(n/min_count)={floor}; the merged summaries could "
+                "undercount a true heavy hitter out of the candidate "
+                "set. Pass summary_size >= that floor (or None for the "
+                "2x default)."
+            )
+        m = summary_size
 
     def summarize(batch: pa.Table) -> pa.Table:
         t = batch.select([key]).group_by(key).aggregate([([], "count_all")])

@@ -153,13 +153,21 @@ def _doc_term_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
     single-space split + pyarrow hash aggregation.  THE tokenization —
     the DF pass and the scoring pass both call this, so they can never
     desynchronize."""
-    toks = pc.split_pattern(pc.utf8_lower(batch[text_col]), " ")
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    # null text = empty doc (as _line_hash_batch does) — without this a
+    # null makes list_value_length null -> INT64_MIN -> np.repeat crash
+    text = text.fill_null("")
+    toks = pc.split_pattern(pc.utf8_lower(text), " ")
     lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
     doc_of = np.repeat(
         batch[id_col].to_numpy(zero_copy_only=False),
         lengths.astype(np.int64),
     )
-    flat = toks.combine_chunks().flatten()
+    flat = (
+        toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    ).flatten()
     t = pa.table({id_col: pa.array(doc_of), "term": flat})
     out = t.group_by([id_col, "term"]).aggregate([([], "count_all")])
     return out.rename_columns([id_col, "term", "tf"])
@@ -205,17 +213,37 @@ class _TfidfTopK:
         tf = j["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
         df = j["df"].to_numpy(zero_copy_only=False).astype(np.float64)
         score = tf * np.log((self.n_docs + 1.0) / (df + 1.0))
-        d = j.select([self.id_col, "term"]).to_pandas()
-        d["score"] = score
-        d = d.sort_values(
-            [self.id_col, "score", "term"],
-            ascending=[True, False, True],
-            kind="stable",
-            ignore_index=True,
+        # (id ASC, score DESC, term ASC) without a pandas round-trip:
+        # factorize terms to sorted-order codes (np.unique's inverse
+        # preserves lexicographic order), then one numeric lexsort
+        ids = j[self.id_col].to_numpy(zero_copy_only=False)
+        terms = j["term"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            return pa.table(
+                {
+                    self.id_col: pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        _, codes = np.unique(terms, return_inverse=True)
+        order = np.lexsort((codes, -score, ids))
+        sid = ids[order]
+        starts = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]])
+        counts = np.diff(np.r_[starts, sid.size])
+        rank = (
+            np.arange(sid.size, dtype=np.int64)
+            - np.repeat(starts, counts)
+            + 1
         )
-        d["rank"] = (d.groupby(self.id_col).cumcount() + 1).astype(np.int64)
-        d = d[d["rank"] <= self.k].drop(columns=["score"])
-        return pa.Table.from_pandas(d, preserve_index=False)
+        keep = rank <= self.k
+        return pa.table(
+            {
+                self.id_col: pa.array(sid[keep]),
+                "term": pa.array(terms[order][keep], type=pa.string()),
+                "rank": pa.array(rank[keep]),
+            }
+        )
 
 
 def tfidf_top_terms(
@@ -402,6 +430,15 @@ PII_PATTERNS = (
     # timestamps) are left UNTOUCHED instead of half-redacted: the
     # pattern spans at most 12 digits and a 13+-digit run can never
     # satisfy both guards
+    # SSN-style xxx-xx-xxxx BEFORE the phone pattern (same (^|\D)+\b
+    # guard technique: a digit run longer than 9-with-dashes can never
+    # satisfy both ends, so dates/card numbers stay whole)
+    (r"(^|\D)(\d{3}-\d{2}-\d{4})\b", r"\1<SSN>"),
+    # IBAN-like: 2 uppercase country letters + 2 check digits + 11-30
+    # alnum BBAN chars; \b guards both ends (a leading digit or letter
+    # run would break the country-code anchor, so timestamps and card
+    # numbers never match)
+    (r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b", "<IBAN>"),
     (r"(^|\D)((?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4})\b",
      r"\1<PHONE>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),

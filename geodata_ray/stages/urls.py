@@ -21,7 +21,10 @@ import pyarrow.compute as pc
 _URL_RE = (
     r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://"
     r"(?:(?P<userinfo>[^@/?#]*)@)?"
-    r"(?P<host>[^@/:?#]+)(?::(?P<port>\d+))?(?P<rest>[^#]*)"
+    # host: bracketed IPv6 literal ([::1]) OR reg-name/IPv4 — without
+    # the bracket alternative '[' would terminate the host match and
+    # the address+port would leak into <rest>
+    r"(?P<host>\[[^\]/?#]+\]|[^@/:?#]+)(?::(?P<port>\d+))?(?P<rest>[^#]*)"
 )
 
 
@@ -38,20 +41,24 @@ def _canonical_from(ex: pa.StructArray, urls: pa.Array) -> pa.Array:
     rest = pc.replace_substring_regex(
         pc.struct_field(ex, "rest"), r"/+$", ""
     )
-    default = pc.or_(
-        pc.and_(pc.equal(scheme, "https"), pc.equal(port, "443")),
-        pc.and_(pc.equal(scheme, "http"), pc.equal(port, "80")),
-    )
     # ":" + port only for explicit non-default ports (a URL without a
-    # port yields an EMPTY — not null — optional group); scalar
-    # operands everywhere, no per-batch Python lists
+    # port yields an EMPTY — not null — optional group).  Ports compare
+    # and re-emit NUMERICALLY so zero-padded forms (':0443', ':08080')
+    # canonicalize the same as their unpadded equivalents.
     port_str = pc.fill_null(port, "")
+    # leading-zero strip via RE2 (no int cast — a garbage 30-digit
+    # "port" must pass through, not overflow): '0443'->'443', '0'->'0'
+    port_norm = pc.replace_substring_regex(port_str, r"^0+(\d)", r"\1")
+    default = pc.or_(
+        pc.and_(pc.equal(scheme, "https"), pc.equal(port_norm, "443")),
+        pc.and_(pc.equal(scheme, "http"), pc.equal(port_norm, "80")),
+    )
     has_port = pc.and_(
         pc.not_equal(port_str, ""), pc.invert(pc.fill_null(default, False))
     )
     port_part = pc.if_else(
         has_port,
-        pc.binary_join_element_wise(":", port_str, ""),
+        pc.binary_join_element_wise(":", port_norm, ""),
         "",
     )
     canon = pc.binary_join_element_wise(

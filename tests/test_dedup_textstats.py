@@ -492,3 +492,50 @@ def test_redact_pii_batch_cases():
         "<PHONE> <PHONE>",
         "<PHONE> leads",
     ]
+    # SSN + IBAN positives, and the negative corpus they must NOT
+    # touch: card numbers, ISO dates/timestamps, short dashed runs
+    t3 = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "ssn 123-45-6789 here",
+                "iban DE44BANK0000000317 and GB29NWBK60161331926819 ok",
+                "date 2026-08-17 and ts 2026-08-17T12:00:00 stay; "
+                "card 4111 1111 1111 1111 stays too",
+                "part 123-45-678 is not an ssn; DE4 is not an iban",
+            ],
+        }
+    )
+    out3 = textstats.redact_pii_batch(t3)["clean_text"].to_pylist()
+    assert out3 == [
+        "ssn <SSN> here",
+        "iban <IBAN> and <IBAN> ok",
+        "date 2026-08-17 and ts 2026-08-17T12:00:00 stay; "
+        "card 4111 1111 1111 1111 stays too",
+        "part 123-45-678 is not an ssn; DE4 is not an iban",
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_term_and_tfidf_tolerate_null_text():
+    """Null text = empty doc in the tokenizer (ADVICE r3: a null used
+    to become INT64_MIN token counts and crash np.repeat)."""
+    import ray.data as rd
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["apple banana", None, "apple cherry"]),
+        }
+    )
+    tf = (
+        textstats.doc_term_counts(rd.from_arrow(docs))
+        .to_pandas()
+        .sort_values(["doc_id", "term"], ignore_index=True)
+    )
+    # the null doc contributes nothing but the pipeline doesn't crash
+    assert tf[tf.doc_id == 2].term.tolist() in ([], [""])
+    assert set(tf[tf.doc_id == 1].term) == {"apple", "banana"}
+
+    top = textstats.tfidf_top_terms(rd.from_arrow(docs), k=2).to_pandas()
+    assert set(top[top.doc_id == 1].term) == {"apple", "banana"}

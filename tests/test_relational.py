@@ -114,3 +114,42 @@ def test_shuffle_join_how_variants_match_pandas():
             want.astype({"rv": "float64"}),
             check_dtype=False,
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shuffle_join_null_keys_sql_semantics():
+    """Null join keys follow SQL semantics (acero): a null key matches
+    NOTHING — not even another null (pandas merge would match
+    NaN==NaN).  Null-keyed rows still surface null-extended in outer
+    joins (ADVICE r3 regression)."""
+    left = pa.table(
+        {
+            "k": pa.array([1, None, 2], type=pa.int64()),
+            "lv": pa.array([10, 20, 30], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, None], type=pa.int64()),
+            "rv": pa.array([100, 200], type=pa.int64()),
+        }
+    )
+    inner = (
+        shuffle_join(_ds(left), _ds(right), ["k"], num_buckets=4)
+        .to_pandas()
+        .sort_values("lv", ignore_index=True)
+    )
+    # only the k=1 pair matches; the two null-keyed rows match nothing
+    assert inner[["k", "lv", "rv"]].values.tolist() == [[1, 10, 100]]
+
+    outer = (
+        shuffle_join(_ds(left), _ds(right), ["k"], how="outer", num_buckets=4)
+        .to_pandas()
+    )
+    # 1 matched + null-left + k=2 left + null-right = 4 rows
+    assert len(outer) == 4
+    matched = outer[outer.rv.notna() & outer.lv.notna()]
+    assert matched[["lv", "rv"]].values.tolist() == [[10.0, 100.0]]
+    # the null-keyed right row appears with no left columns
+    null_right = outer[outer.lv.isna()]
+    assert null_right["rv"].tolist() == [200]

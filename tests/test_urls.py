@@ -13,6 +13,14 @@ CASES = [
     ("not a url", "not a url"),  # garbage passes through
     ("ftp://Files.Org:21/z", "ftp://files.org:21/z"),
     ("https://UPPER.com/path//", "https://upper.com/path"),
+    # IPv6 literals: bracketed host parses as the host (not '[')
+    ("http://[::1]:8080/x", "http://[::1]:8080/x"),
+    ("HTTPS://[2001:DB8::1]:443/a/", "https://[2001:db8::1]/a"),
+    ("http://[::1]/y", "http://[::1]/y"),
+    # zero-padded ports compare numerically: default dropped,
+    # non-default re-emitted unpadded
+    ("https://z.com:0443/p", "https://z.com/p"),
+    ("http://z.com:08080/p", "http://z.com:8080/p"),
 ]
 
 
@@ -27,4 +35,5 @@ def test_url_hosts():
     assert hosts == [
         "site7.example.com", "x.com", "x.com", "y.com", "y.com",
         None, "files.org", "upper.com",
+        "[::1]", "[2001:db8::1]", "[::1]", "z.com", "z.com",
     ]
