@@ -34,15 +34,54 @@ class BucketStateActor:
     """Holds running per-key state for one hash bucket."""
 
     def __init__(self):
-        self.sums: dict = {}
-        self.counts: dict = {}
+        # key -> slot index into the flat state arrays: the dict is
+        # touched once per NEW key; steady-state reads/updates are pure
+        # numpy gathers/scatters over the slot arrays
+        self.slot: dict = {}
+        self._sums = np.zeros(1024, dtype=np.int64)
+        self._cnts = np.zeros(1024, dtype=np.int64)
+
+    @property
+    def sums(self) -> dict:
+        """Materialized key -> running-sum dict (tests/snapshots)."""
+        return {
+            k: int(self._sums[s]) for k, s in self.slot.items()
+        }
+
+    @property
+    def counts(self) -> dict:
+        return {
+            k: int(self._cnts[s]) for k, s in self.slot.items()
+        }
+
+    def _slots_for(self, ukeys: list) -> np.ndarray:
+        """Slot index per unique key, registering new keys (zero state)."""
+        get = self.slot.get
+        slots = np.array([get(k, -1) for k in ukeys], dtype=np.int64)
+        new = np.flatnonzero(slots < 0)
+        if new.size:
+            nxt = len(self.slot)
+            need = nxt + new.size
+            if need > self._sums.size:
+                grow = max(need, 2 * self._sums.size)
+                for name in ("_sums", "_cnts"):
+                    arr = np.zeros(grow, dtype=np.int64)
+                    arr[: getattr(self, name).size] = getattr(self, name)
+                    setattr(self, name, arr)
+            for i in new.tolist():
+                self.slot[ukeys[i]] = nxt
+                slots[i] = nxt
+                nxt += 1
+        return slots
 
     def process(self, table: pa.Table, key_col: str, value_col: str) -> pa.Table:
         """Vectorized per-key running sum/count over one event-time-ordered
-        batch: stable-sort rows by key, compute within-segment cumulative
-        sums (one ``np.cumsum`` + a segment-base subtraction), add each
-        key's carried-in state, scatter back to arrival order, and touch
-        the state dict exactly once per UNIQUE key."""
+        batch: hash-factorize keys (O(n), no comparison sort of raw
+        keys), group rows with a composite-key argsort that is stable by
+        construction, compute within-segment cumulative sums (one
+        ``np.cumsum`` + a segment-base subtraction), add each key's
+        carried-in state, scatter back to arrival order, and touch the
+        state dict exactly once per UNIQUE key."""
         n = len(table)
         if n == 0:
             return table.append_column(
@@ -50,28 +89,40 @@ class BucketStateActor:
             ).append_column("running_n", pa.array([], pa.int64()))
         keys = table[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         vals = table[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(keys, kind="stable")  # event order kept per key
-        sk, sv = keys[order], vals[order]
-        uniq, starts = np.unique(sk, return_index=True)
+        # factorize: codes in first-appearance order, m distinct.  The
+        # composite key code*n + row_index is unique, so a plain
+        # quicksort argsort groups by code while preserving event order
+        # within each key — ~4x cheaper than a stable int64 argsort of
+        # the raw keys (and radix-sortable dtypes don't apply to
+        # arbitrary 64-bit user ids)
+        codes, uniq = pd.factorize(keys)
+        arange = np.arange(n, dtype=np.int64)
+        if len(uniq) <= 32767:
+            # numpy's stable argsort is a RADIX sort for <=16-bit ints
+            # (~8x a comparison sort) — codes always fit for the 8k-row
+            # stream batches
+            order = np.argsort(codes.astype(np.int16), kind="stable")
+        else:
+            # unique composite key -> plain quicksort is stable here
+            order = np.argsort(codes.astype(np.int64) * n + arange)
+        sc, sv = codes[order], vals[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
         counts = np.diff(np.append(starts, n))
         cs = np.cumsum(sv)
         # within-segment cumsum: subtract the cumsum up to (excl.) each start
         seg = cs - np.repeat(cs[starts] - sv[starts], counts)
-        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts) + 1
-        prev_sum = np.fromiter(
-            (self.sums.get(int(k), 0) for k in uniq),
-            dtype=np.int64, count=len(uniq),
-        )
-        prev_cnt = np.fromiter(
-            (self.counts.get(int(k), 0) for k in uniq),
-            dtype=np.int64, count=len(uniq),
-        )
-        seg += np.repeat(prev_sum, counts)
-        pos += np.repeat(prev_cnt, counts)
+        pos = arange - np.repeat(starts, counts) + 1
+        # tolist() first: native-int dict probes are ~5x cheaper than
+        # hashing boxed numpy scalars, and the slot probe is the only
+        # remaining Python-level work (once per UNIQUE key; state
+        # read/write is a numpy gather/scatter over the slot arrays).
+        # sorted codes are 0..m-1 in order, so segment j's key is uniq[j]
+        slots = self._slots_for(uniq.tolist())
+        seg += np.repeat(self._sums[slots], counts)
+        pos += np.repeat(self._cnts[slots], counts)
         ends = starts + counts - 1
-        for k, s, c in zip(uniq, seg[ends], pos[ends]):
-            self.sums[int(k)] = int(s)
-            self.counts[int(k)] = int(c)
+        self._sums[slots] = seg[ends]
+        self._cnts[slots] = pos[ends]
         out_sum = np.empty(n, dtype=np.int64)
         out_n = np.empty(n, dtype=np.int64)
         out_sum[order] = seg
@@ -81,7 +132,8 @@ class BucketStateActor:
         ).append_column("running_n", pa.array(out_n))
 
     def snapshot(self) -> dict:
-        return {"keys": len(self.sums), "total": sum(self.sums.values())}
+        m = len(self.slot)
+        return {"keys": m, "total": int(self._sums[:m].sum())}
 
 
 def keyed_running_aggregate(

@@ -459,3 +459,99 @@ def redact_pii_batch(
             text, pat, replacement=repl
         )
     return pa.table({id_col: batch[id_col], "clean_text": text})
+
+
+def repetition_stats_batch(
+    batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Gopher-style per-document repetition statistics, all integers:
+    ``n_tokens``, ``n_distinct_tokens``, ``top_bigram_n`` (occurrences
+    of the most frequent adjacent word pair; 0 when < 2 tokens) and
+    ``max_token_run`` (longest consecutive same-token run).  The
+    downstream quality decision (duplicate-token fraction, top-bigram
+    coverage thresholds) stays with the caller — integer outputs make
+    the cross-engine comparison exact.
+
+    Fully vectorized: one tokenize + one exact ``pd.factorize`` per
+    batch, then lexsort/segment machinery — no hashing, so counts are
+    EXACT (a hash-collision miscount could not be oracle-audited).
+    A doc is one row, so every stat completes in-batch.
+    """
+    n = len(batch)
+    empty = pa.array([], pa.int64())
+    if n == 0:
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": empty,
+                "n_distinct_tokens": empty,
+                "top_bigram_n": empty,
+                "max_token_run": empty,
+            }
+        )
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text.fill_null(""), " ")
+    lengths = (
+        pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = (
+        toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    ).flatten()
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    import pandas as pd
+
+    codes, _ = pd.factorize(flat.to_numpy(zero_copy_only=False))
+    codes = codes.astype(np.int64)
+
+    # distinct tokens per doc: first occurrence of each (doc, code)
+    order = np.lexsort((codes, doc_of))
+    d_s, c_s = doc_of[order], codes[order]
+    first = np.ones(d_s.size, dtype=bool)
+    first[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+    n_distinct = np.bincount(d_s[first], minlength=n).astype(np.int64)
+
+    # top bigram count per doc: adjacent (code, next-code) within a doc
+    top_bigram = np.zeros(n, dtype=np.int64)
+    if doc_of.size > 1:
+        adj = doc_of[1:] == doc_of[:-1]
+        bdoc = doc_of[:-1][adj]
+        b1 = codes[:-1][adj]
+        b2 = codes[1:][adj]
+        if bdoc.size:
+            o = np.lexsort((b2, b1, bdoc))
+            bd, x1, x2 = bdoc[o], b1[o], b2[o]
+            st = np.flatnonzero(
+                np.r_[
+                    True,
+                    (bd[1:] != bd[:-1])
+                    | (x1[1:] != x1[:-1])
+                    | (x2[1:] != x2[:-1]),
+                ]
+            )
+            cnt = np.diff(np.append(st, bd.size))
+            np.maximum.at(top_bigram, bd[st], cnt)
+
+    # longest same-token run per doc (>=1 whenever the doc has tokens)
+    max_run = np.zeros(n, dtype=np.int64)
+    if doc_of.size:
+        brk = np.flatnonzero(
+            np.r_[
+                True,
+                (doc_of[1:] != doc_of[:-1]) | (codes[1:] != codes[:-1]),
+            ]
+        )
+        rlen = np.diff(np.append(brk, doc_of.size))
+        np.maximum.at(max_run, doc_of[brk], rlen)
+
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": pa.array(lengths),
+            "n_distinct_tokens": pa.array(n_distinct),
+            "top_bigram_n": pa.array(top_bigram),
+            "max_token_run": pa.array(max_run),
+        }
+    )
