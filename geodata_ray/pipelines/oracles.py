@@ -1933,6 +1933,88 @@ _ORACLE_SQL_STATIC = {
     "wind_spline_estimate_grid": WIND_SPLINE_SQL,
     "wind_model_fit_grid": WIND_FIT_SQL,
     "wind_model_estimate_grid": WIND_ESTIMATE_SQL,
+    # round 4: connected-component clustering over the exact pair set,
+    # recomputed with a recursive-CTE reachability (fully independent
+    # of the engine's union-find / hash-min propagation)
+    "near_dup_keep_docs": f"""
+        WITH RECURSIVE corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < {_NDUP_LIMIT}
+          UNION ALL
+          SELECT doc_id + {_MUT_OFFSET}, text || '{_MUT_SUFFIX}'
+          FROM documents WHERE doc_id < {_NDUP_LIMIT}
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(
+                   list_transform(range(1, len(string_split(text, ' ')) - 1),
+                     i -> string_split(text, ' ')[i] || ' ' ||
+                          string_split(text, ' ')[i+1] || ' ' ||
+                          string_split(text, ' ')[i+2])) AS s
+          FROM corpus
+        ),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                / len(list_distinct(a.s || b.s)) >= 0.5
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, r) AS (
+          SELECT doc_id, doc_id FROM corpus
+          UNION
+          SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+        )
+        SELECT node AS doc_id, MIN(r) AS cluster_id,
+               CAST(node = MIN(r) AS BIGINT) AS is_rep
+        FROM reach GROUP BY node
+    """,
+    # round 4: repetition stats recomputed with INDEPENDENT machinery
+    # (list ops + gaps-and-islands window vs the engine's factorize +
+    # segment counting)
+    "repetition_stats_docs": """
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, unnest(ws) AS tk,
+                   generate_subscripts(ws, 1) AS pos
+            FROM w
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_zip(list_slice(ws, 1, len(ws) - 1),
+                                   list_slice(ws, 2, len(ws)))) AS b
+            FROM w WHERE len(ws) > 1
+        ),
+        bgc AS (
+            SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2
+        ),
+        top_bg AS (
+            SELECT doc_id, max(c) AS top_bigram_n FROM bgc GROUP BY 1
+        ),
+        isl AS (
+            SELECT doc_id, tk,
+                   pos - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id, tk ORDER BY pos) AS g
+            FROM tok
+        ),
+        runs AS (
+            SELECT doc_id, count(*) AS r FROM isl GROUP BY doc_id, tk, g
+        ),
+        mr AS (SELECT doc_id, max(r) AS max_token_run FROM runs GROUP BY 1)
+        SELECT w.doc_id,
+               CAST(len(ws) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_tokens,
+               CAST(COALESCE(top_bg.top_bigram_n, 0) AS BIGINT)
+                   AS top_bigram_n,
+               CAST(mr.max_token_run AS BIGINT) AS max_token_run
+        FROM w
+        LEFT JOIN top_bg USING (doc_id)
+        JOIN mr USING (doc_id)
+    """,
 }
 
 

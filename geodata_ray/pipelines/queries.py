@@ -1886,6 +1886,34 @@ def ivf_topk_embeddings(sf_dir: str):
     )
 
 
+def near_dup_keep_docs(sf_dir: str):
+    """End-to-end fuzzy dedup: MinHash-LSH verified pairs -> connected
+    components -> one canonical representative (min doc_id) per
+    cluster, singletons kept.  Output is (doc_id, cluster_id, is_rep)
+    for EVERY corpus doc; the oracle recomputes the clusters with a
+    recursive-CTE reachability over the identical exact pair set."""
+    import ray.data as rd
+
+    from geodata_ray.stages.graphcc import near_dup_clusters
+
+    corpus = _ndup_corpus(sf_dir)
+    pairs = near_dup_pairs(sf_dir)
+    ids = rd.from_arrow(corpus.select(["doc_id"]))
+    return near_dup_clusters(ids, pairs)
+
+
+def repetition_stats_docs(sf_dir: str):
+    """Gopher-style per-document repetition statistics (duplicate-token
+    and top-bigram coverage ingredients, longest same-token run) — the
+    repetition half of a C4/Gopher quality filter.  All-integer outputs;
+    the DuckDB oracle recomputes them with list ops + a gaps-and-islands
+    window (fully independent machinery)."""
+    from geodata_ray.stages.textstats import repetition_stats_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats_batch, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1933,6 +1961,8 @@ RAY_QUERIES = {
     "ts_series_grid": ts_series_grid,
     "heatmap_grid": heatmap_grid,
     # -- round-4 additions slot in here (before the backfill) --
+    "repetition_stats_docs": repetition_stats_docs,
+    "near_dup_keep_docs": near_dup_keep_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

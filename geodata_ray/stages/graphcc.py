@@ -1,0 +1,225 @@
+"""Connected components over an edge Dataset + near-dup cluster dedup.
+
+The end-to-end fuzzy-dedup step a training-data pipeline runs AFTER
+pair generation (``dedup.minhash_lsh_pairs`` / ``embedding_dup_pairs``):
+group the verified near-dup pairs into clusters and keep ONE canonical
+representative (min id) per cluster.
+
+Two execution paths, auto-selected on the edge count (the same
+documented constant-bound pattern as ``dedup``'s collision filter —
+see DEPLOYMENT.md):
+
+- ``mode="local"`` (edge count <= ``LOCAL_EDGE_BOUND``): pairs pulled
+  once to the driver, vectorized union-find with path halving.  The
+  PAIR set — not the corpus — bounds memory: at the gate scale it is
+  hundreds of rows; 50M edges ~ 800 MB of int64, still driver-safe.
+- ``mode="distributed"``: hash-min label propagation (Pregel-style):
+  each iteration joins labels to both edge endpoints and takes the
+  per-node min — two hash joins + one grouped min per round, all
+  shuffles partitioned by node id.  Converges in <= diameter
+  iterations; near-dup clusters are clique-like (diameter 1-2), so
+  2-3 rounds in practice.  Convergence is detected with a
+  label-sum aggregate (monotone non-increasing; fixed point <=>
+  converged), costing one metadata-light aggregate per round instead
+  of an old-vs-new join.
+
+Partitioning assumption (documented per the custom-operator rule):
+label propagation co-partitions edges and labels by node id hash via
+``native_join``; a pathological long-path graph needs
+O(diameter) rounds — for such graphs switch to large-star/small-star
+(not needed for dedup cliques).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+LOCAL_EDGE_BOUND = 50_000_000
+
+
+def _unionfind_components(a: np.ndarray, b: np.ndarray) -> dict:
+    """Vectorized-ish union-find (path halving) over edge arrays.
+    Returns {node: min-node-of-component} for nodes appearing in edges."""
+    nodes, codes = np.unique(np.concatenate([a, b]), return_inverse=True)
+    parent = np.arange(nodes.size, dtype=np.int64)
+    ca, cb = codes[: a.size], codes[a.size:]
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for i in range(ca.size):
+        ra, rb = find(ca[i]), find(cb[i])
+        if ra != rb:
+            # union by MIN NODE VALUE so the root IS the representative
+            if nodes[ra] < nodes[rb]:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.array([find(i) for i in range(nodes.size)], dtype=np.int64)
+    return dict(zip(nodes.tolist(), nodes[roots].tolist()))
+
+
+def connected_components(
+    edges,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    mode: str = "auto",
+    max_iters: int = 25,
+    num_partitions: int = 16,
+):
+    """(node, cluster_id) for every node in ``edges``; ``cluster_id`` is
+    the component's minimum node id.  ``edges`` is a ``ray.data.Dataset``
+    with two int64 endpoint columns.  ``mode``: "auto" (bound-switched),
+    "local", or "distributed"."""
+    import ray.data as rd
+
+    if mode not in ("auto", "local", "distributed"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "auto":
+        n_edges = edges.count()
+        mode = "local" if n_edges <= LOCAL_EDGE_BOUND else "distributed"
+
+    if mode == "local":
+        t = pa.Table.from_pandas(
+            edges.select_columns([src, dst]).to_pandas(),
+            preserve_index=False,
+        )
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        if a.size == 0:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array([], pa.int64()),
+                        "cluster_id": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        comp = _unionfind_components(a, b)
+        nodes = np.fromiter(comp.keys(), dtype=np.int64, count=len(comp))
+        comps = np.fromiter(comp.values(), dtype=np.int64, count=len(comp))
+        order = np.argsort(nodes)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes[order]),
+                    "cluster_id": pa.array(comps[order]),
+                }
+            )
+        )
+
+    return _cc_distributed(
+        edges, src=src, dst=dst, max_iters=max_iters,
+        num_partitions=num_partitions,
+    )
+
+
+def _cc_distributed(edges, *, src, dst, max_iters, num_partitions):
+    """Hash-min label propagation (see module docstring)."""
+    import ray.data as rd
+
+    from geodata_ray.stages.relational import grouped_aggregate, native_join
+
+    # undirected: one (a->b) + (b->a) edge table, reused every round
+    def sym(batch: pa.Table) -> pa.Table:
+        fwd = pa.table({"u": batch[src], "v": batch[dst]})
+        rev = pa.table({"u": batch[dst], "v": batch[src]})
+        return pa.concat_tables([fwd, rev])
+
+    sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    # labels(node, comp) init: every endpoint, comp = node
+    def init(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["u"], "comp": batch["u"]})
+
+    labels = grouped_aggregate(
+        sym_edges.map_batches(init, batch_format="pyarrow"),
+        ["node"],
+        [("comp", "min", "comp")],
+    ).materialize()
+
+    import ray.data.aggregate as agg
+
+    prev_sum = None
+    for _ in range(max_iters):
+        # neighbor candidates: for edge (u, v), comp(u) is a candidate
+        # label for v
+        cand = native_join(
+            sym_edges, labels, on="u", right_on="node",
+            num_partitions=num_partitions,
+        ).select_columns(["v", "comp"])
+
+        def c2(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": batch["v"], "comp": batch["comp"]})
+
+        merged = labels.union(
+            cand.map_batches(c2, batch_format="pyarrow")
+        )
+        labels = grouped_aggregate(
+            merged, ["node"], [("comp", "min", "comp")]
+        ).materialize()
+        s = labels.aggregate(agg.Sum("comp"))["sum(comp)"]
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint within {max_iters} "
+            "iterations (graph diameter too large for hash-min; use "
+            "large-star/small-star)"
+        )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["node", "cluster_id"])
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def near_dup_clusters(
+    corpus_ids, pairs, *, id_col: str = "doc_id",
+    src: str = "id_a", dst: str = "id_b", mode: str = "auto",
+):
+    """(doc_id, cluster_id, is_rep) for EVERY corpus doc: paired docs
+    get their component's min id, singletons are their own cluster;
+    ``is_rep`` = 1 for the one kept representative per cluster.
+
+    ``corpus_ids``: Dataset holding ``id_col``; ``pairs``: Dataset of
+    verified near-dup pairs.  The cluster table (bounded by the number
+    of PAIRED docs, not the corpus) broadcasts; the corpus is only
+    mapped — no corpus-sized shuffle.
+    """
+    import ray
+
+    comp = connected_components(pairs, src=src, dst=dst, mode=mode)
+    comp_tbl = pa.Table.from_pandas(comp.to_pandas(), preserve_index=False)
+    try:
+        comp_ref = ray.put(comp_tbl)
+    except Exception:
+        comp_ref = comp_tbl
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ct = comp_ref
+        if not isinstance(ct, pa.Table):
+            ct = ray.get(ct)
+        ids = batch[id_col]
+        idx = pc.index_in(ids, value_set=ct["node"])
+        comp_col = pc.if_else(
+            pc.is_valid(idx), pc.take(ct["cluster_id"], idx.fill_null(0)),
+            ids,
+        )
+        is_rep = pc.cast(pc.equal(ids, comp_col), pa.int64())
+        return pa.table(
+            {
+                id_col: ids,
+                "cluster_id": comp_col,
+                "is_rep": is_rep,
+            }
+        )
+
+    return corpus_ids.map_batches(attach, batch_format="pyarrow")

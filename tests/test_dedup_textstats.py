@@ -539,3 +539,23 @@ def test_doc_term_and_tfidf_tolerate_null_text():
 
     top = textstats.tfidf_top_terms(rd.from_arrow(docs), k=2).to_pandas()
     assert set(top[top.doc_id == 1].term) == {"apple", "banana"}
+
+
+def test_repetition_stats_batch_cases():
+    """Hand-checked repetition stats, incl. null text and 1-token docs."""
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b a b a c",   # top bigram (a,b)x2; runs all len 1
+                "x x x y y x",   # run of 3 x; top bigram (x,x)x2
+                "solo",          # 1 token: no bigrams
+                None,            # null -> [''] 1 token (empty string)
+            ],
+        }
+    )
+    out = textstats.repetition_stats_batch(t).to_pandas()
+    assert out.n_tokens.tolist() == [6, 6, 1, 1]
+    assert out.n_distinct_tokens.tolist() == [3, 2, 1, 1]
+    assert out.top_bigram_n.tolist() == [2, 2, 0, 0]
+    assert out.max_token_run.tolist() == [1, 3, 1, 1]

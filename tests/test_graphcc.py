@@ -1,0 +1,98 @@
+"""Connected components + near-dup cluster dedup."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geodata_ray.stages.graphcc import (
+    _unionfind_components,
+    connected_components,
+    near_dup_clusters,
+)
+
+
+def _ref_components(pairs):
+    """Brute-force BFS reference."""
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen: dict = {}
+    for start in adj:
+        if start in seen:
+            continue
+        stack, comp = [start], []
+        vis = {start}
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in vis:
+                    vis.add(y)
+                    stack.append(y)
+        root = min(comp)
+        for x in comp:
+            seen[x] = root
+    return seen
+
+
+def test_unionfind_matches_bfs():
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 300, 500).astype(np.int64)
+    b = rng.integers(0, 300, 500).astype(np.int64)
+    got = _unionfind_components(a, b)
+    want = _ref_components(list(zip(a.tolist(), b.tolist())))
+    assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_connected_components_local_and_distributed_agree():
+    """The distributed hash-min propagation equals the local union-find
+    on a graph with a 6-node path (multi-iteration convergence), a
+    clique, and pairs."""
+    import ray.data as rd
+
+    pairs = (
+        [(i, i + 1) for i in range(10, 16)]          # path, diameter 6
+        + [(a, b) for a in (30, 31, 32) for b in (31, 32, 33) if a < b]
+        + [(50, 51), (60, 61)]
+    )
+    t = pa.table(
+        {
+            "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    loc = (
+        connected_components(ds, mode="local")
+        .to_pandas().sort_values("node", ignore_index=True)
+    )
+    dist = (
+        connected_components(ds, mode="distributed", num_partitions=4)
+        .to_pandas().sort_values("node", ignore_index=True)
+    )
+    assert loc.values.tolist() == dist.values.tolist()
+    want = _ref_components(pairs)
+    assert dict(zip(loc.node, loc.cluster_id)) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dup_clusters_keep_set():
+    import ray.data as rd
+
+    corpus = pa.table({"doc_id": pa.array(list(range(8)), pa.int64())})
+    pairs = pa.table(
+        {
+            "id_a": pa.array([0, 1, 5], pa.int64()),
+            "id_b": pa.array([1, 2, 6], pa.int64()),
+        }
+    )
+    out = (
+        near_dup_clusters(rd.from_arrow(corpus), rd.from_arrow(pairs))
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    # {0,1,2} -> 0; {5,6} -> 5; singletons self
+    assert out.cluster_id.tolist() == [0, 0, 0, 3, 4, 5, 5, 7]
+    assert out.is_rep.tolist() == [1, 0, 0, 1, 1, 1, 0, 1]
