@@ -1933,6 +1933,38 @@ _ORACLE_SQL_STATIC = {
     "wind_spline_estimate_grid": WIND_SPLINE_SQL,
     "wind_model_fit_grid": WIND_FIT_SQL,
     "wind_model_estimate_grid": WIND_ESTIMATE_SQL,
+    # round 4: sequence packing recomputed with a SQL window prefix sum
+    # (windowed SUM is HUGEINT in DuckDB -> CAST; integer division //)
+    "pack_sequences_docs": """
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+                   (doc_id * 2654435761) % 4294967296 AS ord
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, ntok,
+                   CAST(COALESCE(SUM(ntok) OVER (
+                       ORDER BY ord
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS start_tok
+            FROM d
+        )
+        SELECT doc_id, start_tok,
+               start_tok // 512 AS first_seq,
+               CASE WHEN ntok > 0
+                    THEN (start_tok + ntok - 1) // 512
+                    ELSE start_tok // 512 END AS last_seq
+        FROM p
+    """,
+    # round 4: per-host aggregates with the host derived from doc_id
+    # arithmetic (independent of the URL regex machinery)
+    "host_stats_docs": """
+        SELECT 'site' || (doc_id % 97) || '.example.com' AS host,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1
+    """,
     # round 4: connected-component clustering over the exact pair set,
     # recomputed with a recursive-CTE reachability (fully independent
     # of the engine's union-find / hash-min propagation)

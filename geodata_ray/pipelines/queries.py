@@ -1886,6 +1886,80 @@ def ivf_topk_embeddings(sf_dir: str):
     )
 
 
+def pack_sequences_docs(sf_dir: str):
+    """Training-sequence packing (concat-then-split at seq_len=512):
+    docs laid out in Knuth-hash order (unique — odd multiplier mod 2^32
+    is a bijection), token stream concatenated, each doc mapped to its
+    (start_tok, first_seq, last_seq) span via the two-phase distributed
+    prefix-sum scan in ``stages/packing.py``.  The oracle recomputes
+    the prefix with a SQL window SUM — fully independent machinery."""
+    from geodata_ray.stages.packing import pack_sequences
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        ntok = pc.list_value_length(
+            pc.split_pattern(batch["text"], " ")
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "ntok": pc.cast(ntok, pa.int64()),
+                "ord": pa.array((ids * _GEO_A) % _GEO_M),
+            }
+        )
+
+    packed = pack_sequences(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        id_col="doc_id", ntok_col="ntok", order_col="ord", seq_len=512,
+    )
+    return packed.select_columns(
+        ["doc_id", "start_tok", "first_seq", "last_seq"]
+    )
+
+
+def host_stats_docs(sf_dir: str):
+    """Per-host corpus statistics over canonicalized messy URLs — the
+    domain-level aggregation every crawl pipeline runs (host doc
+    counts + volume feed per-domain quotas and blocklists).  Chains
+    the URL normalizer's host extraction into a two-phase grouped
+    aggregate; the oracle derives the host straight from the doc_id
+    arithmetic, independent of the regex machinery."""
+    from geodata_ray.stages.urls import canonicalize_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def messy(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch["doc_id"].to_numpy()
+        k = pd.Series(ids % 97).astype(str)
+        sid = pd.Series(ids).astype(str)
+        host = np.where(
+            ids % 3 == 0,
+            ("SITE" + k + ".Example.COM").to_numpy(),
+            ("site" + k + ".example.com").to_numpy(),
+        )
+        url = "https://" + pd.Series(host) + "/d" + sid
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": batch["n_chars"],
+                "url": pa.array(url.to_numpy()),
+            }
+        )
+
+    pages = ds.map_batches(messy, batch_format="pyarrow").map_batches(
+        canonicalize_batch, batch_format="pyarrow"
+    )
+    return grouped_aggregate(
+        pages,
+        ["host"],
+        [("doc_id", "count", "n_docs"), ("n_chars", "sum", "sum_chars")],
+    )
+
+
 def near_dup_keep_docs(sf_dir: str):
     """End-to-end fuzzy dedup: MinHash-LSH verified pairs -> connected
     components -> one canonical representative (min doc_id) per
@@ -1963,6 +2037,8 @@ RAY_QUERIES = {
     # -- round-4 additions slot in here (before the backfill) --
     "repetition_stats_docs": repetition_stats_docs,
     "near_dup_keep_docs": near_dup_keep_docs,
+    "pack_sequences_docs": pack_sequences_docs,
+    "host_stats_docs": host_stats_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

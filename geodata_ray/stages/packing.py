@@ -1,0 +1,134 @@
+"""Training-sequence packing: a distributed prefix-sum scan.
+
+The export step of a training-data pipeline: documents are laid out in
+a deterministic global order, their token streams conceptually
+concatenated, and the stream split into fixed-length training
+sequences; each document then spans sequences
+``first_seq .. last_seq``.  (The "concat-then-split" packing used by
+GPT-style pretraining dataloaders — documents may straddle sequence
+boundaries.)
+
+The core primitive is ``global_prefix_sum`` — a classic two-phase
+distributed scan:
+
+1. sort by the order column and MATERIALIZE (fixes block boundaries —
+   both phases must see identical blocks);
+2. phase 1: one tiny row per block (first order value, block sum);
+3. driver: exclusive prefix over the per-block sums (bounded by block
+   count, thousands of entries at 100 TB — metadata-sized);
+4. phase 2: per-block cumsum + the block's broadcast offset, matched
+   by searchsorted on the block's first order value.
+
+No corpus-sized driver state; one sort (inherent to a deterministic
+global layout) + two streaming passes.
+
+``order_col`` must be globally UNIQUE (ties across a block boundary
+would make the offset lookup ambiguous) — use a doc-id hash for a
+shuffled-but-deterministic layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def global_prefix_sum(ds, *, order_col: str, value_col: str,
+                      out_col: str = "prefix"):
+    """Append ``out_col`` = exclusive prefix sum of ``value_col`` in
+    ``order_col`` order (the sum of all STRICTLY EARLIER rows).
+    Returns the sorted, materialized Dataset with the new column."""
+    import ray
+
+    sorted_ds = ds.sort(order_col).materialize()
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "first_order": pa.array([], pa.int64()),
+                    "block_sum": pa.array([], pa.int64()),
+                }
+            )
+        order = batch[order_col].to_numpy(zero_copy_only=False)
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "first_order": pa.array([np.int64(order[0])]),
+                "block_sum": pa.array([np.int64(vals.sum())]),
+            }
+        )
+
+    # batch_size=None -> one batch per block, so summaries align with
+    # the materialized block structure phase 2 will see
+    summaries = sorted_ds.map_batches(
+        block_summary, batch_size=None, batch_format="pyarrow"
+    ).to_pandas()
+    summaries = summaries.sort_values("first_order", ignore_index=True)
+    firsts = summaries["first_order"].to_numpy().astype(np.int64)
+    block_sums = summaries["block_sum"].to_numpy().astype(np.int64)
+    offsets = np.r_[0, np.cumsum(block_sums)[:-1]]
+    try:
+        bc = ray.put((firsts, offsets))
+    except Exception:
+        bc = (firsts, offsets)
+
+    def add_prefix(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        fo = bc
+        if not isinstance(fo, tuple):
+            fo = _ray.get(fo)
+        f, off = fo
+        if len(batch) == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        order = batch[order_col].to_numpy(zero_copy_only=False)
+        vals = batch[value_col].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        i = np.searchsorted(f, np.int64(order[0]))
+        if i >= f.size or f[i] != order[0]:
+            raise RuntimeError(
+                "global_prefix_sum: block boundary drift — phase-2 "
+                "block does not start at a phase-1 first_order value "
+                "(order_col must be unique and the input materialized)"
+            )
+        prefix = off[i] + np.cumsum(vals) - vals
+        return batch.append_column(out_col, pa.array(prefix))
+
+    return sorted_ds.map_batches(
+        add_prefix, batch_size=None, batch_format="pyarrow"
+    )
+
+
+def pack_sequences(ds, *, id_col: str, ntok_col: str, order_col: str,
+                   seq_len: int):
+    """Assign each document its packed-sequence span: ``start_tok``
+    (position of its first token in the concatenated stream),
+    ``first_seq`` and ``last_seq`` (0-based fixed-length sequence
+    indices).  Zero-token docs get first_seq = last_seq = the sequence
+    their boundary position falls in (they occupy no tokens).
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    with_prefix = global_prefix_sum(
+        ds, order_col=order_col, value_col=ntok_col, out_col="start_tok"
+    )
+
+    def spans(batch: pa.Table) -> pa.Table:
+        start = batch["start_tok"].to_numpy(zero_copy_only=False)
+        ntok = batch[ntok_col].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        first = start // seq_len
+        last = np.where(ntok > 0, (start + ntok - 1) // seq_len, first)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "start_tok": batch["start_tok"],
+                "first_seq": pa.array(first.astype(np.int64)),
+                "last_seq": pa.array(last.astype(np.int64)),
+            }
+        )
+
+    return with_prefix.map_batches(spans, batch_format="pyarrow")

@@ -1,0 +1,77 @@
+"""Distributed prefix-sum scan + sequence packing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geodata_ray.stages.packing import global_prefix_sum, pack_sequences
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_prefix_sum_exclusive_and_partition_invariant():
+    import ray.data as rd
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    order = rng.permutation(n).astype(np.int64)
+    vals = rng.integers(0, 50, n).astype(np.int64)
+    t = pa.table({"ord": pa.array(order), "v": pa.array(vals)})
+
+    def run(nblocks):
+        return (
+            global_prefix_sum(
+                rd.from_arrow(t).repartition(nblocks),
+                order_col="ord", value_col="v",
+            )
+            .to_pandas().sort_values("ord", ignore_index=True)
+        )
+
+    a, b = run(1), run(13)
+    assert a.values.tolist() == b.values.tolist()
+    ref = (
+        pd.DataFrame({"ord": order, "v": vals})
+        .sort_values("ord", ignore_index=True)
+    )
+    ref["prefix"] = ref.v.cumsum() - ref.v  # exclusive
+    assert a["prefix"].tolist() == ref["prefix"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_sequences_spans_match_reference():
+    import ray.data as rd
+
+    rng = np.random.default_rng(37)
+    n = 1000
+    ntok = rng.integers(0, 40, n).astype(np.int64)  # includes 0-token docs
+    order = rng.permutation(n).astype(np.int64)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ntok": pa.array(ntok),
+            "ord": pa.array(order),
+        }
+    )
+    out = (
+        pack_sequences(
+            rd.from_arrow(t).repartition(7),
+            id_col="doc_id", ntok_col="ntok", order_col="ord", seq_len=64,
+        )
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    ref = (
+        pd.DataFrame({"doc_id": np.arange(n), "ntok": ntok, "ord": order})
+        .sort_values("ord", ignore_index=True)
+    )
+    ref["start"] = ref.ntok.cumsum() - ref.ntok
+    ref["first_seq"] = ref.start // 64
+    ref["last_seq"] = np.where(
+        ref.ntok > 0, (ref.start + ref.ntok - 1) // 64, ref.first_seq
+    )
+    ref = ref.sort_values("doc_id", ignore_index=True)
+    assert out.start_tok.tolist() == ref.start.tolist()
+    assert out.first_seq.tolist() == ref.first_seq.tolist()
+    assert out.last_seq.tolist() == ref.last_seq.tolist()
+    # every token position is covered exactly once (no gaps/overlap)
+    total = int(ntok.sum())
+    assert out.start_tok.max() + ntok[out.start_tok.idxmax()] <= total
