@@ -1040,6 +1040,24 @@ def _sql_splitmix_stages(prefix: str, x0_exprs: dict[str, str], src: str) -> str
     return ",\n".join(stages)
 
 
+def _hll_sql() -> str:
+    """HLL register table over events.user_id: unrolled splitmix64 +
+    exact trailing-zero rank (p=12; 2^52 = 4503599627370496)."""
+    sm = _sql_splitmix_stages("hl", {"u": "uid"}, "d0")
+    return f"""
+WITH d0 AS (SELECT DISTINCT CAST(user_id AS HUGEINT) AS uid FROM events),
+{sm},
+r AS (SELECT CAST(h_u // 4503599627370496 AS BIGINT) AS register,
+             CAST(h_u % 4503599627370496 AS BIGINT) AS w FROM hl6),
+rk AS (SELECT register,
+              CASE WHEN w = 0 THEN 53
+                   ELSE bit_count((w & -w) - 1) + 1 END AS rank
+       FROM r)
+SELECT register, CAST(MAX(rank) AS BIGINT) AS max_rank
+FROM rk GROUP BY register
+"""
+
+
 def _top_pages_sql() -> str:
     """Full SQL mirror of the flagship page-synthesis + geocode +
     tile + salted-top-k chain (pages_from_documents_batch ->
@@ -1933,6 +1951,9 @@ _ORACLE_SQL_STATIC = {
     "wind_spline_estimate_grid": WIND_SPLINE_SQL,
     "wind_model_fit_grid": WIND_FIT_SQL,
     "wind_model_estimate_grid": WIND_ESTIMATE_SQL,
+    # round 4: HLL sketch state (the float estimate is golden-tested;
+    # the mergeable register table hash-matches exactly)
+    "hll_registers_events": _hll_sql(),
     # round 4: sequence packing recomputed with a SQL window prefix sum
     # (windowed SUM is HUGEINT in DuckDB -> CAST; integer division //)
     "pack_sequences_docs": """

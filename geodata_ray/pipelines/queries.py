@@ -1886,6 +1886,21 @@ def ivf_topk_embeddings(sf_dir: str):
     )
 
 
+def hll_registers_events(sf_dir: str):
+    """HyperLogLog sketch state over events.user_id: the mergeable
+    (register, max_rank) table at p=12.  The rank uses TRAILING zeros
+    (exact integer math on both engines) instead of leading zeros —
+    statistically identical geometric distribution, but the oracle can
+    recompute it bit-exactly (``bit_count((w & -w) - 1)``) on top of
+    the unrolled splitmix64 SQL.  The float estimate itself is
+    ``sketch.hll_estimate`` (golden-tested vs exact distinct counts —
+    floats cannot hash-match across engines, the state can)."""
+    from geodata_ray.stages.sketch import hll_register_table
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return hll_register_table(ds, "user_id")
+
+
 def pack_sequences_docs(sf_dir: str):
     """Training-sequence packing (concat-then-split at seq_len=512):
     docs laid out in Knuth-hash order (unique — odd multiplier mod 2^32
@@ -2039,6 +2054,7 @@ RAY_QUERIES = {
     "near_dup_keep_docs": near_dup_keep_docs,
     "pack_sequences_docs": pack_sequences_docs,
     "host_stats_docs": host_stats_docs,
+    "hll_registers_events": hll_registers_events,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -77,3 +77,81 @@ def approx_quantiles(ds, col: str, qs, *, k: int = 256) -> dict[float, float]:
         i = int(np.clip(np.searchsorted(cum, q * total), 0, v.shape[0] - 1))
         out[float(q)] = float(v[i])
     return out
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — mergeable approximate distinct
+# ---------------------------------------------------------------------------
+
+HLL_P = 12  # 2^12 = 4096 registers, relative error ~1.04/sqrt(m) = 1.6%
+
+
+def hll_rank_batch(h: np.ndarray, p: int = HLL_P):
+    """(register, rank) per hash: register = top ``p`` bits; rank =
+    trailing-zero count of the remaining ``64-p`` bits + 1 (capped at
+    ``64-p+1`` when they are all zero).  Trailing zeros — not leading —
+    because they are EXACT in integer math on both engines
+    (``bit_count((w & -w) - 1)`` in SQL, lsb bit-length via frexp here;
+    the geometric distribution is identical).  All int64 outputs."""
+    h = np.asarray(h, dtype=np.uint64)
+    reg = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - p)) - 1)
+    lsb = (w & (~w + np.uint64(1))).astype(np.float64)
+    # lsb <= 2^(63-p) < 2^53 for p >= 11 -> frexp exponent is exact
+    rank = np.where(
+        w == 0, 64 - p + 1, np.frexp(lsb)[1].astype(np.int64)
+    ).astype(np.int64)
+    return reg, rank
+
+
+def hll_register_table(ds, col: str, *, p: int = HLL_P,
+                       prehashed: bool = False):
+    """Mergeable HLL state as a Dataset of (register, max_rank) rows —
+    only registers that were hit (<= 2^p rows total).  Per-batch
+    partial max (one tiny table per batch ships), then a bounded
+    grouped max — the same two-phase shape as every sketch here.
+    ``prehashed=False`` splitmix64-hashes the int64 column first."""
+    import pyarrow as pa
+
+    from geodata_ray.sources.synth import splitmix64
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "register": pa.array([], pa.int64()),
+                    "max_rank": pa.array([], pa.int64()),
+                }
+            )
+        v = batch[col].to_numpy(zero_copy_only=False)
+        h = v.view(np.uint64) if prehashed else splitmix64(
+            v.astype(np.int64).view(np.uint64)
+        )
+        reg, rank = hll_rank_batch(h, p)
+        t = pa.table({"register": pa.array(reg), "rank": pa.array(rank)})
+        out = t.group_by(["register"]).aggregate([("rank", "max")])
+        return out.rename_columns(["register", "max_rank"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(
+        partials, ["register"], [("max_rank", "max", "max_rank")]
+    )
+
+
+def hll_estimate(registers: np.ndarray, ranks: np.ndarray,
+                 p: int = HLL_P) -> float:
+    """Cardinality estimate from a (register, max_rank) table (absent
+    registers are zero), with the standard small-range linear-counting
+    correction."""
+    m = 1 << p
+    M = np.zeros(m, dtype=np.int64)
+    M[np.asarray(registers, dtype=np.int64)] = np.asarray(
+        ranks, dtype=np.int64
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-M.astype(np.float64)))
+    zeros = int(np.sum(M == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting
+    return float(est)

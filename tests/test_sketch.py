@@ -1,4 +1,5 @@
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -35,3 +36,50 @@ def test_approx_quantiles_deterministic():
         rd.from_arrow(pa.table({"x": v})).repartition(4), "x", [0.5]
     )
     assert a == b
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_estimate_accuracy_and_mergeability():
+    """HLL estimate within ~3 standard errors of exact distinct counts
+    across regimes (linear-counting and raw), and the register table
+    merges: max-combining two halves' tables equals the full table."""
+    import ray.data as rd
+
+    from geodata_ray.stages.sketch import (
+        HLL_P,
+        hll_estimate,
+        hll_register_table,
+    )
+
+    rng = np.random.default_rng(41)
+    for n_distinct in (500, 200_000):
+        vals = rng.integers(0, n_distinct, size=n_distinct * 2)
+        # force the exact distinct count to be known
+        vals = np.unique(vals)
+        true = vals.size
+        t = pa.table({"v": pa.array(vals.astype(np.int64))})
+        regs = (
+            hll_register_table(rd.from_arrow(t).repartition(4), "v")
+            .to_pandas()
+        )
+        est = hll_estimate(
+            regs["register"].to_numpy(), regs["max_rank"].to_numpy()
+        )
+        err = abs(est - true) / true
+        assert err < 0.05, (n_distinct, true, est, err)
+
+        # mergeability: per-half tables max-combine to the full table
+        half = vals.size // 2
+        a = hll_register_table(
+            rd.from_arrow(t.slice(0, half)), "v"
+        ).to_pandas()
+        b = hll_register_table(
+            rd.from_arrow(t.slice(half)), "v"
+        ).to_pandas()
+        merged = (
+            pd.concat([a, b])
+            .groupby("register", as_index=False)["max_rank"].max()
+            .sort_values("register", ignore_index=True)
+        )
+        full = regs.sort_values("register", ignore_index=True)
+        assert merged.values.tolist() == full.values.tolist()
