@@ -1058,6 +1058,62 @@ FROM rk GROUP BY register
 """
 
 
+def _lm_surprisal_sql() -> str:
+    """Byte-bigram LM surprisal over documents (stages/lm.py).  The
+    fixed-point qlog2 runs as a recursive CTE over the DISTINCT count
+    values only (a tiny set): msb from length(bin(c)), then 16 rounds
+    of the identical square/truncate/emit-bit loop the numpy kernel
+    runs — bit-equal per-doc integer totals.  substr() is codepoint-
+    based vs the kernel's bytes; identical on the pure-ASCII gate
+    corpus (checked by lm.py's docstring contract)."""
+    return """
+WITH RECURSIVE docs AS (
+  SELECT doc_id, COALESCE(text, '') AS s FROM documents
+),
+pairs AS (
+  SELECT doc_id, substr(s, CAST(i AS INT), 2) AS pair
+  FROM (SELECT doc_id, s,
+               unnest(generate_series(1, length(s) - 1)) AS i
+        FROM docs)
+),
+cnt AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pairs GROUP BY pair),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS c FROM cnt),
+vals AS (SELECT DISTINCT c FROM cnt UNION SELECT c FROM tot),
+it AS (
+  SELECT c, CAST(length(bin(c)) - 1 AS BIGINT) AS msb,
+         CAST((CAST(c AS HUGEINT) * 1073741824)
+              // (CAST(CAST(1 AS BIGINT) << CAST(length(bin(c)) - 1 AS INT)
+                       AS HUGEINT)) AS HUGEINT) AS m,
+         CAST(0 AS BIGINT) AS frac, 0 AS k
+  FROM vals
+  UNION ALL
+  SELECT c, msb,
+         CASE WHEN (m * m) // 1073741824 >= 2147483648
+              THEN ((m * m) // 1073741824) // 2
+              ELSE (m * m) // 1073741824 END,
+         frac * 2 + CASE WHEN (m * m) // 1073741824 >= 2147483648
+                         THEN 1 ELSE 0 END,
+         k + 1
+  FROM it WHERE k < 16
+),
+q AS (SELECT c, msb * 65536 + frac AS qlog2 FROM it WHERE k = 16),
+qn AS (SELECT q.qlog2 AS v FROM q JOIN tot ON q.c = tot.c),
+scored AS (
+  SELECT p.doc_id, qn.v - q.qlog2 AS sbits
+  FROM pairs p
+  JOIN cnt USING (pair)
+  JOIN q ON q.c = cnt.c
+  CROSS JOIN qn
+)
+SELECT d.doc_id,
+       CAST(COUNT(s.sbits) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(SUM(s.sbits), 0) AS BIGINT) AS qbits_total
+FROM docs d LEFT JOIN scored s USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
 def _top_pages_sql() -> str:
     """Full SQL mirror of the flagship page-synthesis + geocode +
     tile + salted-top-k chain (pages_from_documents_batch ->
@@ -1954,6 +2010,7 @@ _ORACLE_SQL_STATIC = {
     # round 4: HLL sketch state (the float estimate is golden-tested;
     # the mergeable register table hash-matches exactly)
     "hll_registers_events": _hll_sql(),
+    "lm_surprisal_docs": _lm_surprisal_sql(),
     # round 4: sequence packing recomputed with a SQL window prefix sum
     # (windowed SUM is HUGEINT in DuckDB -> CAST; integer division //)
     "pack_sequences_docs": """

@@ -1901,6 +1901,20 @@ def hll_registers_events(sf_dir: str):
     return hll_register_table(ds, "user_id")
 
 
+def lm_surprisal_docs(sf_dir: str):
+    """Byte-bigram LM surprisal per document: train the (<= 65,536
+    row) bigram count table on the corpus in one aggregation pass,
+    broadcast it, score every adjacent byte pair in a second pass.
+    Output is the integer fixed-point state (doc_id, n_pairs,
+    qbits_total) — hash-exact vs the recursive-CTE oracle; the float
+    bits-per-pair view is ``stages.lm.surprisal_bits`` (golden-tested
+    in tests/test_lm.py, not hashed)."""
+    from geodata_ray.stages.lm import lm_surprisal
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return lm_surprisal(ds)
+
+
 def pack_sequences_docs(sf_dir: str):
     """Training-sequence packing (concat-then-split at seq_len=512):
     docs laid out in Knuth-hash order (unique — odd multiplier mod 2^32
@@ -2055,6 +2069,7 @@ RAY_QUERIES = {
     "pack_sequences_docs": pack_sequences_docs,
     "host_stats_docs": host_stats_docs,
     "hll_registers_events": hll_registers_events,
+    "lm_surprisal_docs": lm_surprisal_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,
