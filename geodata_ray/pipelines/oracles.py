@@ -2011,6 +2011,34 @@ _ORACLE_SQL_STATIC = {
     # the mergeable register table hash-matches exactly)
     "hll_registers_events": _hll_sql(),
     "lm_surprisal_docs": _lm_surprisal_sql(),
+    # round 4: GPT-3-style n-gram decontamination — eval window is
+    # tokens 2..9 zero-based = list_slice(ts, 3, 10) one-based; the
+    # tokenization mirrors THE shared kernel (lower + single-space)
+    "ngram_decontaminate_docs": """
+        WITH ev AS (
+            SELECT DISTINCT array_to_string(
+                list_slice(string_split(lower(text), ' '), 3, 10), ' '
+            ) AS ng
+            FROM documents WHERE doc_id < 50
+        ),
+        tl AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS ts
+            FROM documents
+        ),
+        st AS (
+            SELECT doc_id, ts,
+                   unnest(generate_series(1, len(ts) - 7)) AS i
+            FROM tl
+        ),
+        ng AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(ts, i, i + 7), ' ') AS ng
+            FROM st
+        ),
+        hits AS (SELECT DISTINCT ng.doc_id, ng.ng FROM ng JOIN ev USING (ng))
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hit_ngrams
+        FROM hits GROUP BY 1
+    """,
     # round 4: sequence packing recomputed with a SQL window prefix sum
     # (windowed SUM is HUGEINT in DuckDB -> CAST; integer division //)
     "pack_sequences_docs": """

@@ -1915,6 +1915,34 @@ def lm_surprisal_docs(sf_dir: str):
     return lm_surprisal(ds)
 
 
+def ngram_decontaminate_docs(sf_dir: str):
+    """GPT-3-style n-gram decontamination: the eval set is one planted
+    8-token window (tokens 2..9) from each of the first 50 docs; any
+    corpus doc sharing such a window is contaminated.  Finer-grained
+    than ``contamination_check`` (whole-doc fingerprints): here the
+    exact-duplicate docs of the eval sources are caught through a
+    SHARED WINDOW, not a shared full text.  Eval n-grams broadcast
+    once; the corpus streams; zero shuffle."""
+    import pyarrow.parquet as pq
+
+    from geodata_ray.stages.textstats import ngram_decontaminate
+
+    # eval side input: pushed-down 50-row read + local window slice
+    # (tokens 2..9 zero-based == DuckDB list_slice(ts, 3, 10))
+    ev = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", 50)],
+    )
+    toks = pc.split_pattern(
+        pc.utf8_lower(ev["text"].combine_chunks().fill_null("")), " "
+    )
+    eval_ngrams = pc.binary_join(pc.list_slice(toks, 2, 10), " ")
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_decontaminate(ds, eval_ngrams, n=8)
+
+
 def pack_sequences_docs(sf_dir: str):
     """Training-sequence packing (concat-then-split at seq_len=512):
     docs laid out in Knuth-hash order (unique — odd multiplier mod 2^32
@@ -2070,6 +2098,7 @@ RAY_QUERIES = {
     "host_stats_docs": host_stats_docs,
     "hll_registers_events": hll_registers_events,
     "lm_surprisal_docs": lm_surprisal_docs,
+    "ngram_decontaminate_docs": ngram_decontaminate_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -555,3 +555,137 @@ def repetition_stats_batch(
             "max_token_run": pa.array(max_run),
         }
     )
+
+
+def _ngram_window_batch(
+    batch: pa.Table, *, id_col: str, text_col: str, n: int
+):
+    """All within-document ``n``-token windows for one batch of raw
+    docs, as joined strings: returns ``(doc_ids, ngrams)`` numpy/arrow
+    pairs.  Tokenization is THE shared kernel convention (lowercase +
+    single-space split, null -> empty), so the DuckDB mirror is
+    ``string_split(lower(text), ' ')``.  Fully vectorized: n shifted
+    slices of the flat token array joined element-wise
+    (``binary_join_element_wise``); windows that would straddle a
+    document boundary are masked out by comparing the owner-row index
+    at both window ends."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = text.fill_null("")
+    toks = pc.split_pattern(pc.utf8_lower(text), " ")
+    lengths = (
+        pc.list_value_length(toks)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = (
+        toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    ).flatten()
+    total = len(flat)
+    n_windows = total - n + 1
+    if n_windows <= 0:
+        return np.empty(0, dtype=np.int64), pa.array([], pa.string())
+    row_of = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+    valid = row_of[: n_windows] == row_of[n - 1:]
+    joined = pc.binary_join_element_wise(
+        *(flat.slice(k, n_windows) for k in range(n)), " "
+    )
+    ngrams = joined.filter(pa.array(valid))
+    ids = batch[id_col].to_numpy(zero_copy_only=False)[
+        row_of[:n_windows][valid]
+    ]
+    return ids, ngrams
+
+
+class _NgramContaminationScorer:
+    """Count, per document, how many DISTINCT eval-set n-grams occur in
+    it.  The eval n-gram set is a broadcast side input (benchmarks are
+    small by definition); membership is one vectorized ``is_in`` per
+    batch.  A doc is one input row, so the distinct count completes
+    in-batch — no shuffle anywhere in the operator."""
+
+    def __init__(self, eval_ref, id_col: str, text_col: str, n: int):
+        try:
+            import ray
+
+            if isinstance(eval_ref, ray.ObjectRef):
+                eval_ref = ray.get(eval_ref)
+        except Exception:
+            pass
+        if isinstance(eval_ref, (pa.Array, pa.ChunkedArray)):
+            self.eval_set = eval_ref
+        else:
+            self.eval_set = pa.array(eval_ref, type=pa.string())
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ngrams = _ngram_window_batch(
+            batch, id_col=self.id_col, text_col=self.text_col, n=self.n
+        )
+        hit = pc.is_in(ngrams, value_set=self.eval_set).to_numpy(
+            zero_copy_only=False
+        )
+        if not hit.any():
+            return pa.table(
+                {
+                    self.id_col: pa.array([], batch[self.id_col].type),
+                    "hit_ngrams": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table(
+            {
+                self.id_col: pa.array(ids[hit]),
+                "ng": ngrams.filter(pa.array(hit)),
+            }
+        )
+        distinct = t.group_by([self.id_col, "ng"]).aggregate([])
+        out = distinct.group_by(self.id_col).aggregate([([], "count_all")])
+        return out.rename_columns([self.id_col, "hit_ngrams"])
+
+
+def ngram_decontaminate(
+    ds,
+    eval_ngrams,
+    *,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """GPT-3-style n-gram decontamination (Brown et al. 2020 appx. C;
+    also PaLM / Llama eval-overlap checks): a training document is
+    contaminated when it shares an ``n``-token word window with any
+    benchmark/eval document.  This is FINER than whole-doc fingerprint
+    contamination (``contamination_check``): a doc that merely QUOTES
+    an eval question is caught even though its full-text fingerprint
+    differs.
+
+    Returns ``(id_col, hit_ngrams)`` for contaminated docs only, where
+    ``hit_ngrams`` counts the distinct eval n-grams found in the doc
+    (the usual keep/drop/mask decision input).
+
+    Scale shape: the eval n-gram set broadcasts once via ``ray.put``
+    (bounded: eval suites are ~10^5-10^6 n-grams, megabytes); the
+    corpus side streams through a stateless-kernel actor pool with one
+    ``is_in`` probe per batch; output is hit-docs-only.  ZERO shuffle.
+    """
+    arr = pa.array(list(eval_ngrams), type=pa.string())
+    try:
+        import ray
+
+        eval_ref = ray.put(arr)
+    except Exception:
+        eval_ref = arr
+    return ds.map_batches(
+        _NgramContaminationScorer,
+        fn_constructor_kwargs={
+            "eval_ref": eval_ref,
+            "id_col": id_col,
+            "text_col": text_col,
+            "n": n,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

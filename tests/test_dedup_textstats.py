@@ -559,3 +559,59 @@ def test_repetition_stats_batch_cases():
     assert out.n_distinct_tokens.tolist() == [3, 2, 1, 1]
     assert out.top_bigram_n.tolist() == [2, 2, 0, 0]
     assert out.max_token_run.tolist() == [1, 3, 1, 1]
+
+
+def test_ngram_window_batch_boundaries_and_nulls():
+    """Windows never straddle documents; nulls tokenize to one empty
+    token; short docs produce no windows."""
+    t = pa.table(
+        {
+            "doc_id": [10, 11, 12, 13],
+            "text": [
+                "A b c d",      # lowercased -> 2 windows of n=3
+                "x y",          # too short for n=3
+                None,           # 1 empty token
+                "p q r",        # exactly 1 window
+            ],
+        }
+    )
+    ids, ngrams = textstats._ngram_window_batch(
+        t, id_col="doc_id", text_col="text", n=3
+    )
+    got = sorted(zip(ids.tolist(), ngrams.to_pylist()))
+    assert got == [
+        (10, "a b c"),
+        (10, "b c d"),
+        (13, "p q r"),
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_decontaminate_distinct_hits_and_misses():
+    """A doc repeating the same eval n-gram counts it ONCE; a doc with
+    two different eval n-grams counts 2; clean docs are absent."""
+    import ray.data as rd
+
+    from geodata_ray.stages.textstats import ngram_decontaminate
+
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha beta gamma filler alpha beta gamma",  # same ng x2
+                "alpha beta gamma then delta eps zeta",      # two ngrams
+                "totally clean text with no overlap here",
+                "x alpha beta stop gamma y",                 # broken up
+            ],
+        }
+    )
+    ds = rd.from_arrow(docs).repartition(3)
+    out = (
+        ngram_decontaminate(
+            ds, ["alpha beta gamma", "delta eps zeta"], n=3
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out.doc_id.tolist() == [1, 2]
+    assert out.hit_ngrams.tolist() == [1, 2]
