@@ -1058,6 +1058,35 @@ FROM rk GROUP BY register
 """
 
 
+def _global_shuffle_sql(seed: int = 20260817) -> str:
+    """Seeded epoch shuffle over documents (stages/packing.py
+    ``global_shuffle``): unrolled splitmix64 of (doc_id + seed) mod
+    2^64, converted to its SIGNED int64 bit view (the engine stores
+    hashes as int64 views, so the rank order must be the signed one),
+    then ROW_NUMBER ranks — machinery fully independent of the
+    distributed prefix-sum scan."""
+    sm = _sql_splitmix_stages("gs", {"x": "x0v"}, "d0")
+    return f"""
+WITH d0 AS (
+  SELECT doc_id,
+         (CAST(doc_id AS HUGEINT) + {seed}) % {_U64_M} AS x0v
+  FROM documents
+),
+{sm},
+sgn AS (
+  SELECT doc_id,
+         CAST(CASE WHEN h_x >= 9223372036854775808
+                   THEN h_x - 18446744073709551616
+                   ELSE h_x END AS BIGINT) AS shuffle_ord
+  FROM gs6
+)
+SELECT doc_id, shuffle_ord,
+       CAST(ROW_NUMBER() OVER (ORDER BY shuffle_ord) - 1 AS BIGINT)
+           AS shuffle_pos
+FROM sgn
+"""
+
+
 def _lm_surprisal_sql() -> str:
     """Byte-bigram LM surprisal over documents (stages/lm.py).  The
     fixed-point qlog2 runs as a recursive CTE over the DISTINCT count
@@ -2011,6 +2040,9 @@ _ORACLE_SQL_STATIC = {
     # the mergeable register table hash-matches exactly)
     "hll_registers_events": _hll_sql(),
     "lm_surprisal_docs": _lm_surprisal_sql(),
+    # round 4: seeded deterministic epoch shuffle — the global ORDER
+    # itself is hashed (ROW_NUMBER over the signed splitmix64 view)
+    "global_shuffle_docs": _global_shuffle_sql(),
     # round 4: GPT-3-style n-gram decontamination — eval window is
     # tokens 2..9 zero-based = list_slice(ts, 3, 10) one-based; the
     # tokenization mirrors THE shared kernel (lower + single-space)

@@ -1976,6 +1976,19 @@ def pack_sequences_docs(sf_dir: str):
     )
 
 
+def global_shuffle_docs(sf_dir: str):
+    """Seeded deterministic epoch shuffle: every doc gets its global
+    0-based position in splitmix64(doc_id + seed) order — the
+    reproducible training layout.  The ORDER ITSELF is hash-audited:
+    the oracle recomputes the same hash with the unrolled splitmix64
+    CTE chain and ranks with ROW_NUMBER, machinery fully independent
+    of the distributed two-phase prefix-sum scan used here."""
+    from geodata_ray.stages.packing import global_shuffle
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return global_shuffle(ds, id_col="doc_id", seed=20260817)
+
+
 def host_stats_docs(sf_dir: str):
     """Per-host corpus statistics over canonicalized messy URLs — the
     domain-level aggregation every crawl pipeline runs (host doc
@@ -2099,6 +2112,7 @@ RAY_QUERIES = {
     "hll_registers_events": hll_registers_events,
     "lm_surprisal_docs": lm_surprisal_docs,
     "ngram_decontaminate_docs": ngram_decontaminate_docs,
+    "global_shuffle_docs": global_shuffle_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -132,3 +132,44 @@ def pack_sequences(ds, *, id_col: str, ntok_col: str, order_col: str,
         )
 
     return with_prefix.map_batches(spans, batch_format="pyarrow")
+
+
+def global_shuffle(ds, *, id_col: str, seed: int):
+    """Seeded deterministic global shuffle — the reproducible corpus
+    layout every training run needs (same seed => byte-identical epoch
+    order on any cluster size, resumable mid-epoch by position range).
+
+    Each row gets ``shuffle_ord`` = splitmix64(id + seed) (a u64
+    bijection, stored as its int64 bit view — the repo-wide 64-bit-hash
+    convention) and ``shuffle_pos`` = its 0-based rank in signed
+    ``shuffle_ord`` order, computed with the same two-phase distributed
+    prefix-sum scan ``pack_sequences`` uses (value = 1 per row): one
+    sort + two streaming passes, block-count driver state only.
+
+    ``id_col`` must be globally unique (splitmix64 is a bijection, so
+    ``shuffle_ord`` is then unique too and the scan's block-boundary
+    invariant holds).
+    """
+    from geodata_ray.sources.synth import splitmix64
+
+    def add_ord(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            x = ids.astype(np.uint64) + np.uint64(seed)
+        h = splitmix64(x).view(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "shuffle_ord": pa.array(h),
+                "_one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+
+    with_ord = ds.map_batches(add_ord, batch_format="pyarrow")
+    out = global_prefix_sum(
+        with_ord,
+        order_col="shuffle_ord",
+        value_col="_one",
+        out_col="shuffle_pos",
+    )
+    return out.select_columns([id_col, "shuffle_ord", "shuffle_pos"])

@@ -5,7 +5,11 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
-from geodata_ray.stages.packing import global_prefix_sum, pack_sequences
+from geodata_ray.stages.packing import (
+    global_prefix_sum,
+    global_shuffle,
+    pack_sequences,
+)
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -75,3 +79,39 @@ def test_pack_sequences_spans_match_reference():
     # every token position is covered exactly once (no gaps/overlap)
     total = int(ntok.sum())
     assert out.start_tok.max() + ntok[out.start_tok.idxmax()] <= total
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_shuffle_is_seeded_permutation():
+    import ray.data as rd
+
+    from geodata_ray.sources.synth import splitmix64
+
+    n = 3000
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids)})
+
+    def run(nblocks, seed):
+        return (
+            global_shuffle(
+                rd.from_arrow(t).repartition(nblocks),
+                id_col="doc_id", seed=seed,
+            )
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        )
+
+    a = run(1, 7)
+    b = run(11, 7)
+    # partition-count invariant (same layout on any cluster size)
+    assert a.values.tolist() == b.values.tolist()
+    # positions are an exact permutation of 0..n-1
+    assert sorted(a["shuffle_pos"].tolist()) == list(range(n))
+    # rank agrees with a local argsort of the same hash
+    h = splitmix64(ids.astype(np.uint64) + np.uint64(7)).view(np.int64)
+    ref = pd.DataFrame({"doc_id": ids, "h": h})
+    ref["pos"] = ref["h"].rank(method="first").astype(np.int64) - 1
+    assert a["shuffle_pos"].tolist() == ref["pos"].tolist()
+    assert a["shuffle_ord"].tolist() == ref["h"].tolist()
+    # a different seed gives a different order
+    c = run(4, 8)
+    assert c["shuffle_pos"].tolist() != a["shuffle_pos"].tolist()
