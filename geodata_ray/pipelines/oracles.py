@@ -1087,6 +1087,95 @@ FROM sgn
 """
 
 
+_PARAGRAPH_DEDUP_SQL = """
+WITH pj AS (
+  SELECT doc_id, unnest(range(3 + doc_id % 4)) AS para_idx
+  FROM documents
+),
+c AS (
+  SELECT doc_id, para_idx,
+         CASE WHEN (doc_id + para_idx) % 3 <> 0
+              THEN 'para ' || ((doc_id * 7 + para_idx * 13) % 40)
+                   || ' body'
+              ELSE 'uniq ' || doc_id || '/' || para_idx
+         END AS content
+  FROM pj
+),
+w AS (
+  SELECT doc_id, para_idx, content,
+         ROW_NUMBER() OVER (PARTITION BY content
+                            ORDER BY doc_id, para_idx) AS rn,
+         COUNT(*) OVER (PARTITION BY content) AS nc
+  FROM c
+)
+SELECT doc_id, CAST(para_idx AS BIGINT) AS para_idx,
+       CAST(nc AS BIGINT) AS n_copies
+FROM w WHERE rn = 1
+"""
+
+
+_LENGTH_BUCKETS_SQL = """
+WITH h AS (SELECT n_chars AS v, COUNT(*) AS n FROM documents GROUP BY 1),
+c AS (SELECT v, SUM(n) OVER (ORDER BY v) AS cum FROM h),
+t AS (SELECT SUM(n) AS tot FROM h),
+b AS (SELECT
+  (SELECT MIN(v) FROM c, t WHERE cum >= CEIL(0.25 * tot)) AS b1,
+  (SELECT MIN(v) FROM c, t WHERE cum >= CEIL(0.50 * tot)) AS b2,
+  (SELECT MIN(v) FROM c, t WHERE cum >= CEIL(0.75 * tot)) AS b3)
+SELECT doc_id, n_chars,
+       CAST((n_chars > b1)::INT + (n_chars > b2)::INT
+            + (n_chars > b3)::INT AS BIGINT) AS bucket
+FROM documents, b
+"""
+
+
+def _source_mixture_sql(seed: int = 424242) -> str:
+    """Epoch mixture oracle (stages/packing.py ``source_mixture``):
+    source srcK -> repeat (4 + 3*(K%4))/4; the fractional copy fires
+    iff splitmix64(doc_id + seed) < ((3*(K%4)) % 4) * 2^62, replayed
+    with the unrolled splitmix CTE chain in exact u64 arithmetic."""
+    sm = _sql_splitmix_stages("mx", {"x": "x0v"}, "d0")
+    return f"""
+WITH d0 AS (
+  SELECT doc_id, source,
+         CAST(SUBSTR(source, 4) AS BIGINT) % 4 AS m,
+         (CAST(doc_id AS HUGEINT) + {seed}) % {_U64_M} AS x0v
+  FROM documents
+),
+{sm},
+k AS (
+  SELECT doc_id, source,
+         (4 + 3 * m) // 4
+         + CASE WHEN h_x < CAST((3 * m) % 4 AS HUGEINT)
+                           * 4611686018427387904
+                THEN 1 ELSE 0 END AS kk
+  FROM mx6
+)
+SELECT doc_id, source, CAST(unnest(range(kk)) AS BIGINT) AS copy_idx
+FROM k
+"""
+
+
+_URL_DEDUP_BEST_SQL = """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         'https://site' || ((doc_id // 3) % 97) || '.example.com/p'
+             || (doc_id // 3) AS canonical_url
+  FROM documents
+),
+w AS (
+  SELECT canonical_url, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY canonical_url
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY canonical_url) AS nd
+  FROM c
+)
+SELECT canonical_url, doc_id, n_chars AS best_score,
+       CAST(nd AS BIGINT) AS n_dups
+FROM w WHERE rn = 1
+"""
+
+
 def _lm_surprisal_sql() -> str:
     """Byte-bigram LM surprisal over documents (stages/lm.py).  The
     fixed-point qlog2 runs as a recursive CTE over the DISTINCT count
@@ -2043,6 +2132,13 @@ _ORACLE_SQL_STATIC = {
     # round 4: seeded deterministic epoch shuffle — the global ORDER
     # itself is hashed (ROW_NUMBER over the signed splitmix64 view)
     "global_shuffle_docs": _global_shuffle_sql(),
+    # round 4: sub-document / crawl-merge / mixture operators — each
+    # oracle re-derives content from generator arithmetic, never from
+    # the engine's split/canonicalize/hash machinery
+    "paragraph_dedup_docs": _PARAGRAPH_DEDUP_SQL,
+    "length_buckets_docs": _LENGTH_BUCKETS_SQL,
+    "source_mixture_docs": _source_mixture_sql(),
+    "url_dedup_best_docs": _URL_DEDUP_BEST_SQL,
     # round 4: GPT-3-style n-gram decontamination — eval window is
     # tokens 2..9 zero-based = list_slice(ts, 3, 10) one-based; the
     # tokenization mirrors THE shared kernel (lower + single-space)

@@ -1989,6 +1989,137 @@ def global_shuffle_docs(sf_dir: str):
     return global_shuffle(ds, id_col="doc_id", seed=20260817)
 
 
+def paragraph_dedup_docs(sf_dir: str):
+    """Corpus-wide paragraph-level exact dedup (first occurrence in
+    global (doc, para_idx) order wins) over deterministically
+    synthesized multi-paragraph docs: paragraph j of doc i is drawn
+    from a 40-entry shared pool unless (i+j)%3==0 (unique).  The
+    engine SPLITS the synthesized text and runs the generic hash +
+    two-phase min machinery; the oracle re-derives content purely from
+    the (i, j) arithmetic — it never splits a string."""
+    from geodata_ray.stages.dedup import paragraph_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch["doc_id"].to_numpy()
+        nper = 3 + ids % 4
+        sid = pd.Series(ids).astype(str)
+        txt = None
+        for j in range(6):
+            shared = (
+                "para " + pd.Series((ids * 7 + j * 13) % 40).astype(str)
+                + " body"
+            )
+            uniq = "uniq " + sid + "/" + str(j)
+            cont = pd.Series(
+                np.where((ids + j) % 3 != 0, shared.to_numpy(),
+                         uniq.to_numpy())
+            )
+            if txt is None:
+                txt = cont
+            else:
+                txt = pd.Series(
+                    np.where(j < nper, (txt + "\n\n" + cont).to_numpy(),
+                             txt.to_numpy())
+                )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(txt.to_numpy())}
+        )
+
+    pages = ds.map_batches(synth, batch_format="pyarrow")
+    return paragraph_dedup(pages, id_col="doc_id", text_col="text")
+
+
+def length_buckets_docs(sf_dir: str):
+    """Quantile length-bucketing: every doc tagged with its quartile
+    bucket (0..3) of the corpus-wide n_chars distribution — the
+    batch-packing prep step of a training loader.  Boundaries are
+    EXACT quantile_disc values from the bounded value-histogram (two
+    streaming passes, no per-row shuffle); the oracle recomputes them
+    with a window cumulative sum."""
+    from geodata_ray.stages.relational import assign_quantile_buckets
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return assign_quantile_buckets(
+        ds, col="n_chars", qs=(0.25, 0.5, 0.75)
+    )
+
+
+def source_mixture_docs(sf_dir: str):
+    """Epoch mixture expansion: source srcK gets repeat factor
+    1 + (K%4)*0.75 (so 1.0 / 1.75 / 2.5 / 3.25 — floor copies plus a
+    deterministic splitmix64 coin for the fractional copy).  The
+    oracle replays the same u64 threshold compare with the unrolled
+    splitmix CTE chain and unnests range(k)."""
+    from geodata_ray.stages.packing import source_mixture
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    weights = {f"src{k}": 1 + (k % 4) * 0.75 for k in range(64)}
+    return source_mixture(
+        ds, id_col="doc_id", source_col="source", weights=weights,
+        seed=424242,
+    )
+
+
+def url_dedup_best_docs(sf_dir: str):
+    """URL-level crawl merge: doc triples {3m, 3m+1, 3m+2} map (after
+    undoing case/port/slash/fragment mutations) to ONE canonical URL;
+    keep the highest-n_chars capture, tie lowest doc_id, via the
+    packed-int64 grouped argmax.  The oracle derives the canonical URL
+    straight from the doc_id arithmetic and picks the winner with a
+    window QUALIFY."""
+    from geodata_ray.stages.urls import dedup_by_canonical_url
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def messy(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch["doc_id"].to_numpy()
+        g = ids // 3
+        k = pd.Series(g % 97).astype(str)
+        sg = pd.Series(g).astype(str)
+        scheme = pd.Series(np.where(ids % 2 == 0, "HTTPS", "https"))
+        host = np.where(
+            ids % 3 == 0,
+            ("SITE" + k + ".Example.COM").to_numpy(),
+            ("site" + k + ".example.com").to_numpy(),
+        )
+        port = pd.Series(
+            np.where(
+                ids % 10 == 0, ":0443",
+                np.where(ids % 5 == 0, ":443", ""),
+            )
+        )
+        trail = pd.Series(np.where(ids % 7 == 0, "/", ""))
+        frag = pd.Series(
+            np.where(
+                ids % 11 == 0,
+                ("#s" + pd.Series(ids % 4).astype(str)).to_numpy(),
+                "",
+            )
+        )
+        url = (
+            scheme + "://" + pd.Series(host) + port + "/p" + sg
+            + trail + frag
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": batch["n_chars"],
+                "url": pa.array(url.to_numpy()),
+            }
+        )
+
+    pages = ds.map_batches(messy, batch_format="pyarrow")
+    return dedup_by_canonical_url(
+        pages, url_col="url", id_col="doc_id", score_col="n_chars"
+    )
+
+
 def host_stats_docs(sf_dir: str):
     """Per-host corpus statistics over canonicalized messy URLs — the
     domain-level aggregation every crawl pipeline runs (host doc
@@ -2113,6 +2244,10 @@ RAY_QUERIES = {
     "lm_surprisal_docs": lm_surprisal_docs,
     "ngram_decontaminate_docs": ngram_decontaminate_docs,
     "global_shuffle_docs": global_shuffle_docs,
+    "paragraph_dedup_docs": paragraph_dedup_docs,
+    "length_buckets_docs": length_buckets_docs,
+    "source_mixture_docs": source_mixture_docs,
+    "url_dedup_best_docs": url_dedup_best_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -794,3 +794,75 @@ def hyperplane_buckets(
         )
 
     return ds.map_batches(bucketize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup
+# ---------------------------------------------------------------------------
+
+_PARA_MAX = 1 << 20  # max paragraphs per document (order-key packing)
+
+
+def paragraph_dedup(
+    ds, *, id_col: str = "doc_id", text_col: str = "text", sep: str = "\n\n"
+):
+    """Corpus-wide exact paragraph dedup, FIRST occurrence wins in
+    global (doc, paragraph-index) order — the sub-document granularity
+    of exact dedup (reference-class pipelines dedup paragraphs across
+    pages because boilerplate repeats below document level).
+
+    Explodes each document into (id, para_idx, para_hash) rows — only
+    8-byte hashes ever shuffle, never paragraph text — then a single
+    two-phase grouped min over the packed order key
+    ``id * 2^20 + para_idx`` finds each distinct paragraph's earliest
+    occurrence; the winner's identity decodes straight from the min
+    (no join back).  Output: one row per DISTINCT paragraph — the
+    keeper's (id, para_idx) plus its corpus-wide copy count.
+
+    Requires ``id_col`` < 2^43 and at most 2^20 paragraphs per doc
+    (packed int64); both hold at 10^12-doc scale.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col], "")
+        parts = pc.split_pattern(texts, sep)
+        nper = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        nper = nper.astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if int(nper.max(initial=0)) >= _PARA_MAX:
+            raise ValueError("paragraph_dedup: >2^20 paragraphs in one doc")
+        flat = parts.combine_chunks() if isinstance(
+            parts, pa.ChunkedArray) else parts
+        flat_vals = flat.flatten()
+        h = hash_strings_nomemo(flat_vals.to_pylist()).astype(np.int64)
+        rep_ids = np.repeat(ids, nper)
+        starts = np.repeat(np.cumsum(nper) - nper, nper)
+        para_idx = np.arange(rep_ids.size, dtype=np.int64) - starts
+        order = rep_ids * _PARA_MAX + para_idx
+        return pa.table(
+            {
+                "para_hash": pa.array(h),
+                "order_key": pa.array(order),
+            }
+        )
+
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    winners = grouped_aggregate(
+        exploded,
+        ["para_hash"],
+        [("order_key", "min", "min_order"), ("order_key", "count", "n_copies")],
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        mo = batch["min_order"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(mo // _PARA_MAX),
+                "para_idx": pa.array(mo % _PARA_MAX),
+                "n_copies": batch["n_copies"],
+            }
+        )
+
+    return winners.map_batches(decode, batch_format="pyarrow")

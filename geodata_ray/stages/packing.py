@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def global_prefix_sum(ds, *, order_col: str, value_col: str,
@@ -173,3 +174,67 @@ def global_shuffle(ds, *, id_col: str, seed: int):
         out_col="shuffle_pos",
     )
     return out.select_columns([id_col, "shuffle_ord", "shuffle_pos"])
+
+
+def source_mixture(ds, *, id_col: str, source_col: str,
+                   weights: dict[str, float], seed: int):
+    """Epoch mixture: replicate each row by its source's (possibly
+    fractional) repeat factor — how a training run up/down-weights
+    corpora ("books x2.5, web x1") without materializing shuffled
+    copies of the raw data.
+
+    A doc in source s with weight r emits ``floor(r)`` copies plus one
+    more iff ``splitmix64(id + seed) < frac(r) * 2^64`` — a
+    deterministic per-doc coin, so the SAME docs get the extra copy on
+    any cluster size / epoch restart, and the realized rate is exact in
+    expectation with zero coordination.  Weights must be multiples of
+    1/4 so the threshold ``frac(r) * 2^64`` is an exact u64 constant
+    (no float compare anywhere).  Embarrassingly parallel: zero
+    shuffle, one pass.
+
+    Output: (id, source, copy_idx 0..k-1); k=0 sources drop rows.
+    """
+    from geodata_ray.sources.synth import splitmix64
+
+    thresh: dict[str, tuple[int, int]] = {}
+    for s, r in weights.items():
+        q = round(r * 4)
+        if q < 0 or abs(q / 4 - r) > 1e-12:
+            raise ValueError(
+                f"source_mixture: weight {r} for {s!r} is not a "
+                "non-negative multiple of 1/4"
+            )
+        thresh[s] = (q // 4, (q % 4) << 62)  # (floor, frac*2^64)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # dictionary-encode so the weight lookup touches only the few
+        # distinct sources, not every row
+        enc = pc.dictionary_encode(
+            batch[source_col].combine_chunks()
+            if isinstance(batch[source_col], pa.ChunkedArray)
+            else batch[source_col]
+        )
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        uniq = enc.dictionary.to_pylist()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ub = np.array([thresh[s][0] for s in uniq], dtype=np.int64)
+        uf = np.array([thresh[s][1] for s in uniq], dtype=np.uint64)
+        base, frac = ub[codes], uf[codes]
+        with np.errstate(over="ignore"):
+            h = splitmix64(ids.astype(np.uint64) + np.uint64(seed))
+        k = base + (h < frac)
+        rep_ids = np.repeat(ids, k)
+        rep_src = pa.array(np.asarray(uniq, dtype=object)[np.repeat(codes, k)])
+        starts = np.repeat(np.cumsum(k) - k, k)
+        copy_idx = np.arange(rep_ids.size, dtype=np.int64) - starts
+        return pa.table(
+            {
+                id_col: pa.array(rep_ids),
+                source_col: rep_src,
+                "copy_idx": pa.array(copy_idx),
+            }
+        )
+
+    return ds.map_batches(emit, batch_format="pyarrow")

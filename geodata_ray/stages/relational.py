@@ -550,3 +550,49 @@ def distinct_first(ds, key: str, order_by: str):
     return local_winners.groupby(key).map_groups(
         group_winner, batch_format="pandas"
     )
+
+
+def exact_int_quantiles(ds, col: str, qs: Sequence[float]) -> list[int]:
+    """EXACT quantile_disc values of an integer column via the bounded
+    two-phase histogram (only (value, partial-count) rows shuffle —
+    cardinality is the value range, not the row count; a char-length
+    or token-count column has ~10^5 distinct values at any corpus
+    size).  Returns, per q, the smallest v with #(x <= v) >= ceil(q*n).
+    """
+    import math
+
+    hist = (
+        grouped_aggregate(
+            ds.select_columns([col]), [col], [(col, "count", "__qn")]
+        )
+        .to_pandas()
+        .sort_values(col, ignore_index=True)
+    )
+    cum = hist["__qn"].cumsum().to_numpy()
+    vals = hist[col].to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q in qs:
+        target = math.ceil(q * n)
+        out.append(int(vals[np.searchsorted(cum, target)]))
+    return out
+
+
+def assign_quantile_buckets(ds, *, col: str, qs: Sequence[float]):
+    """Bucket every row by the column's own EXACT quantile boundaries
+    (e.g. qs=(0.25, 0.5, 0.75) -> buckets 0..3) — the length-bucketing
+    step batch-efficient training loaders run so a batch packs
+    similar-length sequences.  Two streaming passes: the bounded
+    histogram above, then a broadcast compare (``bucket`` = number of
+    boundaries strictly below the value); no per-row shuffle at all.
+    """
+    bounds = np.asarray(exact_int_quantiles(ds, col, qs), dtype=np.int64)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (v[:, None] > bounds[None, :]).sum(axis=1)
+        return batch.append_column(
+            "bucket", pa.array(bucket.astype(np.int64))
+        )
+
+    return ds.map_batches(bucketize, batch_format="pyarrow")

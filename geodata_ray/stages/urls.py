@@ -92,3 +92,83 @@ def canonicalize_batch(
     return batch.append_column(
         "canonical_url", _canonical_from(ex, urls)
     ).append_column("host", pc.utf8_lower(pc.struct_field(ex, "host")))
+
+
+_URL_BEST_M = 1 << 41  # id-packing modulus for the per-URL argmax
+
+
+def dedup_by_canonical_url(
+    ds, *, url_col: str = "url", id_col: str = "doc_id",
+    score_col: str = "n_chars",
+):
+    """URL-level dedup: one keeper per CANONICAL url — the crawl-merge
+    step that collapses re-crawls and trivially-mutated URLs of the
+    same page, keeping the highest-``score_col`` capture (tie: lowest
+    id).
+
+    Canonicalizes with the real normalizer, then a single two-phase
+    grouped max over the packed key ``score * 2^41 + (2^41-1-id)``
+    (argmax-by-(score, -id) as one int64 max — merges associatively,
+    so partials pre-combine per batch before the shuffle).  Groups by
+    the 8-byte canonical-url hash, never the string; the string rides
+    along as a per-group ``min`` (all equal within a group).
+
+    Requires ``id_col`` < 2^41 (~2·10^12 docs) and non-negative
+    ``score_col`` < 2^21; raises per batch if violated.
+
+    Output: (canonical_url, best ``id_col``, best_score, n_dups).
+    """
+    import numpy as np
+
+    from geodata_ray.stages.dedup import hash_strings_nomemo
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cb = canonicalize_batch(batch, url_col=url_col)
+        canon = pc.fill_null(cb["canonical_url"], "")
+        if isinstance(canon, pa.ChunkedArray):
+            canon = canon.combine_chunks()
+        h = hash_strings_nomemo(canon.to_pylist()).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = batch[score_col].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        if ids.size and (
+            ids.min() < 0 or ids.max() >= _URL_BEST_M
+            or score.min() < 0 or score.max() >= (1 << 21)
+        ):
+            raise ValueError(
+                "dedup_by_canonical_url: id must be in [0, 2^41) and "
+                "score in [0, 2^21) for int64 argmax packing"
+            )
+        packed = score * _URL_BEST_M + (_URL_BEST_M - 1 - ids)
+        return pa.table(
+            {
+                "url_hash": pa.array(h),
+                "canonical_url": canon,
+                "packed": pa.array(packed),
+            }
+        )
+
+    winners = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["url_hash"],
+        [
+            ("packed", "max", "max_packed"),
+            ("packed", "count", "n_dups"),
+            ("canonical_url", "min", "canonical_url"),
+        ],
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        mp = batch["max_packed"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "canonical_url": batch["canonical_url"],
+                id_col: pa.array(_URL_BEST_M - 1 - (mp % _URL_BEST_M)),
+                "best_score": pa.array(mp // _URL_BEST_M),
+                "n_dups": batch["n_dups"],
+            }
+        )
+
+    return winners.map_batches(decode, batch_format="pyarrow")

@@ -1,0 +1,168 @@
+"""Round-4 training-data operators: paragraph dedup, quantile
+bucketing, source mixture, URL-level crawl merge."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geodata_ray.stages.dedup import paragraph_dedup
+from geodata_ray.stages.packing import source_mixture
+from geodata_ray.stages.relational import (
+    assign_quantile_buckets,
+    exact_int_quantiles,
+)
+from geodata_ray.stages.urls import dedup_by_canonical_url
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_paragraph_dedup_first_occurrence_wins():
+    import ray.data as rd
+
+    texts = [
+        "A\n\nB\n\nC",     # doc 0: all first occurrences
+        "B\n\nD",          # doc 1: B dups doc0's, D new
+        "A\n\nA",          # doc 2: both dup doc0 para0
+        None,              # doc 3: null text -> one empty paragraph
+        "",                # doc 4: empty -> dups doc3's empty para
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(5, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+    def run(nblocks):
+        return (
+            paragraph_dedup(rd.from_arrow(t).repartition(nblocks))
+            .to_pandas()
+            .sort_values(["doc_id", "para_idx"], ignore_index=True)
+        )
+
+    out = run(1)
+    assert run(4).values.tolist() == out.values.tolist()
+    got = {
+        (r.doc_id, r.para_idx): r.n_copies for r in out.itertuples()
+    }
+    # A kept at (0,0) with 3 copies; B at (0,1) x2; C unique; D unique;
+    # the empty paragraph kept at its first doc (3,0) x2
+    assert got == {
+        (0, 0): 3, (0, 1): 2, (0, 2): 1, (1, 1): 1, (3, 0): 2,
+    }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantile_buckets_match_reference():
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    v = rng.integers(0, 300, 5000).astype(np.int64)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(v.size, dtype=np.int64)),
+            "n": pa.array(v),
+        }
+    )
+    qs = (0.25, 0.5, 0.75)
+    bounds = exact_int_quantiles(
+        rd.from_arrow(t).repartition(6), "n", qs
+    )
+    sv = np.sort(v)
+    ref_bounds = [int(sv[int(np.ceil(q * v.size)) - 1]) for q in qs]
+    assert bounds == ref_bounds
+    out = (
+        assign_quantile_buckets(
+            rd.from_arrow(t).repartition(6), col="n", qs=qs
+        )
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    ref = (v[:, None] > np.array(ref_bounds)[None, :]).sum(axis=1)
+    assert out["bucket"].tolist() == ref.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_mixture_counts_and_determinism():
+    import ray.data as rd
+
+    from geodata_ray.sources.synth import splitmix64
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    src = np.array(["a", "b", "c", "d"])[ids % 4]
+    t = pa.table({"doc_id": pa.array(ids), "source": pa.array(src)})
+    w = {"a": 0.0, "b": 1.0, "c": 1.5, "d": 2.75}
+
+    def run(nblocks):
+        return (
+            source_mixture(
+                rd.from_arrow(t).repartition(nblocks),
+                id_col="doc_id", source_col="source", weights=w, seed=5,
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "copy_idx"], ignore_index=True)
+        )
+
+    out = run(1)
+    assert run(7).values.tolist() == out.values.tolist()
+    h = splitmix64(ids.astype(np.uint64) + np.uint64(5))
+    base = np.array([0, 1, 1, 2])[ids % 4]
+    fr = np.array([0, 0, 2, 3])[ids % 4].astype(np.uint64) << np.uint64(62)
+    k = base + (h < fr)
+    ref_n = int(k.sum())
+    assert len(out) == ref_n
+    # per-doc copies are exactly 0..k-1
+    per = out.groupby("doc_id")["copy_idx"].agg(["count", "min", "max"])
+    kk = k[per.index.to_numpy()]
+    assert (per["count"].to_numpy() == kk).all()
+    assert (per["min"] == 0).all()
+    assert (per["max"].to_numpy() == kk - 1).all()
+    # source a (weight 0) emits nothing
+    assert not (out["source"] == "a").any()
+
+    with pytest.raises(ValueError):
+        source_mixture(
+            rd.from_arrow(t), id_col="doc_id", source_col="source",
+            weights={"a": 0.3}, seed=1,
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_url_dedup_best_argmax_and_bounds():
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "n_chars": pa.array([10, 30, 30, 7, 7], pa.int64()),
+            "url": pa.array(
+                [
+                    "HTTPS://A.com:443/x",   # group A
+                    "https://a.COM/x",       # group A (winner: 30, id 1)
+                    "https://a.com/x#f",     # group A (tie 30 -> id 1)
+                    "https://b.com/y/",      # group B
+                    "https://B.com/y/",      # group B (tie 7 -> id 3)
+                ]
+            ),
+        }
+    )
+    out = (
+        dedup_by_canonical_url(rd.from_arrow(t).repartition(3))
+        .to_pandas().sort_values("canonical_url", ignore_index=True)
+    )
+    assert out.to_dict("records") == [
+        {"canonical_url": "https://a.com/x", "doc_id": 1,
+         "best_score": 30, "n_dups": 3},
+        {"canonical_url": "https://b.com/y", "doc_id": 3,
+         "best_score": 7, "n_dups": 2},
+    ]
+
+    bad = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "n_chars": pa.array([1 << 22], pa.int64()),
+            "url": pa.array(["https://a.com/x"]),
+        }
+    )
+    with pytest.raises(Exception):
+        dedup_by_canonical_url(rd.from_arrow(bad)).to_pandas()
