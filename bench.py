@@ -135,6 +135,17 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "url_canonicalize_docs",
         "boilerplate_removal_docs",
         "redact_pii_docs",
+        # round 4
+        "near_dup_keep_docs",
+        "pack_sequences_docs",
+        "global_shuffle_docs",
+        "ngram_decontaminate_docs",
+        "lm_surprisal_docs",
+        "hll_registers_events",
+        "paragraph_dedup_docs",
+        "length_buckets_docs",
+        "source_mixture_docs",
+        "url_dedup_best_docs",
     )
     for name in query_names:
         t0 = time.perf_counter()

@@ -1176,6 +1176,49 @@ FROM w WHERE rn = 1
 """
 
 
+def _cms_sql(d: int = 4, lw: int = 12) -> str:
+    """Count-Min register table over events.user_id
+    (stages/sketch.py ``cms_table``): depth j hashes
+    splitmix64(u + j*SALT) and keeps the top ``lw`` bits; exact
+    recount per (depth, cell) with ONE shared splitmix chain over all
+    depths."""
+    salt = 0x9E3779B97F4A7C15
+    x0 = {
+        f"j{j}": f"((uid + {j * salt % (1 << 64)}) % {_U64_M})"
+        for j in range(d)
+    }
+    sm = _sql_splitmix_stages("cm", x0, "d0")
+    div = 1 << (64 - lw)
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {j} AS depth, h_j{j} // {div} AS cell FROM cm6"
+        for j in range(d)
+    )
+    return f"""
+WITH d0 AS (SELECT CAST(user_id AS HUGEINT) AS uid FROM events),
+{sm},
+u AS ({arms})
+SELECT CAST(depth AS BIGINT) AS depth, CAST(cell AS BIGINT) AS cell,
+       COUNT(*) AS n
+FROM u GROUP BY 1, 2
+"""
+
+
+_HOST_QUOTA_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         'site' || (doc_id % 97) || '.example.com' AS host
+  FROM documents
+),
+r AS (
+  SELECT host, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS rk
+  FROM h
+)
+SELECT doc_id, host, CAST(rk AS BIGINT) AS "rank"
+FROM r WHERE rk <= 3
+"""
+
+
 def _lm_surprisal_sql() -> str:
     """Byte-bigram LM surprisal over documents (stages/lm.py).  The
     fixed-point qlog2 runs as a recursive CTE over the DISTINCT count
@@ -2139,6 +2182,8 @@ _ORACLE_SQL_STATIC = {
     "length_buckets_docs": _LENGTH_BUCKETS_SQL,
     "source_mixture_docs": _source_mixture_sql(),
     "url_dedup_best_docs": _URL_DEDUP_BEST_SQL,
+    "cms_counts_events": _cms_sql(),
+    "host_quota_docs": _HOST_QUOTA_SQL,
     # round 4: GPT-3-style n-gram decontamination — eval window is
     # tokens 2..9 zero-based = list_slice(ts, 3, 10) one-based; the
     # tokenization mirrors THE shared kernel (lower + single-space)

@@ -2120,6 +2120,58 @@ def url_dedup_best_docs(sf_dir: str):
     )
 
 
+def cms_counts_events(sf_dir: str):
+    """Count-Min sketch of user_id frequencies over events: the
+    mergeable (depth, cell, n) table — counts merge across
+    shards/days by a grouped SUM, the additive sibling of the HLL
+    register max.  The oracle replays all four depth hashes with one
+    shared splitmix CTE chain and recounts exactly; the table itself
+    hash-matches, not an estimate."""
+    from geodata_ray.stages.sketch import cms_table
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return cms_table(ds, "user_id")
+
+
+def host_quota_docs(sf_dir: str):
+    """Per-domain quota: keep the FIRST 3 docs (by doc_id = crawl
+    order) of every host — the politeness/diversity cap crawl
+    pipelines apply before training.  Hosts come from the real URL
+    normalizer over messy synthesized URLs; the per-key head runs on
+    the skew-safe salted top-k machinery (ascending)."""
+    from geodata_ray.stages.skew import salted_topk_per_key
+    from geodata_ray.stages.urls import canonicalize_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def messy(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch["doc_id"].to_numpy()
+        k = pd.Series(ids % 97).astype(str)
+        sid = pd.Series(ids).astype(str)
+        host = np.where(
+            ids % 3 == 0,
+            ("SITE" + k + ".Example.COM").to_numpy(),
+            ("site" + k + ".example.com").to_numpy(),
+        )
+        url = "https://" + pd.Series(host) + "/d" + sid
+        return pa.table(
+            {"doc_id": batch["doc_id"], "url": pa.array(url.to_numpy())}
+        )
+
+    pages = ds.map_batches(messy, batch_format="pyarrow")
+
+    def hosts(batch: pa.Table) -> pa.Table:
+        cb = canonicalize_batch(batch, url_col="url")
+        return pa.table({"doc_id": cb["doc_id"], "host": cb["host"]})
+
+    with_host = pages.map_batches(hosts, batch_format="pyarrow")
+    return salted_topk_per_key(
+        with_host, key="host", order_col="doc_id", k=3, descending=False
+    )
+
+
 def host_stats_docs(sf_dir: str):
     """Per-host corpus statistics over canonicalized messy URLs — the
     domain-level aggregation every crawl pipeline runs (host doc
@@ -2248,6 +2300,8 @@ RAY_QUERIES = {
     "length_buckets_docs": length_buckets_docs,
     "source_mixture_docs": source_mixture_docs,
     "url_dedup_best_docs": url_dedup_best_docs,
+    "cms_counts_events": cms_counts_events,
+    "host_quota_docs": host_quota_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

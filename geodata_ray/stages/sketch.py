@@ -155,3 +155,74 @@ def hll_estimate(registers: np.ndarray, ranks: np.ndarray,
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)  # linear counting
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+CMS_D = 4        # depth (independent hash rows)
+CMS_LW = 12      # log2 width -> 4096 cells/row
+_CMS_SALT = 0x9E3779B97F4A7C15
+
+
+def cms_cells_batch(v: np.ndarray, *, d: int = CMS_D, lw: int = CMS_LW):
+    """(depth, cell) pairs for every value: depth j hashes
+    ``splitmix64(v + j*SALT)`` and takes the top ``lw`` bits — the
+    same top-bit convention as the HLL register, so the SQL replay is
+    one shared splitmix chain per depth.  Returns (depths, cells)
+    flattened depth-major, each ``d * len(v)`` int64."""
+    from geodata_ray.sources.synth import splitmix64
+
+    v = np.asarray(v, dtype=np.int64).view(np.uint64)
+    shift = np.uint64(64 - lw)
+    cells = np.empty((d, v.size), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for j in range(d):
+            h = splitmix64(v + np.uint64(j) * np.uint64(_CMS_SALT))
+            cells[j] = (h >> shift).astype(np.int64)
+    depths = np.repeat(np.arange(d, dtype=np.int64), v.size)
+    return depths, cells.ravel()
+
+
+def cms_table(ds, col: str, *, d: int = CMS_D, lw: int = CMS_LW):
+    """Mergeable Count-Min state as a Dataset of (depth, cell, n) rows
+    — only cells that were hit (<= d * 2^lw rows total; counts merge
+    by SUMMING, so sketches from disjoint shards/days combine with a
+    grouped sum).  Two-phase like every sketch here: per-batch grouped
+    count (bounded d * 2^lw rows ship per batch), then a bounded
+    grouped sum."""
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "depth": pa.array([], pa.int64()),
+                    "cell": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        v = batch[col].to_numpy(zero_copy_only=False)
+        depths, cells = cms_cells_batch(v, d=d, lw=lw)
+        t = pa.table({"depth": pa.array(depths), "cell": pa.array(cells)})
+        out = t.group_by(["depth", "cell"]).aggregate([([], "count_all")])
+        return out.rename_columns(["depth", "cell", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(
+        partials, ["depth", "cell"], [("n", "sum", "n")]
+    )
+
+
+def cms_estimate(cms_df, values, *, d: int = CMS_D, lw: int = CMS_LW):
+    """Point frequency estimates (min over depths) from a collected
+    (depth, cell, n) table — one-sided: estimate >= true count, with
+    overshoot ~ N/2^lw per depth.  Driver-side helper over the
+    bounded sketch table."""
+    grid = np.zeros((d, 1 << lw), dtype=np.int64)
+    grid[cms_df["depth"].to_numpy(), cms_df["cell"].to_numpy()] = (
+        cms_df["n"].to_numpy()
+    )
+    depths, cells = cms_cells_batch(np.asarray(values), d=d, lw=lw)
+    return grid[depths, cells].reshape(d, -1).min(axis=0)

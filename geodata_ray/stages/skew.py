@@ -69,9 +69,15 @@ def salted_topk_per_key(
         import pyarrow.compute as pc
 
         keys = batch[key]
-        is_hot = pc.is_in(keys, value_set=hot_set).to_numpy(
-            zero_copy_only=False
-        )
+        if len(hot_set) == 0:
+            # empty hot set: numpy gives it a default dtype that need
+            # not match the key column (e.g. string keys), so skip the
+            # is_in entirely — nothing is hot
+            is_hot = np.zeros(len(batch), dtype=bool)
+        else:
+            is_hot = pc.is_in(keys, value_set=hot_set).to_numpy(
+                zero_copy_only=False
+            )
         vals = batch[order_col].to_numpy(zero_copy_only=False)
         h = splitmix64(vals.astype(np.float64).view(np.uint64))
         salt = np.where(is_hot, (h % np.uint64(n_salts)).astype(np.int64), 0)

@@ -166,3 +166,71 @@ def test_url_dedup_best_argmax_and_bounds():
     )
     with pytest.raises(Exception):
         dedup_by_canonical_url(rd.from_arrow(bad)).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cms_table_mergeable_and_one_sided():
+    import ray.data as rd
+
+    from geodata_ray.stages.sketch import cms_estimate, cms_table
+
+    rng = np.random.default_rng(3)
+    # zipf-ish: value v appears ~1000/(v+1) times
+    vals = np.repeat(np.arange(50, dtype=np.int64),
+                     (1000 / (np.arange(50) + 1)).astype(np.int64))
+    t = pa.table({"v": pa.array(rng.permutation(vals))})
+
+    def run(nblocks):
+        return (
+            cms_table(rd.from_arrow(t).repartition(nblocks), "v")
+            .to_pandas()
+            .sort_values(["depth", "cell"], ignore_index=True)
+        )
+
+    a = run(1)
+    assert run(9).values.tolist() == a.values.tolist()
+    # total mass per depth == row count
+    assert (a.groupby("depth")["n"].sum() == len(vals)).all()
+    # point estimates are one-sided: est >= true, and exact here
+    # (4096 cells, 50 keys -> collisions vanishingly unlikely)
+    true = np.array([(vals == v).sum() for v in range(50)])
+    est = cms_estimate(a, np.arange(50, dtype=np.int64))
+    assert (est >= true).all()
+    # merge property: sketch(shard1) + sketch(shard2) == sketch(all)
+    half = len(vals) // 2
+    t1, t2 = pa.table({"v": vals[:half]}), pa.table({"v": vals[half:]})
+    s1 = cms_table(rd.from_arrow(t1), "v").to_pandas()
+    s2 = cms_table(rd.from_arrow(t2), "v").to_pandas()
+    merged = (
+        pd.concat([s1, s2]).groupby(["depth", "cell"], as_index=False)["n"]
+        .sum().sort_values(["depth", "cell"], ignore_index=True)
+    )
+    assert merged.values.tolist() == a.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salted_topk_ascending_head_string_keys():
+    import ray.data as rd
+
+    from geodata_ray.stages.skew import salted_topk_per_key
+
+    n = 400
+    ids = np.arange(n, dtype=np.int64)
+    key = np.array(["h" + str(i % 7) for i in ids], dtype=object)
+    t = pa.table({"doc_id": pa.array(ids), "host": pa.array(key)})
+    out = (
+        salted_topk_per_key(
+            rd.from_arrow(t).repartition(5),
+            key="host", order_col="doc_id", k=2, descending=False,
+        )
+        .to_pandas().sort_values(["host", "rank"], ignore_index=True)
+    )
+    ref = (
+        pd.DataFrame({"doc_id": ids, "host": key})
+        .sort_values("doc_id").groupby("host").head(2)
+        .sort_values(["host", "doc_id"], ignore_index=True)
+    )
+    assert out["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert all(
+        v == [1, 2] for v in out.groupby("host")["rank"].apply(list)
+    )
