@@ -146,6 +146,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "length_buckets_docs",
         "source_mixture_docs",
         "url_dedup_best_docs",
+        "cms_counts_events",
+        "host_quota_docs",
+        "bloom_bits_events",
     )
     for name in query_names:
         t0 = time.perf_counter()

@@ -1203,6 +1203,29 @@ FROM u GROUP BY 1, 2
 """
 
 
+def _bloom_sql(d: int = 4, lw: int = 12) -> str:
+    """Partitioned-Bloom set-bit table over events.user_id
+    (stages/sketch.py ``bloom_bits``): the CMS hash arms, DISTINCT
+    uids in, DISTINCT bits out (bit = depth * 2^lw + cell)."""
+    salt = 0x9E3779B97F4A7C15
+    x0 = {
+        f"j{j}": f"((uid + {j * salt % (1 << 64)}) % {_U64_M})"
+        for j in range(d)
+    }
+    sm = _sql_splitmix_stages("bl", x0, "d0")
+    div = 1 << (64 - lw)
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {j * (1 << lw)} + h_j{j} // {div} AS bit FROM bl6"
+        for j in range(d)
+    )
+    return f"""
+WITH d0 AS (SELECT DISTINCT CAST(user_id AS HUGEINT) AS uid FROM events),
+{sm},
+u AS ({arms})
+SELECT DISTINCT CAST(bit AS BIGINT) AS bit FROM u
+"""
+
+
 _HOST_QUOTA_SQL = """
 WITH h AS (
   SELECT doc_id,
@@ -2184,6 +2207,7 @@ _ORACLE_SQL_STATIC = {
     "url_dedup_best_docs": _URL_DEDUP_BEST_SQL,
     "cms_counts_events": _cms_sql(),
     "host_quota_docs": _HOST_QUOTA_SQL,
+    "bloom_bits_events": _bloom_sql(),
     # round 4: GPT-3-style n-gram decontamination — eval window is
     # tokens 2..9 zero-based = list_slice(ts, 3, 10) one-based; the
     # tokenization mirrors THE shared kernel (lower + single-space)

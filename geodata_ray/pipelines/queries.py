@@ -2172,6 +2172,19 @@ def host_quota_docs(sf_dir: str):
     )
 
 
+def bloom_bits_events(sf_dir: str):
+    """Partitioned Bloom filter over events.user_id as its exact
+    DISTINCT set-bit table — the crawl-frontier / seen-URL membership
+    structure: constant-bounded (d * 2^lw rows max), merges across
+    crawls by distinct union, no false negatives on probe.  Shares the
+    Count-Min (depth, cell) hashing, so the oracle replays the same
+    splitmix chain and takes DISTINCT bits."""
+    from geodata_ray.stages.sketch import bloom_bits
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return bloom_bits(ds, "user_id")
+
+
 def host_stats_docs(sf_dir: str):
     """Per-host corpus statistics over canonicalized messy URLs — the
     domain-level aggregation every crawl pipeline runs (host doc
@@ -2302,6 +2315,7 @@ RAY_QUERIES = {
     "url_dedup_best_docs": url_dedup_best_docs,
     "cms_counts_events": cms_counts_events,
     "host_quota_docs": host_quota_docs,
+    "bloom_bits_events": bloom_bits_events,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -226,3 +226,45 @@ def cms_estimate(cms_df, values, *, d: int = CMS_D, lw: int = CMS_LW):
     )
     depths, cells = cms_cells_batch(np.asarray(values), d=d, lw=lw)
     return grid[depths, cells].reshape(d, -1).min(axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (partitioned)
+# ---------------------------------------------------------------------------
+
+
+def bloom_bits(ds, col, *, d: int = CMS_D, lw: int = CMS_LW):
+    """Partitioned Bloom filter over an int64 column as a Dataset of
+    DISTINCT set-bit indices ``bit = depth * 2^lw + cell`` — one 2^lw
+    partition per hash, the same (depth, cell) hashing as the
+    Count-Min sketch (``cms_cells_batch``), so the SQL replay shares
+    its splitmix chain.  Merge across shards/days/crawls is a distinct
+    UNION of bit tables; at most ``d * 2^lw`` rows ever exist, so the
+    state is constant-bounded no matter the input size.  Membership
+    (``bloom_contains``): no false negatives; false-positive rate
+    ~ prod_j (n_distinct / 2^lw) for the partitioned variant."""
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"bit": pa.array([], pa.int64())})
+        v = batch[col].to_numpy(zero_copy_only=False)
+        depths, cells = cms_cells_batch(v, d=d, lw=lw)
+        bits = depths * np.int64(1 << lw) + cells
+        return pa.table({"bit": pa.array(np.unique(bits))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    # distinct union: grouped count then drop the partial-dependent
+    # count (it varies with batch partitioning; the bit set does not)
+    dedup = grouped_aggregate(partials, ["bit"], [("bit", "count", "_n")])
+    return dedup.select_columns(["bit"])
+
+
+def bloom_contains(bits_df, values, *, d: int = CMS_D, lw: int = CMS_LW):
+    """Driver-side membership probe against a collected bit table:
+    True iff ALL d partition bits are set (no false negatives)."""
+    grid = np.zeros(d << lw, dtype=bool)
+    grid[bits_df["bit"].to_numpy()] = True
+    depths, cells = cms_cells_batch(np.asarray(values), d=d, lw=lw)
+    hits = grid[depths * np.int64(1 << lw) + cells]
+    return hits.reshape(d, -1).all(axis=0)

@@ -234,3 +234,34 @@ def test_salted_topk_ascending_head_string_keys():
     assert all(
         v == [1, 2] for v in out.groupby("host")["rank"].apply(list)
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_bits_membership_and_merge():
+    import ray.data as rd
+
+    from geodata_ray.stages.sketch import bloom_bits, bloom_contains
+
+    members = np.arange(0, 4000, 2, dtype=np.int64)      # evens
+    absent = np.arange(1, 4001, 2, dtype=np.int64)       # odds
+    t = pa.table({"v": pa.array(members)})
+
+    def run(tbl, nblocks=4):
+        return (
+            bloom_bits(rd.from_arrow(tbl).repartition(nblocks), "v")
+            .to_pandas().sort_values("bit", ignore_index=True)
+        )
+
+    bits = run(t)
+    # partition-invariant
+    assert run(t, 11).values.tolist() == bits.values.tolist()
+    # no false negatives
+    assert bloom_contains(bits, members).all()
+    # FP rate ~ (2000/4096)^4 ~ 5.7%; assert a loose bound
+    fp = bloom_contains(bits, absent).mean()
+    assert fp < 0.15
+    # merge = distinct union of shard bit tables
+    b1 = run(pa.table({"v": members[:1000]}))
+    b2 = run(pa.table({"v": members[1000:]}))
+    merged = sorted(set(b1["bit"]) | set(b2["bit"]))
+    assert merged == bits["bit"].tolist()
