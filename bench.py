@@ -149,6 +149,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "cms_counts_events",
         "host_quota_docs",
         "bloom_bits_events",
+        "blocklist_filter_docs",
     )
     for name in query_names:
         t0 = time.perf_counter()

@@ -1226,6 +1226,17 @@ SELECT DISTINCT CAST(bit AS BIGINT) AS bit FROM u
 """
 
 
+_BLOCKLIST_FILTER_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END ||
+         'site' || (doc_id % 97) || '.example.com' AS host
+  FROM documents
+)
+SELECT doc_id, host FROM h WHERE (doc_id % 97) % 11 <> 0
+"""
+
+
 _HOST_QUOTA_SQL = """
 WITH h AS (
   SELECT doc_id,
@@ -2208,6 +2219,7 @@ _ORACLE_SQL_STATIC = {
     "cms_counts_events": _cms_sql(),
     "host_quota_docs": _HOST_QUOTA_SQL,
     "bloom_bits_events": _bloom_sql(),
+    "blocklist_filter_docs": _BLOCKLIST_FILTER_SQL,
     # round 4: GPT-3-style n-gram decontamination — eval window is
     # tokens 2..9 zero-based = list_slice(ts, 3, 10) one-based; the
     # tokenization mirrors THE shared kernel (lower + single-space)

@@ -2185,6 +2185,45 @@ def bloom_bits_events(sf_dir: str):
     return bloom_bits(ds, "user_id")
 
 
+def blocklist_filter_docs(sf_dir: str):
+    """Domain blocklist filter (UT1-style) with registrable-suffix
+    semantics over canonicalized messy URLs: hosts ``site{k}.example
+    .com`` for k % 11 == 0 are blocked, and blocking the parent also
+    drops ``cdn.``-subdomain variants.  The blocklist broadcasts once;
+    per-batch cost is label-stripping ``is_in`` probes independent of
+    list size.  Returns the SURVIVING (doc_id, host) rows."""
+    from geodata_ray.stages.urls import canonicalize_batch, filter_blocked_hosts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def messy(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch["doc_id"].to_numpy()
+        k = pd.Series(ids % 97).astype(str)
+        sid = pd.Series(ids).astype(str)
+        site = np.where(
+            ids % 3 == 0,
+            ("SITE" + k + ".Example.COM").to_numpy(),
+            ("site" + k + ".example.com").to_numpy(),
+        )
+        host = np.where(ids % 5 == 0, "cdn." + pd.Series(site), site)
+        url = "https://" + pd.Series(host) + "/d" + sid
+        return pa.table(
+            {"doc_id": batch["doc_id"], "url": pa.array(url.to_numpy())}
+        )
+
+    def hosts(batch: pa.Table) -> pa.Table:
+        cb = canonicalize_batch(batch, url_col="url")
+        return pa.table({"doc_id": cb["doc_id"], "host": cb["host"]})
+
+    with_host = ds.map_batches(messy, batch_format="pyarrow").map_batches(
+        hosts, batch_format="pyarrow"
+    )
+    blocked = [f"site{k}.example.com" for k in range(0, 97, 11)]
+    return filter_blocked_hosts(with_host, blocked, host_col="host")
+
+
 def host_stats_docs(sf_dir: str):
     """Per-host corpus statistics over canonicalized messy URLs — the
     domain-level aggregation every crawl pipeline runs (host doc
@@ -2316,6 +2355,7 @@ RAY_QUERIES = {
     "cms_counts_events": cms_counts_events,
     "host_quota_docs": host_quota_docs,
     "bloom_bits_events": bloom_bits_events,
+    "blocklist_filter_docs": blocklist_filter_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -265,3 +265,34 @@ def test_bloom_bits_membership_and_merge():
     b2 = run(pa.table({"v": members[1000:]}))
     merged = sorted(set(b1["bit"]) | set(b2["bit"]))
     assert merged == bits["bit"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_blocklist_suffix_semantics():
+    import ray.data as rd
+
+    from geodata_ray.stages.urls import filter_blocked_hosts
+
+    hosts = [
+        "bad.com",              # exact block
+        "a.bad.com",            # subdomain of blocked
+        "x.y.z.a.bad.com",      # deep subdomain
+        "notbad.com",           # suffix of the STRING but not a label
+        "bad.com.evil.org",     # blocked name as a non-suffix label
+        "good.org",
+        None,                   # null host: kept (not blockable)
+    ]
+    t = pa.table(
+        {"i": pa.array(range(len(hosts))), "host": pa.array(hosts)}
+    )
+    kept = (
+        filter_blocked_hosts(rd.from_arrow(t), ["bad.com"])
+        .to_pandas().sort_values("i")["i"].tolist()
+    )
+    assert kept == [3, 4, 5, 6]
+    audit = (
+        filter_blocked_hosts(rd.from_arrow(t), ["bad.com"],
+                             keep_blocked=True)
+        .to_pandas().sort_values("i")["i"].tolist()
+    )
+    assert audit == [0, 1, 2]
