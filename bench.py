@@ -150,6 +150,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "host_quota_docs",
         "bloom_bits_events",
         "blocklist_filter_docs",
+        "top_bigrams_docs",
     )
     for name in query_names:
         t0 = time.perf_counter()

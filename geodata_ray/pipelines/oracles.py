@@ -1226,6 +1226,16 @@ SELECT DISTINCT CAST(bit AS BIGINT) AS bit FROM u
 """
 
 
+_TOP_BIGRAMS_SQL = """
+WITH tl AS (SELECT string_split(lower(text), ' ') AS ts FROM documents),
+st AS (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM tl),
+ng AS (SELECT array_to_string(list_slice(ts, i, i + 1), ' ') AS ngram
+       FROM st),
+c AS (SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n FROM ng GROUP BY 1)
+SELECT ngram, n FROM c WHERE n >= 2 ORDER BY n DESC, ngram LIMIT 20
+"""
+
+
 _BLOCKLIST_FILTER_SQL = """
 WITH h AS (
   SELECT doc_id,
@@ -2220,6 +2230,7 @@ _ORACLE_SQL_STATIC = {
     "host_quota_docs": _HOST_QUOTA_SQL,
     "bloom_bits_events": _bloom_sql(),
     "blocklist_filter_docs": _BLOCKLIST_FILTER_SQL,
+    "top_bigrams_docs": _TOP_BIGRAMS_SQL,
     # round 4: GPT-3-style n-gram decontamination — eval window is
     # tokens 2..9 zero-based = list_slice(ts, 3, 10) one-based; the
     # tokenization mirrors THE shared kernel (lower + single-space)

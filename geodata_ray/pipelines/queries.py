@@ -2224,6 +2224,18 @@ def blocklist_filter_docs(sf_dir: str):
     return filter_blocked_hosts(with_host, blocked, host_col="host")
 
 
+def top_bigrams_docs(sf_dir: str):
+    """Corpus-wide top-20 bigrams by exact total count over documents
+    — the collocation table (shared lower+single-space tokenizer, so
+    the oracle mirrors the decontamination SQL's window construction).
+    Partial in-batch counts shuffle, min_count pruning bounds the
+    final sort."""
+    from geodata_ray.stages.textstats import top_ngrams
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return top_ngrams(ds, n=2, k=20, min_count=2)
+
+
 def host_stats_docs(sf_dir: str):
     """Per-host corpus statistics over canonicalized messy URLs — the
     domain-level aggregation every crawl pipeline runs (host doc
@@ -2356,6 +2368,7 @@ RAY_QUERIES = {
     "host_quota_docs": host_quota_docs,
     "bloom_bits_events": bloom_bits_events,
     "blocklist_filter_docs": blocklist_filter_docs,
+    "top_bigrams_docs": top_bigrams_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

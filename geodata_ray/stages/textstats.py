@@ -689,3 +689,47 @@ def ngram_decontaminate(
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+
+
+def top_ngrams(
+    ds,
+    *,
+    n: int = 2,
+    k: int = 20,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Corpus-wide top-``k`` ``n``-grams by total occurrence count —
+    collocation mining / the corpus-frequency table repetition filters
+    and tokenizer training calibrate against.  EXACT: ties at the k-th
+    boundary break by (count DESC, ngram ASC) in both engines.
+
+    Scale shape: per-batch grouped count first (only distinct-in-batch
+    (ngram, n) partials shuffle — Zipf makes that a large constant
+    factor below raw window count), grouped SUM, then ``min_count``
+    pruning BOUNDS the global sort input (a count-1 n-gram can never
+    reach a top-k with k < vocab; raise min_count at larger scale to
+    keep the sorted tail trivial).  The final sort+limit runs over the
+    pruned aggregate, never the corpus."""
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, ngrams = _ngram_window_batch(
+            batch, id_col=id_col, text_col=text_col, n=n
+        )
+        if len(ngrams) == 0:
+            return pa.table(
+                {
+                    "ngram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table({"ngram": ngrams})
+        out = t.group_by(["ngram"]).aggregate([([], "count_all")])
+        return out.rename_columns(["ngram", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    totals = grouped_aggregate(partials, ["ngram"], [("n", "sum", "n")])
+    pruned = totals.filter(expr=f"n >= {min_count}")
+    return pruned.sort(["n", "ngram"], descending=[True, False]).limit(k)

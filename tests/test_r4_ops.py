@@ -296,3 +296,38 @@ def test_blocklist_suffix_semantics():
         .to_pandas().sort_values("i")["i"].tolist()
     )
     assert audit == [0, 1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_ngrams_exact_and_tiebreak():
+    import ray.data as rd
+
+    from geodata_ray.stages.textstats import top_ngrams
+
+    docs = [
+        "a b a b c",        # bigrams: ab, ba, ab, bc
+        "a b x",            # ab, bx
+        "z z z",            # zz, zz
+        "",                 # no bigrams (single '' token)
+        None,               # null text -> '' token
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(docs)), pa.int64()),
+         "text": pa.array(docs)}
+    )
+    out = (
+        top_ngrams(rd.from_arrow(t).repartition(3), n=2, k=3, min_count=2)
+        .to_pandas()
+    )
+    # counts: 'a b'=3, 'z z'=2, others 1 (pruned); k=3 but only 2 pass
+    assert out.sort_values("n", ascending=False)[["ngram", "n"]]\
+        .values.tolist() == [["a b", 3], ["z z", 2]]
+    # tie-break: with min_count=1, k=4 -> third/fourth slots are the
+    # count-1 bigrams in ASCENDING ngram order
+    out2 = (
+        top_ngrams(rd.from_arrow(t), n=2, k=4, min_count=1)
+        .to_pandas().sort_values(["n", "ngram"],
+                                 ascending=[False, True],
+                                 ignore_index=True)
+    )
+    assert out2["ngram"].tolist() == ["a b", "z z", "b a", "b c"]
