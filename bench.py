@@ -151,6 +151,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "bloom_bits_events",
         "blocklist_filter_docs",
         "top_bigrams_docs",
+        "jsonl_roundtrip_docs",
     )
     for name in query_names:
         t0 = time.perf_counter()

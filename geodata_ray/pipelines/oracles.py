@@ -2231,6 +2231,20 @@ _ORACLE_SQL_STATIC = {
     "bloom_bits_events": _bloom_sql(),
     "blocklist_filter_docs": _BLOCKLIST_FILTER_SQL,
     "top_bigrams_docs": _TOP_BIGRAMS_SQL,
+    # format round-trips: the oracle is the source table itself (with
+    # the CSV null/empty-string normalization both sides apply)
+    "jsonl_roundtrip_docs": """
+        SELECT doc_id, COALESCE(text, '') AS text,
+               COALESCE(lang, '') AS lang,
+               COALESCE(source, '') AS source, n_chars
+        FROM documents
+    """,
+    "csv_roundtrip_docs": """
+        SELECT doc_id, COALESCE(text, '') AS text,
+               COALESCE(lang, '') AS lang,
+               COALESCE(source, '') AS source, n_chars
+        FROM documents
+    """,
     # round 4: GPT-3-style n-gram decontamination — eval window is
     # tokens 2..9 zero-based = list_slice(ts, 3, 10) one-based; the
     # tokenization mirrors THE shared kernel (lower + single-space)

@@ -2236,6 +2236,58 @@ def top_bigrams_docs(sf_dir: str):
     return top_ngrams(ds, n=2, k=20, min_count=2)
 
 
+def _format_roundtrip(sf_dir: str, fmt: str):
+    """Shared JSONL/CSV round-trip: documents -> write in ``fmt`` to a
+    per-sf scratch dir -> read back with the matching ray.data reader
+    -> full-row return, so the oracle (plain documents SQL) hash-checks
+    that every value survived the format.  Crawl corpora arrive as
+    JSONL (WARC-extract convention) and CSV exports; both writers/
+    readers stream file-per-block, so the pattern IS the 100-TB
+    ingest path (one file per input shard, resumable by file)."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/geodata_ray_fmt/{fmt}_{base}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = _read(sf_dir, "documents")
+    if fmt == "jsonl":
+        ds.write_json(out_dir)
+        back = rd.read_json(out_dir)
+    else:
+        ds.write_csv(out_dir)
+        back = rd.read_csv(out_dir)
+
+    def project(batch: pa.Table) -> pa.Table:
+        cols = ["doc_id", "text", "lang", "source", "n_chars"]
+        arrs = []
+        for c in cols:
+            a = batch[c]
+            if c in ("text", "lang", "source"):
+                # CSV cannot distinguish empty string from null on
+                # read-back; normalize to the writer's empty form
+                a = pc.fill_null(pc.cast(a, pa.string()), "")
+            else:
+                a = pc.cast(a, pa.int64())
+            arrs.append(a)
+        return pa.table(dict(zip(cols, arrs)))
+
+    return back.map_batches(project, batch_format="pyarrow")
+
+
+def jsonl_roundtrip_docs(sf_dir: str):
+    """documents -> JSONL files -> read_json -> identical rows."""
+    return _format_roundtrip(sf_dir, "jsonl")
+
+
+def csv_roundtrip_docs(sf_dir: str):
+    """documents -> CSV files -> read_csv -> identical rows (quoted
+    newlines/commas in text included)."""
+    return _format_roundtrip(sf_dir, "csv")
+
+
 def host_stats_docs(sf_dir: str):
     """Per-host corpus statistics over canonicalized messy URLs — the
     domain-level aggregation every crawl pipeline runs (host doc
@@ -2369,6 +2421,8 @@ RAY_QUERIES = {
     "bloom_bits_events": bloom_bits_events,
     "blocklist_filter_docs": blocklist_filter_docs,
     "top_bigrams_docs": top_bigrams_docs,
+    "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
+    "csv_roundtrip_docs": csv_roundtrip_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

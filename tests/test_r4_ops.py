@@ -331,3 +331,34 @@ def test_top_ngrams_exact_and_tiebreak():
                                  ignore_index=True)
     )
     assert out2["ngram"].tolist() == ["a b", "z z", "b a", "b c"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_format_roundtrip_adversarial_text(tmp_path):
+    import shutil
+
+    import ray.data as rd
+
+    texts = [
+        'comma, "quote" and \n newline',
+        "unicode: héllo — ∑",
+        "",                      # empty
+        "trailing space ",
+        "tab\tand\\backslash",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts)}
+    )
+    for fmt in ("jsonl", "csv"):
+        d = str(tmp_path / fmt)
+        shutil.rmtree(d, ignore_errors=True)
+        ds = rd.from_arrow(t).repartition(2)
+        if fmt == "jsonl":
+            ds.write_json(d)
+            back = rd.read_json(d)
+        else:
+            ds.write_csv(d)
+            back = rd.read_csv(d)
+        df = back.to_pandas().sort_values("doc_id", ignore_index=True)
+        assert df["text"].fillna("").tolist() == texts, fmt
