@@ -152,6 +152,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "blocklist_filter_docs",
         "top_bigrams_docs",
         "jsonl_roundtrip_docs",
+        "pagerank_hosts_docs",
     )
     for name in query_names:
         t0 = time.perf_counter()

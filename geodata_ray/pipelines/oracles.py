@@ -1226,6 +1226,47 @@ SELECT DISTINCT CAST(bit AS BIGINT) AS bit FROM u
 """
 
 
+def _pagerank_sql(iters: int = 5, scale: int = 10**12, dp: int = 85) -> str:
+    """Unrolled fixed-point PageRank (stages/graphcc.py ``pagerank``)
+    over the deterministic 3-out-link host graph.  Every CTE is
+    MATERIALIZED (each e/deg/nodes is referenced once per iteration;
+    plain CTEs would re-inline exponentially)."""
+    arms = "\nUNION ALL\n".join(
+        f"SELECT (doc_id % 97) AS u, "
+        f"((doc_id % 97) + 1 + ((doc_id * {j}) % 96)) % 97 AS v "
+        f"FROM documents"
+        for j in (1, 2, 3)
+    )
+    ctes = [
+        f"e AS MATERIALIZED (SELECT DISTINCT u, v FROM ({arms}))",
+        "nodes AS MATERIALIZED (SELECT u AS node FROM e "
+        "UNION SELECT v FROM e)",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS cnt FROM nodes)",
+        "deg AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM e GROUP BY 1)",
+        f"r0 AS MATERIALIZED (SELECT node, {scale} // cnt AS r "
+        f"FROM nodes CROSS JOIN nn)",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"m{t + 1} AS MATERIALIZED (SELECT e.v AS node, "
+            f"SUM(((r.r * {dp}) // 100) // deg.d) AS mass "
+            f"FROM e JOIN r{t} r ON e.u = r.node "
+            f"JOIN deg ON e.u = deg.u GROUP BY 1)"
+        )
+        ctes.append(
+            f"r{t + 1} AS MATERIALIZED (SELECT nodes.node, "
+            f"((({scale} * {100 - dp}) // 100) // cnt) "
+            f"+ COALESCE(CAST(mass AS BIGINT), 0) AS r "
+            f"FROM nodes CROSS JOIN nn "
+            f"LEFT JOIN m{t + 1} ON nodes.node = m{t + 1}.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS r "
+        f"FROM r{iters}"
+    )
+
+
 _TOP_BIGRAMS_SQL = """
 WITH tl AS (SELECT string_split(lower(text), ' ') AS ts FROM documents),
 st AS (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM tl),
@@ -2245,6 +2286,7 @@ _ORACLE_SQL_STATIC = {
                COALESCE(source, '') AS source, n_chars
         FROM documents
     """,
+    "pagerank_hosts_docs": _pagerank_sql(),
     # round 4: GPT-3-style n-gram decontamination — eval window is
     # tokens 2..9 zero-based = list_slice(ts, 3, 10) one-based; the
     # tokenization mirrors THE shared kernel (lower + single-space)

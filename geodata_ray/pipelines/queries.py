@@ -2288,6 +2288,37 @@ def csv_roundtrip_docs(sf_dir: str):
     return _format_roundtrip(sf_dir, "csv")
 
 
+def pagerank_hosts_docs(sf_dir: str):
+    """PageRank over a deterministic 97-node host link graph derived
+    from documents (3 out-links per doc, modular-arithmetic targets,
+    DISTINCT edges) — 5 iterations of EXACT fixed-point integer
+    PageRank (stages/graphcc.py ``pagerank``): bit-identical ranks in
+    both engines, no float tolerance anywhere.  The oracle unrolls the
+    5 iterations as materialized CTEs."""
+    from geodata_ray.stages.graphcc import pagerank
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        u = ids % 97
+        us, vs = [], []
+        for j in (1, 2, 3):
+            us.append(u)
+            vs.append((u + 1 + (ids * j) % 96) % 97)
+        return pa.table(
+            {"u": pa.array(np.concatenate(us)),
+             "v": pa.array(np.concatenate(vs))}
+        )
+
+    e = ds.map_batches(edges, batch_format="pyarrow")
+    e = grouped_aggregate(
+        e, ["u", "v"], [("u", "count", "_n")]
+    ).select_columns(["u", "v"])
+    return pagerank(e, iters=5)
+
+
 def host_stats_docs(sf_dir: str):
     """Per-host corpus statistics over canonicalized messy URLs — the
     domain-level aggregation every crawl pipeline runs (host doc
@@ -2423,6 +2454,7 @@ RAY_QUERIES = {
     "top_bigrams_docs": top_bigrams_docs,
     "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
     "csv_roundtrip_docs": csv_roundtrip_docs,
+    "pagerank_hosts_docs": pagerank_hosts_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -223,3 +223,147 @@ def near_dup_clusters(
         )
 
     return corpus_ids.map_batches(attach, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PageRank (exact fixed-point integer arithmetic)
+# ---------------------------------------------------------------------------
+
+PR_BROADCAST_BOUND = 5_000_000  # nodes; above this the rank table is
+                                # too big to ship per iteration -> the
+                                # join-based path (see pagerank docstr)
+
+
+class _PrContrib:
+    """Per-edge-batch contribution: look up src rank + outdegree in the
+    broadcast node-indexed arrays, emit in-batch partial sums by dst.
+    All arithmetic is int64 floor division, so results are bit-equal
+    regardless of batch partitioning."""
+
+    def __init__(self, state_ref, src, dst, damping_pct):
+        import ray
+
+        if isinstance(state_ref, ray.ObjectRef):
+            state_ref = ray.get(state_ref)
+        self.nodes, self.rank, self.deg = state_ref
+        self.src, self.dst = src, dst
+        self.dp = np.int64(damping_pct)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "mass": pa.array([], pa.int64())}
+            )
+        iu = pc.index_in(
+            batch[self.src], value_set=pa.array(self.nodes)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        contrib = (self.rank[iu] * self.dp // 100) // self.deg[iu]
+        t = pa.table(
+            {"node": batch[self.dst], "mass": pa.array(contrib)}
+        )
+        out = t.group_by(["node"]).aggregate([("mass", "sum")])
+        return out.rename_columns(["node", "mass"])
+
+
+def pagerank(
+    edges,
+    *,
+    src: str = "u",
+    dst: str = "v",
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    broadcast_bound: int = PR_BROADCAST_BOUND,
+):
+    """PageRank over a (src, dst) edge Dataset with EXACT fixed-point
+    integer arithmetic — every quantity is an int64 multiple of
+    1/``scale``, updates use floor division only, so the result is
+    bit-identical across engines, batch splits and retries (the same
+    determinism contract as the LM-surprisal fixed-point log2).
+
+    Semantics (the oracle replays these exactly):
+      r_0(x)    = scale // N                      for every node x
+      r_t+1(v)  = (scale*(100-damping_pct)//100)//N
+                  + sum_{(u,v) in E} (r_t(u)*damping_pct//100) // deg(u)
+    Dangling-node mass is dropped (not redistributed) — totals need
+    not sum to ``scale``; ranking order is unaffected for host graphs.
+
+    Scale shape: the edge set (the big side) only ever streams through
+    ``map_batches`` with in-batch partial sums — per iteration the
+    shuffle is the node-bounded grouped SUM, exactly the k-means loop
+    shape.  The node-indexed (rank, deg) arrays broadcast once per
+    iteration via ``ray.put`` while ``N <= broadcast_bound`` (5M nodes
+    ~ 120 MB — host-level graphs; above that, switch the lookup to a
+    ``native_join`` per iteration: same semantics, documented
+    partitioning by node id).  Driver state is O(N) ints, the same
+    bound class as k-means centroids; a 10^9-node page-level graph
+    needs the join path, which this raises on rather than silently
+    degrading."""
+    import ray
+
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    def node_col(batch: pa.Table) -> pa.Table:
+        a = batch[src]
+        b = batch[dst]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        return pa.table({"node": pa.concat_arrays([a, b])})
+
+    nodes_ds = grouped_aggregate(
+        edges.map_batches(node_col, batch_format="pyarrow"),
+        ["node"],
+        [("node", "count", "_n")],
+    )
+    nodes_tbl = pa.concat_tables(ray.get(nodes_ds.to_arrow_refs()))
+    nodes = np.sort(nodes_tbl["node"].to_numpy(zero_copy_only=False))
+    n = nodes.size
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "r": pa.array([], pa.int64())})
+        )
+    if n > broadcast_bound:
+        raise NotImplementedError(
+            f"pagerank broadcast path requires <= {broadcast_bound} "
+            "nodes; page-level graphs need the per-iteration "
+            "native_join variant (node-id-partitioned)"
+        )
+
+    deg_ds = grouped_aggregate(edges, [src], [(src, "count", "deg")])
+    deg_tbl = pa.concat_tables(ray.get(deg_ds.to_arrow_refs()))
+    deg = np.ones(n, dtype=np.int64)  # unused for dangling (deg 0 rows
+    # never appear as an edge src, so the placeholder 1 is never read)
+    di = np.searchsorted(nodes, deg_tbl[src].to_numpy(zero_copy_only=False))
+    deg[di] = deg_tbl["deg"].to_numpy(zero_copy_only=False)
+
+    rank = np.full(n, np.int64(scale) // n, dtype=np.int64)
+    teleport = (np.int64(scale) * (100 - damping_pct) // 100) // n
+
+    for _ in range(iters):
+        state_ref = ray.put((nodes, rank, deg))
+        partials = edges.map_batches(
+            _PrContrib,
+            fn_constructor_kwargs={
+                "state_ref": state_ref,
+                "src": src,
+                "dst": dst,
+                "damping_pct": damping_pct,
+            },
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+        mass_ds = grouped_aggregate(partials, ["node"], [("mass", "sum", "mass")])
+        mass_tbl = pa.concat_tables(ray.get(mass_ds.to_arrow_refs()))
+        rank = np.full(n, teleport, dtype=np.int64)
+        mi = np.searchsorted(
+            nodes, mass_tbl["node"].to_numpy(zero_copy_only=False)
+        )
+        rank[mi] += mass_tbl["mass"].to_numpy(zero_copy_only=False)
+
+    return ray.data.from_arrow(
+        pa.table({"node": pa.array(nodes), "r": pa.array(rank)})
+    )

@@ -362,3 +362,47 @@ def test_format_roundtrip_adversarial_text(tmp_path):
             back = rd.read_csv(d)
         df = back.to_pandas().sort_values("doc_id", ignore_index=True)
         assert df["text"].fillna("").tolist() == texts, fmt
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_fixed_point_vs_numpy_replay():
+    import ray.data as rd
+
+    from geodata_ray.stages.graphcc import pagerank
+
+    rng = np.random.default_rng(11)
+    n_nodes, n_edges = 40, 300
+    uv = rng.integers(0, n_nodes, size=(n_edges, 2))
+    uv = uv[uv[:, 0] != uv[:, 1]]
+    uv = np.unique(uv, axis=0)
+    t = pa.table({"u": pa.array(uv[:, 0].astype(np.int64)),
+                  "v": pa.array(uv[:, 1].astype(np.int64))})
+
+    def run(nblocks):
+        return (
+            pagerank(rd.from_arrow(t).repartition(nblocks), iters=5)
+            .to_pandas().sort_values("node", ignore_index=True)
+        )
+
+    out = run(1)
+    assert run(7).values.tolist() == out.values.tolist()
+
+    # independent dense replay of the integer recurrence
+    scale, dp, iters = 10**12, 85, 5
+    nodes = np.unique(uv)
+    idx = {v: i for i, v in enumerate(nodes)}
+    nn = nodes.size
+    deg = np.zeros(nn, dtype=np.int64)
+    for u in uv[:, 0]:
+        deg[idx[u]] += 1
+    r = np.full(nn, scale // nn, dtype=np.int64)
+    tele = (scale * (100 - dp) // 100) // nn
+    for _ in range(iters):
+        nxt = np.full(nn, tele, dtype=np.int64)
+        for u, v in uv:
+            nxt[idx[v]] += (r[idx[u]] * dp // 100) // deg[idx[u]]
+        r = nxt
+    assert out["node"].tolist() == nodes.tolist()
+    assert out["r"].tolist() == r.tolist()
+    # mass sanity: total <= scale (dangling mass dropped, never added)
+    assert out["r"].sum() <= scale
