@@ -153,6 +153,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "top_bigrams_docs",
         "jsonl_roundtrip_docs",
         "pagerank_hosts_docs",
+        "curation_pipeline_docs",
     )
     for name in query_names:
         t0 = time.perf_counter()

@@ -1267,6 +1267,45 @@ def _pagerank_sql(iters: int = 5, scale: int = 10**12, dp: int = 85) -> str:
     )
 
 
+_CURATION_SQL = """
+WITH s AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         length(text)::BIGINT AS n_chars,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','a','of','to','and','in','is','it')))::BIGINT
+           AS n_stp
+  FROM documents
+),
+w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
+      FROM documents),
+c AS (SELECT doc_id,
+    len(list_intersect(ws, ['the','a','of','to','and','is'])) AS n_en,
+    len(list_intersect(ws, ['el','la','de','que','y','los'])) AS n_es,
+    len(list_intersect(ws, ['der','die','und','das','nicht','ist'])) AS n_de,
+    len(list_intersect(ws, ['le','la','et','les','des','un'])) AS n_fr
+  FROM w),
+l AS (SELECT doc_id,
+  CASE WHEN GREATEST(n_en, n_es, n_de, n_fr) = 0 THEN 'und'
+       WHEN n_en = GREATEST(n_en, n_es, n_de, n_fr) THEN 'en'
+       WHEN n_es = GREATEST(n_en, n_es, n_de, n_fr) THEN 'es'
+       WHEN n_de = GREATEST(n_en, n_es, n_de, n_fr) THEN 'de'
+       ELSE 'fr' END AS lang_pred FROM c),
+f AS (SELECT s.* FROM s JOIN l USING (doc_id)
+      WHERE lang_pred = 'en' AND n_tokens BETWEEN 10 AND 100000
+        AND n_chars >= 3 * n_tokens AND n_chars <= 12 * n_tokens
+        AND 100 * n_stp >= n_tokens),
+d AS (SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens
+      FROM f GROUP BY text),
+h AS (SELECT doc_id, doc_id % 97 AS host, n_tokens FROM d),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id)
+        AS rk FROM h)
+SELECT doc_id, CAST(host AS BIGINT) AS host, n_tokens,
+       CAST(rk AS BIGINT) AS "rank"
+FROM r WHERE rk <= 2
+"""
+
+
 _TOP_BIGRAMS_SQL = """
 WITH tl AS (SELECT string_split(lower(text), ' ') AS ts FROM documents),
 st AS (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM tl),
@@ -2287,6 +2326,7 @@ _ORACLE_SQL_STATIC = {
         FROM documents
     """,
     "pagerank_hosts_docs": _pagerank_sql(),
+    "curation_pipeline_docs": _CURATION_SQL,
     # round 4: GPT-3-style n-gram decontamination — eval window is
     # tokens 2..9 zero-based = list_slice(ts, 3, 10) one-based; the
     # tokenization mirrors THE shared kernel (lower + single-space)

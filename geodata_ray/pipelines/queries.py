@@ -2319,6 +2319,69 @@ def pagerank_hosts_docs(sf_dir: str):
     return pagerank(e, iters=5)
 
 
+def curation_pipeline_docs(sf_dir: str):
+    """End-to-end corpus curation — the headline webtext chain, each
+    stage an existing operator: language-ID keep-en -> quality rules
+    (INTEGER-form Gopher bands: 3*ntok <= nchars <= 12*ntok,
+    100*nstop >= ntok, 10 <= ntok <= 100k — no float thresholds
+    anywhere) -> exact dedup keep-first (hash-only shuffle) -> derived
+    host -> per-host cap of 2 (skew-safe salted ascending head).
+    Single fused filter+hash map stage, ONE hash-key shuffle, one
+    bounded per-key head: the 100-TB shape is three exchanges total."""
+    from geodata_ray.stages.dedup import hash_strings_nomemo
+    from geodata_ray.stages.skew import salted_topk_per_key
+    from geodata_ray.stages.textstats import langid_batch, token_stats_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        stats = token_stats_batch(batch)
+        lang = langid_batch(batch)
+        ntok = stats["n_tokens"].to_numpy()
+        nchr = stats["n_chars"].to_numpy()
+        nstp = stats["n_stopwords"].to_numpy()
+        en = pc.equal(lang["lang_pred"], "en").to_numpy(
+            zero_copy_only=False
+        )
+        keep = (
+            en
+            & (ntok >= 10) & (ntok <= 100_000)
+            & (nchr >= 3 * ntok) & (nchr <= 12 * ntok)
+            & (100 * nstp >= ntok)
+        )
+        kept = batch.filter(pa.array(keep))
+        h = hash_strings_nomemo(kept["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": kept["doc_id"],
+                "text_hash": pa.array(h.astype(np.int64)),
+                "n_tokens": pa.array(ntok[keep]),
+            }
+        )
+
+    hashed = ds.map_batches(filt, batch_format="pyarrow")
+    kept = grouped_aggregate(
+        hashed,
+        ["text_hash"],
+        [("doc_id", "min", "doc_id"), ("n_tokens", "min", "n_tokens")],
+    )
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "host": pa.array(ids % 97),
+                "n_tokens": batch["n_tokens"],
+            }
+        )
+
+    hosted = kept.map_batches(add_host, batch_format="pyarrow")
+    return salted_topk_per_key(
+        hosted, key="host", order_col="doc_id", k=2, descending=False
+    )
+
+
 def host_stats_docs(sf_dir: str):
     """Per-host corpus statistics over canonicalized messy URLs — the
     domain-level aggregation every crawl pipeline runs (host doc
@@ -2455,6 +2518,7 @@ RAY_QUERIES = {
     "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
     "csv_roundtrip_docs": csv_roundtrip_docs,
     "pagerank_hosts_docs": pagerank_hosts_docs,
+    "curation_pipeline_docs": curation_pipeline_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

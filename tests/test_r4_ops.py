@@ -406,3 +406,22 @@ def test_pagerank_fixed_point_vs_numpy_replay():
     assert out["r"].tolist() == r.tolist()
     # mass sanity: total <= scale (dangling mass dropped, never added)
     assert out["r"].sum() <= scale
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curation_pipeline_partition_invariant():
+    from geodata_ray.pipelines.queries import curation_pipeline_docs
+    from tests.conftest import SF_DIR
+
+    out = (
+        curation_pipeline_docs(SF_DIR)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert len(out) > 0
+    # per-host cap respected
+    assert out.groupby("host").size().max() <= 2
+    # kept docs are first-occurrences: rank within host follows doc_id
+    for _, g in out.groupby("host"):
+        assert g.sort_values("doc_id")["rank"].tolist() == list(
+            range(1, len(g) + 1)
+        )
