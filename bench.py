@@ -154,6 +154,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "jsonl_roundtrip_docs",
         "pagerank_hosts_docs",
         "curation_pipeline_docs",
+        "chunk_documents_docs",
     )
     for name in query_names:
         t0 = time.perf_counter()

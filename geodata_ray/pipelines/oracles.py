@@ -1267,6 +1267,19 @@ def _pagerank_sql(iters: int = 5, scale: int = 10**12, dp: int = 85) -> str:
     )
 
 
+_CHUNK_SQL = """
+WITH tl AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+st AS (SELECT doc_id, ts,
+              unnest(generate_series(1, len(ts), 20)) AS s
+       FROM tl)
+SELECT doc_id,
+       CAST((s - 1) // 20 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(ts, s, s + 39), ' ') AS chunk_text,
+       CAST(LEAST(40, len(ts) - s + 1) AS BIGINT) AS n_tokens
+FROM st
+"""
+
+
 _CURATION_SQL = """
 WITH s AS (
   SELECT doc_id, text,
@@ -2327,6 +2340,7 @@ _ORACLE_SQL_STATIC = {
     """,
     "pagerank_hosts_docs": _pagerank_sql(),
     "curation_pipeline_docs": _CURATION_SQL,
+    "chunk_documents_docs": _CHUNK_SQL,
     # round 4: GPT-3-style n-gram decontamination — eval window is
     # tokens 2..9 zero-based = list_slice(ts, 3, 10) one-based; the
     # tokenization mirrors THE shared kernel (lower + single-space)

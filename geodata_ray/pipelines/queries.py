@@ -2382,6 +2382,16 @@ def curation_pipeline_docs(sf_dir: str):
     )
 
 
+def chunk_documents_docs(sf_dir: str):
+    """Sliding-window chunking (40-token windows, stride 20) over
+    documents — the embedding/RAG prep transform.  Zero shuffle; the
+    oracle rebuilds every window with generate_series + list_slice."""
+    from geodata_ray.stages.textstats import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk=40, stride=20)
+
+
 def host_stats_docs(sf_dir: str):
     """Per-host corpus statistics over canonicalized messy URLs — the
     domain-level aggregation every crawl pipeline runs (host doc
@@ -2519,6 +2529,7 @@ RAY_QUERIES = {
     "csv_roundtrip_docs": csv_roundtrip_docs,
     "pagerank_hosts_docs": pagerank_hosts_docs,
     "curation_pipeline_docs": curation_pipeline_docs,
+    "chunk_documents_docs": chunk_documents_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -733,3 +733,79 @@ def top_ngrams(
     totals = grouped_aggregate(partials, ["ngram"], [("n", "sum", "n")])
     pruned = totals.filter(expr=f"n >= {min_count}")
     return pruned.sort(["n", "ngram"], descending=[True, False]).limit(k)
+
+
+def chunk_batch(
+    batch: pa.Table,
+    *,
+    chunk: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Sliding-window token chunking of one batch of raw docs — the
+    embedding/RAG prep step: windows of ``chunk`` tokens starting every
+    ``stride`` tokens (start positions 0, stride, 2*stride, ... while
+    start < n_tokens; the tail window is shorter).  Tokens are the
+    raw ' '-split (case preserved — chunk text is payload, not a key).
+
+    Fully vectorized: ONE split for the batch, the overlapping windows
+    are gathered from the flat token array with a ranges-to-indices
+    expansion (repeat/arange — no per-doc loop), rebuilt as a
+    ListArray and joined per chunk with ``pc.binary_join``."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = text.fill_null("")
+    toks = pc.split_pattern(text, " ")
+    lens = (
+        pc.list_value_length(toks)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = (
+        toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    ).flatten()
+    doc_base = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    n_chunks = -(-lens // stride)  # ceil; lens >= 1 always ('' -> [''])
+    # per-chunk rows
+    doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), n_chunks)
+    chunk_id = np.concatenate(
+        [np.arange(c, dtype=np.int64) for c in n_chunks]
+    ) if len(batch) else np.empty(0, dtype=np.int64)
+    starts = chunk_id * stride
+    clens = np.minimum(chunk, lens[doc_idx] - starts)
+    # ranges -> flat gather indices
+    total = int(clens.sum())
+    out_starts = np.concatenate([[0], np.cumsum(clens)[:-1]])
+    gidx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(out_starts, clens)
+        + np.repeat(doc_base[doc_idx] + starts, clens)
+    )
+    offsets = np.concatenate([[0], np.cumsum(clens)]).astype(np.int32)
+    gathered = flat.take(pa.array(gidx))
+    chunks_list = pa.ListArray.from_arrays(pa.array(offsets), gathered)
+    chunk_text = pc.binary_join(chunks_list, " ")
+    ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_idx]
+    return pa.table(
+        {
+            id_col: pa.array(ids),
+            "chunk_id": pa.array(chunk_id),
+            "chunk_text": chunk_text,
+            "n_tokens": pa.array(clens),
+        }
+    )
+
+
+def chunk_documents(ds, *, chunk: int, stride: int,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset wrapper over ``chunk_batch`` — stateless flat transform,
+    zero shuffle; output rows ~ input_tokens/stride, so at corpus
+    scale the stage is write-bound, exactly what a chunker should be."""
+    return ds.map_batches(
+        lambda b: chunk_batch(
+            b, chunk=chunk, stride=stride, id_col=id_col, text_col=text_col
+        ),
+        batch_format="pyarrow",
+    )

@@ -425,3 +425,29 @@ def test_curation_pipeline_partition_invariant():
         assert g.sort_values("doc_id")["rank"].tolist() == list(
             range(1, len(g) + 1)
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_batch_edges():
+    from geodata_ray.stages.textstats import chunk_batch
+
+    docs = [
+        " ".join(f"t{i}" for i in range(10)),  # 10 toks: chunks at 0,4,8
+        "a b c",                               # shorter than chunk
+        "",                                    # 1 empty token
+        None,                                  # null -> ''
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(docs)), pa.int64()),
+         "text": pa.array(docs)}
+    )
+    out = chunk_batch(t, chunk=6, stride=4).to_pandas()
+    d0 = out[out.doc_id == 0]
+    assert d0["chunk_text"].tolist() == [
+        "t0 t1 t2 t3 t4 t5", "t4 t5 t6 t7 t8 t9", "t8 t9",
+    ]
+    assert d0["n_tokens"].tolist() == [6, 6, 2]
+    assert out[out.doc_id == 1]["chunk_text"].tolist() == ["a b c"]
+    # empty/null docs produce one empty chunk (1 token: '')
+    assert out[out.doc_id == 2]["chunk_text"].tolist() == [""]
+    assert out[out.doc_id == 3]["n_tokens"].tolist() == [1]
