@@ -234,36 +234,38 @@ PR_BROADCAST_BOUND = 5_000_000  # nodes; above this the rank table is
                                 # join-based path (see pagerank docstr)
 
 
-class _PrContrib:
-    """Per-edge-batch contribution: look up src rank + outdegree in the
-    broadcast node-indexed arrays, emit in-batch partial sums by dst.
-    All arithmetic is int64 floor division, so results are bit-equal
-    regardless of batch partitioning."""
+def _pr_contrib_fn(state_ref, src, dst, damping_pct):
+    """Stateless per-edge-batch contribution kernel (TASK pool — an
+    actor pool would respawn every iteration because the captured
+    rank state changes): look up src rank + outdegree in the broadcast
+    node-indexed arrays, emit in-batch partial sums by dst.  All
+    arithmetic is int64 floor division, so results are bit-equal
+    regardless of batch partitioning.  ``ray.get`` of the broadcast
+    tuple is a zero-copy plasma read, once per task."""
+    import ray
 
-    def __init__(self, state_ref, src, dst, damping_pct):
-        import ray
+    dp = np.int64(damping_pct)
 
-        if isinstance(state_ref, ray.ObjectRef):
-            state_ref = ray.get(state_ref)
-        self.nodes, self.rank, self.deg = state_ref
-        self.src, self.dst = src, dst
-        self.dp = np.int64(damping_pct)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def contrib(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return pa.table(
                 {"node": pa.array([], pa.int64()),
                  "mass": pa.array([], pa.int64())}
             )
-        iu = pc.index_in(
-            batch[self.src], value_set=pa.array(self.nodes)
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        contrib = (self.rank[iu] * self.dp // 100) // self.deg[iu]
-        t = pa.table(
-            {"node": batch[self.dst], "mass": pa.array(contrib)}
+        nodes, rank, deg = (
+            ray.get(state_ref)
+            if isinstance(state_ref, ray.ObjectRef)
+            else state_ref
         )
+        iu = pc.index_in(
+            batch[src], value_set=pa.array(nodes)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        mass = (rank[iu] * dp // 100) // deg[iu]
+        t = pa.table({"node": batch[dst], "mass": pa.array(mass)})
         out = t.group_by(["node"]).aggregate([("mass", "sum")])
         return out.rename_columns(["node", "mass"])
+
+    return contrib
 
 
 def pagerank(
@@ -303,6 +305,11 @@ def pagerank(
     import ray
 
     from geodata_ray.stages.relational import grouped_aggregate
+
+    # the edge set is the loop invariant: materialize ONCE so the five
+    # iterations (plus the node/degree scans) read object-store blocks
+    # instead of re-executing the whole upstream pipeline each time
+    edges = edges.materialize()
 
     def node_col(batch: pa.Table) -> pa.Table:
         a = batch[src]
@@ -346,17 +353,12 @@ def pagerank(
     for _ in range(iters):
         state_ref = ray.put((nodes, rank, deg))
         partials = edges.map_batches(
-            _PrContrib,
-            fn_constructor_kwargs={
-                "state_ref": state_ref,
-                "src": src,
-                "dst": dst,
-                "damping_pct": damping_pct,
-            },
+            _pr_contrib_fn(state_ref, src, dst, damping_pct),
             batch_format="pyarrow",
-            concurrency=(1, 8),
         )
-        mass_ds = grouped_aggregate(partials, ["node"], [("mass", "sum", "mass")])
+        mass_ds = grouped_aggregate(
+            partials, ["node"], [("mass", "sum", "mass")], coalesce=4
+        )
         mass_tbl = pa.concat_tables(ray.get(mass_ds.to_arrow_refs()))
         rank = np.full(n, teleport, dtype=np.int64)
         mi = np.searchsorted(
