@@ -1267,6 +1267,18 @@ def _pagerank_sql(iters: int = 5, scale: int = 10**12, dp: int = 85) -> str:
     )
 
 
+_NORMALIZE_TEXT_SQL = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(COALESCE(text, ''),
+                          '[\t\n\r\f\v ]+', ' ', 'g'),
+           '[\x00-\x1f\x7f]', '', 'g'),
+         '^ +| +$', '', 'g') AS norm_text
+FROM documents
+"""
+
+
 _CHUNK_SQL = """
 WITH tl AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
 st AS (SELECT doc_id, ts,
@@ -2341,6 +2353,7 @@ _ORACLE_SQL_STATIC = {
     "pagerank_hosts_docs": _pagerank_sql(),
     "curation_pipeline_docs": _CURATION_SQL,
     "chunk_documents_docs": _CHUNK_SQL,
+    "normalize_text_docs": _NORMALIZE_TEXT_SQL,
     # round 4: GPT-3-style n-gram decontamination — eval window is
     # tokens 2..9 zero-based = list_slice(ts, 3, 10) one-based; the
     # tokenization mirrors THE shared kernel (lower + single-space)

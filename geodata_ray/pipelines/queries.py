@@ -2392,6 +2392,18 @@ def chunk_documents_docs(sf_dir: str):
     return chunk_documents(ds, chunk=40, stride=20)
 
 
+def normalize_text_docs(sf_dir: str):
+    """Crawl-text normalization over documents: whitespace squash +
+    C0-control strip + trim, three RE2 passes, zero shuffle.  The
+    oracle applies the same RE2 patterns via DuckDB regexp_replace.
+    (Debuts past the full r4 driver window; driver row expected in the
+    r5 rotation.)"""
+    from geodata_ray.stages.textstats import normalize_text_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(normalize_text_batch, batch_format="pyarrow")
+
+
 def host_stats_docs(sf_dir: str):
     """Per-host corpus statistics over canonicalized messy URLs — the
     domain-level aggregation every crawl pipeline runs (host doc
@@ -2530,6 +2542,9 @@ RAY_QUERIES = {
     "pagerank_hosts_docs": pagerank_hosts_docs,
     "curation_pipeline_docs": curation_pipeline_docs,
     "chunk_documents_docs": chunk_documents_docs,
+    # r4 post-window additions (debut driver row expected in the r5
+    # rotation; the 50-slot window is exactly full above)
+    "normalize_text_docs": normalize_text_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -809,3 +809,24 @@ def chunk_documents(ds, *, chunk: int, stride: int,
         ),
         batch_format="pyarrow",
     )
+
+
+def normalize_text_batch(
+    batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Crawl-text normalization: strip C0 control characters (except
+    \\t \\n which become whitespace first), squash all whitespace runs
+    to one space, trim ends.  Three vectorized RE2 passes — DuckDB's
+    regexp_replace is RE2 too, so the oracle applies the SAME patterns
+    and the outputs are byte-identical."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = text.fill_null("")
+    # 1) any whitespace run -> single space
+    t = pc.replace_substring_regex(text, r"[\t\n\r\f\v ]+", " ")
+    # 2) drop remaining C0 controls + DEL
+    t = pc.replace_substring_regex(t, r"[\x00-\x1f\x7f]", "")
+    # 3) trim
+    t = pc.replace_substring_regex(t, r"^ +| +$", "")
+    return pa.table({id_col: batch[id_col], "norm_text": t})

@@ -451,3 +451,16 @@ def test_chunk_batch_edges():
     # empty/null docs produce one empty chunk (1 token: '')
     assert out[out.doc_id == 2]["chunk_text"].tolist() == [""]
     assert out[out.doc_id == 3]["n_tokens"].tolist() == [1]
+
+
+def test_normalize_text_kernel():
+    from geodata_ray.stages.textstats import normalize_text_batch
+
+    t = pa.table(
+        {"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+         "text": pa.array(
+             ["  a\t\tb\nc  ", "x\x00y\x1bz", None, "ok"]
+         )}
+    )
+    out = normalize_text_batch(t)
+    assert out["norm_text"].to_pylist() == ["a b c", "xyz", "", "ok"]
