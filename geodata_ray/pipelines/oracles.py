@@ -1267,6 +1267,46 @@ def _pagerank_sql(iters: int = 5, scale: int = 10**12, dp: int = 85) -> str:
     )
 
 
+def _bloom_probe_sql(d: int = 4, lw: int = 12) -> str:
+    """Cross-crawl Bloom probe (stages/sketch.py ``bloom_probe``):
+    build bits from even-event users, probe odd-event DISTINCT users;
+    maybe_seen <=> ALL d probe bits present in the build bit set —
+    the oracle replays the bit tables, honest false positives and
+    all."""
+    salt = 0x9E3779B97F4A7C15
+    div = 1 << (64 - lw)
+
+    def chain(prefix, src):
+        x0 = {
+            f"j{j}": f"((uid + {j * salt % (1 << 64)}) % {_U64_M})"
+            for j in range(d)
+        }
+        return _sql_splitmix_stages(prefix, x0, src)
+
+    def arms(prefix, with_uid):
+        sel = "uid, " if with_uid else ""
+        return "\nUNION ALL\n".join(
+            f"SELECT {sel}{j * (1 << lw)} + h_j{j} // {div} AS bit "
+            f"FROM {prefix}6"
+            for j in range(d)
+        )
+
+    return f"""
+WITH b0 AS (SELECT DISTINCT CAST(user_id AS HUGEINT) AS uid
+            FROM events WHERE event_id % 2 = 0),
+{chain("bb", "b0")},
+bbits AS (SELECT DISTINCT bit FROM ({arms("bb", False)})),
+p0 AS (SELECT DISTINCT CAST(user_id AS HUGEINT) AS uid
+       FROM events WHERE event_id % 2 = 1),
+{chain("pb", "p0")},
+parms AS ({arms("pb", True)}),
+m AS (SELECT p.uid, COUNT(bb.bit) AS nhit
+      FROM parms p LEFT JOIN bbits bb ON p.bit = bb.bit
+      GROUP BY 1)
+SELECT CAST(uid AS BIGINT) AS user_id, nhit = {d} AS maybe_seen FROM m
+"""
+
+
 _NORMALIZE_TEXT_SQL = r"""
 SELECT doc_id,
        regexp_replace(
@@ -2354,6 +2394,7 @@ _ORACLE_SQL_STATIC = {
     "curation_pipeline_docs": _CURATION_SQL,
     "chunk_documents_docs": _CHUNK_SQL,
     "normalize_text_docs": _NORMALIZE_TEXT_SQL,
+    "bloom_probe_events": _bloom_probe_sql(),
     # round 4: GPT-3-style n-gram decontamination — eval window is
     # tokens 2..9 zero-based = list_slice(ts, 3, 10) one-based; the
     # tokenization mirrors THE shared kernel (lower + single-space)

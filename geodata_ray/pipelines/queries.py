@@ -2295,8 +2295,7 @@ def pagerank_hosts_docs(sf_dir: str):
     PageRank (stages/graphcc.py ``pagerank``): bit-identical ranks in
     both engines, no float tolerance anywhere.  The oracle unrolls the
     5 iterations as materialized CTEs."""
-    from geodata_ray.stages.graphcc import pagerank
-    from geodata_ray.stages.relational import grouped_aggregate
+    from geodata_ray.stages.graphcc import distinct_edges_packed, pagerank
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
 
@@ -2312,10 +2311,9 @@ def pagerank_hosts_docs(sf_dir: str):
              "v": pa.array(np.concatenate(vs))}
         )
 
-    e = ds.map_batches(edges, batch_format="pyarrow")
-    e = grouped_aggregate(
-        e, ["u", "v"], [("u", "count", "_n")]
-    ).select_columns(["u", "v"])
+    e = distinct_edges_packed(
+        ds.map_batches(edges, batch_format="pyarrow")
+    )
     return pagerank(e, iters=5)
 
 
@@ -2402,6 +2400,38 @@ def normalize_text_docs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(normalize_text_batch, batch_format="pyarrow")
+
+
+def bloom_probe_events(sf_dir: str):
+    """Cross-crawl membership via sketch composition: Bloom filter
+    built over 'day-1' user_ids (even event_id), probed by the
+    DISTINCT 'day-2' user_ids (odd event_id).  ``maybe_seen`` carries
+    honest false positives (bit collisions with OTHER day-1 users) —
+    the oracle genuinely replays the bit table and the per-user bit
+    probe, not a shortcut equality join.  Probe side: zero shuffle,
+    16 KB broadcast."""
+    from geodata_ray.stages.sketch import bloom_bits, bloom_probe
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def parity(keep_even):
+        def f(batch: pa.Table) -> pa.Table:
+            even = pc.equal(
+                pc.bit_wise_and(batch["event_id"], 1), 0
+            )
+            mask = even if keep_even else pc.invert(even)
+            return batch.filter(mask).select(["user_id"])
+
+        return f
+
+    build = ev.map_batches(parity(True), batch_format="pyarrow")
+    bits = bloom_bits(build, "user_id")
+    probe = grouped_aggregate(
+        ev.map_batches(parity(False), batch_format="pyarrow"),
+        ["user_id"],
+        [("user_id", "count", "_n")],
+    ).select_columns(["user_id"])
+    return bloom_probe(probe, bits, "user_id")
 
 
 def host_stats_docs(sf_dir: str):
@@ -2545,6 +2575,7 @@ RAY_QUERIES = {
     # r4 post-window additions (debut driver row expected in the r5
     # rotation; the 50-slot window is exactly full above)
     "normalize_text_docs": normalize_text_docs,
+    "bloom_probe_events": bloom_probe_events,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

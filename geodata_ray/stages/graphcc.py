@@ -257,15 +257,127 @@ def _pr_contrib_fn(state_ref, src, dst, damping_pct):
             if isinstance(state_ref, ray.ObjectRef)
             else state_ref
         )
-        iu = pc.index_in(
-            batch[src], value_set=pa.array(nodes)
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        # nodes is SORTED: binary search is O(rows log n) per batch —
+        # an is_in/index_in hash build would cost O(n) per batch and
+        # dominate everything once n >> batch rows (measured 23x on
+        # the 100k-node sf1 stress graph)
+        u = batch[src].to_numpy(zero_copy_only=False)
+        iu = np.searchsorted(nodes, u)
         mass = (rank[iu] * dp // 100) // deg[iu]
         t = pa.table({"node": batch[dst], "mass": pa.array(mass)})
         out = t.group_by(["node"]).aggregate([("mass", "sum")])
         return out.rename_columns(["node", "mass"])
 
     return contrib
+
+
+def _pr_dense_merge(nodes, n, *parts):
+    """Remote-task kernel: scatter sparse (node, mass) partials into a
+    dense n-vector and/or add dense vectors.  int64 np.add.at keeps
+    the arithmetic exact (no float accumulation)."""
+    out = np.zeros(n, dtype=np.int64)
+    for p in parts:
+        if isinstance(p, np.ndarray):
+            out += p
+        else:
+            idx = np.searchsorted(
+                nodes, p["node"].to_numpy(zero_copy_only=False)
+            )
+            np.add.at(
+                out, idx, p["mass"].to_numpy(zero_copy_only=False)
+            )
+    return out
+
+
+def _pr_tree_reduce(refs, nodes, n, *, fanin: int = 8):
+    """Fan-in-8 tree of ``_pr_dense_merge`` tasks over object-store
+    partial refs; returns the ObjectRef of the final dense vector."""
+    import ray
+
+    merge = ray.remote(_pr_dense_merge)
+    nodes_ref = ray.put(nodes)
+    while True:
+        refs = [
+            merge.remote(nodes_ref, n, *refs[i: i + fanin])
+            for i in range(0, len(refs), fanin)
+        ]
+        if len(refs) == 1:
+            return refs[0]
+
+
+DISTINCT_EDGE_BOUND = 200_000_000  # ~1.6 GB packed int64 in one task
+
+
+def _uv_unique_merge(*arrs):
+    return np.unique(np.concatenate(arrs))
+
+
+def distinct_edges_packed(
+    edges, *, src: str = "u", dst: str = "v",
+    bound: int = DISTINCT_EDGE_BOUND,
+):
+    """Distinct (src, dst) for NODE-ID edge lists (both < 2^31, >= 0):
+    pack into one int64, per-block ``np.unique``, fan-in-8 tree of
+    unions via remote tasks — an allreduce, NOT a shuffle.  Ray's
+    sort-based groupby distinct costs ~15 s at 1.5M groups (its
+    documented floor); this path measures ~20x cheaper.
+
+    Constant bound: the FINAL distinct edge array must fit one task
+    (``bound`` edges ~ 1.6 GB) — host-level graphs (10^7-10^8 edges)
+    qualify; a page-level web graph does not, and the function RAISES
+    so callers fall back to the grouped-aggregate shuffle distinct
+    rather than silently degrading."""
+    import ray
+    import ray.data as rd
+
+    def pack_unique(batch: pa.Table) -> pa.Table:
+        u = batch[src].to_numpy(zero_copy_only=False)
+        v = batch[dst].to_numpy(zero_copy_only=False)
+        if len(u) and (u.min() < 0 or v.min() < 0 or
+                       u.max() >= 1 << 31 or v.max() >= 1 << 31):
+            raise ValueError(
+                "distinct_edges_packed requires node ids in [0, 2^31)"
+            )
+        uv = (u << np.int64(32)) | v
+        return pa.table({"uv": pa.array(np.unique(uv))})
+
+    parts = edges.map_batches(
+        pack_unique, batch_format="pyarrow", batch_size=262144
+    )
+
+    def to_arr(tbl):
+        return tbl["uv"].to_numpy(zero_copy_only=False)
+
+    merge = ray.remote(
+        lambda *tbls: _uv_unique_merge(
+            *(t if isinstance(t, np.ndarray) else to_arr(t)
+              for t in tbls)
+        )
+    )
+    refs = list(parts.to_arrow_refs())
+    while len(refs) > 1:
+        refs = [
+            merge.remote(*refs[i: i + 8])
+            for i in range(0, len(refs), 8)
+        ]
+    uv = ray.get(
+        merge.remote(refs[0]) if refs else ray.put(np.empty(0, np.int64))
+    )
+    if uv.size > bound:
+        raise ValueError(
+            f"distinct edge count {uv.size} exceeds the packed-distinct "
+            f"bound {bound}; use the grouped-aggregate shuffle distinct"
+        )
+    chunks = [
+        pa.table(
+            {
+                src: pa.array(uv[i: i + 262144] >> np.int64(32)),
+                dst: pa.array(uv[i: i + 262144] & np.int64(0xFFFFFFFF)),
+            }
+        )
+        for i in range(0, max(uv.size, 1), 262144)
+    ]
+    return rd.from_arrow(chunks if len(chunks) > 1 else chunks[0])
 
 
 def pagerank(
@@ -355,16 +467,21 @@ def pagerank(
         partials = edges.map_batches(
             _pr_contrib_fn(state_ref, src, dst, damping_pct),
             batch_format="pyarrow",
+            batch_size=262144,  # wide batches: per-batch fixed costs
+            # (state fetch, partial group_by setup) amortize over
+            # ~256k edges; a mass partial is <= min(batch, n) rows
         )
-        mass_ds = grouped_aggregate(
-            partials, ["node"], [("mass", "sum", "mass")], coalesce=4
-        )
-        mass_tbl = pa.concat_tables(ray.get(mass_ds.to_arrow_refs()))
+        # dense tree reduce instead of a Ray groupby: each partial is
+        # node-keyed and n-bounded, so the sum is an ALLREDUCE, not a
+        # shuffle — remote tasks scatter each sparse partial into a
+        # dense n-vector (n <= broadcast_bound -> <= 40 MB) and add
+        # vectors pairwise up a fan-in-8 tree.  Measured 10x+ over the
+        # sort-based Aggregate at 100k nodes (Ray's groupby floor,
+        # see BASELINE.md r2 notes).
+        refs = list(partials.to_arrow_refs())
+        mass = ray.get(_pr_tree_reduce(refs, nodes, n))
         rank = np.full(n, teleport, dtype=np.int64)
-        mi = np.searchsorted(
-            nodes, mass_tbl["node"].to_numpy(zero_copy_only=False)
-        )
-        rank[mi] += mass_tbl["mass"].to_numpy(zero_copy_only=False)
+        rank += mass
 
     return ray.data.from_arrow(
         pa.table({"node": pa.array(nodes), "r": pa.array(rank)})

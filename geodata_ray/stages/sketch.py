@@ -268,3 +268,30 @@ def bloom_contains(bits_df, values, *, d: int = CMS_D, lw: int = CMS_LW):
     depths, cells = cms_cells_batch(np.asarray(values), d=d, lw=lw)
     hits = grid[depths * np.int64(1 << lw) + cells]
     return hits.reshape(d, -1).all(axis=0)
+
+
+def bloom_probe(ds, bits_tbl, col, *, d: int = CMS_D, lw: int = CMS_LW,
+                out_col: str = "maybe_seen"):
+    """Probe a column against a COLLECTED Bloom bit table (<= d * 2^lw
+    rows ~ 16 KB at the defaults — broadcast once): appends a boolean
+    ``out_col``; True has false positives (bit collisions), False is
+    exact.  The cross-crawl membership / frontier-dedup composition:
+    ``bloom_bits`` on crawl A, ``bloom_probe`` on crawl B, zero
+    shuffle on the probe side."""
+    import ray
+
+    if hasattr(bits_tbl, "to_arrow_refs"):  # a Dataset
+        bits_tbl = pa.concat_tables(ray.get(bits_tbl.to_arrow_refs()))
+    grid = np.zeros(d << lw, dtype=bool)
+    grid[np.asarray(bits_tbl["bit"])] = True
+    grid_ref = ray.put(grid)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        g = ray.get(grid_ref)
+        v = batch[col].to_numpy(zero_copy_only=False)
+        depths, cells = cms_cells_batch(v, d=d, lw=lw)
+        hits = g[depths * np.int64(1 << lw) + cells]
+        seen = hits.reshape(d, -1).all(axis=0)
+        return batch.append_column(out_col, pa.array(seen))
+
+    return ds.map_batches(probe, batch_format="pyarrow")

@@ -464,3 +464,51 @@ def test_normalize_text_kernel():
     )
     out = normalize_text_batch(t)
     assert out["norm_text"].to_pylist() == ["a b c", "xyz", "", "ok"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distinct_edges_packed():
+    import ray.data as rd
+
+    from geodata_ray.stages.graphcc import distinct_edges_packed
+
+    rng = np.random.default_rng(7)
+    uv = rng.integers(0, 50, size=(2000, 2)).astype(np.int64)
+    t = pa.table({"u": pa.array(uv[:, 0]), "v": pa.array(uv[:, 1])})
+    out = (
+        distinct_edges_packed(rd.from_arrow(t).repartition(6))
+        .to_pandas().sort_values(["u", "v"], ignore_index=True)
+    )
+    ref = np.unique(uv, axis=0)
+    assert out.values.tolist() == ref.tolist()
+    # id-range guard
+    bad = pa.table({"u": pa.array([-1], pa.int64()),
+                    "v": pa.array([0], pa.int64())})
+    with pytest.raises(Exception):
+        distinct_edges_packed(rd.from_arrow(bad)).to_pandas()
+    # bound guard
+    with pytest.raises(ValueError):
+        distinct_edges_packed(rd.from_arrow(t), bound=3).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_probe_no_false_negatives():
+    import ray.data as rd
+
+    from geodata_ray.stages.sketch import bloom_bits, bloom_probe
+
+    members = np.arange(0, 2000, 2, dtype=np.int64)
+    bits = bloom_bits(rd.from_arrow(pa.table({"v": members})), "v")
+    probe_vals = np.arange(1000, dtype=np.int64)
+    out = (
+        bloom_probe(
+            rd.from_arrow(pa.table({"v": probe_vals})).repartition(3),
+            bits, "v",
+        )
+        .to_pandas().sort_values("v", ignore_index=True)
+    )
+    seen = out["maybe_seen"].to_numpy()
+    # every true member flagged
+    assert seen[probe_vals % 2 == 0].all()
+    # odd (absent) values mostly not flagged (FP rate (1000/4096)^4)
+    assert seen[probe_vals % 2 == 1].mean() < 0.05

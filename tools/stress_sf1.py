@@ -257,6 +257,100 @@ def main() -> None:
 
     timed("boilerplate_removal_50k_docs", boilerplate_500k)
 
+    # --- PageRank on a 100k-node / ~1.5M-edge graph (1000x the gate
+    # graph's nodes): broadcast rank path, materialized edges, 5
+    # iterations (round 4) ---
+    def pagerank_100k_nodes():
+        from geodata_ray.stages.graphcc import (
+            distinct_edges_packed,
+            pagerank,
+        )
+
+        def edges(batch: pa.Table) -> pa.Table:
+            ids = batch["id"].to_numpy()
+            u = ids % 100_000
+            us, vs = [], []
+            for j in (1, 2, 3):
+                us.append(u)
+                vs.append((u + 1 + (ids * j) % 99_999) % 100_000)
+            return pa.table(
+                {"u": pa.array(np.concatenate(us)),
+                 "v": pa.array(np.concatenate(vs))}
+            )
+
+        e = distinct_edges_packed(
+            rd.range(500_000).map_batches(edges, batch_format="pyarrow")
+        )
+        return pagerank(e, iters=5).count()
+
+    timed("pagerank_100k_nodes_5it", pagerank_100k_nodes)
+
+    # --- full curation pipeline over 50k docs (10x) (round 4) ---
+    def curation_50k():
+        import geodata_ray.pipelines.queries as q
+
+        docs = amplify(
+            rd.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            AMP,
+            {"doc_id": 10_000_000},
+        )
+        ds = docs
+        # the same chain as curation_pipeline_docs, on the amplified
+        # in-stream table (host modulus widened to 9973 so the per-key
+        # head stage sees realistic host cardinality)
+        from geodata_ray.stages.dedup import hash_strings_nomemo
+        from geodata_ray.stages.skew import salted_topk_per_key
+        from geodata_ray.stages.textstats import (
+            langid_batch,
+            token_stats_batch,
+        )
+
+        def filt(batch: pa.Table) -> pa.Table:
+            stats = token_stats_batch(batch)
+            lang = langid_batch(batch)
+            ntok = stats["n_tokens"].to_numpy()
+            nchr = stats["n_chars"].to_numpy()
+            nstp = stats["n_stopwords"].to_numpy()
+            en = pc.equal(lang["lang_pred"], "en").to_numpy(
+                zero_copy_only=False
+            )
+            keep = (
+                en & (ntok >= 10) & (ntok <= 100_000)
+                & (nchr >= 3 * ntok) & (nchr <= 12 * ntok)
+                & (100 * nstp >= ntok)
+            )
+            kept = batch.filter(pa.array(keep))
+            h = hash_strings_nomemo(kept["text"].to_pylist())
+            return pa.table(
+                {"doc_id": kept["doc_id"],
+                 "text_hash": pa.array(h.astype(np.int64)),
+                 "n_tokens": pa.array(ntok[keep])}
+            )
+
+        from geodata_ray.stages.relational import grouped_aggregate
+
+        hashed = ds.map_batches(filt, batch_format="pyarrow")
+        kept = grouped_aggregate(
+            hashed, ["text_hash"],
+            [("doc_id", "min", "doc_id"), ("n_tokens", "min", "n_tokens")],
+        )
+
+        def add_host(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy()
+            return pa.table(
+                {"doc_id": batch["doc_id"], "host": pa.array(ids % 9973),
+                 "n_tokens": batch["n_tokens"]}
+            )
+
+        hosted = kept.map_batches(add_host, batch_format="pyarrow")
+        return salted_topk_per_key(
+            hosted, key="host", order_col="doc_id", k=2, descending=False
+        ).count()
+
+    timed("curation_pipeline_50k_docs", curation_50k)
+
     print(json.dumps({
         "metric": "sf1 stress walls (10x gate scale)",
         "unit": "sec",
