@@ -1307,6 +1307,53 @@ SELECT CAST(uid AS BIGINT) AS user_id, nhit = {d} AS maybe_seen FROM m
 """
 
 
+_TFIDF_RETRIEVAL_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks
+  WHERE term IN ('hash', 'join', 'merge', 'vector')
+  GROUP BY 1, 2
+),
+dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+vals AS (SELECT DISTINCT df AS c FROM dfc UNION SELECT n FROM nn),
+it AS (
+  SELECT c, CAST(length(bin(c)) - 1 AS BIGINT) AS msb,
+         CAST((CAST(c AS HUGEINT) * 1073741824)
+              // (CAST(CAST(1 AS BIGINT) << CAST(length(bin(c)) - 1 AS INT)
+                       AS HUGEINT)) AS HUGEINT) AS m,
+         CAST(0 AS BIGINT) AS frac, 0 AS k
+  FROM vals
+  UNION ALL
+  SELECT c, msb,
+         CASE WHEN (m * m) // 1073741824 >= 2147483648
+              THEN ((m * m) // 1073741824) // 2
+              ELSE (m * m) // 1073741824 END,
+         frac * 2 + CASE WHEN (m * m) // 1073741824 >= 2147483648
+                         THEN 1 ELSE 0 END,
+         k + 1
+  FROM it WHERE k < 16
+),
+q AS (SELECT c, msb * 65536 + frac AS qlog2 FROM it WHERE k = 16),
+idf AS (
+  SELECT dfc.term,
+         (SELECT q.qlog2 FROM q JOIN nn ON q.c = nn.n) - qd.qlog2
+           AS idf_fp
+  FROM dfc JOIN q qd ON qd.c = dfc.df
+),
+sc AS (
+  SELECT tf.doc_id, CAST(SUM(tf.tf * idf.idf_fp) AS BIGINT) AS score_fp
+  FROM tf JOIN idf USING (term) GROUP BY 1
+)
+SELECT doc_id, score_fp FROM sc
+ORDER BY score_fp DESC, doc_id LIMIT 10
+"""
+
+
 _NORMALIZE_TEXT_SQL = r"""
 SELECT doc_id,
        regexp_replace(
@@ -2395,6 +2442,7 @@ _ORACLE_SQL_STATIC = {
     "chunk_documents_docs": _CHUNK_SQL,
     "normalize_text_docs": _NORMALIZE_TEXT_SQL,
     "bloom_probe_events": _bloom_probe_sql(),
+    "tfidf_retrieval_docs": _TFIDF_RETRIEVAL_SQL,
     # round 4: GPT-3-style n-gram decontamination — eval window is
     # tokens 2..9 zero-based = list_slice(ts, 3, 10) one-based; the
     # tokenization mirrors THE shared kernel (lower + single-space)

@@ -2434,6 +2434,96 @@ def bloom_probe_events(sf_dir: str):
     return bloom_probe(probe, bits, "user_id")
 
 
+_RETRIEVAL_TERMS = ("hash", "join", "merge", "vector")
+
+
+def tfidf_retrieval_docs(sf_dir: str):
+    """Keyword retrieval: top-10 docs by EXACT fixed-point TF-IDF for
+    a fixed 4-term query — score_fp = sum_t tf(t, doc) * (qlog2(N) -
+    qlog2(df_t)), every quantity an integer (the lm.py qlog2 kernel /
+    its recursive-CTE mirror), ties broken (score DESC, doc_id ASC).
+    Scale shape: the probe terms filter the flat token stream in-batch
+    (the (doc, term, tf) intermediate only holds query-term hits), df
+    is a |query|-row aggregate, idf broadcasts as a dict, and the
+    final sort runs over hit docs only."""
+    from geodata_ray.stages.lm import qlog2_fixed
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = pa.array(list(_RETRIEVAL_TERMS))
+
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(pc.utf8_lower(text.fill_null("")), " ")
+        lengths = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        )
+        doc_of = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            lengths.astype(np.int64),
+        )
+        flat = (
+            toks.combine_chunks()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks
+        ).flatten()
+        hit = pc.is_in(flat, value_set=terms).to_numpy(
+            zero_copy_only=False
+        )
+        if not hit.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table(
+            {
+                "doc_id": pa.array(doc_of[hit]),
+                "term": flat.filter(pa.array(hit)),
+            }
+        )
+        out = t.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        return out.rename_columns(["doc_id", "term", "tf"])
+
+    # docs are single rows -> each (doc, term, tf) completes in-batch
+    tfm = ds.map_batches(tf_batch, batch_format="pyarrow").materialize()
+    n_docs = ds.count()
+    df_tbl = grouped_aggregate(
+        tfm, ["term"], [("term", "count", "df")]
+    ).to_pandas()
+    qn = int(qlog2_fixed(np.array([n_docs], dtype=np.uint64))[0])
+    idf = {
+        t: qn - int(qlog2_fixed(np.array([d], dtype=np.uint64))[0])
+        for t, d in zip(df_tbl["term"], df_tbl["df"])
+    }
+
+    idf_arr = np.array(
+        [idf.get(t, 0) for t in _RETRIEVAL_TERMS], dtype=np.int64
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        # every term in tfm IS a query term -> index_in never nulls
+        iu = pc.index_in(batch["term"], value_set=terms).to_numpy(
+            zero_copy_only=False
+        )
+        s = batch["tf"].to_numpy(zero_copy_only=False) * idf_arr[iu]
+        t = pa.table({"doc_id": batch["doc_id"], "score_fp": pa.array(s)})
+        out = t.group_by(["doc_id"]).aggregate([("score_fp", "sum")])
+        return out.rename_columns(["doc_id", "score_fp"])
+
+    scored = grouped_aggregate(
+        tfm.map_batches(score, batch_format="pyarrow"),
+        ["doc_id"],
+        [("score_fp", "sum", "score_fp")],
+    )
+    return scored.sort(
+        ["score_fp", "doc_id"], descending=[True, False]
+    ).limit(10)
+
+
 def host_stats_docs(sf_dir: str):
     """Per-host corpus statistics over canonicalized messy URLs — the
     domain-level aggregation every crawl pipeline runs (host doc
@@ -2576,6 +2666,7 @@ RAY_QUERIES = {
     # rotation; the 50-slot window is exactly full above)
     "normalize_text_docs": normalize_text_docs,
     "bloom_probe_events": bloom_probe_events,
+    "tfidf_retrieval_docs": tfidf_retrieval_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -512,3 +512,19 @@ def test_bloom_probe_no_false_negatives():
     assert seen[probe_vals % 2 == 0].all()
     # odd (absent) values mostly not flagged (FP rate (1000/4096)^4)
     assert seen[probe_vals % 2 == 1].mean() < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_retrieval_partition_invariant():
+    from geodata_ray.pipelines.queries import tfidf_retrieval_docs
+    from tests.conftest import SF_DIR
+
+    out = tfidf_retrieval_docs(SF_DIR).to_pandas()
+    assert len(out) == 10
+    s = out.sort_values(
+        ["score_fp", "doc_id"], ascending=[False, True],
+        ignore_index=True,
+    )
+    # returned in rank order semantics: scores non-increasing
+    assert (s["score_fp"].diff().dropna() <= 0).all()
+    assert (s["score_fp"] >= 0).all()
