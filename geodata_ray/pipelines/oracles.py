@@ -1359,15 +1359,16 @@ SELECT doc_id,
        regexp_replace(
          regexp_replace(
            regexp_replace(COALESCE(text, ''),
-                          '[\t\n\r\f\v ]+', ' ', 'g'),
-           '[\x00-\x1f\x7f]', '', 'g'),
+                          '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+           '[\t\n\r\f\v ]+', ' ', 'g'),
          '^ +| +$', '', 'g') AS norm_text
 FROM documents
 """
 
 
 _CHUNK_SQL = """
-WITH tl AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+WITH tl AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ts
+            FROM documents),
 st AS (SELECT doc_id, ts,
               unnest(generate_series(1, len(ts), 20)) AS s
        FROM tl)

@@ -2133,6 +2133,27 @@ def cms_counts_events(sf_dir: str):
     return cms_table(ds, "user_id")
 
 
+def _messy_host_urls(ids: np.ndarray, *, cdn: bool = False) -> np.ndarray:
+    """THE synthetic messy-host convention shared by
+    host_stats/host_quota/blocklist (and their oracles): host
+    ``site{id % 97}.example.com``, upper-cased 'SITE…Example.COM' every
+    3rd id, optional ``cdn.`` prefix every 5th id, url
+    ``https://host/d{id}``.  One place to change when the convention
+    changes."""
+    import pandas as pd
+
+    k = pd.Series(ids % 97).astype(str)
+    sid = pd.Series(ids).astype(str)
+    site = np.where(
+        ids % 3 == 0,
+        ("SITE" + k + ".Example.COM").to_numpy(),
+        ("site" + k + ".example.com").to_numpy(),
+    )
+    host = np.where(ids % 5 == 0, "cdn." + pd.Series(site), site) if cdn \
+        else site
+    return ("https://" + pd.Series(host) + "/d" + sid).to_numpy()
+
+
 def host_quota_docs(sf_dir: str):
     """Per-domain quota: keep the FIRST 3 docs (by doc_id = crawl
     order) of every host — the politeness/diversity cap crawl
@@ -2145,19 +2166,10 @@ def host_quota_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id"])
 
     def messy(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         ids = batch["doc_id"].to_numpy()
-        k = pd.Series(ids % 97).astype(str)
-        sid = pd.Series(ids).astype(str)
-        host = np.where(
-            ids % 3 == 0,
-            ("SITE" + k + ".Example.COM").to_numpy(),
-            ("site" + k + ".example.com").to_numpy(),
-        )
-        url = "https://" + pd.Series(host) + "/d" + sid
         return pa.table(
-            {"doc_id": batch["doc_id"], "url": pa.array(url.to_numpy())}
+            {"doc_id": batch["doc_id"],
+             "url": pa.array(_messy_host_urls(ids))}
         )
 
     pages = ds.map_batches(messy, batch_format="pyarrow")
@@ -2197,20 +2209,10 @@ def blocklist_filter_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id"])
 
     def messy(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         ids = batch["doc_id"].to_numpy()
-        k = pd.Series(ids % 97).astype(str)
-        sid = pd.Series(ids).astype(str)
-        site = np.where(
-            ids % 3 == 0,
-            ("SITE" + k + ".Example.COM").to_numpy(),
-            ("site" + k + ".example.com").to_numpy(),
-        )
-        host = np.where(ids % 5 == 0, "cdn." + pd.Series(site), site)
-        url = "https://" + pd.Series(host) + "/d" + sid
         return pa.table(
-            {"doc_id": batch["doc_id"], "url": pa.array(url.to_numpy())}
+            {"doc_id": batch["doc_id"],
+             "url": pa.array(_messy_host_urls(ids, cdn=True))}
         )
 
     def hosts(batch: pa.Table) -> pa.Table:
@@ -2317,20 +2319,20 @@ def pagerank_hosts_docs(sf_dir: str):
     return pagerank(e, iters=5)
 
 
-def curation_pipeline_docs(sf_dir: str):
+def curation_chain(ds, *, host_mod: int = 97):
     """End-to-end corpus curation — the headline webtext chain, each
     stage an existing operator: language-ID keep-en -> quality rules
     (INTEGER-form Gopher bands: 3*ntok <= nchars <= 12*ntok,
     100*nstop >= ntok, 10 <= ntok <= 100k — no float thresholds
     anywhere) -> exact dedup keep-first (hash-only shuffle) -> derived
-    host -> per-host cap of 2 (skew-safe salted ascending head).
-    Single fused filter+hash map stage, ONE hash-key shuffle, one
-    bounded per-key head: the 100-TB shape is three exchanges total."""
+    host (doc_id % host_mod) -> per-host cap of 2 (skew-safe salted
+    ascending head).  Single fused filter+hash map stage, ONE hash-key
+    shuffle, one bounded per-key head: the 100-TB shape is three
+    exchanges total.  Shared by the gate query (host_mod=97) and the
+    sf1 stress case (host_mod=9973) so the two can never diverge."""
     from geodata_ray.stages.dedup import hash_strings_nomemo
     from geodata_ray.stages.skew import salted_topk_per_key
     from geodata_ray.stages.textstats import langid_batch, token_stats_batch
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def filt(batch: pa.Table) -> pa.Table:
         stats = token_stats_batch(batch)
@@ -2369,7 +2371,7 @@ def curation_pipeline_docs(sf_dir: str):
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "host": pa.array(ids % 97),
+                "host": pa.array(ids % host_mod),
                 "n_tokens": batch["n_tokens"],
             }
         )
@@ -2378,6 +2380,13 @@ def curation_pipeline_docs(sf_dir: str):
     return salted_topk_per_key(
         hosted, key="host", order_col="doc_id", k=2, descending=False
     )
+
+
+def curation_pipeline_docs(sf_dir: str):
+    """Gate entry for ``curation_chain`` over the documents table
+    (host_mod=97; full-chain DuckDB oracle)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return curation_chain(ds, host_mod=97)
 
 
 def chunk_documents_docs(sf_dir: str):
@@ -2536,22 +2545,12 @@ def host_stats_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
     def messy(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         ids = batch["doc_id"].to_numpy()
-        k = pd.Series(ids % 97).astype(str)
-        sid = pd.Series(ids).astype(str)
-        host = np.where(
-            ids % 3 == 0,
-            ("SITE" + k + ".Example.COM").to_numpy(),
-            ("site" + k + ".example.com").to_numpy(),
-        )
-        url = "https://" + pd.Series(host) + "/d" + sid
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "n_chars": batch["n_chars"],
-                "url": pa.array(url.to_numpy()),
+                "url": pa.array(_messy_host_urls(ids)),
             }
         )
 

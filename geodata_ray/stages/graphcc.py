@@ -234,14 +234,16 @@ PR_BROADCAST_BOUND = 5_000_000  # nodes; above this the rank table is
                                 # join-based path (see pagerank docstr)
 
 
-def _pr_contrib_fn(state_ref, src, dst, damping_pct):
+def _pr_contrib_fn(nd_ref, rank_ref, src, dst, damping_pct):
     """Stateless per-edge-batch contribution kernel (TASK pool — an
     actor pool would respawn every iteration because the captured
     rank state changes): look up src rank + outdegree in the broadcast
     node-indexed arrays, emit in-batch partial sums by dst.  All
     arithmetic is int64 floor division, so results are bit-equal
-    regardless of batch partitioning.  ``ray.get`` of the broadcast
-    tuple is a zero-copy plasma read, once per task."""
+    regardless of batch partitioning.  The loop-INVARIANT (nodes, deg)
+    tuple is broadcast once for the whole run (``nd_ref``); only the
+    rank vector re-ships per iteration.  ``ray.get`` is a zero-copy
+    plasma read, once per task."""
     import ray
 
     dp = np.int64(damping_pct)
@@ -252,10 +254,13 @@ def _pr_contrib_fn(state_ref, src, dst, damping_pct):
                 {"node": pa.array([], pa.int64()),
                  "mass": pa.array([], pa.int64())}
             )
-        nodes, rank, deg = (
-            ray.get(state_ref)
-            if isinstance(state_ref, ray.ObjectRef)
-            else state_ref
+        nodes, deg = (
+            ray.get(nd_ref) if isinstance(nd_ref, ray.ObjectRef)
+            else nd_ref
+        )
+        rank = (
+            ray.get(rank_ref) if isinstance(rank_ref, ray.ObjectRef)
+            else rank_ref
         )
         # nodes is SORTED: binary search is O(rows log n) per batch —
         # an is_in/index_in hash build would cost O(n) per batch and
@@ -289,13 +294,13 @@ def _pr_dense_merge(nodes, n, *parts):
     return out
 
 
-def _pr_tree_reduce(refs, nodes, n, *, fanin: int = 8):
+def _pr_tree_reduce(refs, nodes_ref, n, *, fanin: int = 8):
     """Fan-in-8 tree of ``_pr_dense_merge`` tasks over object-store
-    partial refs; returns the ObjectRef of the final dense vector."""
+    partial refs (``nodes_ref`` is the once-broadcast sorted node
+    array); returns the ObjectRef of the final dense vector."""
     import ray
 
     merge = ray.remote(_pr_dense_merge)
-    nodes_ref = ray.put(nodes)
     while True:
         refs = [
             merge.remote(nodes_ref, n, *refs[i: i + fanin])
@@ -331,8 +336,10 @@ def distinct_edges_packed(
     import ray.data as rd
 
     def pack_unique(batch: pa.Table) -> pa.Table:
-        u = batch[src].to_numpy(zero_copy_only=False)
-        v = batch[dst].to_numpy(zero_copy_only=False)
+        # astype BEFORE the shift: numpy 1.x value-based casting keeps
+        # an int32 column int32, and `<< 32` on int32 silently yields 0
+        u = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(u) and (u.min() < 0 or v.min() < 0 or
                        u.max() >= 1 << 31 or v.max() >= 1 << 31):
             raise ValueError(
@@ -462,10 +469,14 @@ def pagerank(
     rank = np.full(n, np.int64(scale) // n, dtype=np.int64)
     teleport = (np.int64(scale) * (100 - damping_pct) // 100) // n
 
+    # loop invariants broadcast ONCE; only the rank vector re-ships
+    # per iteration (at the 5M-node bound: 40 MB/iter instead of 120)
+    nd_ref = ray.put((nodes, deg))
+    nodes_ref = ray.put(nodes)
     for _ in range(iters):
-        state_ref = ray.put((nodes, rank, deg))
+        rank_ref = ray.put(rank)
         partials = edges.map_batches(
-            _pr_contrib_fn(state_ref, src, dst, damping_pct),
+            _pr_contrib_fn(nd_ref, rank_ref, src, dst, damping_pct),
             batch_format="pyarrow",
             batch_size=262144,  # wide batches: per-batch fixed costs
             # (state fetch, partial group_by setup) amortize over
@@ -479,7 +490,7 @@ def pagerank(
         # sort-based Aggregate at 100k nodes (Ray's groupby floor,
         # see BASELINE.md r2 notes).
         refs = list(partials.to_arrow_refs())
-        mass = ray.get(_pr_tree_reduce(refs, nodes, n))
+        mass = ray.get(_pr_tree_reduce(refs, nodes_ref, n))
         rank = np.full(n, teleport, dtype=np.int64)
         rank += mass
 

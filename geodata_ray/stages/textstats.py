@@ -753,6 +753,15 @@ def chunk_batch(
     are gathered from the flat token array with a ranges-to-indices
     expansion (repeat/arange — no per-doc loop), rebuilt as a
     ListArray and joined per chunk with ``pc.binary_join``."""
+    if len(batch) == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], batch[id_col].type),
+                "chunk_id": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
     text = batch[text_col]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
@@ -814,19 +823,23 @@ def chunk_documents(ds, *, chunk: int, stride: int,
 def normalize_text_batch(
     batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> pa.Table:
-    """Crawl-text normalization: strip C0 control characters (except
-    \\t \\n which become whitespace first), squash all whitespace runs
-    to one space, trim ends.  Three vectorized RE2 passes — DuckDB's
-    regexp_replace is RE2 too, so the oracle applies the SAME patterns
-    and the outputs are byte-identical."""
+    """Crawl-text normalization: strip non-whitespace C0 control
+    characters + DEL FIRST, then squash all whitespace runs to one
+    space, then trim ends — control-strip must precede the squash or
+    deleting a control between spaces leaves a double space.  Three
+    vectorized RE2 passes — DuckDB's regexp_replace is RE2 too, so the
+    oracle applies the SAME patterns and the outputs are
+    byte-identical."""
     text = batch[text_col]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     text = text.fill_null("")
-    # 1) any whitespace run -> single space
-    t = pc.replace_substring_regex(text, r"[\t\n\r\f\v ]+", " ")
-    # 2) drop remaining C0 controls + DEL
-    t = pc.replace_substring_regex(t, r"[\x00-\x1f\x7f]", "")
+    # 1) drop C0 controls + DEL, except the whitespace ones (\t\n\r\f\v)
+    t = pc.replace_substring_regex(
+        text, r"[\x00-\x08\x0e-\x1f\x7f]", ""
+    )
+    # 2) any whitespace run -> single space
+    t = pc.replace_substring_regex(t, r"[\t\n\r\f\v ]+", " ")
     # 3) trim
     t = pc.replace_substring_regex(t, r"^ +| +$", "")
     return pa.table({id_col: batch[id_col], "norm_text": t})

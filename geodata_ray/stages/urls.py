@@ -216,7 +216,10 @@ class _BlocklistFilter:
     def _blocked_mask(self, host) -> pa.Array:
         if isinstance(host, pa.ChunkedArray):
             host = host.combine_chunks()
-        cur = pc.fill_null(host, "")
+        # hostnames are case-insensitive: lower the probe side to match
+        # the lowercased blocklist even when the host column was not
+        # pre-canonicalized
+        cur = pc.utf8_lower(pc.fill_null(host, ""))
         mask = pc.is_in(cur, value_set=self.blocked)
         for _ in range(_MAX_HOST_LABELS - 1):
             nxt = pc.replace_substring_regex(

@@ -457,13 +457,16 @@ def test_normalize_text_kernel():
     from geodata_ray.stages.textstats import normalize_text_batch
 
     t = pa.table(
-        {"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        {"doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
          "text": pa.array(
-             ["  a\t\tb\nc  ", "x\x00y\x1bz", None, "ok"]
-         )}
+             ["  a\t\tb\nc  ", "x\x00y\x1bz", None, "ok",
+              "a \x01 b"]  # control BETWEEN spaces must not leave
+         )}                # a double space (strip before squash)
     )
     out = normalize_text_batch(t)
-    assert out["norm_text"].to_pylist() == ["a b c", "xyz", "", "ok"]
+    assert out["norm_text"].to_pylist() == [
+        "a b c", "xyz", "", "ok", "a b",
+    ]
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -528,3 +531,45 @@ def test_tfidf_retrieval_partition_invariant():
     # returned in rank order semantics: scores non-increasing
     assert (s["score_fp"].diff().dropna() <= 0).all()
     assert (s["score_fp"] >= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_blocklist_mixed_case_hosts():
+    import ray.data as rd
+
+    from geodata_ray.stages.urls import filter_blocked_hosts
+
+    t = pa.table(
+        {"i": pa.array([0, 1, 2], pa.int64()),
+         "host": pa.array(["BAD.COM", "CDN.Bad.com", "Good.org"])}
+    )
+    kept = (
+        filter_blocked_hosts(rd.from_arrow(t), ["bad.com"])
+        .to_pandas()["i"].tolist()
+    )
+    assert kept == [2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_batch_empty_and_int32_edges():
+    import ray.data as rd
+
+    from geodata_ray.stages.graphcc import distinct_edges_packed
+    from geodata_ray.stages.textstats import chunk_batch
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "text": pa.array([], pa.string())}
+    )
+    assert len(chunk_batch(empty, chunk=40, stride=20)) == 0
+
+    # int32 edge columns must pack correctly (no silent int32 << 32)
+    t = pa.table(
+        {"u": pa.array([1, 1, 2], pa.int32()),
+         "v": pa.array([2, 3, 3], pa.int32())}
+    )
+    out = (
+        distinct_edges_packed(rd.from_arrow(t))
+        .to_pandas().sort_values(["u", "v"], ignore_index=True)
+    )
+    assert out.values.tolist() == [[1, 2], [1, 3], [2, 3]]

@@ -285,9 +285,11 @@ def main() -> None:
 
     timed("pagerank_100k_nodes_5it", pagerank_100k_nodes)
 
-    # --- full curation pipeline over 50k docs (10x) (round 4) ---
+    # --- full curation pipeline over 50k docs (10x) (round 4): the
+    # SAME chain the gate query runs (shared curation_chain), host
+    # modulus widened to 9973 for realistic per-key-head cardinality ---
     def curation_50k():
-        import geodata_ray.pipelines.queries as q
+        from geodata_ray.pipelines.queries import curation_chain
 
         docs = amplify(
             rd.read_parquet(
@@ -296,58 +298,7 @@ def main() -> None:
             AMP,
             {"doc_id": 10_000_000},
         )
-        ds = docs
-        # the same chain as curation_pipeline_docs, on the amplified
-        # in-stream table (host modulus widened to 9973 so the per-key
-        # head stage sees realistic host cardinality)
-        from geodata_ray.stages.dedup import hash_strings_nomemo
-        from geodata_ray.stages.skew import salted_topk_per_key
-        from geodata_ray.stages.textstats import (
-            langid_batch,
-            token_stats_batch,
-        )
-
-        def filt(batch: pa.Table) -> pa.Table:
-            stats = token_stats_batch(batch)
-            lang = langid_batch(batch)
-            ntok = stats["n_tokens"].to_numpy()
-            nchr = stats["n_chars"].to_numpy()
-            nstp = stats["n_stopwords"].to_numpy()
-            en = pc.equal(lang["lang_pred"], "en").to_numpy(
-                zero_copy_only=False
-            )
-            keep = (
-                en & (ntok >= 10) & (ntok <= 100_000)
-                & (nchr >= 3 * ntok) & (nchr <= 12 * ntok)
-                & (100 * nstp >= ntok)
-            )
-            kept = batch.filter(pa.array(keep))
-            h = hash_strings_nomemo(kept["text"].to_pylist())
-            return pa.table(
-                {"doc_id": kept["doc_id"],
-                 "text_hash": pa.array(h.astype(np.int64)),
-                 "n_tokens": pa.array(ntok[keep])}
-            )
-
-        from geodata_ray.stages.relational import grouped_aggregate
-
-        hashed = ds.map_batches(filt, batch_format="pyarrow")
-        kept = grouped_aggregate(
-            hashed, ["text_hash"],
-            [("doc_id", "min", "doc_id"), ("n_tokens", "min", "n_tokens")],
-        )
-
-        def add_host(batch: pa.Table) -> pa.Table:
-            ids = batch["doc_id"].to_numpy()
-            return pa.table(
-                {"doc_id": batch["doc_id"], "host": pa.array(ids % 9973),
-                 "n_tokens": batch["n_tokens"]}
-            )
-
-        hosted = kept.map_batches(add_host, batch_format="pyarrow")
-        return salted_topk_per_key(
-            hosted, key="host", order_col="doc_id", k=2, descending=False
-        ).count()
+        return curation_chain(docs, host_mod=9973).count()
 
     timed("curation_pipeline_50k_docs", curation_50k)
 
