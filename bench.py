@@ -155,6 +155,10 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "pagerank_hosts_docs",
         "curation_pipeline_docs",
         "chunk_documents_docs",
+        "normalize_text_docs",
+        "bloom_probe_events",
+        "tfidf_retrieval_docs",
+        "perplexity_buckets_docs",
     )
     for name in query_names:
         t0 = time.perf_counter()

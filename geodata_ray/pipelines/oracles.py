@@ -1512,6 +1512,42 @@ GROUP BY d.doc_id
 """
 
 
+def _ppx_buckets_sql() -> str:
+    """CCNet-style perplexity bucketing: the full LM-surprisal CTE
+    (shared construction with ``_lm_surprisal_sql``), per-doc
+    fixed-point bits/pair ``ppx_fp = qbits_total // n_pairs``, then
+    EXACT quartile bucket assignment with the same
+    cum >= CEIL(q * tot) thresholds as ``_LENGTH_BUCKETS_SQL`` (dyadic
+    q literals — identical in decimal and binary arithmetic)."""
+    core = _lm_surprisal_sql().rsplit("SELECT d.doc_id", 1)[0].rstrip()
+    return f"""{core},
+per AS (
+  SELECT d.doc_id,
+         CAST(COUNT(s.sbits) AS BIGINT) AS n_pairs,
+         CAST(COALESCE(SUM(s.sbits), 0) AS BIGINT) AS qbits_total
+  FROM docs d LEFT JOIN scored s USING (doc_id)
+  GROUP BY d.doc_id
+),
+px AS (
+  SELECT doc_id,
+         CAST(CASE WHEN n_pairs > 0 THEN qbits_total // n_pairs
+                   ELSE 0 END AS BIGINT) AS ppx_fp
+  FROM per
+),
+hh AS (SELECT ppx_fp AS v, COUNT(*) AS n FROM px GROUP BY 1),
+ccum AS (SELECT v, SUM(n) OVER (ORDER BY v) AS cum FROM hh),
+tt AS (SELECT SUM(n) AS tot FROM hh),
+bb AS (SELECT
+  (SELECT MIN(v) FROM ccum, tt WHERE cum >= CEIL(0.25 * tot)) AS b1,
+  (SELECT MIN(v) FROM ccum, tt WHERE cum >= CEIL(0.50 * tot)) AS b2,
+  (SELECT MIN(v) FROM ccum, tt WHERE cum >= CEIL(0.75 * tot)) AS b3)
+SELECT doc_id, ppx_fp,
+       CAST((ppx_fp > b1)::INT + (ppx_fp > b2)::INT
+            + (ppx_fp > b3)::INT AS BIGINT) AS bucket
+FROM px, bb
+"""
+
+
 def _top_pages_sql() -> str:
     """Full SQL mirror of the flagship page-synthesis + geocode +
     tile + salted-top-k chain (pages_from_documents_batch ->
@@ -2444,6 +2480,7 @@ _ORACLE_SQL_STATIC = {
     "normalize_text_docs": _NORMALIZE_TEXT_SQL,
     "bloom_probe_events": _bloom_probe_sql(),
     "tfidf_retrieval_docs": _TFIDF_RETRIEVAL_SQL,
+    "perplexity_buckets_docs": _ppx_buckets_sql(),
     # round 4: GPT-3-style n-gram decontamination — eval window is
     # tokens 2..9 zero-based = list_slice(ts, 3, 10) one-based; the
     # tokenization mirrors THE shared kernel (lower + single-space)

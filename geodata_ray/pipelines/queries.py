@@ -2533,6 +2533,37 @@ def tfidf_retrieval_docs(sf_dir: str):
     ).limit(10)
 
 
+def perplexity_buckets_docs(sf_dir: str):
+    """CCNet-style perplexity bucketing: per-doc fixed-point
+    bits-per-pair from the byte-bigram LM (``ppx_fp = qbits_total //
+    n_pairs``, exact int), then EXACT quartile buckets (0 = most
+    fluent / 'head' ... 3 = 'tail') via the bounded-histogram
+    quantile machinery.  The surprisal Dataset is materialized once so
+    the histogram and bucket passes don't retrain the LM."""
+    from geodata_ray.stages.lm import lm_surprisal
+    from geodata_ray.stages.relational import assign_quantile_buckets
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ppx(batch: pa.Table) -> pa.Table:
+        np_ = batch["n_pairs"].to_numpy(zero_copy_only=False)
+        qb = batch["qbits_total"].to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = np.where(np_ > 0, qb // np.maximum(np_, 1), 0)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "ppx_fp": pa.array(p)}
+        )
+
+    scored = (
+        lm_surprisal(ds)
+        .map_batches(ppx, batch_format="pyarrow")
+        .materialize()
+    )
+    return assign_quantile_buckets(
+        scored, col="ppx_fp", qs=(0.25, 0.5, 0.75)
+    )
+
+
 def host_stats_docs(sf_dir: str):
     """Per-host corpus statistics over canonicalized messy URLs — the
     domain-level aggregation every crawl pipeline runs (host doc
@@ -2666,6 +2697,7 @@ RAY_QUERIES = {
     "normalize_text_docs": normalize_text_docs,
     "bloom_probe_events": bloom_probe_events,
     "tfidf_retrieval_docs": tfidf_retrieval_docs,
+    "perplexity_buckets_docs": perplexity_buckets_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

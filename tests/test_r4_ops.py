@@ -573,3 +573,22 @@ def test_chunk_batch_empty_and_int32_edges():
         .to_pandas().sort_values(["u", "v"], ignore_index=True)
     )
     assert out.values.tolist() == [[1, 2], [1, 3], [2, 3]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_perplexity_buckets_quartiles():
+    from geodata_ray.pipelines.queries import perplexity_buckets_docs
+    from tests.conftest import SF_DIR
+
+    out = (
+        perplexity_buckets_docs(SF_DIR)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    n = len(out)
+    assert n > 0
+    counts = out["bucket"].value_counts()
+    # exact-quantile buckets: each of 0..3 holds between 15% and 35%
+    # (ties can skew away from perfect quarters)
+    for b in range(4):
+        assert 0.15 * n <= counts.get(b, 0) <= 0.35 * n, counts
+    assert (out["ppx_fp"] >= 0).all()
