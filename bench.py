@@ -159,6 +159,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "bloom_probe_events",
         "tfidf_retrieval_docs",
         "perplexity_buckets_docs",
+        "cdc_chunks_docs",
     )
     for name in query_names:
         t0 = time.perf_counter()

@@ -1354,6 +1354,55 @@ ORDER BY score_fp DESC, doc_id LIMIT 10
 """
 
 
+def _cdc_sql(mask_mod: int = 64, w: int = 8) -> str:
+    """CDC boundaries (stages/dedup.py ``cdc_chunk_batch``): pack the
+    w-codepoint window big-endian with ascii() arithmetic (pure-ASCII
+    gate corpus = the kernel's byte pack), splitmix the pack, cut
+    where h % mask_mod == 0; chunks via LEAD over the per-doc start
+    set {0} + cuts."""
+    pack = " + ".join(
+        f"CAST(ascii(substr(s, CAST(j - {w - 1 - k} AS INT), 1)) "
+        f"AS HUGEINT) * {1 << (8 * (w - 1 - k))}"
+        for k in range(w)
+    )
+    # the chain must NOT carry the document text: packed is projected
+    # to (doc_id, j, pkv) FIRST, or every one of the 7 chain stages
+    # re-materializes ~1 kB of string per window row (measured: the
+    # naive form ran minutes; this runs seconds)
+    sm = _sql_splitmix_stages("cd", {"x": f"(pkv % {_U64_M})"}, "pkn")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, COALESCE(text, '') AS s,
+         CAST(length(COALESCE(text, '')) AS BIGINT) AS L
+  FROM documents
+),
+pk AS (
+  SELECT doc_id, s, unnest(generate_series({w}, L - 1)) AS j
+  FROM docs
+),
+pkn AS (SELECT doc_id, j, ({pack}) AS pkv FROM pk),
+{sm},
+cdm AS MATERIALIZED (SELECT doc_id, j, h_x FROM cd6),
+cuts AS (SELECT doc_id, j AS st FROM cdm WHERE h_x % {mask_mod} = 0),
+starts AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS st FROM docs
+  UNION ALL
+  SELECT doc_id, CAST(st AS BIGINT) FROM cuts
+),
+ord AS (
+  SELECT doc_id, st,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY st) - 1
+           AS chunk_idx,
+         LEAD(st) OVER (PARTITION BY doc_id ORDER BY st) AS nxt
+  FROM starts
+)
+SELECT o.doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(st AS BIGINT) AS start_byte,
+       CAST(COALESCE(nxt, d.L) - st AS BIGINT) AS n_bytes
+FROM ord o JOIN docs d USING (doc_id)
+"""
+
+
 _NORMALIZE_TEXT_SQL = r"""
 SELECT doc_id,
        regexp_replace(
@@ -2481,6 +2530,7 @@ _ORACLE_SQL_STATIC = {
     "bloom_probe_events": _bloom_probe_sql(),
     "tfidf_retrieval_docs": _TFIDF_RETRIEVAL_SQL,
     "perplexity_buckets_docs": _ppx_buckets_sql(),
+    "cdc_chunks_docs": _cdc_sql(),
     # round 4: GPT-3-style n-gram decontamination — eval window is
     # tokens 2..9 zero-based = list_slice(ts, 3, 10) one-based; the
     # tokenization mirrors THE shared kernel (lower + single-space)

@@ -2564,6 +2564,17 @@ def perplexity_buckets_docs(sf_dir: str):
     )
 
 
+def cdc_chunks_docs(sf_dir: str):
+    """Content-defined chunking over documents (FastCDC-style fixed
+    8-byte rolling window, splitmix boundary test) — the sub-document
+    dedup primitive.  Zero shuffle; the oracle packs each window with
+    ascii() arithmetic and replays the identical splitmix chain."""
+    from geodata_ray.stages.dedup import cdc_chunks
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return cdc_chunks(ds)
+
+
 def host_stats_docs(sf_dir: str):
     """Per-host corpus statistics over canonicalized messy URLs — the
     domain-level aggregation every crawl pipeline runs (host doc
@@ -2698,6 +2709,7 @@ RAY_QUERIES = {
     "bloom_probe_events": bloom_probe_events,
     "tfidf_retrieval_docs": tfidf_retrieval_docs,
     "perplexity_buckets_docs": perplexity_buckets_docs,
+    "cdc_chunks_docs": cdc_chunks_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

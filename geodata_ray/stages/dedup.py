@@ -866,3 +866,114 @@ def paragraph_dedup(
         )
 
     return winners.map_batches(decode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC)
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 8
+CDC_MASK_MOD = 64  # boundary iff splitmix64(window) % 64 == 0 -> mean
+                   # chunk ~64 bytes at gate scale (tune upward for
+                   # storage-dedup use)
+
+
+def cdc_chunk_batch(
+    batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text",
+    mask_mod: int = CDC_MASK_MOD,
+) -> pa.Table:
+    """Content-defined chunk boundaries for one batch of docs — the
+    sub-document dedup primitive (FastCDC-style, fixed 8-byte window):
+    a cut falls AFTER byte position i (0-based, window s[i-7..i],
+    7 <= i <= L-2) iff splitmix64(bigendian_pack(window)) % mask_mod
+    == 0.  Insertions/deletions only shift boundaries locally, so
+    shared content between near-identical docs chunks identically —
+    chunk-hash equality then finds shared spans exact dedup misses.
+
+    Returns (id, chunk_idx, start_byte, n_bytes); an empty doc is one
+    zero-length chunk.  Fully vectorized: the window pack is 8 shifted
+    slices of the batch's flat byte buffer; doc-boundary windows are
+    masked by owner comparison (the n-gram kernel's technique).
+
+    ASCII note (same contract as stages/lm.py): the kernel packs
+    BYTES; the SQL mirror packs codepoints via ascii() — identical on
+    the pure-ASCII gate corpus."""
+    from geodata_ray.sources.synth import splitmix64
+    from geodata_ray.stages.lm import _byte_view
+
+    n = len(batch)
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "start_byte": pa.array([], pa.int64()),
+            "n_bytes": pa.array([], pa.int64()),
+        }
+    )
+    if n == 0:
+        return empty
+    data, offsets = _byte_view(batch[text_col])
+    total = int(offsets[-1])
+    w = CDC_WINDOW
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    lens = np.diff(offsets)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+    cuts_pos = np.empty(0, dtype=np.int64)
+    if total >= w:
+        # global window-end positions i in [w-1, total-1]
+        nwin = total - w + 1
+        p = np.zeros(nwin, dtype=np.uint64)
+        for k in range(w):
+            p |= data[k: k + nwin].astype(np.uint64) << np.uint64(
+                8 * (w - 1 - k)
+            )
+        h = splitmix64(p)
+        i_end = np.arange(w - 1, total, dtype=np.int64)
+        same_doc = doc_of[i_end - (w - 1)] == doc_of[i_end]
+        # exclude the doc's last byte (a cut there is a no-op)
+        not_last = i_end != offsets[doc_of[i_end] + 1] - 1
+        boundary = (h % np.uint64(mask_mod) == 0) & same_doc & not_last
+        cuts_pos = i_end[boundary] + 1  # global 0-based chunk starts
+
+    cut_doc = doc_of[cuts_pos] if cuts_pos.size else np.empty(
+        0, dtype=np.int64
+    )
+    # merge per-doc head starts with cut starts (both doc-ascending)
+    all_doc = np.concatenate([np.arange(n, dtype=np.int64), cut_doc])
+    all_start = np.concatenate([offsets[:-1], cuts_pos])
+    order = np.lexsort((all_start, all_doc))
+    all_doc, all_start = all_doc[order], all_start[order]
+    nxt = np.empty_like(all_start)
+    nxt[:-1] = all_start[1:]
+    nxt[-1] = offsets[all_doc[-1] + 1]
+    tail = np.empty(all_doc.size, dtype=bool)
+    tail[:-1] = all_doc[1:] != all_doc[:-1]
+    tail[-1] = True
+    ends = np.where(tail, offsets[all_doc + 1], nxt)
+    # chunk_idx: position within doc
+    doc_first_row = np.zeros(n, dtype=np.int64)
+    np.cumsum(np.bincount(all_doc, minlength=n)[:-1], out=doc_first_row[1:])
+    chunk_idx = np.arange(all_doc.size, dtype=np.int64) - doc_first_row[
+        all_doc
+    ]
+    return pa.table(
+        {
+            id_col: pa.array(ids[all_doc]),
+            "chunk_idx": pa.array(chunk_idx),
+            "start_byte": pa.array(all_start - offsets[all_doc]),
+            "n_bytes": pa.array(ends - all_start),
+        }
+    )
+
+
+def cdc_chunks(ds, *, id_col: str = "doc_id", text_col: str = "text",
+               mask_mod: int = CDC_MASK_MOD):
+    """Dataset wrapper over ``cdc_chunk_batch`` — stateless, zero
+    shuffle; at corpus scale the stage is read-bound."""
+    return ds.map_batches(
+        lambda b: cdc_chunk_batch(
+            b, id_col=id_col, text_col=text_col, mask_mod=mask_mod
+        ),
+        batch_format="pyarrow",
+    )

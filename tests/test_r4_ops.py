@@ -592,3 +592,41 @@ def test_perplexity_buckets_quartiles():
     for b in range(4):
         assert 0.15 * n <= counts.get(b, 0) <= 0.35 * n, counts
     assert (out["ppx_fp"] >= 0).all()
+
+
+def test_cdc_chunk_batch_vs_bruteforce():
+    from geodata_ray.sources.synth import splitmix64
+    from geodata_ray.stages.dedup import cdc_chunk_batch
+
+    rng = np.random.default_rng(0)
+    texts = [
+        "".join(chr(rng.integers(32, 127))
+                for _ in range(rng.integers(0, 300)))
+        for _ in range(50)
+    ] + ["", "short", None]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    out = (
+        cdc_chunk_batch(t).to_pandas()
+        .sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+    )
+    ref = []
+    for d, s in enumerate(texts):
+        b = (s or "").encode()
+        cuts = [
+            i + 1 for i in range(7, len(b) - 1)
+            if int(splitmix64(np.array(
+                [int.from_bytes(b[i - 7: i + 1], "big")],
+                dtype=np.uint64))[0]) % 64 == 0
+        ]
+        starts = [0] + cuts
+        for ci, st in enumerate(starts):
+            en = starts[ci + 1] if ci + 1 < len(starts) else len(b)
+            ref.append([d, ci, st, en - st])
+    assert out.values.tolist() == ref
+    # chunks tile each doc exactly
+    per = out.groupby("doc_id")["n_bytes"].sum()
+    for d, s in enumerate(texts):
+        assert per[d] == len((s or "").encode())
