@@ -1505,15 +1505,7 @@ FROM r WHERE rk <= 3
 """
 
 
-def _lm_surprisal_sql() -> str:
-    """Byte-bigram LM surprisal over documents (stages/lm.py).  The
-    fixed-point qlog2 runs as a recursive CTE over the DISTINCT count
-    values only (a tiny set): msb from length(bin(c)), then 16 rounds
-    of the identical square/truncate/emit-bit loop the numpy kernel
-    runs — bit-equal per-doc integer totals.  substr() is codepoint-
-    based vs the kernel's bytes; identical on the pure-ASCII gate
-    corpus (checked by lm.py's docstring contract)."""
-    return """
+_LM_CORE_SQL = """
 WITH RECURSIVE docs AS (
   SELECT doc_id, COALESCE(text, '') AS s FROM documents
 ),
@@ -1552,7 +1544,20 @@ scored AS (
   JOIN cnt USING (pair)
   JOIN q ON q.c = cnt.c
   CROSS JOIN qn
-)
+)"""
+
+
+def _lm_surprisal_sql() -> str:
+    """Byte-bigram LM surprisal over documents (stages/lm.py).  The
+    fixed-point qlog2 runs as a recursive CTE over the DISTINCT count
+    values only (a tiny set): msb from length(bin(c)), then 16 rounds
+    of the identical square/truncate/emit-bit loop the numpy kernel
+    runs — bit-equal per-doc integer totals.  substr() is codepoint-
+    based vs the kernel's bytes; identical on the pure-ASCII gate
+    corpus (checked by lm.py's docstring contract).  The shared CTE
+    block (``_LM_CORE_SQL``) is composed by this oracle AND
+    ``_ppx_buckets_sql``."""
+    return _LM_CORE_SQL + """
 SELECT d.doc_id,
        CAST(COUNT(s.sbits) AS BIGINT) AS n_pairs,
        CAST(COALESCE(SUM(s.sbits), 0) AS BIGINT) AS qbits_total
@@ -1568,8 +1573,7 @@ def _ppx_buckets_sql() -> str:
     EXACT quartile bucket assignment with the same
     cum >= CEIL(q * tot) thresholds as ``_LENGTH_BUCKETS_SQL`` (dyadic
     q literals — identical in decimal and binary arithmetic)."""
-    core = _lm_surprisal_sql().rsplit("SELECT d.doc_id", 1)[0].rstrip()
-    return f"""{core},
+    return f"""{_LM_CORE_SQL},
 per AS (
   SELECT d.doc_id,
          CAST(COUNT(s.sbits) AS BIGINT) AS n_pairs,

@@ -2548,8 +2548,9 @@ def perplexity_buckets_docs(sf_dir: str):
     def ppx(batch: pa.Table) -> pa.Table:
         np_ = batch["n_pairs"].to_numpy(zero_copy_only=False)
         qb = batch["qbits_total"].to_numpy(zero_copy_only=False)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            p = np.where(np_ > 0, qb // np.maximum(np_, 1), 0)
+        # exact int64 arithmetic; maximum() only dodges the 0-divisor
+        # lanes the where-predicate discards
+        p = np.where(np_ > 0, qb // np.maximum(np_, 1), 0)
         return pa.table(
             {"doc_id": batch["doc_id"], "ppx_fp": pa.array(p)}
         )

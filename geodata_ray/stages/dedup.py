@@ -902,16 +902,15 @@ def cdc_chunk_batch(
     from geodata_ray.stages.lm import _byte_view
 
     n = len(batch)
-    empty = pa.table(
-        {
-            id_col: pa.array([], pa.int64()),
-            "chunk_idx": pa.array([], pa.int64()),
-            "start_byte": pa.array([], pa.int64()),
-            "n_bytes": pa.array([], pa.int64()),
-        }
-    )
     if n == 0:
-        return empty
+        return pa.table(
+            {
+                id_col: pa.array([], batch[id_col].type),
+                "chunk_idx": pa.array([], pa.int64()),
+                "start_byte": pa.array([], pa.int64()),
+                "n_bytes": pa.array([], pa.int64()),
+            }
+        )
     data, offsets = _byte_view(batch[text_col])
     total = int(offsets[-1])
     w = CDC_WINDOW

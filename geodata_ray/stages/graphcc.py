@@ -234,7 +234,7 @@ PR_BROADCAST_BOUND = 5_000_000  # nodes; above this the rank table is
                                 # join-based path (see pagerank docstr)
 
 
-def _pr_contrib_fn(nd_ref, rank_ref, src, dst, damping_pct):
+def _pr_contrib_fn(nodes_ref, deg_ref, rank_ref, src, dst, damping_pct):
     """Stateless per-edge-batch contribution kernel (TASK pool — an
     actor pool would respawn every iteration because the captured
     rank state changes): look up src rank + outdegree in the broadcast
@@ -254,14 +254,10 @@ def _pr_contrib_fn(nd_ref, rank_ref, src, dst, damping_pct):
                 {"node": pa.array([], pa.int64()),
                  "mass": pa.array([], pa.int64())}
             )
-        nodes, deg = (
-            ray.get(nd_ref) if isinstance(nd_ref, ray.ObjectRef)
-            else nd_ref
-        )
-        rank = (
-            ray.get(rank_ref) if isinstance(rank_ref, ray.ObjectRef)
-            else rank_ref
-        )
+        def deref(r):
+            return ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        nodes, deg, rank = deref(nodes_ref), deref(deg_ref), deref(rank_ref)
         # nodes is SORTED: binary search is O(rows log n) per batch —
         # an is_in/index_in hash build would cost O(n) per batch and
         # dominate everything once n >> batch rows (measured 23x on
@@ -469,14 +465,17 @@ def pagerank(
     rank = np.full(n, np.int64(scale) // n, dtype=np.int64)
     teleport = (np.int64(scale) * (100 - damping_pct) // 100) // n
 
-    # loop invariants broadcast ONCE; only the rank vector re-ships
-    # per iteration (at the 5M-node bound: 40 MB/iter instead of 120)
-    nd_ref = ray.put((nodes, deg))
+    # loop invariants broadcast ONCE (nodes and deg as separate refs —
+    # a (nodes, deg) tuple plus a standalone nodes ref would pin the
+    # node array twice); only the rank vector re-ships per iteration
+    # (at the 5M-node bound: 40 MB/iter instead of 120)
     nodes_ref = ray.put(nodes)
+    deg_ref = ray.put(deg)
     for _ in range(iters):
         rank_ref = ray.put(rank)
         partials = edges.map_batches(
-            _pr_contrib_fn(nd_ref, rank_ref, src, dst, damping_pct),
+            _pr_contrib_fn(nodes_ref, deg_ref, rank_ref, src, dst,
+                           damping_pct),
             batch_format="pyarrow",
             batch_size=262144,  # wide batches: per-batch fixed costs
             # (state fetch, partial group_by setup) amortize over

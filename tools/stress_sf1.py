@@ -302,6 +302,21 @@ def main() -> None:
 
     timed("curation_pipeline_50k_docs", curation_50k)
 
+    # --- content-defined chunking over 50k docs (10x) (round 4) ---
+    def cdc_50k():
+        from geodata_ray.stages.dedup import cdc_chunks
+
+        docs = amplify(
+            rd.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            AMP,
+            {"doc_id": 10_000_000},
+        )
+        return cdc_chunks(docs).count()
+
+    timed("cdc_chunks_50k_docs", cdc_50k)
+
     print(json.dumps({
         "metric": "sf1 stress walls (10x gate scale)",
         "unit": "sec",
