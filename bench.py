@@ -160,6 +160,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "tfidf_retrieval_docs",
         "perplexity_buckets_docs",
         "cdc_chunks_docs",
+        "cdc_dup_spans_docs",
     )
     for name in query_names:
         t0 = time.perf_counter()

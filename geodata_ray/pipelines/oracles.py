@@ -1354,7 +1354,7 @@ ORDER BY score_fp DESC, doc_id LIMIT 10
 """
 
 
-def _cdc_sql(mask_mod: int = 64, w: int = 8) -> str:
+def _cdc_core_sql(mask_mod: int = 64, w: int = 8) -> str:
     """CDC boundaries (stages/dedup.py ``cdc_chunk_batch``): pack the
     w-codepoint window big-endian with ascii() arithmetic (pure-ASCII
     gate corpus = the kernel's byte pack), splitmix the pack, cut
@@ -1396,10 +1396,35 @@ ord AS (
          LEAD(st) OVER (PARTITION BY doc_id ORDER BY st) AS nxt
   FROM starts
 )
+"""
+
+
+def _cdc_sql(mask_mod: int = 64, w: int = 8) -> str:
+    """Per-chunk boundary table (gate query ``cdc_chunks_docs``)."""
+    return _cdc_core_sql(mask_mod, w) + """
 SELECT o.doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        CAST(st AS BIGINT) AS start_byte,
        CAST(COALESCE(nxt, d.L) - st AS BIGINT) AS n_bytes
 FROM ord o JOIN docs d USING (doc_id)
+"""
+
+
+def _cdc_dup_spans_sql(mask_mod: int = 64, w: int = 8) -> str:
+    """Sub-document duplicate spans (``cdc_duplicate_spans``): group
+    the CDC chunks by their CONTENT (the engine groups by blake2b-64
+    fingerprint — same groups modulo collision, the DEDUP_SQL
+    precedent), keep groups with > 1 member."""
+    return _cdc_core_sql(mask_mod, w).rstrip() + """,
+ck AS (
+  SELECT o.doc_id,
+         substr(d.s, CAST(st + 1 AS INT),
+                CAST(COALESCE(nxt, d.L) - st AS INT)) AS c,
+         COALESCE(nxt, d.L) - st AS nb
+  FROM ord o JOIN docs d USING (doc_id)
+)
+SELECT MIN(doc_id) AS doc_id, CAST(MIN(nb) AS BIGINT) AS n_bytes,
+       COUNT(*) AS n_copies
+FROM ck GROUP BY c HAVING COUNT(*) > 1
 """
 
 
@@ -2535,6 +2560,7 @@ _ORACLE_SQL_STATIC = {
     "tfidf_retrieval_docs": _TFIDF_RETRIEVAL_SQL,
     "perplexity_buckets_docs": _ppx_buckets_sql(),
     "cdc_chunks_docs": _cdc_sql(),
+    "cdc_dup_spans_docs": _cdc_dup_spans_sql(),
     # round 4: GPT-3-style n-gram decontamination — eval window is
     # tokens 2..9 zero-based = list_slice(ts, 3, 10) one-based; the
     # tokenization mirrors THE shared kernel (lower + single-space)

@@ -2576,6 +2576,18 @@ def cdc_chunks_docs(sf_dir: str):
     return cdc_chunks(ds)
 
 
+def cdc_dup_spans_docs(sf_dir: str):
+    """Sub-document duplicate spans: CDC chunks grouped by content
+    fingerprint, groups with > 1 member — shared boilerplate/quotes
+    across otherwise-different docs.  Only 8-byte fingerprints
+    shuffle; the oracle groups the same chunks by their literal
+    substring content."""
+    from geodata_ray.stages.dedup import cdc_duplicate_spans
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return cdc_duplicate_spans(ds)
+
+
 def host_stats_docs(sf_dir: str):
     """Per-host corpus statistics over canonicalized messy URLs — the
     domain-level aggregation every crawl pipeline runs (host doc
@@ -2711,6 +2723,7 @@ RAY_QUERIES = {
     "tfidf_retrieval_docs": tfidf_retrieval_docs,
     "perplexity_buckets_docs": perplexity_buckets_docs,
     "cdc_chunks_docs": cdc_chunks_docs,
+    "cdc_dup_spans_docs": cdc_dup_spans_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -976,3 +976,67 @@ def cdc_chunks(ds, *, id_col: str = "doc_id", text_col: str = "text",
         ),
         batch_format="pyarrow",
     )
+
+
+def cdc_duplicate_spans(
+    ds, *, id_col: str = "doc_id", text_col: str = "text",
+    mask_mod: int = CDC_MASK_MOD,
+):
+    """Sub-document duplicate-span detection: CDC-chunk every doc,
+    fingerprint each chunk (blake2b-64 — the exact-dedup precedent:
+    same groups as content equality modulo ~n^2/2^65 collisions), keep
+    chunk groups with > 1 member.  Finds boilerplate/quoted spans
+    SHARED between otherwise-different documents, which whole-doc
+    dedup cannot see.
+
+    Returns (id_col = min owner, n_bytes, n_copies > 1) per duplicated
+    span.  Scale shape: chunks tile each doc, so a batch's chunk
+    strings are ONE re-offsetting of its flat byte buffer (no per-
+    chunk gather); only 8-byte fingerprints + 2 ints shuffle."""
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    def spans(batch: pa.Table) -> pa.Table:
+        from geodata_ray.stages.lm import _byte_view
+
+        tbl = cdc_chunk_batch(
+            batch, id_col=id_col, text_col=text_col, mask_mod=mask_mod
+        )
+        if len(tbl) == 0:
+            return pa.table(
+                {
+                    "fp": pa.array([], pa.int64()),
+                    id_col: pa.array([], batch[id_col].type),
+                    "nb": pa.array([], pa.int64()),
+                }
+            )
+        data, _ = _byte_view(batch[text_col])
+        nb = tbl["n_bytes"].to_numpy()
+        off = np.zeros(nb.size + 1, dtype=np.int32)
+        np.cumsum(nb, out=off[1:])
+        # chunks tile the docs in order -> their concatenation IS the
+        # flat byte buffer; one offsets array re-slices it into chunk
+        # strings with no gather
+        sa = pa.Array.from_buffers(
+            pa.string(), nb.size,
+            [None, pa.py_buffer(off.tobytes()),
+             pa.py_buffer(data.tobytes())],
+        )
+        fp = hash_strings_nomemo(sa.to_pylist()).astype(np.int64)
+        return pa.table(
+            {
+                "fp": pa.array(fp),
+                id_col: tbl[id_col],
+                "nb": tbl["n_bytes"],
+            }
+        )
+
+    parts = ds.map_batches(spans, batch_format="pyarrow")
+    agg = grouped_aggregate(
+        parts,
+        ["fp"],
+        [(id_col, "min", id_col), ("nb", "min", "n_bytes"),
+         ("nb", "count", "n_copies")],
+    )
+    return agg.filter(expr="n_copies > 1").select_columns(
+        [id_col, "n_bytes", "n_copies"]
+    )

@@ -630,3 +630,41 @@ def test_cdc_chunk_batch_vs_bruteforce():
     per = out.groupby("doc_id")["n_bytes"].sum()
     for d, s in enumerate(texts):
         assert per[d] == len((s or "").encode())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cdc_duplicate_spans_planted():
+    import ray.data as rd
+
+    from geodata_ray.stages.dedup import cdc_duplicate_spans
+
+    rng_s = np.random.default_rng(42)
+    shared = "".join(
+        chr(c) for c in rng_s.integers(32, 127, size=2000)
+    )
+    texts = [
+        shared + "unique tail one",
+        "unique head two " + shared,
+        "completely different text with no overlap at all dddddd",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(3), pa.int64()),
+         "text": pa.array(texts)}
+    )
+
+    def run(nblocks):
+        return (
+            cdc_duplicate_spans(rd.from_arrow(t).repartition(nblocks))
+            .to_pandas()
+            .sort_values(["doc_id", "n_bytes", "n_copies"],
+                         ignore_index=True)
+        )
+
+    out = run(1)
+    # partition-invariant
+    assert run(3).values.tolist() == out.values.tolist()
+    # the shared span produces at least one duplicated chunk whose
+    # min owner is doc 0
+    assert len(out) >= 1
+    assert (out["n_copies"] >= 2).all()
+    assert out["doc_id"].min() == 0
