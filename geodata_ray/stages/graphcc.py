@@ -383,6 +383,83 @@ def distinct_edges_packed(
     return rd.from_arrow(chunks if len(chunks) > 1 else chunks[0])
 
 
+def _pagerank_join(
+    edges, nodes_ds, n, *, src, dst, iters, damping_pct, scale,
+):
+    """Distributed (page-graph) PageRank path: the rank table stays a
+    DATASET; each iteration is one node-id-partitioned ``native_join``
+    of ranks onto the (edges ⋈ outdeg) table, an in-batch partial mass
+    sum, a node-keyed grouped SUM, and a left-outer join back onto the
+    node set for the teleport term.  Identical integer recurrence to
+    the broadcast path (asserted bit-equal in tests); driver state is
+    O(1).  Partitioning assumption (custom-operator rule): edges and
+    ranks co-partition by hash(src node id) in the join — a hub node
+    with extreme in-degree only skews the grouped SUM, which
+    pre-combines in-batch."""
+    from geodata_ray.stages.relational import grouped_aggregate, native_join
+
+    dp = np.int64(damping_pct)
+    r0 = np.int64(scale) // n
+    teleport = (np.int64(scale) * (100 - damping_pct) // 100) // n
+
+    deg_ds = grouped_aggregate(edges, [src], [(src, "count", "deg")])
+    edges_deg = native_join(
+        edges, deg_ds, on=(src,)
+    ).materialize()
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"],
+                "r": pa.array(np.full(len(batch), r0, dtype=np.int64)),
+            }
+        )
+
+    ranks = nodes_ds.map_batches(
+        init_rank, batch_format="pyarrow"
+    ).materialize()
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "mass": pa.array([], pa.int64())}
+            )
+        r = batch["r"].to_numpy(zero_copy_only=False)
+        deg = batch["deg"].to_numpy(zero_copy_only=False)
+        mass = (r * dp // 100) // deg
+        t = pa.table({"node": batch[dst], "mass": pa.array(mass)})
+        out = t.group_by(["node"]).aggregate([("mass", "sum")])
+        return out.rename_columns(["node", "mass"])
+
+    def next_rank(batch: pa.Table) -> pa.Table:
+        m = pc.fill_null(
+            pc.cast(batch["mass"], pa.int64()), 0
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": batch["node"],
+                "r": pa.array(teleport + m),
+            }
+        )
+
+    for _ in range(iters):
+        joined = native_join(
+            edges_deg, ranks, on=(src,), right_on=("node",)
+        )
+        partials = joined.map_batches(
+            contrib, batch_format="pyarrow", batch_size=262144
+        )
+        mass_ds = grouped_aggregate(
+            partials, ["node"], [("mass", "sum", "mass")]
+        )
+        ranks = native_join(
+            nodes_ds, mass_ds, on=("node",), join_type="left_outer"
+        ).map_batches(next_rank, batch_format="pyarrow").materialize()
+
+    return ranks
+
+
 def pagerank(
     edges,
     *,
@@ -392,6 +469,7 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = 10**12,
     broadcast_bound: int = PR_BROADCAST_BOUND,
+    rank_side: str = "auto",
 ):
     """PageRank over a (src, dst) edge Dataset with EXACT fixed-point
     integer arithmetic — every quantity is an int64 multiple of
@@ -440,20 +518,31 @@ def pagerank(
         ["node"],
         [("node", "count", "_n")],
     )
-    nodes_tbl = pa.concat_tables(ray.get(nodes_ds.to_arrow_refs()))
-    nodes = np.sort(nodes_tbl["node"].to_numpy(zero_copy_only=False))
-    n = nodes.size
+    nodes_ds = nodes_ds.materialize()
+    n = nodes_ds.count()
     if n == 0:
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], pa.int64()),
                       "r": pa.array([], pa.int64())})
         )
+    if rank_side not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown rank_side {rank_side!r}")
+    if rank_side == "join" or (
+        rank_side == "auto" and n > broadcast_bound
+    ):
+        # page-graph scale: the rank table never touches the driver
+        return _pagerank_join(
+            edges, nodes_ds.select_columns(["node"]), n,
+            src=src, dst=dst, iters=iters,
+            damping_pct=damping_pct, scale=scale,
+        )
     if n > broadcast_bound:
         raise NotImplementedError(
             f"pagerank broadcast path requires <= {broadcast_bound} "
-            "nodes; page-level graphs need the per-iteration "
-            "native_join variant (node-id-partitioned)"
+            "nodes; use rank_side='join' (or 'auto')"
         )
+    nodes_tbl = pa.concat_tables(ray.get(nodes_ds.to_arrow_refs()))
+    nodes = np.sort(nodes_tbl["node"].to_numpy(zero_copy_only=False))
 
     deg_ds = grouped_aggregate(edges, [src], [(src, "count", "deg")])
     deg_tbl = pa.concat_tables(ray.get(deg_ds.to_arrow_refs()))

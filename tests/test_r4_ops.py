@@ -668,3 +668,32 @@ def test_cdc_duplicate_spans_planted():
     assert len(out) >= 1
     assert (out["n_copies"] >= 2).all()
     assert out["doc_id"].min() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_join_path_bit_equal_to_broadcast():
+    import ray.data as rd
+
+    from geodata_ray.stages.graphcc import pagerank
+
+    rng = np.random.default_rng(23)
+    uv = rng.integers(0, 60, size=(500, 2))
+    uv = np.unique(uv[uv[:, 0] != uv[:, 1]], axis=0)
+    t = pa.table({"u": pa.array(uv[:, 0].astype(np.int64)),
+                  "v": pa.array(uv[:, 1].astype(np.int64))})
+    ds = rd.from_arrow(t).repartition(4)
+    bc = (
+        pagerank(ds, iters=4, rank_side="broadcast")
+        .to_pandas().sort_values("node", ignore_index=True)
+    )
+    jn = (
+        pagerank(ds, iters=4, rank_side="join")
+        .to_pandas().sort_values("node", ignore_index=True)
+    )
+    assert jn.values.tolist() == bc.values.tolist()
+    # auto flips to the join path below the bound
+    au = (
+        pagerank(ds, iters=4, broadcast_bound=10)
+        .to_pandas().sort_values("node", ignore_index=True)
+    )
+    assert au.values.tolist() == bc.values.tolist()
