@@ -161,6 +161,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "perplexity_buckets_docs",
         "cdc_chunks_docs",
         "cdc_dup_spans_docs",
+        "pretrain_pipeline_docs",
     )
     for name in query_names:
         t0 = time.perf_counter()

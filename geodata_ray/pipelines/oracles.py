@@ -2419,6 +2419,69 @@ SELECT doc_id, term, CAST(rk AS BIGINT) AS "rank" FROM r WHERE rk <= 3
 """
 
 
+_NGRAM_DECON_SQL = """
+        WITH ev AS (
+            SELECT DISTINCT array_to_string(
+                list_slice(string_split(lower(text), ' '), 3, 10), ' '
+            ) AS ng
+            FROM documents WHERE doc_id < 50
+        ),
+        tl AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS ts
+            FROM documents
+        ),
+        st AS (
+            SELECT doc_id, ts,
+                   unnest(generate_series(1, len(ts) - 7)) AS i
+            FROM tl
+        ),
+        ng AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(ts, i, i + 7), ' ') AS ng
+            FROM st
+        ),
+        hits AS (SELECT DISTINCT ng.doc_id, ng.ng FROM ng JOIN ev USING (ng))
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hit_ngrams
+        FROM hits GROUP BY 1
+    """
+
+
+def _pretrain_sql(seq_len: int = 512) -> str:
+    """Headline pretraining-data pipeline oracle: the full curation
+    query (_CURATION_SQL) and the n-gram decontamination query
+    (_NGRAM_DECON_SQL) wrapped as CTEs (a CTE body may carry its own
+    WITH in DuckDB), survivors anti-joined, then the pack_sequences
+    window prefix-sum in Knuth-hash order — every piece the SAME text
+    as its standalone oracle, so the composition cannot drift."""
+    return f"""
+WITH cur AS ({_CURATION_SQL}),
+hits AS ({_NGRAM_DECON_SQL}),
+clean AS (
+  SELECT doc_id, n_tokens FROM cur
+  WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+),
+d AS (
+  SELECT doc_id, n_tokens,
+         (doc_id * 2654435761) % 4294967296 AS ord
+  FROM clean
+),
+p AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             ORDER BY ord
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_tok
+  FROM d
+)
+SELECT doc_id, start_tok,
+       CAST(start_tok // {seq_len} AS BIGINT) AS first_seq,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN (start_tok + n_tokens - 1) // {seq_len}
+                 ELSE start_tok // {seq_len} END AS BIGINT) AS last_seq
+FROM p
+"""
+
+
 _ORACLE_SQL_STATIC = {
     "q1_pricing_summary": Q1_SQL,
     "tiles_r7_events": TILES_R7_SQL,
@@ -2561,34 +2624,11 @@ _ORACLE_SQL_STATIC = {
     "perplexity_buckets_docs": _ppx_buckets_sql(),
     "cdc_chunks_docs": _cdc_sql(),
     "cdc_dup_spans_docs": _cdc_dup_spans_sql(),
+    "pretrain_pipeline_docs": _pretrain_sql(),
     # round 4: GPT-3-style n-gram decontamination — eval window is
     # tokens 2..9 zero-based = list_slice(ts, 3, 10) one-based; the
     # tokenization mirrors THE shared kernel (lower + single-space)
-    "ngram_decontaminate_docs": """
-        WITH ev AS (
-            SELECT DISTINCT array_to_string(
-                list_slice(string_split(lower(text), ' '), 3, 10), ' '
-            ) AS ng
-            FROM documents WHERE doc_id < 50
-        ),
-        tl AS (
-            SELECT doc_id, string_split(lower(text), ' ') AS ts
-            FROM documents
-        ),
-        st AS (
-            SELECT doc_id, ts,
-                   unnest(generate_series(1, len(ts) - 7)) AS i
-            FROM tl
-        ),
-        ng AS (
-            SELECT doc_id,
-                   array_to_string(list_slice(ts, i, i + 7), ' ') AS ng
-            FROM st
-        ),
-        hits AS (SELECT DISTINCT ng.doc_id, ng.ng FROM ng JOIN ev USING (ng))
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hit_ngrams
-        FROM hits GROUP BY 1
-    """,
+    "ngram_decontaminate_docs": _NGRAM_DECON_SQL,
     # round 4: sequence packing recomputed with a SQL window prefix sum
     # (windowed SUM is HUGEINT in DuckDB -> CAST; integer division //)
     "pack_sequences_docs": """

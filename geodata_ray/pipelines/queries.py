@@ -2588,6 +2588,62 @@ def cdc_dup_spans_docs(sf_dir: str):
     return cdc_duplicate_spans(ds)
 
 
+def pretrain_pipeline_docs(sf_dir: str):
+    """The webtext HEADLINE composition — a complete pretraining-data
+    build in one pipeline, each stage an existing audited operator:
+    curation_chain (langid -> integer quality bands -> exact dedup ->
+    per-host cap) -> GPT-3-style 8-gram decontamination (broadcast
+    eval windows, contaminated ids anti-joined) -> Knuth-order
+    sequence packing (distributed prefix-sum, seq_len=512).  The
+    oracle wraps the SAME standalone curation and decontamination SQL
+    texts as CTEs, so the composition cannot drift from its parts."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from geodata_ray.stages.packing import pack_sequences
+    from geodata_ray.stages.relational import anti_join
+    from geodata_ray.stages.textstats import ngram_decontaminate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    kept = curation_chain(docs, host_mod=97)
+
+    ev = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", 50)],
+    )
+    toks = pc.split_pattern(
+        pc.utf8_lower(ev["text"].combine_chunks().fill_null("")), " "
+    )
+    eval_ngrams = pc.binary_join(pc.list_slice(toks, 2, 10), " ")
+    hits = ngram_decontaminate(docs, eval_ngrams, n=8)
+    hit_tbl = pa.concat_tables(ray.get(hits.to_arrow_refs()))
+    # contaminated-id set is eval-scale-bounded: broadcast anti-join
+    hit_ids = (
+        hit_tbl["doc_id"].to_pylist() if len(hit_tbl) else [-1]
+    )
+    clean = anti_join(kept, hit_ids, "doc_id")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "ntok": batch["n_tokens"],
+                "ord": pa.array((ids * _GEO_A) % _GEO_M),
+            }
+        )
+
+    packed = pack_sequences(
+        clean.map_batches(prep, batch_format="pyarrow"),
+        id_col="doc_id", ntok_col="ntok", order_col="ord", seq_len=512,
+    )
+    return packed.select_columns(
+        ["doc_id", "start_tok", "first_seq", "last_seq"]
+    )
+
+
 def host_stats_docs(sf_dir: str):
     """Per-host corpus statistics over canonicalized messy URLs — the
     domain-level aggregation every crawl pipeline runs (host doc
@@ -2724,6 +2780,7 @@ RAY_QUERIES = {
     "perplexity_buckets_docs": perplexity_buckets_docs,
     "cdc_chunks_docs": cdc_chunks_docs,
     "cdc_dup_spans_docs": cdc_dup_spans_docs,
+    "pretrain_pipeline_docs": pretrain_pipeline_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

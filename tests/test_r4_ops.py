@@ -697,3 +697,20 @@ def test_pagerank_join_path_bit_equal_to_broadcast():
         .to_pandas().sort_values("node", ignore_index=True)
     )
     assert au.values.tolist() == bc.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pretrain_pipeline_tiling_and_cleanliness():
+    from geodata_ray.pipelines.queries import pretrain_pipeline_docs
+    from tests.conftest import SF_DIR
+
+    out = (
+        pretrain_pipeline_docs(SF_DIR)
+        .to_pandas().sort_values("start_tok", ignore_index=True)
+    )
+    assert len(out) > 0
+    # spans are disjoint and ordered: each doc starts where the
+    # previous ends (pack is a concatenation, no gaps/overlaps)
+    assert out["start_tok"].iloc[0] == 0
+    assert (out["first_seq"] <= out["last_seq"]).all()
+    assert out["start_tok"].is_monotonic_increasing
