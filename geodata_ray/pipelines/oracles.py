@@ -494,13 +494,15 @@ def _sql_mulmod64(a: str, c: int) -> str:
     return f"(({lo} + {hi}) % {_U64_M})"
 
 
-def _simhash_sql(max_token_len: int = 24) -> str:
-    """SimHash oracle: per-byte splitmix64 token-hash chain unrolled
-    into ``max_token_len`` CTE stages (driver-corpus tokens are ASCII,
-    max observed length 16), then bit votes per doc.  Each stage is a
-    chain of nested subqueries so every intermediate (z1..z5) is
+def _token_hash_stages_sql(max_token_len: int) -> str:
+    """The engine's FNV-offset + per-byte splitmix64 token hash
+    (``dedup.hash_tokens_batch``) as ``max_token_len`` unrolled CTE
+    stages over a ``toks(doc_id, tok)`` source: ``t0`` seeds the
+    accumulator, ``t{{j}}`` absorbs byte ``j``; the final stage
+    ``t{{max_token_len}}`` carries ``(doc_id, tok, acc)``.  Each stage
+    is a chain of nested subqueries so every intermediate (z1..z5) is
     referenced by NAME — linear SQL size despite splitmix's repeated
-    subterms."""
+    subterms.  Shared by the simhash and hashed-classifier oracles."""
     stages = [
         "t0 AS (SELECT doc_id, tok, "
         f"{dedup_mod._FNV_OFFSET}::HUGEINT AS acc FROM toks)"
@@ -526,24 +528,38 @@ def _simhash_sql(max_token_len: int = 24) -> str:
             f"THEN {x0} ELSE NULL END AS x0 FROM t{j - 1}\n"
             f"      ))))))\n)"
         )
-    pow2 = ", ".join(f"({b}, {1 << b})" for b in range(64))
-    stages_sql = ",\n".join(stages)
-    return f"""
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-),
-guard AS (
+    return ",\n".join(stages)
+
+
+def _token_guard_sql(label: str, max_token_len: int) -> str:
+    """Fail-loud guard CTE: the per-byte unroll only covers
+    ``max_token_len`` ASCII bytes; a longer or non-ASCII token would
+    make the ORACLE (not the engine) compute a wrong hash."""
+    return f"""guard AS (
   -- the per-byte unroll only covers {max_token_len} ASCII bytes; a
   -- longer or non-ASCII token would make the ORACLE (not the engine)
   -- compute a wrong hash — fail loudly instead of silently mismatching
   SELECT CASE WHEN MAX(strlen(tok)) > {max_token_len}
               OR MAX(CASE WHEN strlen(tok) <> length(tok)
                           THEN 1 ELSE 0 END) = 1
-         THEN error('simhash oracle: corpus token exceeds the unrolled '
+         THEN error('{label} oracle: corpus token exceeds the unrolled '
                     || '{max_token_len}-byte ASCII limit')
          ELSE 1 END AS ok
   FROM toks
+)"""
+
+
+def _simhash_sql(max_token_len: int = 24) -> str:
+    """SimHash oracle: per-byte splitmix64 token-hash chain unrolled
+    into ``max_token_len`` CTE stages (driver-corpus tokens are ASCII,
+    max observed length 16), then bit votes per doc."""
+    pow2 = ", ".join(f"({b}, {1 << b})" for b in range(64))
+    stages_sql = _token_hash_stages_sql(max_token_len)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ),
+{_token_guard_sql("simhash", max_token_len)},
 {stages_sql},
 bits AS (
   SELECT t.doc_id, pw.b, pw.p, CAST((t.acc // pw.p) % 2 AS INTEGER) AS bit
@@ -568,6 +584,43 @@ WHERE guard.ok = 1
 
 
 SIMHASH_SQL = _simhash_sql()
+
+
+def _classifier_sql(
+    max_token_len: int = 24, n_buckets: int = 4096, weight_a: int = 2654435761
+) -> str:
+    """Hashed-linear classifier oracle: the SAME per-byte splitmix
+    token-hash unroll as simhash, then bucket = acc % n_buckets,
+    weight = (bucket * weight_a) % n_buckets - n_buckets/2, per-doc
+    integer sum, threshold at 0.  Tokenization matches the engine's
+    shared kernel (lower + single-space split; null text = '' -> one
+    empty token)."""
+    stages_sql = _token_hash_stages_sql(max_token_len)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(COALESCE(text, '')), ' ')) AS tok
+  FROM documents
+),
+{_token_guard_sql("classifier", max_token_len)},
+{stages_sql},
+scored AS (
+  SELECT doc_id,
+         CAST(((acc % {n_buckets}) * {weight_a}) % {n_buckets}
+              - {n_buckets // 2} AS BIGINT) AS w
+  FROM t{max_token_len}
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(w) AS score
+  FROM scored GROUP BY 1
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(score AS BIGINT) AS score,
+       CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label
+FROM agg CROSS JOIN guard
+WHERE guard.ok = 1
+"""
 
 
 TEMPERATURE_SQL = f"""
@@ -2625,6 +2678,9 @@ _ORACLE_SQL_STATIC = {
     "cdc_chunks_docs": _cdc_sql(),
     "cdc_dup_spans_docs": _cdc_dup_spans_sql(),
     "pretrain_pipeline_docs": _pretrain_sql(),
+    # round 4: hashed-linear classifier scoring — same token-hash
+    # unroll as simhash, bucket/weight arithmetic, integer sums
+    "classifier_score_docs": _classifier_sql(),
     # round 4: GPT-3-style n-gram decontamination — eval window is
     # tokens 2..9 zero-based = list_slice(ts, 3, 10) one-based; the
     # tokenization mirrors THE shared kernel (lower + single-space)

@@ -2644,6 +2644,20 @@ def pretrain_pipeline_docs(sf_dir: str):
     )
 
 
+def classifier_score_docs(sf_dir: str):
+    """Model-scored quality gate: hashed bag-of-words LINEAR CLASSIFIER
+    (fastText/CCNet shape — token -> splitmix bucket -> integer weight
+    -> per-doc sum -> keep/drop threshold).  The weight table is a
+    deterministic arithmetic stand-in for trained weights, so scoring
+    is int64-exact and the oracle replays the full per-byte hash chain
+    plus the weight formula.  One map_batches, zero shuffle — scoring
+    cost is linear in corpus bytes at any scale."""
+    from geodata_ray.stages.textstats import classifier_score_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(classifier_score_batch, batch_format="pyarrow")
+
+
 def host_stats_docs(sf_dir: str):
     """Per-host corpus statistics over canonicalized messy URLs — the
     domain-level aggregation every crawl pipeline runs (host doc
@@ -2781,6 +2795,7 @@ RAY_QUERIES = {
     "cdc_chunks_docs": cdc_chunks_docs,
     "cdc_dup_spans_docs": cdc_dup_spans_docs,
     "pretrain_pipeline_docs": pretrain_pipeline_docs,
+    "classifier_score_docs": classifier_score_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

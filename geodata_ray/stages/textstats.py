@@ -843,3 +843,81 @@ def normalize_text_batch(
     # 3) trim
     t = pc.replace_substring_regex(t, r"^ +| +$", "")
     return pa.table({id_col: batch[id_col], "norm_text": t})
+
+
+# ---------------------------------------------------------------------------
+# Hashed-linear classifier scoring (fastText-style quality gate)
+# ---------------------------------------------------------------------------
+
+# Feature space: token -> splitmix64 hash -> bucket in [0, _CLF_BUCKETS).
+# Weights are a deterministic integer function of the bucket id (Knuth
+# multiplicative scramble, centered at zero) so the "model" needs no
+# side table: w(b) = (b * 2654435761) % _CLF_BUCKETS - _CLF_BUCKETS/2.
+# At scale a trained weight vector replaces the arithmetic — broadcast
+# once via ray.put (it is n_buckets * 8 bytes, KBs not GBs) and looked
+# up with the identical np.take; nothing else changes.
+_CLF_BUCKETS = 4096
+_CLF_WEIGHT_A = 2654435761
+
+
+def classifier_weights(n_buckets: int = _CLF_BUCKETS) -> np.ndarray:
+    """The deterministic integer weight table (stand-in for a trained
+    linear model's quantized weights)."""
+    b = np.arange(n_buckets, dtype=np.int64)
+    return (b * _CLF_WEIGHT_A) % n_buckets - n_buckets // 2
+
+
+def classifier_score_batch(
+    batch: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = _CLF_BUCKETS,
+    threshold: int = 0,
+) -> pa.Table:
+    """Score one batch with a hashed bag-of-words linear classifier
+    (the fastText / CCNet quality-classifier shape: hash each token
+    into a fixed bucket space, sum integer weights, threshold).  The
+    reference engine has no model scoring at all; this is the
+    first-class "model-scored quality gate" stage a pretraining
+    pipeline needs.  Fully vectorized: one
+    ``dedup.hash_tokens_batch`` pass over the flat token array, one
+    ``np.take`` weight gather, one ``np.bincount`` segment sum.  All
+    arithmetic is int64-exact, so the DuckDB oracle replays it
+    bit-for-bit (per-byte splitmix chain + the same weight formula).
+    """
+    from geodata_ray.stages.dedup import hash_tokens_batch
+
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = text.fill_null("")
+    toks = pc.split_pattern(pc.utf8_lower(text), " ")
+    lengths = (
+        pc.list_value_length(toks)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = (
+        toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    ).flatten()
+    th = hash_tokens_batch(flat)
+    bucket = (th % np.uint64(n_buckets)).astype(np.int64)
+    w = np.take(classifier_weights(n_buckets), bucket)
+    doc_idx = np.repeat(np.arange(len(lengths)), lengths)
+    # float64 bincount is exact here: |score| <= ntok * n_buckets/2
+    # << 2^53 for any realistic document
+    score = np.bincount(
+        doc_idx, weights=w, minlength=len(lengths)
+    ).astype(np.int64)
+    keep = score >= threshold
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": pa.array(lengths),
+            "score": pa.array(score),
+            "label": pa.array(
+                np.where(keep, "keep", "drop"), type=pa.string()
+            ),
+        }
+    )

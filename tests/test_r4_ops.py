@@ -714,3 +714,29 @@ def test_pretrain_pipeline_tiling_and_cleanliness():
     assert out["start_tok"].iloc[0] == 0
     assert (out["first_seq"] <= out["last_seq"]).all()
     assert out["start_tok"].is_monotonic_increasing
+
+
+def test_classifier_score_batch_exact():
+    import numpy as np
+    import pyarrow as pa
+
+    from geodata_ray.stages.dedup import _token_hash
+    from geodata_ray.stages.textstats import (
+        _CLF_BUCKETS,
+        classifier_score_batch,
+        classifier_weights,
+    )
+
+    texts = ["the quick brown fox", "spam spam spam", "", None, "unicode ok"]
+    t = pa.table({"doc_id": list(range(5)), "text": texts})
+    out = classifier_score_batch(t).to_pydict()
+
+    w = classifier_weights()
+    for i, txt in enumerate(texts):
+        toks = (txt or "").lower().split(" ")
+        exp = sum(int(w[_token_hash(tk) % _CLF_BUCKETS]) for tk in toks)
+        assert out["score"][i] == exp
+        assert out["n_tokens"][i] == len(toks)
+        assert out["label"][i] == ("keep" if exp >= 0 else "drop")
+    # weight table is centered and bounded
+    assert w.min() >= -_CLF_BUCKETS // 2 and w.max() < _CLF_BUCKETS // 2
