@@ -2681,6 +2681,31 @@ _ORACLE_SQL_STATIC = {
     # round 4: hashed-linear classifier scoring — same token-hash
     # unroll as simhash, bucket/weight arithmetic, integer sums
     "classifier_score_docs": _classifier_sql(),
+    # round 4: incremental crawl diff — both snapshots and the FULL
+    # OUTER JOIN re-derived from generator arithmetic; md5 string
+    # equality stands in for the engine's md5-64 fingerprint equality
+    "crawl_diff_docs": """
+        WITH a AS (
+            SELECT 'https://site' || (doc_id % 97) || '.example.com/d'
+                       || doc_id AS url,
+                   md5(lower(COALESCE(text, ''))) AS fp
+            FROM documents WHERE doc_id % 10 <> 0
+        ),
+        b AS (
+            SELECT 'https://site' || (doc_id % 97) || '.example.com/d'
+                       || doc_id AS url,
+                   md5(lower(COALESCE(text, '')
+                             || CASE WHEN doc_id % 7 = 3
+                                     THEN ' v2' ELSE '' END)) AS fp
+            FROM documents WHERE doc_id % 10 <> 5
+        )
+        SELECT COALESCE(a.url, b.url) AS url,
+               CASE WHEN a.url IS NULL THEN 'added'
+                    WHEN b.url IS NULL THEN 'removed'
+                    WHEN a.fp <> b.fp THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM a FULL OUTER JOIN b ON a.url = b.url
+    """,
     # round 4: GPT-3-style n-gram decontamination — eval window is
     # tokens 2..9 zero-based = list_slice(ts, 3, 10) one-based; the
     # tokenization mirrors THE shared kernel (lower + single-space)

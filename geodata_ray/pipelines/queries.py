@@ -2658,6 +2658,60 @@ def classifier_score_docs(sf_dir: str):
     return ds.map_batches(classifier_score_batch, batch_format="pyarrow")
 
 
+def _crawl_snapshot(sf_dir: str, *, drop_mod: int, v2: bool = False):
+    """One synthetic crawl snapshot over the documents table: docs with
+    ``doc_id % 10 == drop_mod`` are absent from this snapshot, and with
+    ``v2=True`` docs with ``doc_id % 7 == 3`` carry revised content
+    (text + ' v2').  Emits the diff-ready (url, fp) projection — a
+    canonical URL plus the md5-64 content fingerprint — so the
+    downstream exchange never carries page bytes."""
+    from geodata_ray.stages.textstats import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        keep = (ids % 10) != drop_mod
+        batch = batch.filter(pa.array(keep))
+        ids = ids[keep]
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = text.fill_null("")
+        if v2:
+            suf = pa.array(
+                np.where(ids % 7 == 3, " v2", ""), type=pa.string()
+            )
+            text = pc.binary_join_element_wise(text, suf, "")
+        url = pc.binary_join_element_wise(
+            "https://site",
+            pc.cast(pa.array(ids % 97), pa.string()),
+            ".example.com/d",
+            pc.cast(batch["doc_id"], pa.string()),
+            "",
+        )
+        fp = fingerprint_batch(
+            pa.table({"doc_id": batch["doc_id"], "text": text})
+        )["fingerprint"]
+        return pa.table({"url": url, "fp": fp})
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def crawl_diff_docs(sf_dir: str):
+    """Incremental crawl diff between two snapshots of the same URL
+    space (10% of pages dropped on each side, a 1/7 slice recrawled
+    with changed content): every URL classified added / removed /
+    changed / unchanged.  One full-outer fingerprint join (the only
+    exchange); the oracle recomputes both snapshots and the FULL OUTER
+    JOIN directly from the generator arithmetic."""
+    from geodata_ray.stages.urls import snapshot_diff
+
+    a = _crawl_snapshot(sf_dir, drop_mod=0)
+    b = _crawl_snapshot(sf_dir, drop_mod=5, v2=True)
+    return snapshot_diff(a, b, key_col="url", fp_col="fp")
+
+
 def host_stats_docs(sf_dir: str):
     """Per-host corpus statistics over canonicalized messy URLs — the
     domain-level aggregation every crawl pipeline runs (host doc
@@ -2796,6 +2850,7 @@ RAY_QUERIES = {
     "cdc_dup_spans_docs": cdc_dup_spans_docs,
     "pretrain_pipeline_docs": pretrain_pipeline_docs,
     "classifier_score_docs": classifier_score_docs,
+    "crawl_diff_docs": crawl_diff_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -265,3 +265,55 @@ def filter_blocked_hosts(
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+
+
+def snapshot_diff(
+    old,
+    new,
+    *,
+    key_col: str = "url",
+    fp_col: str = "fp",
+    num_buckets: int = 32,
+):
+    """Incremental crawl diff: classify every key across two crawl
+    snapshots as ``added`` (new only), ``removed`` (old only),
+    ``changed`` (both, content fingerprint differs) or ``unchanged``.
+    The recrawl-scheduling primitive every crawl pipeline runs between
+    snapshots.
+
+    Inputs carry ``(key_col, fp_col)`` — a canonical URL and a 64-bit
+    content fingerprint — so only ~40 bytes/row move through the
+    exchange regardless of page size.  One full-outer
+    :func:`relational.shuffle_join` on the key (single shuffle; bucket
+    count bounds per-group memory), then a vectorized per-batch
+    classification.  At 10^12 pages, raise ``num_buckets`` so each
+    bucket's slice of BOTH snapshots fits a worker heap."""
+    from geodata_ray.stages.relational import shuffle_join
+
+    j = shuffle_join(
+        old.select_columns([key_col, fp_col]),
+        new.select_columns([key_col, fp_col]),
+        [key_col],
+        how="outer",
+        num_buckets=num_buckets,
+    )
+    new_fp = fp_col + "_r"
+
+    def classify(batch: pa.Table) -> pa.Table:
+        a, b = batch[fp_col], batch[new_fp]
+        status = pc.if_else(
+            pc.is_null(a),
+            pa.scalar("added"),
+            pc.if_else(
+                pc.is_null(b),
+                pa.scalar("removed"),
+                pc.if_else(
+                    pc.not_equal(a, b),
+                    pa.scalar("changed"),
+                    pa.scalar("unchanged"),
+                ),
+            ),
+        )
+        return pa.table({key_col: batch[key_col], "status": status})
+
+    return j.map_batches(classify, batch_format="pyarrow")

@@ -740,3 +740,30 @@ def test_classifier_score_batch_exact():
         assert out["label"][i] == ("keep" if exp >= 0 else "drop")
     # weight table is centered and bounded
     assert w.min() >= -_CLF_BUCKETS // 2 and w.max() < _CLF_BUCKETS // 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_snapshot_diff_all_statuses():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geodata_ray.stages.urls import snapshot_diff
+
+    old = rd.from_arrow(pa.table({
+        "url": ["u1", "u2", "u3"],
+        "fp": [11, 22, 33],
+    }))
+    new = rd.from_arrow(pa.table({
+        "url": ["u2", "u3", "u4"],
+        "fp": [22, 99, 44],
+    }))
+    out = dict(
+        (r["url"], r["status"])
+        for r in snapshot_diff(old, new, num_buckets=4).take_all()
+    )
+    assert out == {
+        "u1": "removed",
+        "u2": "unchanged",
+        "u3": "changed",
+        "u4": "added",
+    }
