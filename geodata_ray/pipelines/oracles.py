@@ -2706,6 +2706,22 @@ _ORACLE_SQL_STATIC = {
                     ELSE 'unchanged' END AS status
         FROM a FULL OUTER JOIN b ON a.url = b.url
     """,
+    # round 4: inverted index — postings rebuilt with an ordered
+    # string_agg over the distinct (term, doc) pairs of THE shared
+    # tokenization (lower + single-space split; null text = '')
+    "inverted_index_docs": """
+        WITH tok0 AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(COALESCE(text, '')), ' '))
+                       AS term
+            FROM documents
+        ),
+        tok AS (SELECT DISTINCT doc_id, term FROM tok0)
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY doc_id) AS postings
+        FROM tok GROUP BY term HAVING COUNT(*) >= 3
+    """,
     # round 4: GPT-3-style n-gram decontamination — eval window is
     # tokens 2..9 zero-based = list_slice(ts, 3, 10) one-based; the
     # tokenization mirrors THE shared kernel (lower + single-space)

@@ -2712,6 +2712,17 @@ def crawl_diff_docs(sf_dir: str):
     return snapshot_diff(a, b, key_col="url", fp_col="fp")
 
 
+def inverted_index_docs(sf_dir: str):
+    """Corpus inverted index: term -> document frequency + ascending
+    comma-joined posting list (min_df=3 prunes the singleton tail).
+    One hash-bucketed exchange over (term, doc_id) pairs; the oracle
+    rebuilds postings with string_agg(... ORDER BY doc_id)."""
+    from geodata_ray.stages.textstats import inverted_index
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return inverted_index(ds, min_df=3)
+
+
 def host_stats_docs(sf_dir: str):
     """Per-host corpus statistics over canonicalized messy URLs — the
     domain-level aggregation every crawl pipeline runs (host doc
@@ -2851,6 +2862,7 @@ RAY_QUERIES = {
     "pretrain_pipeline_docs": pretrain_pipeline_docs,
     "classifier_score_docs": classifier_score_docs,
     "crawl_diff_docs": crawl_diff_docs,
+    "inverted_index_docs": inverted_index_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -921,3 +921,82 @@ def classifier_score_batch(
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (term -> df + sorted posting list)
+# ---------------------------------------------------------------------------
+
+
+def inverted_index(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    num_buckets: int = 16,
+):
+    """Build a corpus inverted index: one row per term with its
+    document frequency and the ascending comma-joined posting list —
+    the retrieval-side artifact a search/dedup pipeline materializes
+    from a crawl.
+
+    Shape: per-batch (doc, term) pairs from THE shared tokenization
+    (:func:`doc_term_counts` — a doc is complete within its batch, so
+    pairs are globally distinct with no dedup shuffle), then ONE
+    exchange — terms hash-bucketed into ``num_buckets`` groups (the
+    bounded-cardinality groupby pattern: a handful of big vectorized
+    groups instead of one Ray group per term).  Inside each bucket an
+    in-memory Arrow sort + single-threaded hash_list aggregation emits
+    sorted postings.
+
+    Scale notes: ``num_buckets`` bounds per-group memory — size it so
+    vocabulary/num_buckets posting bytes fit a worker heap.  Head
+    terms (stopwords) make unbounded posting lists at 10^12 docs;
+    prune them with ``min_df``'s dual (a max_df cut) or shard hot
+    terms by doc-id range before joining postings — both compose
+    ahead of this operator as a plain filter on the pair stream."""
+    from geodata_ray.stages.dedup import hash_tokens_batch
+
+    pairs = doc_term_counts(ds, id_col=id_col, text_col=text_col)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        term = batch["term"]
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        b = (hash_tokens_batch(term) % np.uint64(num_buckets)).astype(
+            np.int64
+        )
+        return pa.table(
+            {id_col: batch[id_col], "term": term, "__b": pa.array(b)}
+        )
+
+    def build(g: pa.Table) -> pa.Table:
+        t = g.select(["term", id_col]).sort_by(
+            [("term", "ascending"), (id_col, "ascending")]
+        )
+        # single-threaded group_by preserves scan order, so each
+        # hash_list output is already ascending
+        gb = t.group_by("term", use_threads=False).aggregate(
+            [(id_col, "list"), (id_col, "count")]
+        )
+        if min_df > 1:
+            gb = gb.filter(
+                pc.greater_equal(gb[f"{id_col}_count"], min_df)
+            )
+        postings = pc.binary_join(
+            pc.cast(gb[f"{id_col}_list"], pa.list_(pa.string())), ","
+        )
+        return pa.table(
+            {
+                "term": gb["term"],
+                "df": pc.cast(gb[f"{id_col}_count"], pa.int64()),
+                "postings": postings,
+            }
+        )
+
+    return (
+        pairs.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(build, batch_format="pyarrow")
+    )

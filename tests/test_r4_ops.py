@@ -767,3 +767,23 @@ def test_snapshot_diff_all_statuses():
         "u3": "changed",
         "u4": "added",
     }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_inverted_index_sorted_postings_and_min_df():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geodata_ray.stages.textstats import inverted_index
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [5, 1, 9, 2],
+        "text": ["x y", "y x", "y", "z z z"],
+    }))
+    rows = {r["term"]: r for r in inverted_index(ds, min_df=2).take_all()}
+    # postings ascend by doc_id regardless of input order; tf>1 within
+    # one doc ('z z z') contributes ONE posting; min_df prunes x? no: x
+    # appears in docs 5 and 1 -> df=2 kept; z df=1 pruned
+    assert rows["x"]["postings"] == "1,5" and rows["x"]["df"] == 2
+    assert rows["y"]["postings"] == "1,5,9" and rows["y"]["df"] == 3
+    assert "z" not in rows
