@@ -255,6 +255,15 @@ WHERE lat0 > {a0} AND lat0 < {a1} AND lon0 > {o0} AND lon0 < {o1}"""
 )
 
 
+# zonal stats: same box containment, with the exact-cents measure
+# carried through and aggregated per zone
+_ZONAL_SQL_CASES = "\nUNION ALL\n".join(
+    f"""SELECT '{pid}' AS poly_id, cents FROM pts
+WHERE lat0 > {a0} AND lat0 < {a1} AND lon0 > {o0} AND lon0 < {o1}"""
+    for pid, a0, a1, o0, o1 in _PIP_BOXES
+)
+
+
 PIP_BOXES_SQL = f"""
 WITH pts AS (
   SELECT event_id,
@@ -263,6 +272,24 @@ WITH pts AS (
   FROM events
 )
 {_PIP_SQL_CASES}
+"""
+
+
+ZONAL_STATS_SQL = f"""
+WITH pts AS (
+  SELECT event_id,
+         {_derive_lat_sql('event_id')} AS lat0,
+         {_derive_lon_sql('event_id')} AS lon0,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+hits AS (
+{_ZONAL_SQL_CASES}
+)
+SELECT poly_id, COUNT(*) AS n_points,
+       CAST(SUM(cents) AS BIGINT) AS sum_value_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_value_cents
+FROM hits GROUP BY poly_id
 """
 
 
@@ -2558,6 +2585,7 @@ _ORACLE_SQL_STATIC = {
     "sample_docs_hash": SAMPLE_SQL,
     "props_json_extract": PROPS_JSON_SQL,
     "pip_boxes_events": PIP_BOXES_SQL,
+    "zonal_stats_events": ZONAL_STATS_SQL,
     "knn_oracle_events": KNN_ORACLE_SQL,
     "asof_latest_order": ASOF_SQL,
     "running_user_totals": RUNNING_SQL,

@@ -587,6 +587,60 @@ def pip_boxes_events(sf_dir: str):
     return joined.select_columns(["event_id", "poly_id"])
 
 
+def zonal_stats_events(sf_dir: str):
+    """Zonal statistics — the reference's mask-based suitability
+    aggregation re-expressed vector-side (geodata ANDs masks with a
+    suitability raster and sums per shape, `mask.py`): per-polygon
+    count / exact-cents sum / max of the point measure, via the real
+    broadcast-PIP join + partial-then-merge aggregate.  The exchange
+    carries zone-cardinality rows only."""
+    from geodata_ray.stages.spatial_join import zonal_stats
+
+    ring_x, ring_y, ids = [], [], []
+    for pid, a0, a1, o0, o1 in _PIP_BOXES:
+        ids.append(pid)
+        ring_x.append([o0, o1, o1, o0, o0])
+        ring_y.append([a0, a0, a1, a1, a0])
+    polys = pa.table(
+        {
+            "poly_id": pa.array(ids),
+            "ring_x": pa.array(ring_x, type=pa.list_(pa.float64())),
+            "ring_y": pa.array(ring_y, type=pa.list_(pa.float64())),
+        }
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        ids_np = batch["event_id"].to_numpy()
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(batch["value"], pa.float64()), 100.0)
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "lat": pa.array(_derive_lat_np(ids_np)),
+                "lon": pa.array(_derive_lon_np(ids_np)),
+                "value_cents": cents,
+            }
+        )
+
+    pts = ds.map_batches(coords, batch_format="pyarrow")
+    return zonal_stats(
+        pts,
+        polys,
+        by="poly_id",
+        specs=[
+            ("event_id", "count", "n_points"),
+            ("value_cents", "sum", "sum_value_cents"),
+            ("value_cents", "max", "max_value_cents"),
+        ],
+    )
+
+
 def knn_oracle_events(sf_dir: str):
     """Oracle-audited cell-local kNN: queries and references both live
     in a bounded 10x10-degree region so a ring-2 disk at res 3 provably
@@ -2863,6 +2917,7 @@ RAY_QUERIES = {
     "classifier_score_docs": classifier_score_docs,
     "crawl_diff_docs": crawl_diff_docs,
     "inverted_index_docs": inverted_index_docs,
+    "zonal_stats_events": zonal_stats_events,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

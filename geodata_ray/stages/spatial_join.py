@@ -235,3 +235,34 @@ def spatial_join(
     return points_ds.map_batches(
         join_batch, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+def zonal_stats(
+    points_ds,
+    polygons,
+    *,
+    specs,
+    by: str = "poly_id",
+    mode: str = "inner",
+    cover_res: int = DEFAULT_COVER_RES,
+    coalesce: int = 8,
+    **join_kwargs,
+):
+    """Zonal statistics: aggregate point attributes per containing
+    polygon — the vector-side analogue of the reference's mask-based
+    suitability aggregation (geodata masks AND a suitability raster
+    per shape, then sums it; here arbitrary point measures aggregate
+    per zone).  ``specs`` uses :func:`relational.grouped_aggregate`'s
+    ``(col, fn, alias)`` form.
+
+    Composition, not new machinery: the broadcast PIP join (big side
+    streams, polygon index ships once) feeds a partial-then-merge
+    grouped aggregate, so per-zone partials combine inside every map
+    task and the final exchange carries only (zone x metric) rows —
+    zone cardinality, not point cardinality, bounds the shuffle."""
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    joined = spatial_join(
+        points_ds, polygons, mode=mode, cover_res=cover_res, **join_kwargs
+    )
+    return grouped_aggregate(joined, [by], specs, coalesce=coalesce)

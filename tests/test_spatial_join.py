@@ -93,3 +93,44 @@ def test_empty_batch_query(polys):
     idx = PolygonIndex(polys)
     pts, pis = idx.query(np.empty(0), np.empty(0))
     assert pts.size == 0 and pis.size == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zonal_stats_matches_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geodata_ray.stages.spatial_join import zonal_stats
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    lat = rng.uniform(-60, 60, n)
+    lon = rng.uniform(-170, 170, n)
+    val = rng.integers(-50, 50, n)
+    pts = rd.from_arrow(pa.table({
+        "pid": pa.array(np.arange(n)),
+        "lat": pa.array(lat), "lon": pa.array(lon),
+        "v": pa.array(val),
+    }))
+    boxes = [("z1", -30.0, 10.0, -120.0, -40.0), ("z2", 20.0, 55.0, 0.0, 90.0)]
+    polys = pa.table({
+        "poly_id": [b[0] for b in boxes],
+        "ring_x": pa.array([[b[3], b[4], b[4], b[3], b[3]] for b in boxes],
+                           type=pa.list_(pa.float64())),
+        "ring_y": pa.array([[b[1], b[1], b[2], b[2], b[1]] for b in boxes],
+                           type=pa.list_(pa.float64())),
+    })
+    out = {
+        r["poly_id"]: r
+        for r in zonal_stats(
+            pts, polys, by="poly_id",
+            specs=[("pid", "count", "n"), ("v", "sum", "s"),
+                   ("v", "max", "m")],
+        ).take_all()
+    }
+    for zid, a0, a1, o0, o1 in boxes:
+        mask = (lat > a0) & (lat < a1) & (lon > o0) & (lon < o1)
+        assert out[zid]["n"] == int(mask.sum())
+        assert out[zid]["s"] == int(val[mask].sum())
+        assert out[zid]["m"] == int(val[mask].max())
