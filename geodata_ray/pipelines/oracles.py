@@ -2586,6 +2586,23 @@ _ORACLE_SQL_STATIC = {
     "props_json_extract": PROPS_JSON_SQL,
     "pip_boxes_events": PIP_BOXES_SQL,
     "zonal_stats_events": ZONAL_STATS_SQL,
+    # 3x3 focal stencil on the slope raster — range self-join oracle
+    "kring_smooth_raster": f"""
+        WITH g AS (
+          SELECT row, col,
+                 CAST(ROUND(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v
+          FROM {_RASTER_PQ["slope"]}
+        ),
+        nb AS (
+          SELECT g1.row AS row, g1.col AS col, g2.v AS v
+          FROM g g1 JOIN g g2
+            ON g2.row BETWEEN g1.row - 1 AND g1.row + 1
+           AND g2.col BETWEEN g1.col - 1 AND g1.col + 1
+        )
+        SELECT row, col, COUNT(*) AS n_nbrs,
+               CAST(SUM(v) AS BIGINT) AS sum_v
+        FROM nb GROUP BY 1, 2
+    """,
     "knn_oracle_events": KNN_ORACLE_SQL,
     "asof_latest_order": ASOF_SQL,
     "running_user_totals": RUNNING_SQL,

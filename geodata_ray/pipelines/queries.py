@@ -1303,6 +1303,34 @@ def _raster_both_ds():
     return _raster_ds("landcover").union(_raster_ds("slope"))
 
 
+def kring_smooth_raster(sf_dir: str):
+    """Focal (3x3 k-ring) statistics over the slope raster cell table:
+    per existing cell, neighbor count + exact micro-unit value sum —
+    the distributed-stencil form of raster smoothing (the reference
+    smooths dense arrays in-process; a cell table needs the
+    scatter-and-group formulation).  Values pre-scaled to integers so
+    partial sums merge exactly; the oracle recomputes the stencil with
+    a range self-join."""
+    from geodata_ray.stages import raster as R
+
+    ds = _raster_ds("slope")
+
+    def to_micro(batch: pa.Table) -> pa.Table:
+        v = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(batch["value"], pa.float64()), 1e6),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {"row": batch["row"], "col": batch["col"], "v": v}
+        )
+
+    cells = ds.map_batches(to_micro, batch_format="pyarrow")
+    return R.stencil_smooth(cells, radius=1, value_col="v")
+
+
 def raster_and_merge(sf_dir: str):
     from geodata_ray.stages import raster as R
 
@@ -2918,6 +2946,7 @@ RAY_QUERIES = {
     "crawl_diff_docs": crawl_diff_docs,
     "inverted_index_docs": inverted_index_docs,
     "zonal_stats_events": zonal_stats_events,
+    "kring_smooth_raster": kring_smooth_raster,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

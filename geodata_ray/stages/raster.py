@@ -608,3 +608,71 @@ def min_area_filter(
         return batch.drop_columns(["label"])
 
     return relabeled.map_batches(zero_small, batch_format="pyarrow")
+
+
+def stencil_smooth(
+    ds,
+    *,
+    radius: int = 1,
+    row_col: str = "row",
+    col_col: str = "col",
+    value_col: str = "v",
+    coalesce: int = 16,
+):
+    """Distributed neighborhood (k-ring / boxcar) stencil over a cell
+    table: for every EXISTING cell, the count and sum of values over
+    its (2*radius+1)^2 Chebyshev neighborhood — the raster smoothing /
+    focal-statistics primitive (geodata's dense-array rasters get this
+    from scipy stencils; a cell TABLE needs a shuffle formulation).
+
+    Shape: each cell scatters its value to all neighbor targets
+    (vectorized repeat+tile — no Python per-cell loop), ONE grouped
+    aggregate sums contributions per target, and a per-cell existence
+    marker (max of the center flag) trims halo targets that lie
+    outside the domain — irregular/trimmed rasters work unchanged.
+    ``value_col`` must be integer (pre-scale floats) so partial sums
+    merge exactly at any parallelism.  One exchange total; blocks of
+    the SAME spatial partition see mostly-local targets, so
+    pre-partitioning by tile makes the exchange near-local at scale."""
+    offs = [
+        (dr, dc)
+        for dr in range(-radius, radius + 1)
+        for dc in range(-radius, radius + 1)
+    ]
+    k = len(offs)
+    dr_tile = np.array([o[0] for o in offs], dtype=np.int64)
+    dc_tile = np.array([o[1] for o in offs], dtype=np.int64)
+    center = np.array(
+        [1 if o == (0, 0) else 0 for o in offs], dtype=np.int64
+    )
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        rows = batch[row_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = batch[col_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                row_col: pa.array(np.repeat(rows, k) + np.tile(dr_tile, n)),
+                col_col: pa.array(np.repeat(cols, k) + np.tile(dc_tile, n)),
+                value_col: pa.array(np.repeat(v, k)),
+                "__c": pa.array(np.tile(center, n)),
+            }
+        )
+
+    ag = grouped_aggregate(
+        ds.map_batches(contrib, batch_format="pyarrow"),
+        [row_col, col_col],
+        [
+            (value_col, "count", "n_nbrs"),
+            (value_col, "sum", "sum_v"),
+            ("__c", "max", "__c"),
+        ],
+        coalesce=coalesce,
+    )
+
+    def trim(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["__c"], 1))
+        return t.select([row_col, col_col, "n_nbrs", "sum_v"])
+
+    return ag.map_batches(trim, batch_format="pyarrow")

@@ -291,3 +291,36 @@ def test_grid_disk_adaptive_no_duplicate_neighbors():
     res, row, col = qcell.cell_to_rowcol(c[o == 0])
     top_rows = row[row == row.max()]
     assert top_rows.size == 32  # nlon at res 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stencil_smooth_matches_scipy_style_conv():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geodata_ray.stages.raster import stencil_smooth
+
+    rng = np.random.default_rng(3)
+    grid = rng.integers(-9, 9, size=(7, 11)).astype(np.int64)
+    rows, cols = np.indices(grid.shape)
+    # punch a hole: irregular domain (trimmed raster)
+    keep = ~((rows == 3) & (cols == 5))
+    t = pa.table({
+        "row": rows[keep].ravel(), "col": cols[keep].ravel(),
+        "v": grid[keep].ravel(),
+    })
+    out = {
+        (r["row"], r["col"]): (r["n_nbrs"], r["sum_v"])
+        for r in stencil_smooth(rd.from_arrow(t), value_col="v").take_all()
+    }
+    assert len(out) == keep.sum()
+    for r, c in zip(rows[keep].ravel(), cols[keep].ravel()):
+        exp_n, exp_s = 0, 0
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                rr, cc = r + dr, c + dc
+                if 0 <= rr < 7 and 0 <= cc < 11 and not (rr == 3 and cc == 5):
+                    exp_n += 1
+                    exp_s += int(grid[rr, cc])
+        assert out[(r, c)] == (exp_n, exp_s)
