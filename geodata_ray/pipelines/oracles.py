@@ -2586,6 +2586,25 @@ _ORACLE_SQL_STATIC = {
     "props_json_extract": PROPS_JSON_SQL,
     "pip_boxes_events": PIP_BOXES_SQL,
     "zonal_stats_events": ZONAL_STATS_SQL,
+    # per-user trajectory hops — LAG window over the pure-integer grid
+    "trajectory_stats_events": f"""
+        WITH p AS (
+          SELECT user_id, ts, event_id,
+                 ((event_id * {_GEO_A}) % {_GEO_M}) * 720 // {_GEO_M} AS gx,
+                 ((event_id * {_GEO_B}) % {_GEO_M}) * 360 // {_GEO_M} AS gy
+          FROM events
+        ),
+        h AS (
+          SELECT user_id,
+                 GREATEST(abs(gx - LAG(gx) OVER w),
+                          abs(gy - LAG(gy) OVER w)) AS d
+          FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, COUNT(*) AS n_pts, COUNT(d) AS n_moves,
+               CAST(COALESCE(SUM(d), 0) AS BIGINT) AS total_dist,
+               CAST(COALESCE(MAX(d), 0) AS BIGINT) AS max_hop
+        FROM h GROUP BY user_id
+    """,
     # 3x3 focal stencil on the slope raster — range self-join oracle
     "kring_smooth_raster": f"""
         WITH g AS (

@@ -587,6 +587,36 @@ def pip_boxes_events(sf_dir: str):
     return joined.select_columns(["event_id", "poly_id"])
 
 
+def trajectory_stats_events(sf_dir: str):
+    """Per-user movement summaries over the event stream: each event
+    is a time-ordered position on an integer 720x360 grid (derived
+    from the id hashes with PURE integer arithmetic — no float
+    boundary risk), and the operator reports point/move counts plus
+    total and max Chebyshev hop per user.  Hash-bucketed keys + one
+    vectorized segment reduction per bucket; the oracle recomputes
+    hops with a LAG window."""
+    from geodata_ray.stages.windows import trajectory_stats
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def grid(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy()
+        gx = (ids * _GEO_A) % _GEO_M * 720 // _GEO_M
+        gy = (ids * _GEO_B) % _GEO_M * 360 // _GEO_M
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "gx": pa.array(gx),
+                "gy": pa.array(gy),
+            }
+        )
+
+    pts = ds.map_batches(grid, batch_format="pyarrow")
+    return trajectory_stats(pts)
+
+
 def zonal_stats_events(sf_dir: str):
     """Zonal statistics — the reference's mask-based suitability
     aggregation re-expressed vector-side (geodata ANDs masks with a
@@ -2947,6 +2977,7 @@ RAY_QUERIES = {
     "inverted_index_docs": inverted_index_docs,
     "zonal_stats_events": zonal_stats_events,
     "kring_smooth_raster": kring_smooth_raster,
+    "trajectory_stats_events": trajectory_stats_events,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -110,3 +110,72 @@ def session_windows(ds, *, key_col: str = "user_id", ts_col: str = "ts",
         return out
 
     return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+
+
+def trajectory_stats(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    x_col: str = "gx",
+    y_col: str = "gy",
+    num_buckets: int = 32,
+):
+    """Per-key trajectory statistics over time-ordered integer grid
+    positions: point count, move count, total and maximum Chebyshev
+    hop distance — the movement-summary primitive for sessionized
+    geo streams.
+
+    Shape: keys hash into ``num_buckets`` groups (bounded-cardinality
+    groupby — a handful of big vectorized groups, never one Ray group
+    per key); inside each group ONE Arrow sort by (key, ts, tie) and
+    numpy segment reduction (``add.reduceat`` / ``maximum.reduceat``
+    over key-change boundaries) — no per-key Python loop.  All-integer
+    arithmetic, so outputs are engine-exact at any parallelism.  One
+    exchange; ``num_buckets`` bounds per-group memory."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (k % num_buckets).astype(np.int64)
+        return batch.append_column("__b", pa.array(b))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by(
+            [
+                (key_col, "ascending"),
+                (ts_col, "ascending"),
+                (tie_col, "ascending"),
+            ]
+        )
+        u = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        # hop i sits between points i and i+1; zero it across key
+        # boundaries so segment reductions never mix users
+        d = np.maximum(np.abs(np.diff(x)), np.abs(np.diff(y)))
+        same = u[1:] == u[:-1]
+        d_ext = np.r_[np.where(same, d, 0), np.int64(0)]
+        ends = np.r_[starts[1:], n]
+        n_pts = ends - starts
+        total = np.add.reduceat(d_ext, starts)
+        max_hop = np.maximum.reduceat(d_ext, starts)
+        # reduceat over [start, next_start) includes the zeroed
+        # boundary slot, so single-point keys report 0 — by design
+        return pa.table(
+            {
+                key_col: pa.array(u[starts]),
+                "n_pts": pa.array(n_pts.astype(np.int64)),
+                "n_moves": pa.array((n_pts - 1).astype(np.int64)),
+                "total_dist": pa.array(total.astype(np.int64)),
+                "max_hop": pa.array(max_hop.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -787,3 +787,43 @@ def test_inverted_index_sorted_postings_and_min_df():
     assert rows["x"]["postings"] == "1,5" and rows["x"]["df"] == 2
     assert rows["y"]["postings"] == "1,5,9" and rows["y"]["df"] == 3
     assert "z" not in rows
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_trajectory_stats_vs_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geodata_ray.stages.windows import trajectory_stats
+
+    rng = np.random.default_rng(11)
+    n = 400
+    users = rng.integers(0, 37, n)
+    ts = rng.permutation(n).astype("datetime64[us]")
+    t = pa.table({
+        "user_id": users,
+        "ts": pa.array(ts),
+        "event_id": np.arange(n),
+        "gx": rng.integers(0, 100, n),
+        "gy": rng.integers(0, 100, n),
+    })
+    out = {
+        r["user_id"]: r
+        for r in trajectory_stats(
+            rd.from_arrow(t), num_buckets=5
+        ).take_all()
+    }
+    import pandas as pd
+
+    df = t.to_pandas()
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        dx = g["gx"].diff().abs()
+        dy = g["gy"].diff().abs()
+        d = pd.concat([dx, dy], axis=1).max(axis=1).dropna()
+        r = out[uid]
+        assert r["n_pts"] == len(g)
+        assert r["n_moves"] == len(g) - 1
+        assert r["total_dist"] == int(d.sum())
+        assert r["max_hop"] == (int(d.max()) if len(d) else 0)
