@@ -2586,6 +2586,18 @@ _ORACLE_SQL_STATIC = {
     "props_json_extract": PROPS_JSON_SQL,
     "pip_boxes_events": PIP_BOXES_SQL,
     "zonal_stats_events": ZONAL_STATS_SQL,
+    # Bloom-prefiltered join == the plain join (FPs dropped by the
+    # exact per-bucket hash join)
+    "bloom_join_lineitem": """
+        SELECT l_orderkey, COUNT(*) AS n_items,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS sum_qty,
+               CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS total_cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 400000
+        GROUP BY 1
+    """,
     # per-user trajectory hops — LAG window over the pure-integer grid
     "trajectory_stats_events": f"""
         WITH p AS (

@@ -587,6 +587,57 @@ def pip_boxes_events(sf_dir: str):
     return joined.select_columns(["event_id", "poly_id"])
 
 
+def bloom_join_lineitem(sf_dir: str):
+    """Large-large join with a Bloom semi-join pushdown: lineitem
+    (big, streams) joins the high-value orders slice with the orders
+    keys sketched into a broadcast 16 KB Bloom filter that pre-filters
+    lineitem BEFORE the exchange — the shuffle moves ~5% of the big
+    side instead of all of it, and the exact per-bucket hash join
+    drops the Bloom false positives, so the result is bit-identical
+    to the plain join (which is exactly what the oracle runs)."""
+    from geodata_ray.stages.relational import bloom_prefilter_join
+
+    big = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["o_totalprice"], 400000.0))
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(t["o_totalprice"], pa.float64()), 100.0)
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {"l_orderkey": t["o_orderkey"], "total_cents": cents}
+        )
+
+    small = orders.map_batches(prep, batch_format="pyarrow")
+    j = bloom_prefilter_join(big, small, "l_orderkey", num_buckets=16)
+
+    def qty_int(batch: pa.Table) -> pa.Table:
+        q = pc.cast(
+            pc.round(pc.cast(batch["l_quantity"], pa.float64())), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "qty": q,
+                "total_cents": batch["total_cents"],
+            }
+        )
+
+    return grouped_aggregate(
+        j.map_batches(qty_int, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [
+            ("qty", "count", "n_items"),
+            ("qty", "sum", "sum_qty"),
+            ("total_cents", "max", "total_cents"),
+        ],
+    )
+
+
 def trajectory_stats_events(sf_dir: str):
     """Per-user movement summaries over the event stream: each event
     is a time-ordered position on an integer 720x360 grid (derived
@@ -2978,6 +3029,7 @@ RAY_QUERIES = {
     "zonal_stats_events": zonal_stats_events,
     "kring_smooth_raster": kring_smooth_raster,
     "trajectory_stats_events": trajectory_stats_events,
+    "bloom_join_lineitem": bloom_join_lineitem,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -596,3 +596,49 @@ def assign_quantile_buckets(ds, *, col: str, qs: Sequence[float]):
         )
 
     return ds.map_batches(bucketize, batch_format="pyarrow")
+
+
+def bloom_prefilter_join(
+    big,
+    small,
+    key: str,
+    *,
+    how: str = "inner",
+    num_buckets: int = 64,
+    d: int = 4,
+    lw: int = 12,
+    suffix: str = "_r",
+):
+    """:func:`shuffle_join` with a Bloom semi-join pushdown: the small
+    side's join keys are sketched into a d x 2^lw partitioned Bloom
+    filter (~16 KB at the defaults — broadcast once, never reshipped
+    per batch), the BIG side is pre-filtered against it with zero
+    shuffle, and only the surviving rows enter the exact partitioned
+    hash join.  False positives pass a few extra rows into the exact
+    join, which drops them — the output is bit-identical to the plain
+    join; the win is exchange volume: at a 1% key-selective join the
+    shuffle moves ~1% of the big side (plus the FP tail, bounded by
+    (occupancy)^d) instead of all of it.  THE standard large-large
+    join optimization when the small side is too big to broadcast
+    exactly but its Bloom image is not.
+
+    ``how`` must keep big-side-unmatched rows out of the output
+    ("inner" or "right"): a pre-filter on the big side cannot preserve
+    left/full-outer semantics."""
+    if how not in ("inner", "right"):
+        raise ValueError(
+            f"bloom_prefilter_join supports inner/right joins, got {how!r}"
+        )
+    from geodata_ray.stages.sketch import bloom_bits, bloom_probe
+
+    bits = bloom_bits(small, key, d=d, lw=lw)
+    probed = bloom_probe(big, bits, key, d=d, lw=lw, out_col="__maybe")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch["__maybe"]).drop_columns(["__maybe"])
+
+    filtered = probed.map_batches(keep, batch_format="pyarrow")
+    return shuffle_join(
+        filtered, small, [key], how=how, num_buckets=num_buckets,
+        suffix=suffix,
+    )

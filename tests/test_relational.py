@@ -153,3 +153,46 @@ def test_shuffle_join_null_keys_sql_semantics():
     # the null-keyed right row appears with no left columns
     null_right = outer[outer.lv.isna()]
     assert null_right["rv"].tolist() == [200]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_prefilter_join_equals_plain_join():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geodata_ray.stages.relational import (
+        bloom_prefilter_join,
+        shuffle_join,
+    )
+
+    rng = np.random.default_rng(2)
+    big = pa.table({
+        "k": rng.integers(0, 5000, 20000),
+        "x": np.arange(20000),
+    })
+    small = pa.table({
+        "k": np.arange(0, 5000, 97),
+        "y": np.arange(0, 5000, 97) * 10,
+    })
+    a = (
+        bloom_prefilter_join(
+            rd.from_arrow(big).repartition(8), rd.from_arrow(small), "k",
+            num_buckets=8,
+        )
+        .to_pandas().sort_values(["k", "x"], ignore_index=True)
+    )
+    b = (
+        shuffle_join(
+            rd.from_arrow(big).repartition(8), rd.from_arrow(small), ["k"],
+            num_buckets=8,
+        )
+        .to_pandas().sort_values(["k", "x"], ignore_index=True)
+    )
+    assert a.values.tolist() == b.values.tolist()
+    assert len(a) > 0
+
+    with pytest.raises(ValueError):
+        bloom_prefilter_join(
+            rd.from_arrow(big), rd.from_arrow(small), "k", how="left"
+        )
