@@ -2586,6 +2586,29 @@ _ORACLE_SQL_STATIC = {
     "props_json_extract": PROPS_JSON_SQL,
     "pip_boxes_events": PIP_BOXES_SQL,
     "zonal_stats_events": ZONAL_STATS_SQL,
+    "daily_distinct_users": """
+        SELECT DATE_TRUNC('day', ts) AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1
+    """,
+    # per-group exact quantile_disc — ceil-rank over a keyed window;
+    # ordering by float value == ordering by cents (monotone scale)
+    "grouped_quantiles_events": """
+        WITH o AS (
+          SELECT event_type,
+                 CAST(ROUND(CAST(value AS DOUBLE) * 100.0) AS BIGINT)
+                     AS cents,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        )
+        SELECT event_type, q.q_pct, o.cents AS value_cents
+        FROM o
+        JOIN (VALUES (25, 0.25), (50, 0.5), (75, 0.75), (90, 0.9))
+             q(q_pct, qq)
+          ON o.rn = CAST(ceil(q.qq * o.n) AS BIGINT)
+    """,
     # Bloom-prefiltered join == the plain join (FPs dropped by the
     # exact per-bucket hash join)
     "bloom_join_lineitem": """

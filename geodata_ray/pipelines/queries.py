@@ -587,6 +587,58 @@ def pip_boxes_events(sf_dir: str):
     return joined.select_columns(["event_id", "poly_id"])
 
 
+def daily_distinct_users(sf_dir: str):
+    """Exact daily-active-users: COUNT(DISTINCT user) per day with
+    in-batch pair pre-dedup before any exchange (the skew-proof exact
+    distinct count; the HLL sketch is the approximate sibling)."""
+    from geodata_ray.stages.relational import grouped_distinct_count
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.floor_temporal(batch["ts"], unit="day"),
+                "user_id": batch["user_id"],
+            }
+        )
+
+    return grouped_distinct_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["day"],
+        "user_id",
+        alias="n_users",
+    )
+
+
+def grouped_quantiles_events(sf_dir: str):
+    """Per-group EXACT quantiles (quantile_disc): quartiles + p90 of
+    the exact-cents event value per event type, via the keyed bounded
+    histogram — only (key, cents, count) rows shuffle.  Oracle: ceil-
+    rank over a PARTITION BY window."""
+    from geodata_ray.stages.relational import grouped_exact_quantiles
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(batch["value"], pa.float64()), 100.0)
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {"event_type": batch["event_type"], "value_cents": c}
+        )
+
+    return grouped_exact_quantiles(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "event_type",
+        "value_cents",
+        [(25, 0.25), (50, 0.5), (75, 0.75), (90, 0.9)],
+    )
+
+
 def bloom_join_lineitem(sf_dir: str):
     """Large-large join with a Bloom semi-join pushdown: lineitem
     (big, streams) joins the high-value orders slice with the orders
@@ -3030,6 +3082,8 @@ RAY_QUERIES = {
     "kring_smooth_raster": kring_smooth_raster,
     "trajectory_stats_events": trajectory_stats_events,
     "bloom_join_lineitem": bloom_join_lineitem,
+    "grouped_quantiles_events": grouped_quantiles_events,
+    "daily_distinct_users": daily_distinct_users,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -642,3 +642,75 @@ def bloom_prefilter_join(
         filtered, small, [key], how=how, num_buckets=num_buckets,
         suffix=suffix,
     )
+
+
+def grouped_exact_quantiles(
+    ds,
+    key_col: str,
+    col: str,
+    pct_qs: Sequence[tuple[int, float]],
+):
+    """EXACT per-group quantile_disc over an integer column: the same
+    bounded two-phase histogram as :func:`exact_int_quantiles`, keyed —
+    only (key, value, partial-count) rows shuffle, so exchange volume
+    is key-cardinality x value-cardinality, independent of row count.
+    The per-key rank walk runs inside ``map_groups`` (vectorized
+    cumsum + searchsorted per group) — suitable for bounded key sets
+    (event types, languages, sources); for millions of keys, bucket
+    keys first as :func:`~geodata_ray.stages.windows.trajectory_stats`
+    does.  Returns (key, q_pct, value) rows: per q, the smallest v
+    with #(x <= v) >= ceil(q * n_key)."""
+    import math
+
+    hist = grouped_aggregate(
+        ds.select_columns([key_col, col]),
+        [key_col, col],
+        [(col, "count", "__qn")],
+    )
+
+    def per_key(g: pa.Table) -> pa.Table:
+        t = g.sort_by([(col, "ascending")])
+        cum = np.cumsum(t["__qn"].to_numpy(zero_copy_only=False))
+        vals = t[col].to_numpy(zero_copy_only=False)
+        n = int(cum[-1])
+        out_v = [
+            int(vals[np.searchsorted(cum, math.ceil(q * n))])
+            for _, q in pct_qs
+        ]
+        return pa.table(
+            {
+                key_col: pa.array([t[key_col][0].as_py()] * len(pct_qs)),
+                "q_pct": pa.array([p for p, _ in pct_qs], type=pa.int64()),
+                col: pa.array(out_v, type=pa.int64()),
+            }
+        )
+
+    return hist.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def grouped_distinct_count(
+    ds, keys: Sequence[str], col: str, *, alias: str = "n_distinct"
+):
+    """EXACT COUNT(DISTINCT col) per key group — the DAU/unique-hosts
+    aggregate.  Three-phase: (1) per-batch Arrow group_by pre-dedups
+    (key, col) pairs BEFORE any exchange (for skewed streams — one
+    user firing 10^4 events in a block — this collapses the shuffle to
+    distinct pairs per block); (2) a grouped count dedups pairs
+    globally; (3) a second grouped count per key.  Both exchanges
+    carry pair-cardinality rows, never raw rows.  Approximate
+    alternative at extreme pair cardinality: the mergeable HLL
+    register table (``sketch.hll_register_table``) keyed by group."""
+    keys = list(keys)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(keys + [col])
+            .group_by(keys + [col])
+            .aggregate([])
+        )
+
+    pairs = ds.map_batches(pre, batch_format="pyarrow")
+    distinct = grouped_aggregate(
+        pairs, keys + [col], [(col, "count", "__c")]
+    )
+    return grouped_aggregate(distinct, keys, [(col, "count", alias)])

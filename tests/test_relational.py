@@ -196,3 +196,43 @@ def test_bloom_prefilter_join_equals_plain_join():
         bloom_prefilter_join(
             rd.from_arrow(big), rd.from_arrow(small), "k", how="left"
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_quantiles_and_distinct_count():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geodata_ray.stages.relational import (
+        grouped_distinct_count,
+        grouped_exact_quantiles,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    key = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    v = rng.integers(0, 500, n)
+    ds = rd.from_arrow(pa.table({"k": key, "v": v})).repartition(6)
+
+    out = {
+        (r["k"], r["q_pct"]): r["v"]
+        for r in grouped_exact_quantiles(
+            ds, "k", "v", [(50, 0.5), (90, 0.9)]
+        ).take_all()
+    }
+    import math
+
+    for kk in "abc":
+        sv = np.sort(v[key == kk])
+        for pct, q in ((50, 0.5), (90, 0.9)):
+            assert out[(kk, pct)] == int(sv[math.ceil(q * len(sv)) - 1])
+
+    dc = {
+        r["k"]: r["nd"]
+        for r in grouped_distinct_count(
+            ds, ["k"], "v", alias="nd"
+        ).take_all()
+    }
+    for kk in "abc":
+        assert dc[kk] == len(np.unique(v[key == kk]))
