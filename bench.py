@@ -162,6 +162,12 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "cdc_chunks_docs",
         "cdc_dup_spans_docs",
         "pretrain_pipeline_docs",
+        "classifier_score_docs",
+        "crawl_diff_docs",
+        "inverted_index_docs",
+        "trajectory_stats_events",
+        "bloom_join_lineitem",
+        "zonal_stats_events",
     )
     for name in query_names:
         t0 = time.perf_counter()

@@ -665,7 +665,12 @@ def bloom_join_lineitem(sf_dir: str):
         )
 
     small = orders.map_batches(prep, batch_format="pyarrow")
-    j = bloom_prefilter_join(big, small, "l_orderkey", num_buckets=16)
+    # size the filter to the small side: 2^18 cells x 4 partitions
+    # (~1 MB broadcast) keeps FP ~ (n/2^18)^4 ~ 2e-4 at sf0.1's ~30k
+    # keys — the 2^12 sketch default would saturate and filter nothing
+    j = bloom_prefilter_join(
+        big, small, "l_orderkey", num_buckets=16, lw=18
+    )
 
     def qty_int(batch: pa.Table) -> pa.Table:
         q = pc.cast(

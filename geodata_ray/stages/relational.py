@@ -631,6 +631,10 @@ def bloom_prefilter_join(
         )
     from geodata_ray.stages.sketch import bloom_bits, bloom_probe
 
+    # the small side feeds BOTH the sketch build and the join — pin it
+    # once instead of re-executing its upstream chain for each (it is
+    # small by the operator's premise)
+    small = small.materialize()
     bits = bloom_bits(small, key, d=d, lw=lw)
     probed = bloom_probe(big, bits, key, d=d, lw=lw, out_col="__maybe")
 

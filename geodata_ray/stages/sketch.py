@@ -243,8 +243,6 @@ def bloom_bits(ds, col, *, d: int = CMS_D, lw: int = CMS_LW):
     state is constant-bounded no matter the input size.  Membership
     (``bloom_contains``): no false negatives; false-positive rate
     ~ prod_j (n_distinct / 2^lw) for the partitioned variant."""
-    from geodata_ray.stages.relational import grouped_aggregate
-
     def partial(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return pa.table({"bit": pa.array([], pa.int64())})
@@ -254,10 +252,19 @@ def bloom_bits(ds, col, *, d: int = CMS_D, lw: int = CMS_LW):
         return pa.table({"bit": pa.array(np.unique(bits))})
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    # distinct union: grouped count then drop the partial-dependent
-    # count (it varies with batch partitioning; the bit set does not)
-    dedup = grouped_aggregate(partials, ["bit"], [("bit", "count", "_n")])
-    return dedup.select_columns(["bit"])
+    # distinct union: the bit space is constant-bounded (d * 2^lw
+    # <= 16K rows at the defaults), so collapsing the per-batch
+    # distinct partials to ONE block and deduping locally beats a Ray
+    # groupby's fixed exchange cost by ~2s per execution — the
+    # bounded-cardinality final-merge pattern (same as hll/simsearch)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        b = batch["bit"].to_numpy(zero_copy_only=False)
+        return pa.table({"bit": pa.array(np.unique(b))})
+
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )
 
 
 def bloom_contains(bits_df, values, *, d: int = CMS_D, lw: int = CMS_LW):
