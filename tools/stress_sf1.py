@@ -317,6 +317,69 @@ def main() -> None:
 
     timed("cdc_chunks_50k_docs", cdc_50k)
 
+    # --- hashed classifier scoring over 50k docs (10x) (round 4) ---
+    def classifier_50k():
+        from geodata_ray.stages.textstats import classifier_score_batch
+
+        docs = amplify(
+            rd.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            AMP,
+            {"doc_id": 10_000_000},
+        )
+        return docs.map_batches(
+            classifier_score_batch, batch_format="pyarrow"
+        ).count()
+
+    timed("classifier_score_50k_docs", classifier_50k)
+
+    # --- inverted index over 50k docs (10x; df scales with copies) ---
+    def invindex_50k():
+        from geodata_ray.stages.textstats import inverted_index
+
+        docs = amplify(
+            rd.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            AMP,
+            {"doc_id": 10_000_000},
+        )
+        return inverted_index(docs, min_df=30).count()
+
+    timed("inverted_index_50k_docs", invindex_50k)
+
+    # --- trajectory stats over 10M events (10x) (round 4) ---
+    def trajectory_10m():
+        from geodata_ray.stages.windows import trajectory_stats
+
+        ev = amplify(
+            rd.read_parquet(
+                f"{SF_DIR}/events.parquet",
+                columns=["event_id", "ts", "user_id"],
+            ),
+            AMP,
+            {"event_id": 100_000_000, "user_id": 1_000_000},
+        )
+
+        def grid(batch: pa.Table) -> pa.Table:
+            ids = batch["event_id"].to_numpy()
+            a, b, m = 2654435761, 1640531527, 4294967296
+            return pa.table(
+                {
+                    "user_id": batch["user_id"],
+                    "ts": batch["ts"],
+                    "event_id": batch["event_id"],
+                    "gx": pa.array((ids * a) % m * 720 // m),
+                    "gy": pa.array((ids * b) % m * 360 // m),
+                }
+            )
+
+        pts = ev.map_batches(grid, batch_format="pyarrow")
+        return trajectory_stats(pts).count()
+
+    timed("trajectory_stats_10m_events", trajectory_10m)
+
     print(json.dumps({
         "metric": "sf1 stress walls (10x gate scale)",
         "unit": "sec",
