@@ -1120,6 +1120,61 @@ def _sql_splitmix_stages(prefix: str, x0_exprs: dict[str, str], src: str) -> str
     return ",\n".join(stages)
 
 
+def _image_ahash_sql(n: int = 200, n_content: int = 125, seed: int = 42) -> str:
+    """Perceptual average-hash oracle: regenerates every pixel from
+    the generator arithmetic (splitmix geometry + modular RGB
+    formulas), replays the integer luma / 8x8 block / cross-multiplied
+    mean-comparison hash, and counts copies per hash — end-to-end
+    audit of the engine's PPM decode + aHash chain with zero floats."""
+    x0 = _sql_xor_u64("CAST(j AS HUGEINT)", f"{seed * 7919}::HUGEINT")
+    sm = _sql_splitmix_stages("ia", {"s": x0}, "c0")
+    pow2 = ", ".join(f"({b}, {1 << b})" for b in range(64))
+    return f"""
+WITH c0 AS (SELECT j FROM range(0, {n_content}) t(j)),
+{sm},
+geom AS (
+  SELECT j, CAST(16 + (h_s % 48) AS BIGINT) AS w,
+         CAST(16 + ((h_s // 256) % 48) AS BIGINT) AS h
+  FROM ia6
+),
+imgs AS (SELECT i, i % {n_content} AS j FROM range(0, {n}) t(i)),
+px AS (
+  SELECT m.i, g.w, g.h, xs.x, ys.y,
+         (((xs.x * 7 + m.j * 13) % 256) * 299
+        + ((ys.y * 5 + m.j * 29) % 256) * 587
+        + ((xs.x + ys.y + m.j) % 256) * 114) // 1000 AS luma
+  FROM imgs m JOIN geom g USING (j)
+  JOIN range(0, 64) xs(x) ON xs.x < g.w
+  JOIN range(0, 64) ys(y) ON ys.y < g.h
+),
+blocks AS (
+  SELECT i, (y * 8 // h) * 8 + (x * 8 // w) AS k,
+         SUM(luma) AS s, COUNT(*) AS c
+  FROM px GROUP BY 1, 2
+),
+tot AS (SELECT i, SUM(s) AS ts, SUM(c) AS tc FROM blocks GROUP BY 1),
+bits AS (
+  SELECT b.i, b.k,
+         CASE WHEN b.s * t.tc >= t.ts * b.c THEN 1 ELSE 0 END AS bit
+  FROM blocks b JOIN tot t USING (i)
+),
+packed AS (
+  SELECT i, SUM(CASE WHEN bit = 1 THEN p::HUGEINT
+                     ELSE 0::HUGEINT END) AS u
+  FROM bits JOIN (VALUES {pow2}) pw(b, p) ON pw.b = bits.k
+  GROUP BY i
+),
+hh AS (
+  SELECT i, CAST(CASE WHEN u >= {_U63} THEN u - {_U64_M} ELSE u END
+                 AS BIGINT) AS ahash
+  FROM packed
+)
+SELECT i AS image_id, ahash,
+       COUNT(*) OVER (PARTITION BY ahash) AS n_copies
+FROM hh
+"""
+
+
 def _hll_sql() -> str:
     """HLL register table over events.user_id: unrolled splitmix64 +
     exact trailing-zero rank (p=12; 2^52 = 4503599627370496)."""
@@ -2586,6 +2641,7 @@ _ORACLE_SQL_STATIC = {
     "props_json_extract": PROPS_JSON_SQL,
     "pip_boxes_events": PIP_BOXES_SQL,
     "zonal_stats_events": ZONAL_STATS_SQL,
+    "image_ahash_dups": _image_ahash_sql(),
     "daily_distinct_users": """
         SELECT DATE_TRUNC('day', ts) AS day,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users

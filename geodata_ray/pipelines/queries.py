@@ -587,6 +587,63 @@ def pip_boxes_events(sf_dir: str):
     return joined.select_columns(["event_id", "poly_id"])
 
 
+def image_ahash_dups(sf_dir: str):
+    """Perceptual image dedup over REAL binary payloads: PPM decode ->
+    integer average-hash (8x8 luma blocks, cross-multiplied mean
+    comparison — zero floats) -> per-hash copy counts.  The corpus
+    plants 75 byte-identical re-uploads; the oracle recomputes every
+    pixel FROM THE GENERATOR ARITHMETIC (splitmix geometry + modular
+    pixel formulas) and replays the hash in SQL — auditing the decode
+    + hash chain end-to-end."""
+    import ray
+    import ray.data as rd
+
+    from geodata_ray.stages.multimodal import (
+        image_ahash,
+        synth_dup_image_table,
+    )
+
+    ds = rd.from_arrow(synth_dup_image_table(200, 125)).repartition(4)
+    hashed = image_ahash(ds).select_columns(["image_id", "ahash"])
+    hashed = hashed.materialize()
+    counts = grouped_aggregate(
+        hashed, ["ahash"], [("ahash", "count", "n_copies")]
+    )
+    counts_tbl = pa.concat_tables(ray.get(counts.to_arrow_refs()))
+    return broadcast_join(hashed, counts_tbl, keys=["ahash"])
+
+
+def s2_tokens_events(sf_dir: str):
+    """S2 covering tokens for every event point at levels 8 and 5 plus
+    the level-5 roll-up count — the S2 half of the north rule's tiling
+    surface, driver-visible.  ROWS-ONLY by design: the Hilbert
+    position and the trig in face selection have no bit-stable SQL
+    replay (libm sin/cos differ across engines), so correctness is
+    carried by the public-spec property tests (tests/test_s2.py:
+    lat/lon roundtrip, parent hierarchy, token form) instead of a
+    DuckDB oracle."""
+    from geodata_ray.cellmath import s2
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy()
+        lat = _derive_lat_np(ids)
+        lon = _derive_lon_np(ids)
+        c8 = s2.latlng_to_s2_cell(lat, lon, 8)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "s2_l8": pa.array(s2.s2_cell_to_token(c8)),
+                "s2_l5": pa.array(
+                    s2.s2_cell_to_token(s2.s2_cell_parent(c8, 5))
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def daily_distinct_users(sf_dir: str):
     """Exact daily-active-users: COUNT(DISTINCT user) per day with
     in-batch pair pre-dedup before any exchange (the skew-proof exact
@@ -3089,6 +3146,8 @@ RAY_QUERIES = {
     "bloom_join_lineitem": bloom_join_lineitem,
     "grouped_quantiles_events": grouped_quantiles_events,
     "daily_distinct_users": daily_distinct_users,
+    "image_ahash_dups": image_ahash_dups,
+    "s2_tokens_events": s2_tokens_events,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

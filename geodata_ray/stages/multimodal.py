@@ -369,3 +369,83 @@ def sample_frames(ds, *, every_n: int = 4, concurrency=(1, 4)):
         batch_size=128,
         concurrency=concurrency,
     )
+
+
+def synth_dup_image_table(
+    n: int = 200, n_content: int = 125, seed: int = 42
+) -> pa.Table:
+    """REAL-PPM corpus WITH PLANTED DUPLICATES: image ``i`` carries the
+    pixel content of index ``i % n_content``, so ``n - n_content``
+    images are byte-identical re-uploads of earlier ones — the
+    perceptual-dedup test corpus (same generator arithmetic as
+    :func:`synth_image_table`, content-keyed)."""
+    idx = np.arange(n, dtype=np.int64)
+    j = (idx % n_content).astype(np.uint64)
+    hsh = splitmix64(j ^ np.uint64(seed * 7919))
+    ws = (16 + (hsh % np.uint64(48))).astype(np.int32)
+    hs = (16 + ((hsh >> np.uint64(8)) % np.uint64(48))).astype(np.int32)
+    payloads = [
+        ppm_encode(_pixels(int(j[i]), int(ws[i]), int(hs[i])))
+        for i in range(n)
+    ]
+    return pa.table(
+        {
+            "image_id": pa.array(idx),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "width": pa.array(ws),
+            "height": pa.array(hs),
+            "format": pa.array(["ppm"] * n),
+        }
+    )
+
+
+class ImageAHasher:
+    """Actor-pool stage: PPM payload -> 64-bit perceptual average-hash
+    (aHash): integer luma ``(299r + 587g + 114b) // 1000``, 8x8 block
+    partition ``(y*8//h, x*8//w)``, bit k set iff block k's mean >= the
+    global mean (compared in cross-multiplied integers — no float in
+    the pipeline, so the hash is bit-exact across engines).  The
+    near-exact-duplicate detector for image corpora: re-encodes and
+    resolution-preserving copies collide; the binary column is dropped
+    before any shuffle."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        fmts = batch["format"].to_pylist()
+        out = np.empty(len(payloads), dtype=np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, (p, fmt) in enumerate(zip(payloads, fmts)):
+            if fmt != "ppm":
+                raise NotImplementedError(
+                    f"no codec for {fmt!r} in this environment (ppm only)"
+                )
+            px, _ = ppm_decode(p)
+            px = px.astype(np.int64)
+            luma = (
+                px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
+            ) // 1000
+            h_, w_ = luma.shape
+            bx = np.arange(w_) * 8 // w_
+            by = np.arange(h_) * 8 // h_
+            k = (by[:, None] * 8 + bx[None, :]).ravel()
+            s = np.bincount(k, weights=luma.ravel(), minlength=64).astype(
+                np.int64
+            )
+            c = np.bincount(k, minlength=64).astype(np.int64)
+            bits = (s * c.sum()) >= (s.sum() * c)
+            out[i] = (bits.astype(np.uint64) << shifts).sum()
+        t = batch.drop_columns(["payload"])
+        return t.append_column(
+            "ahash", pa.array(out.view(np.int64))
+        )
+
+
+def image_ahash(ds, *, concurrency=(1, 4), batch_size: int = 256):
+    """Wide-binary actor-pool stage (small batches, binary in, 8 bytes
+    out per row)."""
+    return ds.map_batches(
+        ImageAHasher,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -827,3 +827,33 @@ def test_trajectory_stats_vs_bruteforce():
         assert r["n_moves"] == len(g) - 1
         assert r["total_dist"] == int(d.sum())
         assert r["max_hop"] == (int(d.max()) if len(d) else 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_ahash_planted_dups():
+    import ray.data as rd
+
+    from geodata_ray.stages.multimodal import (
+        ImageAHasher,
+        image_ahash,
+        synth_dup_image_table,
+    )
+
+    t = synth_dup_image_table(40, 25)
+    out = (
+        image_ahash(rd.from_arrow(t).repartition(3))
+        .to_pandas().sort_values("image_id", ignore_index=True)
+    )
+    a = out["ahash"].to_numpy()
+    # planted duplicates share hashes; schema drops the binary column
+    assert (a[:15] == a[25:40]).all()
+    assert "payload" not in out.columns
+    # content-distinct images are mostly hash-distinct (aHash is
+    # perceptual — a few structured-pattern collisions are expected)
+    assert len(set(a[:25].tolist())) >= 20
+
+    bad = t.slice(0, 1).set_column(
+        t.schema.get_field_index("format"), "format", pa.array(["jpg"])
+    )
+    with pytest.raises(NotImplementedError):
+        ImageAHasher()(bad)
