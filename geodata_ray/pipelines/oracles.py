@@ -2642,6 +2642,31 @@ _ORACLE_SQL_STATIC = {
     "pip_boxes_events": PIP_BOXES_SQL,
     "zonal_stats_events": ZONAL_STATS_SQL,
     "image_ahash_dups": _image_ahash_sql(),
+    # per-vertex triangle counts — 3-way self-join on the canonical
+    # undirected edge set from the PageRank host-graph arithmetic
+    "triangle_counts_hosts": """
+        WITH raw AS (
+          SELECT doc_id % 97 AS u,
+                 (doc_id % 97 + 1 + (doc_id * j) % 96) % 97 AS v
+          FROM documents CROSS JOIN (VALUES (1), (2), (3)) t(j)
+        ),
+        e AS (
+          SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+          FROM raw WHERE u <> v
+        ),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e1.b = e2.a
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        verts AS (
+          SELECT x AS host FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri
+        )
+        SELECT host, COUNT(*) AS n_triangles FROM verts GROUP BY 1
+    """,
     "daily_distinct_users": """
         SELECT DATE_TRUNC('day', ts) AS day,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users

@@ -2596,6 +2596,33 @@ def pagerank_hosts_docs(sf_dir: str):
     return pagerank(e, iters=5)
 
 
+def triangle_counts_hosts(sf_dir: str):
+    """Per-host triangle counts over the deterministic 97-node host
+    link graph (same edge arithmetic as PageRank, undirected): wedge
+    self-join on the middle vertex + broadcast closing-edge check —
+    the clustering-coefficient ingredient for web community analysis.
+    All-integer; the oracle is a 3-way SQL self-join."""
+    from geodata_ray.stages.graphcc import triangle_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        u = ids % 97
+        us, vs = [], []
+        for j in (1, 2, 3):
+            us.append(u)
+            vs.append((u + 1 + (ids * j) % 96) % 97)
+        return pa.table(
+            {"u": pa.array(np.concatenate(us)),
+             "v": pa.array(np.concatenate(vs))}
+        )
+
+    return triangle_counts(
+        ds.map_batches(edges, batch_format="pyarrow"), num_buckets=16
+    )
+
+
 def curation_chain(ds, *, host_mod: int = 97):
     """End-to-end corpus curation — the headline webtext chain, each
     stage an existing operator: language-ID keep-en -> quality rules
@@ -3147,6 +3174,7 @@ RAY_QUERIES = {
     "grouped_quantiles_events": grouped_quantiles_events,
     "daily_distinct_users": daily_distinct_users,
     "image_ahash_dups": image_ahash_dups,
+    "triangle_counts_hosts": triangle_counts_hosts,
     "s2_tokens_events": s2_tokens_events,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,

@@ -585,3 +585,82 @@ def pagerank(
     return ray.data.from_arrow(
         pa.table({"node": pa.array(nodes), "r": pa.array(rank)})
     )
+
+
+def triangle_counts(
+    edges,
+    *,
+    src: str = "u",
+    dst: str = "v",
+    num_buckets: int = 32,
+):
+    """Per-vertex triangle counts over an undirected graph (the
+    clustering-coefficient / community-density ingredient): edges are
+    canonicalized ``a < b`` and deduped, wedges ``x < y < z`` come from
+    ONE bucketed :func:`relational.shuffle_join` of the edge list with
+    itself on the shared middle vertex, and the closing edge ``(x, z)``
+    is checked against the broadcast packed edge set — the standard
+    node-iterator-with-join formulation.
+
+    Scale notes: the wedge join is the quadratic step — its exchange
+    is bounded by sum(deg^2); pre-bucketing hot vertices (or a
+    degree-ordered orientation, which this canonical a<b form
+    approximates) keeps buckets balanced.  The closing-edge set is
+    broadcast EXACTLY here (bounded by
+    ``distinct_edges_packed``'s own one-task bound — host-level
+    graphs); a page-level graph swaps it for ``sketch.bloom_bits`` +
+    a per-bucket exact re-verify."""
+    import ray
+
+    from geodata_ray.stages.relational import shuffle_join
+
+    def canon(batch: pa.Table) -> pa.Table:
+        u = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = np.minimum(u, v)
+        b = np.maximum(u, v)
+        keep = a != b  # self-loops close no triangle
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    ce = distinct_edges_packed(
+        edges.map_batches(canon, batch_format="pyarrow"), src="a", dst="b"
+    ).materialize()
+
+    edge_tbl = pa.concat_tables(ray.get(ce.to_arrow_refs()))
+    packed = (
+        edge_tbl["a"].to_numpy().astype(np.int64) << np.int64(32)
+    ) | edge_tbl["b"].to_numpy().astype(np.int64)
+    edge_set_ref = ray.put(np.sort(packed))
+
+    left = ce.map_batches(
+        lambda t: pa.table({"x": t["a"], "k": t["b"]}),
+        batch_format="pyarrow",
+    )
+    right = ce.map_batches(
+        lambda t: pa.table({"k": t["a"], "z": t["b"]}),
+        batch_format="pyarrow",
+    )
+    # x < k from the left's canonical form, k < z from the right's —
+    # each triangle materializes as exactly one (x, k, z) wedge row
+    wedges = shuffle_join(left, right, ["k"], num_buckets=num_buckets)
+
+    def close_and_unpivot(batch: pa.Table) -> pa.Table:
+        es = ray.get(edge_set_ref)
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        z = batch["z"].to_numpy(zero_copy_only=False)
+        key = (x << np.int64(32)) | z
+        pos = np.searchsorted(es, key)
+        ok = (pos < es.size) & (es[np.minimum(pos, es.size - 1)] == key)
+        return pa.table(
+            {"host": pa.array(np.concatenate([x[ok], k[ok], z[ok]]))}
+        )
+
+    tri_verts = wedges.map_batches(
+        close_and_unpivot, batch_format="pyarrow"
+    )
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    return grouped_aggregate(
+        tri_verts, ["host"], [("host", "count", "n_triangles")]
+    )

@@ -96,3 +96,36 @@ def test_near_dup_clusters_keep_set():
     # {0,1,2} -> 0; {5,6} -> 5; singletons self
     assert out.cluster_id.tolist() == [0, 0, 0, 3, 4, 5, 5, 7]
     assert out.is_rep.tolist() == [1, 0, 0, 1, 1, 1, 0, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_counts_vs_bruteforce():
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geodata_ray.stages.graphcc import triangle_counts
+
+    rng = np.random.default_rng(9)
+    n = 40
+    # random directed multigraph with self loops and both orientations
+    u = rng.integers(0, n, 600)
+    v = rng.integers(0, n, 600)
+    ds = rd.from_arrow(pa.table({"u": u, "v": v})).repartition(5)
+    out = {
+        r["host"]: r["n_triangles"]
+        for r in triangle_counts(ds, num_buckets=4).take_all()
+    }
+    adj = np.zeros((n, n), dtype=bool)
+    a, b = np.minimum(u, v), np.maximum(u, v)
+    keep = a != b
+    adj[a[keep], b[keep]] = True
+    adj |= adj.T
+    exp = {}
+    for x, y, z in itertools.combinations(range(n), 3):
+        if adj[x, y] and adj[y, z] and adj[x, z]:
+            for t in (x, y, z):
+                exp[t] = exp.get(t, 0) + 1
+    assert out == exp
