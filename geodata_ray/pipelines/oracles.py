@@ -2642,6 +2642,18 @@ _ORACLE_SQL_STATIC = {
     "pip_boxes_events": PIP_BOXES_SQL,
     "zonal_stats_events": ZONAL_STATS_SQL,
     "image_ahash_dups": _image_ahash_sql(),
+    # one-pass corpus data-card — token convention matches the shared
+    # kernel (space split of COALESCE(text,''))
+    "corpus_stats_docs": """
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(COALESCE(text, ''), ' ')))
+                    AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(MAX(len(string_split(COALESCE(text, ''), ' ')))
+                    AS BIGINT) AS max_doc_tokens
+        FROM documents
+    """,
     # per-vertex triangle counts — 3-way self-join on the canonical
     # undirected edge set from the PageRank host-graph arithmetic
     "triangle_counts_hosts": """

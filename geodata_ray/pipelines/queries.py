@@ -2596,6 +2596,70 @@ def pagerank_hosts_docs(sf_dir: str):
     return pagerank(e, iters=5)
 
 
+def corpus_stats_docs(sf_dir: str):
+    """One-pass corpus data-card: doc/token/char totals, distinct
+    language count, max document length — five statistics in a SINGLE
+    streaming pass (per-batch partial rows, one-block merge; no
+    groupby, no second read).  The reporting step every corpus build
+    ships with its output."""
+    ds = _read(
+        sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ntok = pc.list_value_length(
+            pc.split_pattern(text.fill_null(""), " ")
+        ).to_numpy(zero_copy_only=False)
+        langs = sorted(
+            {v for v in batch["lang"].to_pylist() if v is not None}
+        )
+        return pa.table(
+            {
+                "n_docs": pa.array([len(batch)], pa.int64()),
+                "n_tokens": pa.array([int(ntok.sum())], pa.int64()),
+                "n_chars": pa.array(
+                    [int(pc.sum(batch["n_chars"]).as_py() or 0)], pa.int64()
+                ),
+                "max_doc_tokens": pa.array(
+                    [int(ntok.max()) if len(ntok) else 0], pa.int64()
+                ),
+                "__langs": pa.array([",".join(langs)]),
+            }
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        langs = set()
+        for s in batch["__langs"].to_pylist():
+            langs.update(x for x in s.split(",") if x)
+        return pa.table(
+            {
+                "n_docs": pa.array(
+                    [int(pc.sum(batch["n_docs"]).as_py())], pa.int64()
+                ),
+                "n_tokens": pa.array(
+                    [int(pc.sum(batch["n_tokens"]).as_py())], pa.int64()
+                ),
+                "n_chars": pa.array(
+                    [int(pc.sum(batch["n_chars"]).as_py())], pa.int64()
+                ),
+                "n_langs": pa.array([len(langs)], pa.int64()),
+                "max_doc_tokens": pa.array(
+                    [int(pc.max(batch["max_doc_tokens"]).as_py())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def triangle_counts_hosts(sf_dir: str):
     """Per-host triangle counts over the deterministic 97-node host
     link graph (same edge arithmetic as PageRank, undirected): wedge
@@ -3175,6 +3239,7 @@ RAY_QUERIES = {
     "daily_distinct_users": daily_distinct_users,
     "image_ahash_dups": image_ahash_dups,
     "triangle_counts_hosts": triangle_counts_hosts,
+    "corpus_stats_docs": corpus_stats_docs,
     "s2_tokens_events": s2_tokens_events,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
