@@ -2642,6 +2642,18 @@ _ORACLE_SQL_STATIC = {
     "pip_boxes_events": PIP_BOXES_SQL,
     "zonal_stats_events": ZONAL_STATS_SQL,
     "image_ahash_dups": _image_ahash_sql(),
+    # time-windowed keep-first dedup — QUALIFY row_number replay
+    "windowed_dedup_events": """
+        WITH p AS (
+          SELECT user_id, event_type,
+                 epoch_us(ts) // 604800000000 AS week, ts, event_id
+          FROM events
+        )
+        SELECT user_id, event_type, week, event_id FROM p
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type, week
+            ORDER BY ts, event_id) = 1
+    """,
     # one-pass corpus data-card — token convention matches the shared
     # kernel (space split of COALESCE(text,''))
     "corpus_stats_docs": """

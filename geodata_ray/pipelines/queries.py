@@ -2596,6 +2596,42 @@ def pagerank_hosts_docs(sf_dir: str):
     return pagerank(e, iters=5)
 
 
+def windowed_dedup_events(sf_dir: str):
+    """Time-windowed dedup: keep the FIRST event per (user, type,
+    epoch-week) — the recrawl-dedup semantics ("refetch allowed after
+    a window") that pure fingerprint dedup can't express.  One
+    bucketed exchange via the generic keep-first-per-group operator;
+    the oracle is a QUALIFY row_number window."""
+    from geodata_ray.stages.windows import first_per_group
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())  # microseconds since epoch
+        week = pc.divide(us, 604800 * 10**6)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "week": week,
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+            }
+        )
+
+    kept = first_per_group(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        group_cols=["user_id", "event_type", "week"],
+        order_cols=["ts", "event_id"],
+        hash_col="user_id",
+    )
+    return kept.select_columns(
+        ["user_id", "event_type", "week", "event_id"]
+    )
+
+
 def corpus_stats_docs(sf_dir: str):
     """One-pass corpus data-card: doc/token/char totals, distinct
     language count, max document length — five statistics in a SINGLE
@@ -3240,6 +3276,7 @@ RAY_QUERIES = {
     "image_ahash_dups": image_ahash_dups,
     "triangle_counts_hosts": triangle_counts_hosts,
     "corpus_stats_docs": corpus_stats_docs,
+    "windowed_dedup_events": windowed_dedup_events,
     "s2_tokens_events": s2_tokens_events,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,

@@ -179,3 +179,53 @@ def trajectory_stats(
         .groupby("__b")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def first_per_group(
+    ds,
+    *,
+    group_cols,
+    order_cols,
+    hash_col: str | None = None,
+    num_buckets: int = 32,
+):
+    """Keep exactly the FIRST row of every group under a caller-defined
+    total order — the time-windowed dedup / argmin primitive (e.g.
+    "first fetch per (url, week)" recrawl dedup).  ``order_cols`` must
+    make rows totally ordered within a group (append a unique id as
+    the last key).
+
+    Shape: ONE exchange — groups hash into ``num_buckets`` buckets by
+    ``hash_col`` (default: first group col; int64), then inside each
+    bucket one Arrow sort by group+order keys and a vectorized
+    group-boundary mask picks first rows.  No per-group Python; bucket
+    count bounds per-group memory."""
+    group_cols = list(group_cols)
+    order_cols = list(order_cols)
+    hc = hash_col or group_cols[0]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[hc].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "__b", pa.array((k % num_buckets).astype(np.int64))
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by(
+            [(c, "ascending") for c in group_cols + order_cols]
+        )
+        n = len(t)
+        # boundary mask: row i starts a group iff any group col differs
+        # from row i-1
+        diff = np.zeros(max(n - 1, 0), dtype=bool)
+        for c in group_cols:
+            col = t[c].to_numpy(zero_copy_only=False)
+            diff |= col[1:] != col[:-1]
+        first = np.r_[True, diff] if n else np.zeros(0, bool)
+        return t.filter(pa.array(first)).drop_columns(["__b"])
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

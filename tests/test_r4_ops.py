@@ -857,3 +857,35 @@ def test_image_ahash_planted_dups():
     )
     with pytest.raises(NotImplementedError):
         ImageAHasher()(bad)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_first_per_group_vs_pandas():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geodata_ray.stages.windows import first_per_group
+
+    rng = np.random.default_rng(13)
+    n = 1000
+    t = pa.table({
+        "k": rng.integers(0, 23, n),
+        "w": rng.integers(0, 4, n),
+        "o": rng.permutation(n),
+        "id": np.arange(n),
+    })
+    out = (
+        first_per_group(
+            rd.from_arrow(t).repartition(7),
+            group_cols=["k", "w"], order_cols=["o", "id"],
+            num_buckets=5,
+        )
+        .to_pandas().sort_values(["k", "w"], ignore_index=True)
+    )
+    exp = (
+        t.to_pandas().sort_values(["k", "w", "o", "id"])
+        .groupby(["k", "w"], as_index=False).first()
+    )
+    assert out[["k", "w", "o", "id"]].values.tolist() == \
+        exp[["k", "w", "o", "id"]].values.tolist()
