@@ -2642,6 +2642,34 @@ _ORACLE_SQL_STATIC = {
     "pip_boxes_events": PIP_BOXES_SQL,
     "zonal_stats_events": ZONAL_STATS_SQL,
     "image_ahash_dups": _image_ahash_sql(),
+    # kNN majority-vote classification — same ranking expression as
+    # the audited ANN oracle, k=10, then a windowed vote
+    "knn_classify_embeddings": """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 25),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+                 list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS sim
+          FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, label,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id ASC)
+                     AS rank
+          FROM scored
+        ),
+        votes AS (
+          SELECT query_id, CAST(label AS BIGINT) AS label,
+                 COUNT(*) AS n_votes
+          FROM ranked WHERE rank <= 10 GROUP BY 1, 2
+        )
+        SELECT query_id, label AS pred_label,
+               CAST(n_votes AS BIGINT) AS n_votes
+        FROM votes
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, label ASC) = 1
+    """,
     # time-windowed keep-first dedup — QUALIFY row_number replay
     "windowed_dedup_events": """
         WITH p AS (

@@ -2596,6 +2596,62 @@ def pagerank_hosts_docs(sf_dir: str):
     return pagerank(e, iters=5)
 
 
+def knn_classify_embeddings(sf_dir: str):
+    """kNN label classification: 25 query vectors classified by the
+    majority label of their 10 exact-cosine nearest neighbors (tie ->
+    smallest label) — ANN composed with a vote, the label-propagation
+    / weak-annotation primitive.  Brute-force matmul partials + one
+    tiny merge; the oracle replays the ranking and the vote with
+    windows."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    from geodata_ray.stages.dedup import _as_matrix
+    from geodata_ray.stages.simsearch import ann_topk
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    qt = t.filter(pc.less(t["vec_id"], 25))
+    Q = _as_matrix(qt["embedding"])
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    nn = ann_topk(ds, Q, qt["vec_id"].to_numpy(), id_col="vec_id", k=10)
+
+    labels = pa.table(
+        {
+            "neighbor_id": t["vec_id"],
+            "label": pc.cast(t["label"], pa.int64()),
+        }
+    )
+    votes = grouped_aggregate(
+        broadcast_join(nn, labels, keys=["neighbor_id"]),
+        ["query_id", "label"],
+        [("label", "count", "n_votes")],
+    )
+
+    def pick(g: pa.Table) -> pa.Table:
+        n = g["n_votes"].to_numpy(zero_copy_only=False)
+        lab = g["label"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((lab, -n))
+        i = order[0]
+        return pa.table(
+            {
+                "query_id": g["query_id"].slice(0, 1),
+                "pred_label": pa.array([int(lab[i])], pa.int64()),
+                "n_votes": pa.array([int(n[i])], pa.int64()),
+            }
+        )
+
+    return votes.groupby("query_id").map_groups(
+        pick, batch_format="pyarrow"
+    )
+
+
 def windowed_dedup_events(sf_dir: str):
     """Time-windowed dedup: keep the FIRST event per (user, type,
     epoch-week) — the recrawl-dedup semantics ("refetch allowed after
@@ -3277,6 +3333,7 @@ RAY_QUERIES = {
     "triangle_counts_hosts": triangle_counts_hosts,
     "corpus_stats_docs": corpus_stats_docs,
     "windowed_dedup_events": windowed_dedup_events,
+    "knn_classify_embeddings": knn_classify_embeddings,
     "s2_tokens_events": s2_tokens_events,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
