@@ -2642,6 +2642,37 @@ _ORACLE_SQL_STATIC = {
     "pip_boxes_events": PIP_BOXES_SQL,
     "zonal_stats_events": ZONAL_STATS_SQL,
     "image_ahash_dups": _image_ahash_sql(),
+    # conversion funnel — chained MIN-after-threshold CTEs
+    "funnel_users_events": """
+        WITH a AS (
+          SELECT user_id, MIN(epoch_us(ts)) AS ta FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ),
+        b AS (
+          SELECT e.user_id, MIN(epoch_us(e.ts)) AS tb
+          FROM events e JOIN a ON e.user_id = a.user_id
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) > a.ta
+          GROUP BY 1
+        ),
+        c AS (
+          SELECT e.user_id, MIN(epoch_us(e.ts)) AS tc
+          FROM events e JOIN b ON e.user_id = b.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > b.tb
+          GROUP BY 1
+        ),
+        u AS (SELECT DISTINCT user_id FROM events)
+        SELECT u.user_id,
+               COALESCE(a.ta, -1) AS view_us,
+               COALESCE(b.tb, -1) AS click_us,
+               COALESCE(c.tc, -1) AS purchase_us,
+               CASE WHEN c.tc IS NOT NULL THEN 3
+                    WHEN b.tb IS NOT NULL THEN 2
+                    WHEN a.ta IS NOT NULL THEN 1 ELSE 0 END AS n_stages
+        FROM u
+        LEFT JOIN a USING (user_id)
+        LEFT JOIN b USING (user_id)
+        LEFT JOIN c USING (user_id)
+    """,
     # kNN majority-vote classification — same ranking expression as
     # the audited ANN oracle, k=10, then a windowed vote
     "knn_classify_embeddings": """

@@ -2596,6 +2596,33 @@ def pagerank_hosts_docs(sf_dir: str):
     return pagerank(e, iters=5)
 
 
+def funnel_users_events(sf_dir: str):
+    """Conversion funnel per user (view -> click -> purchase, each
+    stage strictly after the previous): one bucketed exchange, one
+    vectorized masked segment-min per stage.  -1 marks a stage never
+    reached (and blocks later stages).  The oracle chains three
+    MIN-after-threshold CTEs."""
+    from geodata_ray.stages.windows import funnel
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    return funnel(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        stages=("view", "click", "purchase"),
+    )
+
+
 def knn_classify_embeddings(sf_dir: str):
     """kNN label classification: 25 query vectors classified by the
     majority label of their 10 exact-cosine nearest neighbors (tie ->
@@ -3334,6 +3361,7 @@ RAY_QUERIES = {
     "corpus_stats_docs": corpus_stats_docs,
     "windowed_dedup_events": windowed_dedup_events,
     "knn_classify_embeddings": knn_classify_embeddings,
+    "funnel_users_events": funnel_users_events,
     "s2_tokens_events": s2_tokens_events,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,

@@ -229,3 +229,64 @@ def first_per_group(
         .groupby("__b")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def funnel(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+    stages=("view", "click", "purchase"),
+    num_buckets: int = 32,
+):
+    """Ordered conversion funnel per key: for each stage in ``stages``,
+    the earliest event of that type STRICTLY AFTER the previous
+    stage's time — the product-analytics funnel (view -> click ->
+    purchase) as one distributed operator.  Emits one row per key:
+    ``<stage>_us`` int64 (-1 = never reached; later stages are blocked
+    once a stage is missed) and ``n_stages`` completed.
+
+    Shape: the same ONE-exchange bucketed-keys pattern as
+    :func:`trajectory_stats`; inside each bucket one Arrow sort by
+    (key, ts) then one vectorized masked segment-min (`reduceat`) PER
+    STAGE — no per-key Python, |stages| passes over the bucket.
+    ``ts_col`` must be integer (cast timestamps to epoch-us upstream)
+    so sentinels and comparisons are exact."""
+    sent = np.iinfo(np.int64).max
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "__b", pa.array((k % num_buckets).astype(np.int64))
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([(key_col, "ascending"), (ts_col, "ascending")])
+        u = t[key_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        typ = np.asarray(t[type_col].to_numpy(zero_copy_only=False))
+        n = len(u)
+        new_seg = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(new_seg)
+        seg = np.cumsum(new_seg) - 1
+        thr_row = np.full(n, -1, dtype=np.int64)
+        cols: dict[str, np.ndarray] = {}
+        done = np.zeros(len(starts), dtype=np.int64)
+        for st in stages:
+            vals = np.where((typ == st) & (ts > thr_row), ts, sent)
+            seg_min = np.minimum.reduceat(vals, starts)
+            stage_t = np.where(seg_min == sent, np.int64(-1), seg_min)
+            cols[f"{st}_us"] = stage_t
+            done += (stage_t >= 0).astype(np.int64)
+            thr_row = np.where(stage_t < 0, sent, stage_t)[seg]
+        out = {key_col: pa.array(u[starts])}
+        out.update({k: pa.array(v) for k, v in cols.items()})
+        out["n_stages"] = pa.array(done)
+        return pa.table(out)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -889,3 +889,45 @@ def test_first_per_group_vs_pandas():
     )
     assert out[["k", "w", "o", "id"]].values.tolist() == \
         exp[["k", "w", "o", "id"]].values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_vs_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geodata_ray.stages.windows import funnel
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    users = rng.integers(0, 50, n)
+    ts = rng.integers(0, 10_000, n).astype(np.int64)
+    typ = np.array(["view", "click", "purchase", "noise"])[
+        rng.integers(0, 4, n)
+    ]
+    ds = rd.from_arrow(pa.table({
+        "user_id": users, "ts_us": ts, "event_type": typ,
+    })).repartition(6)
+    out = {
+        r["user_id"]: r
+        for r in funnel(ds, stages=("view", "click", "purchase"),
+                        num_buckets=7).take_all()
+    }
+    for uid in np.unique(users):
+        m = users == uid
+        t_u, y_u = ts[m], typ[m]
+        thr, got, stages_done = -1, {}, 0
+        for st in ("view", "click", "purchase"):
+            cand = t_u[(y_u == st) & (t_u > thr)]
+            v = int(cand.min()) if len(cand) else -1
+            got[f"{st}_us"] = v
+            if v >= 0:
+                stages_done += 1
+                thr = v
+            else:
+                thr = np.iinfo(np.int64).max
+        r = out[uid]
+        for k, v in got.items():
+            assert r[k] == v, (uid, k)
+        assert r["n_stages"] == stages_done
