@@ -614,7 +614,9 @@ SIMHASH_SQL = _simhash_sql()
 
 
 def _classifier_sql(
-    max_token_len: int = 24, n_buckets: int = 4096, weight_a: int = 2654435761
+    max_token_len: int = 24,
+    n_buckets: int | None = None,
+    weight_a: int | None = None,
 ) -> str:
     """Hashed-linear classifier oracle: the SAME per-byte splitmix
     token-hash unroll as simhash, then bucket = acc % n_buckets,
@@ -622,6 +624,11 @@ def _classifier_sql(
     integer sum, threshold at 0.  Tokenization matches the engine's
     shared kernel (lower + single-space split; null text = '' -> one
     empty token)."""
+    from geodata_ray.stages.textstats import _CLF_BUCKETS, _CLF_WEIGHT_A
+
+    # single definition: the engine constants ARE the oracle constants
+    n_buckets = _CLF_BUCKETS if n_buckets is None else n_buckets
+    weight_a = _CLF_WEIGHT_A if weight_a is None else weight_a
     stages_sql = _token_hash_stages_sql(max_token_len)
     return f"""
 WITH toks AS (

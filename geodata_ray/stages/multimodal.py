@@ -425,6 +425,12 @@ class ImageAHasher:
                 px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
             ) // 1000
             h_, w_ = luma.shape
+            if h_ < 8 or w_ < 8:
+                # an empty 8x8 block would force-set its bit (0 >= 0)
+                # regardless of content, degrading the hash — refuse
+                raise ValueError(
+                    f"aHash needs images >= 8x8, got {w_}x{h_}"
+                )
             bx = np.arange(w_) * 8 // w_
             by = np.arange(h_) * 8 // h_
             k = (by[:, None] * 8 + bx[None, :]).ravel()

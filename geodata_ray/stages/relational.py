@@ -701,17 +701,22 @@ def grouped_distinct_count(
     user firing 10^4 events in a block — this collapses the shuffle to
     distinct pairs per block); (2) a grouped count dedups pairs
     globally; (3) a second grouped count per key.  Both exchanges
-    carry pair-cardinality rows, never raw rows.  Approximate
-    alternative at extreme pair cardinality: the mergeable HLL
-    register table (``sketch.hll_register_table``) keyed by group."""
+    carry pair-cardinality rows, never raw rows.  NULL values are not
+    counted (SQL COUNT(DISTINCT) semantics); keys whose rows are ALL
+    null are omitted entirely (i.e. ``HAVING COUNT(DISTINCT col) > 0``)
+    — left-join a key table downstream if zero-rows must appear.
+    Approximate alternative at extreme pair cardinality: the mergeable
+    HLL register table (``sketch.hll_register_table``) keyed by
+    group."""
     keys = list(keys)
 
     def pre(batch: pa.Table) -> pa.Table:
-        return (
-            batch.select(keys + [col])
-            .group_by(keys + [col])
-            .aggregate([])
-        )
+        t = batch.select(keys + [col])
+        # SQL COUNT(DISTINCT col) semantics: NULLs are not counted —
+        # drop them here or every key with a null row reports +1
+        if t[col].null_count:
+            t = t.filter(pc.is_valid(t[col]))
+        return t.group_by(keys + [col]).aggregate([])
 
     pairs = ds.map_batches(pre, batch_format="pyarrow")
     distinct = grouped_aggregate(

@@ -112,6 +112,21 @@ def session_windows(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
 
 
+def _tag_bucket(ds, key_col: str, num_buckets: int):
+    """Append ``__b = key % num_buckets`` (int64 keys) — the shared
+    bounded-cardinality bucketing step of the keyed-segment operators
+    below.  One definition so a future key-hash change (string keys,
+    splitmix salting) lands everywhere at once."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "__b", pa.array((k % num_buckets).astype(np.int64))
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
 def trajectory_stats(
     ds,
     *,
@@ -134,11 +149,6 @@ def trajectory_stats(
     over key-change boundaries) — no per-key Python loop.  All-integer
     arithmetic, so outputs are engine-exact at any parallelism.  One
     exchange; ``num_buckets`` bounds per-group memory."""
-
-    def tag(batch: pa.Table) -> pa.Table:
-        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = (k % num_buckets).astype(np.int64)
-        return batch.append_column("__b", pa.array(b))
 
     def per_bucket(g: pa.Table) -> pa.Table:
         t = g.sort_by(
@@ -175,7 +185,7 @@ def trajectory_stats(
         )
 
     return (
-        ds.map_batches(tag, batch_format="pyarrow")
+        _tag_bucket(ds, key_col, num_buckets)
         .groupby("__b")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -204,13 +214,16 @@ def first_per_group(
     order_cols = list(order_cols)
     hc = hash_col or group_cols[0]
 
-    def tag(batch: pa.Table) -> pa.Table:
-        k = batch[hc].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.append_column(
-            "__b", pa.array((k % num_buckets).astype(np.int64))
-        )
-
     def per_bucket(g: pa.Table) -> pa.Table:
+        for c in group_cols:
+            # a null/NaN group key would split into one "group" per row
+            # (NaN != NaN in the boundary mask) while SQL's PARTITION BY
+            # treats NULLs as ONE partition — refuse instead of diverging
+            if g[c].null_count:
+                raise ValueError(
+                    f"first_per_group: null values in group column {c!r};"
+                    " sentinel-encode them upstream"
+                )
         t = g.sort_by(
             [(c, "ascending") for c in group_cols + order_cols]
         )
@@ -225,7 +238,7 @@ def first_per_group(
         return t.filter(pa.array(first)).drop_columns(["__b"])
 
     return (
-        ds.map_batches(tag, batch_format="pyarrow")
+        _tag_bucket(ds, hc, num_buckets)
         .groupby("__b")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -255,22 +268,23 @@ def funnel(
     so sentinels and comparisons are exact."""
     sent = np.iinfo(np.int64).max
 
-    def tag(batch: pa.Table) -> pa.Table:
-        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.append_column(
-            "__b", pa.array((k % num_buckets).astype(np.int64))
-        )
-
     def per_bucket(g: pa.Table) -> pa.Table:
         t = g.sort_by([(key_col, "ascending"), (ts_col, "ascending")])
         u = t[key_col].to_numpy(zero_copy_only=False)
         ts = t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
         typ = np.asarray(t[type_col].to_numpy(zero_copy_only=False))
         n = len(u)
+        if n and ts.min() < 0:
+            # -1 is the "never reached" output sentinel and would be
+            # ambiguous (and the first-stage threshold would drop
+            # ts<=-1 events) — require nonnegative epoch-us
+            raise ValueError(
+                "funnel: ts_col must be nonnegative epoch-us"
+            )
         new_seg = np.r_[True, u[1:] != u[:-1]]
         starts = np.flatnonzero(new_seg)
         seg = np.cumsum(new_seg) - 1
-        thr_row = np.full(n, -1, dtype=np.int64)
+        thr_row = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
         cols: dict[str, np.ndarray] = {}
         done = np.zeros(len(starts), dtype=np.int64)
         for st in stages:
@@ -286,7 +300,7 @@ def funnel(
         return pa.table(out)
 
     return (
-        ds.map_batches(tag, batch_format="pyarrow")
+        _tag_bucket(ds, key_col, num_buckets)
         .groupby("__b")
         .map_groups(per_bucket, batch_format="pyarrow")
     )

@@ -931,3 +931,59 @@ def test_funnel_vs_bruteforce():
         for k, v in got.items():
             assert r[k] == v, (uid, k)
         assert r["n_stages"] == stages_done
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_review_fix_guards():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geodata_ray.stages.multimodal import ImageAHasher, ppm_encode
+    from geodata_ray.stages.relational import grouped_distinct_count
+    from geodata_ray.stages.windows import first_per_group, funnel
+
+    # grouped_distinct_count: SQL semantics — NULLs not counted
+    t = pa.table({
+        "k": [1, 1, 1, 2],
+        "v": pa.array([10, None, 10, None], pa.int64()),
+    })
+    out = {
+        r["k"]: r["nd"]
+        for r in grouped_distinct_count(
+            rd.from_arrow(t), ["k"], "v", alias="nd"
+        ).take_all()
+    }
+    # nulls not counted; the all-null key is omitted (documented
+    # HAVING-count>0 semantics)
+    assert out == {1: 1}
+
+    # funnel: negative epoch-us refused (sentinel would be ambiguous)
+    neg = rd.from_arrow(pa.table({
+        "user_id": [1], "ts_us": pa.array([-5], pa.int64()),
+        "event_type": ["view"],
+    }))
+    with pytest.raises(Exception, match="nonnegative"):
+        funnel(neg, stages=("view",), num_buckets=1).take_all()
+
+    # first_per_group: null group key refused (SQL treats NULLs as one
+    # partition; the boundary mask would emit one row per null)
+    nk = rd.from_arrow(pa.table({
+        "g": pa.array([1, None], pa.int64()),
+        "o": pa.array([1, 2], pa.int64()),
+    }))
+    with pytest.raises(Exception, match="null"):
+        first_per_group(
+            nk, group_cols=["g"], order_cols=["o"], hash_col="o",
+            num_buckets=1,
+        ).take_all()
+
+    # aHash: images under 8x8 refused (empty blocks would force bits)
+    small = np.zeros((4, 4, 3), dtype=np.uint8)
+    bad = pa.table({
+        "image_id": pa.array([0], pa.int64()),
+        "payload": pa.array([ppm_encode(small)], pa.binary()),
+        "format": pa.array(["ppm"]),
+    })
+    with pytest.raises(ValueError, match="8x8"):
+        ImageAHasher()(bad)

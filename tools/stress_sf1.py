@@ -363,8 +363,11 @@ def main() -> None:
         )
 
         def grid(batch: pa.Table) -> pa.Table:
+            from geodata_ray.sources.synth import GEO_A as a
+            from geodata_ray.sources.synth import GEO_B as b
+            from geodata_ray.sources.synth import GEO_M as m
+
             ids = batch["event_id"].to_numpy()
-            a, b, m = 2654435761, 1640531527, 4294967296
             return pa.table(
                 {
                     "user_id": batch["user_id"],
