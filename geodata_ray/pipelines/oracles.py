@@ -1200,6 +1200,28 @@ FROM rk GROUP BY register
 """
 
 
+def _hll_keyed_sql() -> str:
+    """Keyed (per-day) HLL register table — the same unrolled splitmix
+    + trailing-zero rank as ``_hll_sql``, grouped by day as well."""
+    sm = _sql_splitmix_stages("hk", {"u": "uid"}, "d0")
+    return f"""
+WITH d0 AS (
+  SELECT DISTINCT DATE_TRUNC('day', ts) AS day,
+         CAST(user_id AS HUGEINT) AS uid
+  FROM events
+),
+{sm},
+r AS (SELECT day, CAST(h_u // 4503599627370496 AS BIGINT) AS register,
+             CAST(h_u % 4503599627370496 AS BIGINT) AS w FROM hk6),
+rk AS (SELECT day, register,
+              CASE WHEN w = 0 THEN 53
+                   ELSE bit_count((w & -w) - 1) + 1 END AS rank
+       FROM r)
+SELECT day, register, CAST(MAX(rank) AS BIGINT) AS max_rank
+FROM rk GROUP BY day, register
+"""
+
+
 def _global_shuffle_sql(seed: int = 20260817) -> str:
     """Seeded epoch shuffle over documents (stages/packing.py
     ``global_shuffle``): unrolled splitmix64 of (doc_id + seed) mod
@@ -1446,6 +1468,72 @@ m AS (SELECT p.uid, COUNT(bb.bit) AS nhit
       FROM parms p LEFT JOIN bbits bb ON p.bit = bb.bit
       GROUP BY 1)
 SELECT CAST(uid AS BIGINT) AS user_id, nhit = {d} AS maybe_seen FROM m
+"""
+
+
+_BM25_RETRIEVAL_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(string_split(lower(COALESCE(text, '')), ' '))
+           AS term
+  FROM documents
+),
+dlt AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(COALESCE(text, '')), ' '))
+              AS BIGINT) AS dl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks
+  WHERE term IN ('hash', 'join', 'merge', 'vector')
+  GROUP BY 1, 2
+),
+dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+avgt AS (
+  SELECT CAST(100 * SUM(dl) // COUNT(*) AS BIGINT) AS avg100 FROM dlt
+),
+vals AS (SELECT DISTINCT df AS c FROM dfc UNION SELECT n FROM nn),
+it AS (
+  SELECT c, CAST(length(bin(c)) - 1 AS BIGINT) AS msb,
+         CAST((CAST(c AS HUGEINT) * 1073741824)
+              // (CAST(CAST(1 AS BIGINT) << CAST(length(bin(c)) - 1 AS INT)
+                       AS HUGEINT)) AS HUGEINT) AS m,
+         CAST(0 AS BIGINT) AS frac, 0 AS k
+  FROM vals
+  UNION ALL
+  SELECT c, msb,
+         CASE WHEN (m * m) // 1073741824 >= 2147483648
+              THEN ((m * m) // 1073741824) // 2
+              ELSE (m * m) // 1073741824 END,
+         frac * 2 + CASE WHEN (m * m) // 1073741824 >= 2147483648
+                         THEN 1 ELSE 0 END,
+         k + 1
+  FROM it WHERE k < 16
+),
+q AS (SELECT c, msb * 65536 + frac AS qlog2 FROM it WHERE k = 16),
+idf AS (
+  SELECT dfc.term,
+         (SELECT q.qlog2 FROM q JOIN nn ON q.c = nn.n) - qd.qlog2
+           AS idf_fp
+  FROM dfc JOIN q qd ON qd.c = dfc.df
+),
+sc AS (
+  SELECT tf.doc_id,
+         CAST(SUM(
+           idf.idf_fp * (220 * tf.tf)
+           // (100 * tf.tf
+               + (120 * (25 + (7500 * dlt.dl) // avgt.avg100)) // 100)
+         ) AS BIGINT) AS score_fp
+  FROM tf
+  JOIN idf USING (term)
+  JOIN dlt USING (doc_id)
+  CROSS JOIN avgt
+  GROUP BY 1
+)
+SELECT doc_id, score_fp FROM sc
+ORDER BY score_fp DESC, doc_id LIMIT 10
 """
 
 
@@ -2908,6 +2996,7 @@ _ORACLE_SQL_STATIC = {
     # round 4: HLL sketch state (the float estimate is golden-tested;
     # the mergeable register table hash-matches exactly)
     "hll_registers_events": _hll_sql(),
+    "daily_hll_users": _hll_keyed_sql(),
     "lm_surprisal_docs": _lm_surprisal_sql(),
     # round 4: seeded deterministic epoch shuffle — the global ORDER
     # itself is hashed (ROW_NUMBER over the signed splitmix64 view)
@@ -2944,6 +3033,7 @@ _ORACLE_SQL_STATIC = {
     "normalize_text_docs": _NORMALIZE_TEXT_SQL,
     "bloom_probe_events": _bloom_probe_sql(),
     "tfidf_retrieval_docs": _TFIDF_RETRIEVAL_SQL,
+    "bm25_retrieval_docs": _BM25_RETRIEVAL_SQL,
     "perplexity_buckets_docs": _ppx_buckets_sql(),
     "cdc_chunks_docs": _cdc_sql(),
     "cdc_dup_spans_docs": _cdc_dup_spans_sql(),

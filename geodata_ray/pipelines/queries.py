@@ -3020,6 +3020,141 @@ def tfidf_retrieval_docs(sf_dir: str):
     ).limit(10)
 
 
+def daily_hll_users(sf_dir: str):
+    """Per-day HLL register tables (keyed mergeable sketch state) —
+    the approximate sibling of ``daily_distinct_users`` whose exchange
+    is bounded by days x 2^p rows regardless of event volume.  The
+    register table itself hash-matches the SQL replay (exact state,
+    approximate estimate — same honesty split as the global HLL)."""
+    from geodata_ray.stages.sketch import hll_register_table
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.floor_temporal(batch["ts"], unit="day"),
+                "user_id": batch["user_id"],
+            }
+        )
+
+    return hll_register_table(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        keys=["day"],
+    )
+
+
+def bm25_retrieval_docs(sf_dir: str):
+    """BM25 keyword retrieval (k1=1.2, b=0.75) for the fixed 4-term
+    query, in EXACT fixed-point integer arithmetic: the qlog2 idf of
+    the TF-IDF query plus the BM25 length normalization, every step a
+    positive-integer floor division identical in numpy and SQL —
+    score_fp = sum_t idf_fp(t) * (220*tf) // (100*tf + (120*norm)//100)
+    with norm = 25 + (7500*dl) // avgdl_x100.  Same scale shape as
+    tfidf_retrieval_docs: probe terms filter the token stream
+    in-batch; df and the corpus length stats are tiny aggregates;
+    the sort runs over hit docs only."""
+    from geodata_ray.stages.lm import qlog2_fixed
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = pa.array(list(_RETRIEVAL_TERMS))
+
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(pc.utf8_lower(text.fill_null("")), " ")
+        lengths = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        doc_of = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), lengths
+        )
+        dl_of = np.repeat(lengths, lengths)
+        flat = (
+            toks.combine_chunks()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks
+        ).flatten()
+        hit = pc.is_in(flat, value_set=terms).to_numpy(
+            zero_copy_only=False
+        )
+        if not hit.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "dl": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table(
+            {
+                "doc_id": pa.array(doc_of[hit]),
+                "term": flat.filter(pa.array(hit)),
+                "dl": pa.array(dl_of[hit]),
+            }
+        )
+        out = t.group_by(["doc_id", "term"]).aggregate(
+            [([], "count_all"), ("dl", "max")]
+        )
+        return out.rename_columns(["doc_id", "term", "tf", "dl"])
+
+    def len_batch(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        nt = pc.list_value_length(
+            pc.split_pattern(pc.utf8_lower(text.fill_null("")), " ")
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "nt": pa.array([int(nt.sum())], pa.int64()),
+                "nd": pa.array([len(batch)], pa.int64()),
+            }
+        )
+
+    tfm = ds.map_batches(tf_batch, batch_format="pyarrow").materialize()
+    lens = ds.map_batches(len_batch, batch_format="pyarrow")
+    tt = lens.sum(["nt", "nd"])
+    total_tokens, n_docs = int(tt["sum(nt)"]), int(tt["sum(nd)"])
+    avg100 = 100 * total_tokens // n_docs
+
+    df_tbl = grouped_aggregate(
+        tfm, ["term"], [("term", "count", "df")]
+    ).to_pandas()
+    qn = int(qlog2_fixed(np.array([n_docs], dtype=np.uint64))[0])
+    idf = {
+        t: qn - int(qlog2_fixed(np.array([d], dtype=np.uint64))[0])
+        for t, d in zip(df_tbl["term"], df_tbl["df"])
+    }
+    idf_arr = np.array(
+        [idf.get(t, 0) for t in _RETRIEVAL_TERMS], dtype=np.int64
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        iu = pc.index_in(batch["term"], value_set=terms).to_numpy(
+            zero_copy_only=False
+        )
+        tf = batch["tf"].to_numpy(zero_copy_only=False)
+        dl = batch["dl"].to_numpy(zero_copy_only=False)
+        norm = 25 + (7500 * dl) // avg100
+        s = idf_arr[iu] * (220 * tf) // (100 * tf + (120 * norm) // 100)
+        t = pa.table({"doc_id": batch["doc_id"], "score_fp": pa.array(s)})
+        out = t.group_by(["doc_id"]).aggregate([("score_fp", "sum")])
+        return out.rename_columns(["doc_id", "score_fp"])
+
+    scored = grouped_aggregate(
+        tfm.map_batches(score, batch_format="pyarrow"),
+        ["doc_id"],
+        [("score_fp", "sum", "score_fp")],
+    )
+    return scored.sort(
+        ["score_fp", "doc_id"], descending=[True, False]
+    ).limit(10)
+
+
 def perplexity_buckets_docs(sf_dir: str):
     """CCNet-style perplexity bucketing: per-doc fixed-point
     bits-per-pair from the byte-bigram LM (``ppx_fp = qbits_total //
@@ -3362,6 +3497,8 @@ RAY_QUERIES = {
     "windowed_dedup_events": windowed_dedup_events,
     "knn_classify_embeddings": knn_classify_embeddings,
     "funnel_users_events": funnel_users_events,
+    "bm25_retrieval_docs": bm25_retrieval_docs,
+    "daily_hll_users": daily_hll_users,
     "s2_tokens_events": s2_tokens_events,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,

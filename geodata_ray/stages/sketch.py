@@ -105,37 +105,44 @@ def hll_rank_batch(h: np.ndarray, p: int = HLL_P):
 
 
 def hll_register_table(ds, col: str, *, p: int = HLL_P,
-                       prehashed: bool = False):
-    """Mergeable HLL state as a Dataset of (register, max_rank) rows —
-    only registers that were hit (<= 2^p rows total).  Per-batch
-    partial max (one tiny table per batch ships), then a bounded
-    grouped max — the same two-phase shape as every sketch here.
-    ``prehashed=False`` splitmix64-hashes the int64 column first."""
+                       prehashed: bool = False, keys=None):
+    """Mergeable HLL state as a Dataset of (*keys, register, max_rank)
+    rows — only registers that were hit (<= 2^p rows per key group).
+    Per-batch partial max (one tiny table per batch ships), then a
+    bounded grouped max — the same two-phase shape as every sketch
+    here.  ``prehashed=False`` splitmix64-hashes the int64 column
+    first.  ``keys`` makes the sketch PER GROUP (e.g. per day): the
+    approximate sibling of ``relational.grouped_distinct_count`` whose
+    exchange stays <= |groups| * 2^p rows no matter the input."""
     import pyarrow as pa
 
     from geodata_ray.sources.synth import splitmix64
     from geodata_ray.stages.relational import grouped_aggregate
 
+    keys = list(keys or [])
+
     def partial(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
-            return pa.table(
-                {
-                    "register": pa.array([], pa.int64()),
-                    "max_rank": pa.array([], pa.int64()),
-                }
-            )
+            cols = {k: batch[k] for k in keys}
+            cols["register"] = pa.array([], pa.int64())
+            cols["max_rank"] = pa.array([], pa.int64())
+            return pa.table(cols)
         v = batch[col].to_numpy(zero_copy_only=False)
         h = v.view(np.uint64) if prehashed else splitmix64(
             v.astype(np.int64).view(np.uint64)
         )
         reg, rank = hll_rank_batch(h, p)
-        t = pa.table({"register": pa.array(reg), "rank": pa.array(rank)})
-        out = t.group_by(["register"]).aggregate([("rank", "max")])
-        return out.rename_columns(["register", "max_rank"])
+        cols = {k: batch[k] for k in keys}
+        cols["register"] = pa.array(reg)
+        cols["rank"] = pa.array(rank)
+        out = pa.table(cols).group_by(keys + ["register"]).aggregate(
+            [("rank", "max")]
+        )
+        return out.rename_columns(keys + ["register", "max_rank"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return grouped_aggregate(
-        partials, ["register"], [("max_rank", "max", "max_rank")]
+        partials, keys + ["register"], [("max_rank", "max", "max_rank")]
     )
 
 

@@ -987,3 +987,19 @@ def test_review_fix_guards():
     })
     with pytest.raises(ValueError, match="8x8"):
         ImageAHasher()(bad)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bm25_beats_length_bias_and_is_partition_invariant():
+    from geodata_ray.pipelines.queries import bm25_retrieval_docs
+    from tests.conftest import SF_DIR
+
+    a = bm25_retrieval_docs(SF_DIR).to_pandas()
+    b = bm25_retrieval_docs(SF_DIR).to_pandas()
+    # deterministic across executions
+    assert a.values.tolist() == b.values.tolist()
+    assert len(a) == 10
+    # strictly ordered by (score desc, doc_id asc)
+    s = a["score_fp"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()
+    assert (s > 0).all()

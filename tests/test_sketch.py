@@ -83,3 +83,34 @@ def test_hll_estimate_accuracy_and_mergeability():
         )
         full = regs.sort_values("register", ignore_index=True)
         assert merged.values.tolist() == full.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_keyed_hll_estimates_match_per_key_truth():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geodata_ray.stages.sketch import hll_estimate, hll_register_table
+
+    rng = np.random.default_rng(21)
+    n = 40_000
+    day = rng.integers(0, 3, n)
+    user = rng.integers(0, 5000, n) + day * 100_000
+    ds = rd.from_arrow(pa.table({"day": day, "user_id": user})).repartition(6)
+    regs = hll_register_table(ds, "user_id", keys=["day"]).to_pandas()
+    for d in range(3):
+        g = regs[regs["day"] == d]
+        est = hll_estimate(g["register"].to_numpy(), g["max_rank"].to_numpy())
+        true = len(np.unique(user[day == d]))
+        assert abs(est - true) / true < 0.05
+    # keyed partial tables merge to the unkeyed table by grouped max
+    merged = (
+        regs.groupby("register", as_index=False)["max_rank"].max()
+        .sort_values("register", ignore_index=True)
+    )
+    glob = (
+        hll_register_table(ds, "user_id").to_pandas()
+        .sort_values("register", ignore_index=True)
+    )
+    assert merged.values.tolist() == glob.values.tolist()
