@@ -3041,6 +3041,31 @@ _ORACLE_SQL_STATIC = {
     # round 4: hashed-linear classifier scoring — same token-hash
     # unroll as simhash, bucket/weight arithmetic, integer sums
     "classifier_score_docs": _classifier_sql(),
+    # curriculum packing — the classifier SQL wrapped as a CTE, then
+    # the same window prefix sum as pack_sequences_docs over the
+    # (score DESC, doc_id) integer order key
+    "curriculum_pack_docs": f"""
+        WITH scores AS ({_classifier_sql()}),
+        d AS (
+            SELECT doc_id, n_tokens AS ntok,
+                   -score * 4294967296 + doc_id AS ord
+            FROM scores
+        ),
+        p AS (
+            SELECT doc_id, ntok,
+                   CAST(COALESCE(SUM(ntok) OVER (
+                       ORDER BY ord
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS start_tok
+            FROM d
+        )
+        SELECT doc_id, start_tok,
+               start_tok // 512 AS first_seq,
+               CASE WHEN ntok > 0
+                    THEN (start_tok + ntok - 1) // 512
+                    ELSE start_tok // 512 END AS last_seq
+        FROM p
+    """,
     # round 4: incremental crawl diff — both snapshots and the FULL
     # OUTER JOIN re-derived from generator arithmetic; md5 string
     # equality stands in for the engine's md5-64 fingerprint equality

@@ -3020,6 +3020,38 @@ def tfidf_retrieval_docs(sf_dir: str):
     ).limit(10)
 
 
+def curriculum_pack_docs(sf_dir: str):
+    """Curriculum-ordered sequence packing: the hashed-linear
+    classifier scores every document, then the distributed prefix-sum
+    pack lays tokens out in (score DESC, doc_id ASC) order — highest-
+    quality-first data ordering for training, as ONE composition of
+    two audited operators.  Order key = -score * 2^32 + doc_id (exact
+    int encoding of the desc/asc pair).  The oracle wraps the
+    standalone classifier SQL as a CTE and replays the pack with a
+    window prefix sum — the composition cannot drift from its parts."""
+    from geodata_ray.stages.packing import pack_sequences
+    from geodata_ray.stages.textstats import classifier_score_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = ds.map_batches(classifier_score_batch, batch_format="pyarrow")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        score = batch["score"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "ntok": batch["n_tokens"],
+                "ord": pa.array(-score * (1 << 32) + ids),
+            }
+        )
+
+    return pack_sequences(
+        scored.map_batches(prep, batch_format="pyarrow"),
+        id_col="doc_id", ntok_col="ntok", order_col="ord", seq_len=512,
+    ).select_columns(["doc_id", "start_tok", "first_seq", "last_seq"])
+
+
 def daily_hll_users(sf_dir: str):
     """Per-day HLL register tables (keyed mergeable sketch state) —
     the approximate sibling of ``daily_distinct_users`` whose exchange
@@ -3499,6 +3531,7 @@ RAY_QUERIES = {
     "funnel_users_events": funnel_users_events,
     "bm25_retrieval_docs": bm25_retrieval_docs,
     "daily_hll_users": daily_hll_users,
+    "curriculum_pack_docs": curriculum_pack_docs,
     "s2_tokens_events": s2_tokens_events,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,

@@ -115,3 +115,32 @@ def test_global_shuffle_is_seeded_permutation():
     # a different seed gives a different order
     c = run(4, 8)
     assert c["shuffle_pos"].tolist() != a["shuffle_pos"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curriculum_pack_orders_by_score_desc():
+    from geodata_ray.pipelines.queries import curriculum_pack_docs
+    from geodata_ray.stages.textstats import classifier_score_batch
+    from tests.conftest import SF_DIR
+
+    import pyarrow.parquet as pq
+
+    out = (
+        curriculum_pack_docs(SF_DIR)
+        .to_pandas().sort_values("start_tok", ignore_index=True)
+    )
+    assert out["start_tok"].iloc[0] == 0
+    # the doc at start_tok 0 is the max-score doc (tie: min doc_id)
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    sc = classifier_score_batch(t).to_pandas()
+    best = sc.sort_values(["score", "doc_id"],
+                          ascending=[False, True]).iloc[0]
+    assert out["doc_id"].iloc[0] == best["doc_id"]
+    # spans tile: consecutive starts differ by the previous doc's ntok
+    merged = out.merge(sc[["doc_id", "n_tokens"]], on="doc_id")
+    merged = merged.sort_values("start_tok", ignore_index=True)
+    assert (
+        merged["start_tok"].to_numpy()[1:]
+        == (merged["start_tok"] + merged["n_tokens"]).to_numpy()[:-1]
+    ).all()
