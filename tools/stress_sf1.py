@@ -383,6 +383,46 @@ def main() -> None:
 
     timed("trajectory_stats_10m_events", trajectory_10m)
 
+    # --- conversion funnel over 10M events (10x) (round 4) ---
+    def funnel_10m():
+        from geodata_ray.stages.windows import funnel
+
+        ev = amplify(
+            rd.read_parquet(
+                f"{SF_DIR}/events.parquet",
+                columns=["ts", "user_id", "event_type"],
+            ),
+            AMP,
+            {"user_id": 1_000_000},
+        )
+
+        def prep(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "user_id": batch["user_id"],
+                    "ts_us": pc.cast(batch["ts"], pa.int64()),
+                    "event_type": batch["event_type"],
+                }
+            )
+
+        return funnel(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            stages=("view", "click", "purchase"),
+        ).count()
+
+    timed("funnel_10m_events", funnel_10m)
+
+    # --- BM25 retrieval over 50k docs (10x) (round 4) ---
+    def bm25_50k():
+        os.environ.setdefault("GRAFT_BM25_DIR", SF_DIR)
+        from geodata_ray.pipelines.queries import bm25_retrieval_docs
+
+        # amplification happens inside the corpus: run the query at
+        # sf0.1 directly (its token stream is the cost driver)
+        return bm25_retrieval_docs(SF_DIR).count()
+
+    timed("bm25_retrieval_50k_docs", bm25_50k)
+
     print(json.dumps({
         "metric": "sf1 stress walls (10x gate scale)",
         "unit": "sec",
