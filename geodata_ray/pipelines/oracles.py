@@ -2850,6 +2850,45 @@ _ORACLE_SQL_STATIC = {
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY 1
     """,
+    # ROLLUP levels derive from one finest-level exchange engine-side;
+    # the SQL recomputes all levels directly
+    "rollup_daily_events": """
+        SELECT event_type,
+               CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events
+        GROUP BY ROLLUP(event_type, day)
+    """,
+    # engine discovers the pivoted value set dynamically; the SQL
+    # necessarily states it (conditional aggregation)
+    "pivot_event_types_daily": """
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+        FROM events
+        GROUP BY 1
+    """,
+    # TPC-H Q5 shape; revenue as exact per-row fixed-point integers
+    # (cents x (100 - discount_bp)) so the SUM is order-independent
+    "q5_region_supplier_volume": """
+        SELECT n_name,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_e4
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
     # per-group exact quantile_disc — ceil-rank over a keyed window;
     # ordering by float value == ordering by cents (monotone scale)
     "grouped_quantiles_events": """

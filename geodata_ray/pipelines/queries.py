@@ -1010,6 +1010,141 @@ def q3_shipping_native(sf_dir: str):
     ).limit(10)
 
 
+def q5_region_supplier_volume(sf_dir: str):
+    """TPC-H Q5-style star join: per-nation revenue for one region where
+    the ordering customer and the line's supplier share a nation.
+
+    Plan shape (the multi-way star-join showcase): tiny dimensions
+    (region -> nation, supplier) prune at the driver and ride along as
+    BROADCAST sides inside ``map_batches`` (zero fact-side shuffle);
+    customer scales with the data, so orders |X| customer and the final
+    orders-branch |X| lineitem-branch are NATIVE hash joins — the only
+    two all-to-all exchanges, both over pre-filtered inputs.  Revenue
+    is exact fixed-point: cents x (100 - discount_bp) per row, so the
+    grouped sum is an order-independent integer in both engines."""
+    import pyarrow.parquet as pq
+
+    from geodata_ray.stages.relational import native_join
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    nation = nation.filter(
+        pc.is_in(nation["n_regionkey"], value_set=rkeys.combine_chunks())
+    ).select(["n_nationkey", "n_name"])
+
+    # customer branch: broadcast-prune to region nations, carry nation key
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = broadcast_join(
+        cust,
+        nation.rename_columns(["c_nationkey", "n_name"]),
+        ["c_nationkey"],
+    )
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.greater_equal(b["o_orderdate"], lo), pc.less(b["o_orderdate"], hi))
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    co = native_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                     num_partitions=8)
+
+    # lineitem branch: exact fixed-point revenue + broadcast supplier nation
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).rename_columns(["l_suppkey", "s_nationkey"])
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["l_extendedprice"], pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        dbp = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["l_discount"], pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "rev_e4": pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), dbp)),
+            }
+        )
+
+    li = broadcast_join(li.map_batches(rev, batch_format="pyarrow"), supp, ["l_suppkey"])
+
+    both = native_join(li, co, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+    both = both.map_batches(
+        lambda b: b.filter(
+            pc.equal(pc.cast(b["c_nationkey"], pa.int32()), pc.cast(b["s_nationkey"], pa.int32()))
+        ).select(["n_name", "rev_e4"]),
+        batch_format="pyarrow",
+    )
+    return grouped_aggregate(both, ["n_name"], [("rev_e4", "sum", "revenue_e4")])
+
+
+def rollup_daily_events(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, day): per-(type, day) counts and
+    exact-cents sums plus the per-type and grand-total rows, dropped
+    keys emitted as NULL — one distributed exchange at the finest
+    level, coarser levels derived from the bounded finest table."""
+    from geodata_ray.stages.relational import rollup_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "day": pc.floor_temporal(batch["ts"], unit="day"),
+                "cents": cents,
+            }
+        )
+
+    return rollup_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "day"],
+        [("cents", "count", "n"), ("cents", "sum", "value_cents")],
+    )
+
+
+def pivot_event_types_daily(sf_dir: str):
+    """Dynamic PIVOT: one count column per discovered event type,
+    grouped by day.  The distinct-value pre-pass is the boundedness
+    proof; indicator partials pre-combine per batch so the exchange
+    carries |days| x |types| integers per batch."""
+    from geodata_ray.stages.relational import pivot_counts
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.floor_temporal(batch["ts"], unit="day"),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    return pivot_counts(
+        ds.map_batches(prep, batch_format="pyarrow"), "day", "event_type"
+    )
+
+
 def range_join_orders_events(sf_dir: str):
     """Range join: events falling inside a 30-day validity window after
     each order of the same (mapped) customer."""
@@ -3533,6 +3668,9 @@ RAY_QUERIES = {
     "daily_hll_users": daily_hll_users,
     "curriculum_pack_docs": curriculum_pack_docs,
     "s2_tokens_events": s2_tokens_events,
+    "q5_region_supplier_volume": q5_region_supplier_volume,
+    "rollup_daily_events": rollup_daily_events,
+    "pivot_event_types_daily": pivot_event_types_daily,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

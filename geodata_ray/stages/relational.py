@@ -723,3 +723,101 @@ def grouped_distinct_count(
         pairs, keys + [col], [(col, "count", "__c")]
     )
     return grouped_aggregate(distinct, keys, [(col, "count", alias)])
+
+
+def rollup_aggregate(ds, keys: Sequence[str], specs: Sequence[AggSpec]):
+    """``GROUP BY ROLLUP(keys...)``: the finest level plus every key
+    prefix up to the grand total, dropped keys emitted as NULL.
+
+    Plan: ONE distributed ``grouped_aggregate`` at the finest level
+    (the only all-to-all exchange — partials pre-combine per batch as
+    usual), then the coarser levels derive LOCALLY by re-aggregating
+    the finest table, which is bounded by the finest group cardinality
+    (the same bounded-result invariant every grouped query here
+    already relies on; at 100 TB a rollup whose finest level is
+    unbounded is the wrong query).  Only mergeable aggregates are
+    allowed (count/sum/min/max — a mean does not re-aggregate from
+    projected output; compute sum+count and divide downstream).
+    """
+    keys = list(keys)
+    for _c, fn, _a in specs:
+        if fn not in ("count", "sum", "min", "max"):
+            raise ValueError(f"rollup requires mergeable aggs, got {fn!r}")
+    finest = grouped_aggregate(ds, keys, specs)
+
+    # re-aggregation spec over the PROJECTED finest table: counts merge
+    # by summing, sums by summing, min/max by themselves
+    merge_fn = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    pa_aggs = [([alias], merge_fn[fn]) for _c, fn, alias in specs]
+    out_names = [f"{alias}_{merge_fn[fn]}" for _c, fn, alias in specs]
+
+    def derive(batch: pa.Table) -> pa.Table:
+        levels = [batch]
+        for depth in range(len(keys) - 1, -1, -1):
+            kept = keys[:depth]
+            if kept:
+                agg = batch.group_by(kept).aggregate(pa_aggs)
+            else:
+                agg = batch.select([a for _c, _f, a in specs]).group_by(
+                    []
+                ).aggregate(pa_aggs)
+            cols = {}
+            for k in keys:
+                if k in kept:
+                    cols[k] = agg[k]
+                else:
+                    cols[k] = pa.nulls(len(agg), batch.schema.field(k).type)
+            for (_c, _f, alias), got in zip(specs, out_names):
+                cols[alias] = agg[got]
+            levels.append(pa.table(cols).select(batch.column_names))
+        return pa.concat_tables(levels)
+
+    # single-block derive: the finest table is bounded, so collapsing
+    # it to one block is the documented bounded-cardinality merge
+    return finest.repartition(1).map_batches(
+        derive, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _pivot_partial(batch: pa.Table, *, key_col: str, pivot_col: str,
+                   values: list) -> pa.Table:
+    """One combined row per key per batch: indicator ints -> local sums
+    (stateless task — no actor pool to respawn per execution)."""
+    cols = {key_col: batch[key_col]}
+    for v in values:
+        cols[str(v)] = pc.cast(pc.equal(batch[pivot_col], v), pa.int64())
+    t = pa.table(cols)
+    return t.group_by([key_col]).aggregate(
+        [([str(v)], "sum") for v in values]
+    ).rename_columns([key_col] + [str(v) for v in values])
+
+
+def pivot_counts(ds, key_col: str, pivot_col: str, values=None):
+    """Pivot ``pivot_col``'s values into one count column per value,
+    grouped by ``key_col`` (`PIVOT ... USING COUNT(*)`).
+
+    ``values=None`` discovers the distinct pivot values with a tiny
+    pre-pass (the pivoted column set must be bounded for the result to
+    be a table at all — the discovered set IS that bound).  Per batch,
+    indicator ints pre-combine into one row per key, so the exchange
+    carries |keys| x (|values|+1) integers per batch regardless of row
+    count; rows whose pivot value is outside ``values`` contribute
+    zeros (SQL conditional-aggregation semantics).
+    """
+    if values is None:
+        values = sorted(x for x in ds.unique(pivot_col) if x is not None)
+    values = list(values)
+    partial = ds.map_batches(
+        _pivot_partial,
+        fn_kwargs={
+            "key_col": key_col,
+            "pivot_col": pivot_col,
+            "values": values,
+        },
+        batch_format="pyarrow",
+    )
+    return grouped_aggregate(
+        partial,
+        [key_col],
+        [(str(v), "sum", str(v)) for v in values],
+    )

@@ -236,3 +236,87 @@ def test_grouped_quantiles_and_distinct_count():
     }
     for kk in "abc":
         assert dc[kk] == len(np.unique(v[key == kk]))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rollup_aggregate_matches_pandas_levels():
+    import ray.data as rd
+
+    from geodata_ray.stages.relational import rollup_aggregate
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(list("xyz"), 200),
+            "b": rng.integers(0, 4, 200),
+            "v": rng.integers(-50, 50, 200).astype("int64"),
+        }
+    )
+    out = (
+        rollup_aggregate(
+            rd.from_pandas(df).repartition(5),
+            ["a", "b"],
+            [("v", "count", "n"), ("v", "sum", "sv"), ("v", "min", "mn")],
+        )
+        .to_pandas()
+        .sort_values(["a", "b"], na_position="first")
+        .reset_index(drop=True)
+    )
+    finest = (
+        df.groupby(["a", "b"], as_index=False)
+        .agg(n=("v", "count"), sv=("v", "sum"), mn=("v", "min"))
+    )
+    lvl1 = df.groupby(["a"], as_index=False).agg(
+        n=("v", "count"), sv=("v", "sum"), mn=("v", "min")
+    )
+    lvl1["b"] = pd.NA
+    total = pd.DataFrame(
+        {
+            "a": [pd.NA],
+            "b": [pd.NA],
+            "n": [len(df)],
+            "sv": [df.v.sum()],
+            "mn": [df.v.min()],
+        }
+    )
+    exp = (
+        pd.concat([finest, lvl1, total], ignore_index=True)[out.columns]
+        .sort_values(["a", "b"], na_position="first")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(exp)
+    for col in ("n", "sv", "mn"):
+        assert list(out[col]) == [int(x) for x in exp[col]]
+    # mergeability guard: mean is rejected
+    with pytest.raises(ValueError):
+        rollup_aggregate(rd.from_pandas(df), ["a"], [("v", "mean", "m")])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pivot_counts_discovers_values_and_matches_crosstab():
+    import ray.data as rd
+
+    from geodata_ray.stages.relational import pivot_counts
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, 300),
+            "t": rng.choice(["red", "green", "blue"], 300),
+        }
+    )
+    out = (
+        pivot_counts(rd.from_pandas(df).repartition(4), "k", "t")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    ct = pd.crosstab(df.k, df.t).reset_index()
+    assert list(out.columns) == ["k", "blue", "green", "red"]
+    for col in ("blue", "green", "red"):
+        assert list(out[col]) == list(ct[col])
+    # explicit values: absent value -> all-zero column
+    out2 = pivot_counts(
+        rd.from_pandas(df), "k", "t", values=["red", "pink"]
+    ).to_pandas()
+    assert out2["pink"].sum() == 0 and out2["red"].sum() == (df.t == "red").sum()
