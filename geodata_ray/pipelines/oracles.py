@@ -2873,6 +2873,42 @@ _ORACLE_SQL_STATIC = {
         FROM events
         GROUP BY 1
     """,
+    # broadcast interval lookup engine-side; the SQL regenerates the
+    # boundary table and counts boundaries <= ip (same as searchsorted
+    # side='right')
+    "ip_range_lookup_events": f"""
+        WITH ips AS (
+          SELECT event_id, (event_id * {_GEO_A}) % {_GEO_M} AS ip
+          FROM events
+        ),
+        bnds AS (
+          SELECT ((k + 1) * {_GEO_B}) % {_GEO_M} AS b FROM range(255) t(k)
+        )
+        SELECT i.event_id, i.ip, CAST(COUNT(b.b) AS BIGINT) AS asn_id
+        FROM ips i LEFT JOIN bnds b ON b.b <= i.ip
+        GROUP BY i.event_id, i.ip
+    """,
+    # per-user OLS slope as the exact integer pair (num, den); x = epoch
+    # days since 2024-01-01, y = exact cents — all-integer moments
+    "user_value_trend_events": """
+        WITH m AS (
+          SELECT user_id,
+                 DATE_DIFF('second', TIMESTAMP '1970-01-01', ts) // 86400
+                     - 19723 AS x,
+                 CAST(ROUND(value * 100) AS BIGINT) AS y
+          FROM events
+        ),
+        a AS (
+          SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM m GROUP BY user_id
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n,
+               CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+        FROM a
+        WHERE n * sxx - sx * sx > 0
+    """,
     # TPC-H Q5 shape; revenue as exact per-row fixed-point integers
     # (cents x (100 - discount_bp)) so the SUM is order-independent
     "q5_region_supplier_volume": """

@@ -1145,6 +1145,96 @@ def pivot_event_types_daily(sf_dir: str):
     )
 
 
+def ip_range_lookup_events(sf_dir: str):
+    """Geo-IP-style broadcast interval lookup: each event's synthetic
+    IPv4 integer maps to the ASN range containing it via a broadcast
+    sorted boundary table + one vectorized searchsorted per batch —
+    ZERO shuffle (the scale-correct plan when the range table is
+    bounded, vs ``range_join`` which exchanges both sides).  The
+    boundary table derives from the same multiplicative-hash family as
+    the IPs, so the SQL oracle regenerates it with ``range()``."""
+    from geodata_ray.stages.relational import interval_lookup
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy()
+        ip = (ids * _GEO_A) % _GEO_M
+        return pa.table(
+            {"event_id": batch["event_id"], "ip": pa.array(ip, pa.int64())}
+        )
+
+    bounds = [((k + 1) * _GEO_B) % _GEO_M for k in range(255)]
+    return interval_lookup(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "ip",
+        bounds,
+        out_col="asn_id",
+    )
+
+
+def user_value_trend_events(sf_dir: str):
+    """Per-user OLS trend (value vs day) from MERGEABLE integer moments:
+    each batch emits per-row (x, y, xy, xx) ints, one grouped sum
+    produces (n, Sx, Sy, Sxy, Sxx), and the slope is returned as the
+    EXACT integer pair (slope_num, slope_den) = (n*Sxy - Sx*Sy,
+    n*Sxx - Sx^2) — no float division, so both engines agree bitwise.
+    Bounds: |num| <= n^2 * max|x| * max|y| — int64-safe for day-scale x
+    and cent-scale y up to ~10^5 rows/key; larger keys need the same
+    moments in HUGEINT/float128, documented here rather than silent."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    base_day = 19723  # 2024-01-01 as epoch days (events live in 2024-25)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        x = (ts.astype("datetime64[s]").astype(np.int64) // 86400) - base_day
+        y = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()), 100.0)),
+            pa.int64(),
+        ).to_numpy()
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+                "xy": pa.array(x * y, pa.int64()),
+                "xx": pa.array(x * x, pa.int64()),
+            }
+        )
+
+    agg = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        [
+            ("x", "count", "n"),
+            ("x", "sum", "sx"),
+            ("y", "sum", "sy"),
+            ("xy", "sum", "sxy"),
+            ("xx", "sum", "sxx"),
+        ],
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy()
+        sx = batch["sx"].to_numpy()
+        sy = batch["sy"].to_numpy()
+        sxy = batch["sxy"].to_numpy()
+        sxx = batch["sxx"].to_numpy()
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "n": batch["n"],
+                "slope_num": pa.array(num, pa.int64()),
+                "slope_den": pa.array(den, pa.int64()),
+            }
+        )
+        return t.filter(pa.array(den > 0))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def range_join_orders_events(sf_dir: str):
     """Range join: events falling inside a 30-day validity window after
     each order of the same (mapped) customer."""
@@ -3671,6 +3761,8 @@ RAY_QUERIES = {
     "q5_region_supplier_volume": q5_region_supplier_volume,
     "rollup_daily_events": rollup_daily_events,
     "pivot_event_types_daily": pivot_event_types_daily,
+    "ip_range_lookup_events": ip_range_lookup_events,
+    "user_value_trend_events": user_value_trend_events,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

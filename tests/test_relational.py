@@ -320,3 +320,33 @@ def test_pivot_counts_discovers_values_and_matches_crosstab():
         rd.from_pandas(df), "k", "t", values=["red", "pink"]
     ).to_pandas()
     assert out2["pink"].sum() == 0 and out2["red"].sum() == (df.t == "red").sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interval_lookup_matches_bruteforce():
+    import ray.data as rd
+
+    from geodata_ray.stages.relational import interval_lookup
+
+    rng = np.random.default_rng(3)
+    bounds = np.unique(rng.integers(0, 1000, 20))
+    x = rng.integers(-50, 1100, 400)  # below-min and above-max included
+    out = (
+        interval_lookup(
+            rd.from_pandas(pd.DataFrame({"x": x})).repartition(4),
+            "x",
+            list(bounds),
+            out_col="bkt",
+        )
+        .to_pandas()
+        .sort_values("x", kind="stable")
+    )
+    exp = np.searchsorted(np.sort(bounds), np.sort(x, kind="stable"),
+                          side="right")
+    assert list(out["bkt"]) == list(exp)
+    # boundary value lands in the interval it OPENS (b <= x semantics)
+    one = interval_lookup(
+        rd.from_pandas(pd.DataFrame({"x": [int(bounds[0])]})), "x",
+        list(bounds), out_col="bkt",
+    ).to_pandas()
+    assert one["bkt"][0] == 1
