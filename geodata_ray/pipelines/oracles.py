@@ -2873,6 +2873,29 @@ _ORACLE_SQL_STATIC = {
         FROM events
         GROUP BY 1
     """,
+    # BFS levels: the SQL expands the same edge arithmetic and takes
+    # the min depth per reachable node
+    "bfs_hosts_2hop": """
+        WITH e AS (
+          SELECT DISTINCT doc_id % 97 AS u,
+                 (doc_id % 97 + 1 + (doc_id * j) % 96) % 97 AS v
+          FROM documents, (VALUES (1), (2), (3)) t(j)
+        ),
+        seeds AS (SELECT k AS node FROM range(97) t(k) WHERE k % 31 = 0),
+        l1 AS (
+          SELECT DISTINCT e.v AS node FROM e JOIN seeds s ON e.u = s.node
+        ),
+        l2 AS (
+          SELECT DISTINCT e.v AS node FROM e JOIN l1 ON e.u = l1.node
+        ),
+        lv AS (
+          SELECT node, 0 AS dist FROM seeds
+          UNION ALL SELECT node, 1 FROM l1
+          UNION ALL SELECT node, 2 FROM l2
+        )
+        SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+        FROM lv GROUP BY node
+    """,
     # broadcast interval lookup engine-side; the SQL regenerates the
     # boundary table and counts boundaries <= ip (same as searchsorted
     # side='right')

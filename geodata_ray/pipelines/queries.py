@@ -3031,6 +3031,35 @@ def triangle_counts_hosts(sf_dir: str):
     )
 
 
+def bfs_hosts_2hop(sf_dir: str):
+    """Crawl-frontier expansion: multi-source BFS distance labels (<=2
+    hops) from seed hosts over the deterministic 97-node directed host
+    link graph (same edge arithmetic as PageRank/triangles).  Each
+    round is a broadcast frontier filter + distinct — no edge shuffle;
+    the visited set is bounded by reachable nodes."""
+    from geodata_ray.stages.graphcc import bfs_levels
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        u = ids % 97
+        us, vs = [], []
+        for j in (1, 2, 3):
+            us.append(u)
+            vs.append((u + 1 + (ids * j) % 96) % 97)
+        return pa.table(
+            {"u": pa.array(np.concatenate(us)),
+             "v": pa.array(np.concatenate(vs))}
+        )
+
+    return bfs_levels(
+        ds.map_batches(edges, batch_format="pyarrow"),
+        seeds=[0, 31, 62, 93],
+        max_depth=2,
+    )
+
+
 def curation_chain(ds, *, host_mod: int = 97):
     """End-to-end corpus curation — the headline webtext chain, each
     stage an existing operator: language-ID keep-en -> quality rules
@@ -3763,6 +3792,7 @@ RAY_QUERIES = {
     "pivot_event_types_daily": pivot_event_types_daily,
     "ip_range_lookup_events": ip_range_lookup_events,
     "user_value_trend_events": user_value_trend_events,
+    "bfs_hosts_2hop": bfs_hosts_2hop,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -664,3 +664,51 @@ def triangle_counts(
     return grouped_aggregate(
         tri_verts, ["host"], [("host", "count", "n_triangles")]
     )
+
+
+def bfs_levels(edges, seeds, *, src: str = "u", dst: str = "v",
+               max_depth: int = 2, node_bound: int = 5_000_000):
+    """Multi-source BFS distance labels up to ``max_depth`` over a
+    directed edge Dataset (frontier expansion — the crawl-scheduler /
+    link-neighborhood primitive).
+
+    Per round: the current frontier is BROADCAST as a key set
+    (``semi_join``-style ``is_in`` filter on ``src`` — no edge-side
+    shuffle), and the matched ``dst`` values collapse to a distinct
+    list.  The visited set lives driver-side, bounded by the REACHABLE
+    node count, never the edge count — the same documented broadcast
+    bound as ``pagerank``'s rank table (``node_bound`` raises rather
+    than silently degrading; past it, swap the frontier filter for a
+    ``native_join`` against a frontier Dataset, round shape unchanged).
+
+    Returns a Dataset of (node, dist), dist = 0 for seeds.
+    """
+    import ray
+    import ray.data as rd
+
+    from geodata_ray.stages.relational import semi_join
+
+    visited: dict[int, int] = {int(s): 0 for s in seeds}
+    frontier = sorted(visited)
+    for depth in range(1, max_depth + 1):
+        if not frontier:
+            break
+        hits = semi_join(edges, ray.put(np.asarray(frontier, np.int64)),
+                         src)
+        neigh = hits.unique(dst)
+        new = sorted(int(v) for v in neigh if int(v) not in visited)
+        if len(visited) + len(new) > node_bound:
+            raise ValueError(
+                f"bfs_levels: reachable set exceeds node_bound="
+                f"{node_bound}; use the join-frontier path"
+            )
+        for v in new:
+            visited[v] = depth
+        frontier = new
+    t = pa.table(
+        {
+            "node": pa.array(list(visited.keys()), pa.int64()),
+            "dist": pa.array(list(visited.values()), pa.int64()),
+        }
+    )
+    return rd.from_arrow(t)

@@ -129,3 +129,32 @@ def test_triangle_counts_vs_bruteforce():
             for t in (x, y, z):
                 exp[t] = exp.get(t, 0) + 1
     assert out == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bfs_levels_path_graph_depths():
+    import ray.data as rd
+
+    from geodata_ray.stages.graphcc import bfs_levels
+
+    # path 0->1->2->3->4 plus a shortcut 10->3; seeds {0, 10}
+    edges = pd.DataFrame(
+        {"u": [0, 1, 2, 3, 10], "v": [1, 2, 3, 4, 3]}
+    )
+    out = (
+        bfs_levels(rd.from_pandas(edges).repartition(2), seeds=[0, 10],
+                   max_depth=2)
+        .to_pandas()
+        .set_index("node")["dist"]
+        .to_dict()
+    )
+    # node 3: min(3 hops via path, 1 hop via shortcut) = 1; node 4 at 2;
+    # depth cap excludes nothing else here
+    assert out == {0: 0, 10: 0, 1: 1, 3: 1, 2: 2, 4: 2}
+    # depth cap: with max_depth=1, node 2 and 4 are absent
+    out1 = bfs_levels(rd.from_pandas(edges), seeds=[0, 10], max_depth=1)
+    got = set(out1.to_pandas()["node"])
+    assert got == {0, 10, 1, 3}
+    # node_bound guard raises instead of silently degrading
+    with pytest.raises(ValueError):
+        bfs_levels(rd.from_pandas(edges), seeds=[0], node_bound=1)
