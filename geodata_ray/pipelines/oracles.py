@@ -2873,6 +2873,32 @@ _ORACLE_SQL_STATIC = {
         FROM events
         GROUP BY 1
     """,
+    # grid density clustering: independent recursive-CTE min-label walk
+    # over the same quantization (4-connected, no wrap)
+    "grid_clusters_events": f"""
+        WITH RECURSIVE pts AS (
+          SELECT CAST(FLOOR(({_derive_lat_sql('event_id')} + 90.0) / 4.0)
+                      AS BIGINT) AS r,
+                 CAST(FLOOR(({_derive_lon_sql('event_id')} + 180.0) / 4.0)
+                      AS BIGINT) AS c
+          FROM events
+        ),
+        cnt AS (SELECT r, c, COUNT(*) AS n FROM pts GROUP BY 1, 2),
+        dense AS (SELECT r, c, n FROM cnt WHERE n >= 10),
+        walk(r, c, label) AS (
+          SELECT r, c, r * 90 + c FROM dense
+          UNION
+          SELECT n2.r, n2.c, w.label FROM walk w
+          CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) d(dr, dc)
+          JOIN dense n2 ON n2.r = w.r + d.dr AND n2.c = w.c + d.dc
+        ),
+        lab AS (SELECT r, c, MIN(label) AS label FROM walk GROUP BY 1, 2)
+        SELECT label AS cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(n) AS BIGINT) AS n_points
+        FROM lab JOIN dense USING (r, c)
+        GROUP BY 1
+    """,
     # BFS levels: the SQL expands the same edge arithmetic and takes
     # the min depth per reachable node
     "bfs_hosts_2hop": """

@@ -3060,6 +3060,32 @@ def bfs_hosts_2hop(sf_dir: str):
     )
 
 
+def grid_clusters_events(sf_dir: str):
+    """DBSCAN-style grid density clustering of the event points: 4-deg
+    cells, dense = >=10 points, 4-connected dense cells merge into
+    clusters (one exchange + a grid-bounded labeling block).  The
+    oracle replays the quantization and a recursive-CTE min-label
+    walk — fully independent CC machinery."""
+    from geodata_ray.stages.raster import grid_density_clusters
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy()
+        return pa.table(
+            {
+                "lat": pa.array(_derive_lat_np(ids)),
+                "lon": pa.array(_derive_lon_np(ids)),
+            }
+        )
+
+    return grid_density_clusters(
+        ds.map_batches(pts, batch_format="pyarrow"),
+        cell_deg=4.0,
+        min_pts=10,
+    )
+
+
 def curation_chain(ds, *, host_mod: int = 97):
     """End-to-end corpus curation — the headline webtext chain, each
     stage an existing operator: language-ID keep-en -> quality rules
@@ -3793,6 +3819,7 @@ RAY_QUERIES = {
     "ip_range_lookup_events": ip_range_lookup_events,
     "user_value_trend_events": user_value_trend_events,
     "bfs_hosts_2hop": bfs_hosts_2hop,
+    "grid_clusters_events": grid_clusters_events,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -676,3 +676,77 @@ def stencil_smooth(
         return t.select([row_col, col_col, "n_nbrs", "sum_v"])
 
     return ag.map_batches(trim, batch_format="pyarrow")
+
+
+def grid_density_clusters(
+    ds,
+    *,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_deg: float = 4.0,
+    min_pts: int = 10,
+):
+    """DBSCAN-style density clustering of a point Dataset via grid
+    binning: quantize points to a lat-lon grid, keep cells holding
+    >= ``min_pts`` points, 4-connect the dense cells into clusters
+    (reusing the vectorized run-based component labeler), and report
+    per-cluster size.
+
+    Scale shape: ONE distributed exchange (the per-cell count — a
+    pre-combined grouped aggregate, so hot cells ship one partial row
+    per batch), then a single-block labeling pass whose input is
+    bounded by the GRID size (360/cell_deg x 180/cell_deg cells),
+    never the point count — the same bounded-cardinality merge the
+    tile pipeline uses.  Cluster ids are the component's min global
+    cell id (row * ncols + col): deterministic across partitionings.
+    No anti-meridian wrap (a flat grid, matching the SQL oracle).
+
+    Returns (cluster_id, n_cells, n_points).
+    """
+    ncols = int(round(360.0 / cell_deg))
+
+    def quant(batch: pa.Table) -> pa.Table:
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        r = np.floor((lat + 90.0) / cell_deg).astype(np.int64)
+        c = np.floor((lon + 180.0) / cell_deg).astype(np.int64)
+        return pa.table({"r": pa.array(r), "c": pa.array(c)})
+
+    counts = grouped_aggregate(
+        ds.map_batches(quant, batch_format="pyarrow"),
+        ["r", "c"],
+        [("r", "count", "n")],
+    )
+
+    def label_block(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch["n"], min_pts))
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "cluster_id": pa.array([], pa.int64()),
+                    "n_cells": pa.array([], pa.int64()),
+                    "n_points": pa.array([], pa.int64()),
+                }
+            )
+        rows = t["r"].to_numpy()
+        cols = t["c"].to_numpy()
+        n = t["n"].to_numpy()
+        labels = _label_components(rows, cols, ncols)
+        order = np.argsort(labels, kind="stable")
+        lab_s, n_s = labels[order], n[order]
+        first = np.ones(len(lab_s), dtype=bool)
+        first[1:] = lab_s[1:] != lab_s[:-1]
+        bounds = np.flatnonzero(first)
+        n_cells = np.diff(np.append(bounds, len(lab_s)))
+        n_points = np.add.reduceat(n_s, bounds)
+        return pa.table(
+            {
+                "cluster_id": pa.array(lab_s[bounds], pa.int64()),
+                "n_cells": pa.array(n_cells.astype(np.int64)),
+                "n_points": pa.array(n_points.astype(np.int64)),
+            }
+        )
+
+    return counts.repartition(1).map_batches(
+        label_block, batch_format="pyarrow", batch_size=None
+    )

@@ -324,3 +324,64 @@ def test_stencil_smooth_matches_scipy_style_conv():
                     exp_n += 1
                     exp_s += int(grid[rr, cc])
         assert out[(r, c)] == (exp_n, exp_s)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grid_density_clusters_matches_bfs_reference():
+    import ray.data as rd
+
+    from geodata_ray.stages.raster import grid_density_clusters
+
+    rng = np.random.default_rng(5)
+    # three planted blobs + uniform noise
+    blobs = [(-40.0, 10.0), (-36.0, 14.0), (30.0, -120.0)]
+    lats, lons = [], []
+    for blat, blon in blobs:
+        lats.append(rng.uniform(blat, blat + 7.9, 120))
+        lons.append(rng.uniform(blon, blon + 7.9, 120))
+    lats.append(rng.uniform(-80, 80, 150))
+    lons.append(rng.uniform(-170, 170, 150))
+    lat = np.concatenate(lats)
+    lon = np.concatenate(lons)
+    cell, minp = 4.0, 8
+    out = (
+        grid_density_clusters(
+            rd.from_pandas(pd.DataFrame({"lat": lat, "lon": lon}))
+            .repartition(6),
+            cell_deg=cell,
+            min_pts=minp,
+        )
+        .to_pandas()
+        .sort_values("cluster_id")
+        .reset_index(drop=True)
+    )
+
+    # reference: pandas counts + BFS over dense cells
+    r = np.floor((lat + 90.0) / cell).astype(int)
+    c = np.floor((lon + 180.0) / cell).astype(int)
+    cnt = pd.DataFrame({"r": r, "c": c}).value_counts()
+    dense = {k: v for k, v in cnt.items() if v >= minp}
+    seen, clusters = set(), []
+    for start in dense:
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        seen.add(start)
+        while stack:
+            cur = stack.pop()
+            comp.append(cur)
+            for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                nb = (cur[0] + dr, cur[1] + dc)
+                if nb in dense and nb not in seen:
+                    seen.add(nb)
+                    stack.append(nb)
+        ncols = int(round(360.0 / cell))
+        cid = min(rr * ncols + cc for rr, cc in comp)
+        clusters.append((cid, len(comp), sum(dense[p] for p in comp)))
+    ref = (
+        pd.DataFrame(clusters, columns=["cluster_id", "n_cells", "n_points"])
+        .sort_values("cluster_id")
+        .reset_index(drop=True)
+    )
+    assert len(ref) >= 2  # the planted blobs actually clustered
+    pd.testing.assert_frame_equal(out.astype("int64"), ref.astype("int64"))
