@@ -2873,6 +2873,71 @@ _ORACLE_SQL_STATIC = {
         FROM events
         GROUP BY 1
     """,
+    # winsorized totals: exact p10/p90 per key via ceil-rank window,
+    # then LEAST/GREATEST clip + sum
+    "winsorized_value_events": """
+        WITH o AS (
+          SELECT event_type,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        ),
+        qb AS (
+          SELECT event_type,
+                 MIN(CASE WHEN rn = CAST(ceil(0.10 * n) AS BIGINT)
+                          THEN cents END) AS lo,
+                 MIN(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                          THEN cents END) AS hi
+          FROM o GROUP BY 1
+        )
+        SELECT o.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(LEAST(GREATEST(o.cents, qb.lo), qb.hi)) AS BIGINT)
+                   AS win_cents
+        FROM o JOIN qb USING (event_type)
+        GROUP BY 1
+    """,
+    # session attribution: gaps-and-islands + first/last row per island
+    "session_attribution_users": """
+        WITH o AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        ),
+        agg AS (
+          SELECT user_id, sid, MIN(ts) AS session_start,
+                 MAX(ts) AS session_end,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(SUM(cents) AS BIGINT) AS value_sum
+          FROM s GROUP BY 1, 2
+        ),
+        f AS (
+          SELECT user_id, sid, event_type AS first_type FROM s
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                     ORDER BY ts, event_id) = 1
+        ),
+        l AS (
+          SELECT user_id, sid, event_type AS last_type FROM s
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                     ORDER BY ts DESC, event_id DESC) = 1
+        )
+        SELECT a.user_id, a.session_start, a.session_end, a.n_events,
+               a.value_sum, f.first_type, l.last_type
+        FROM agg a
+        JOIN f USING (user_id, sid)
+        JOIN l USING (user_id, sid)
+    """,
     # grid density clustering: independent recursive-CTE min-label walk
     # over the same quantization (4-connected, no wrap)
     "grid_clusters_events": f"""

@@ -3086,6 +3086,67 @@ def grid_clusters_events(sf_dir: str):
     )
 
 
+def winsorized_value_events(sf_dir: str):
+    """Robust per-type value totals: clip each event's exact cents to
+    its type's exact [p10, p90] quantiles (bounded keyed histogram),
+    broadcast the clip bounds, one grouped sum — outlier-insensitive
+    aggregation with zero value-side shuffle beyond the histogram."""
+    from geodata_ray.stages.relational import winsorized_grouped_sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        return pa.table({"event_type": batch["event_type"], "cents": cents})
+
+    return winsorized_grouped_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "event_type",
+        "cents",
+        alias="win_cents",
+    )
+
+
+def session_attribution_users(sf_dir: str):
+    """First-touch / last-touch session attribution: sessionize by the
+    30-minute gap rule, then per session report first/last event type
+    (event-id tie-break), event count and exact cents total."""
+    from geodata_ray.stages.windows import session_attribution
+
+    ds = _read(
+        sf_dir, "events",
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "cents": cents,
+            }
+        )
+
+    return session_attribution(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        val_col="cents",
+        tie_col="event_id",
+        gap_minutes=30,
+    )
+
+
 def curation_chain(ds, *, host_mod: int = 97):
     """End-to-end corpus curation — the headline webtext chain, each
     stage an existing operator: language-ID keep-en -> quality rules
@@ -3820,6 +3881,8 @@ RAY_QUERIES = {
     "user_value_trend_events": user_value_trend_events,
     "bfs_hosts_2hop": bfs_hosts_2hop,
     "grid_clusters_events": grid_clusters_events,
+    "winsorized_value_events": winsorized_value_events,
+    "session_attribution_users": session_attribution_users,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

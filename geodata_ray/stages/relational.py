@@ -850,3 +850,49 @@ def interval_lookup(ds, col: str, boundaries, out_col: str = "bucket_id"):
         return batch.append_column(out_col, pa.array(idx, pa.int64()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def winsorized_grouped_sum(
+    ds,
+    key_col: str,
+    col: str,
+    *,
+    lo=(10, 0.10),
+    hi=(90, 0.90),
+    alias: str = "win_sum",
+):
+    """Robust (winsorized) grouped aggregation over an integer column:
+    per key, clip values to that key's exact [lo, hi] quantiles, then
+    sum — the outlier-insensitive sibling of a plain grouped sum.
+
+    Plan: the exact keyed quantiles come from the bounded two-phase
+    histogram (:func:`grouped_exact_quantiles` — (key, value, count)
+    exchange only); the per-key clip bounds are a KEY-CARDINALITY-
+    bounded table, broadcast back (``ray.put`` once) for a zero-shuffle
+    per-batch clip; the final sum is one pre-combined grouped
+    aggregate.  Returns (key, n, alias).
+    """
+    q = grouped_exact_quantiles(ds, key_col, col, [lo, hi])
+    qt = pa.concat_tables(
+        [b for b in q.iter_batches(batch_format="pyarrow")]
+        or [pa.table({key_col: [], "q_pct": [], col: []})]
+    )
+    lo_t = qt.filter(pc.equal(qt["q_pct"], lo[0])).select([key_col, col])
+    hi_t = qt.filter(pc.equal(qt["q_pct"], hi[0])).select([key_col, col])
+    bounds = lo_t.rename_columns([key_col, "__lo"]).join(
+        hi_t.rename_columns([key_col, "__hi"]), keys=[key_col]
+    )
+
+    clipped = broadcast_join(ds, bounds, [key_col])
+
+    def clip(batch: pa.Table) -> pa.Table:
+        v = pc.min_element_wise(
+            pc.max_element_wise(batch[col], batch["__lo"]), batch["__hi"]
+        )
+        return pa.table({key_col: batch[key_col], "__w": v})
+
+    return grouped_aggregate(
+        clipped.map_batches(clip, batch_format="pyarrow"),
+        [key_col],
+        [("__w", "count", "n"), ("__w", "sum", alias)],
+    )

@@ -304,3 +304,45 @@ def funnel(
         .groupby("__b")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def session_attribution(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    val_col: str = "cents",
+    tie_col: str = "event_id",
+    gap_minutes: int = 30,
+):
+    """Sessionize (same gap rule as :func:`session_windows`) and
+    attribute each session: first/last event type (ties broken by
+    ``tie_col`` — deterministic across partitionings), event count and
+    integer value sum.  The marketing first-touch/last-touch primitive.
+    Output: (key, session_start, session_end, n_events, value_sum,
+    first_type, last_type), one row per session."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, tie_col], ignore_index=True)
+        ts = g[ts_col].to_numpy()
+        new = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            new[1:] = (ts[1:] - ts[:-1]) > gap
+        sid = np.cumsum(new) - 1
+        gg = g.assign(__sid=sid).groupby("__sid", sort=True)
+        out = gg.agg(
+            session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
+            n_events=(ts_col, "size"),
+            value_sum=(val_col, "sum"),
+            first_type=(type_col, "first"),
+            last_type=(type_col, "last"),
+        ).reset_index(drop=True)
+        out.insert(0, key_col, g[key_col].iloc[0])
+        out["value_sum"] = out["value_sum"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")

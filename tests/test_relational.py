@@ -350,3 +350,34 @@ def test_interval_lookup_matches_bruteforce():
         list(bounds), out_col="bkt",
     ).to_pandas()
     assert one["bkt"][0] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winsorized_grouped_sum_matches_numpy():
+    import ray.data as rd
+
+    from geodata_ray.stages.relational import winsorized_grouped_sum
+
+    rng = np.random.default_rng(9)
+    k = rng.choice(list("ab"), 500)
+    v = rng.integers(-1000, 1000, 500).astype("int64")
+    v[:5] = 10**6  # outliers that the clip must tame
+    out = (
+        winsorized_grouped_sum(
+            rd.from_pandas(pd.DataFrame({"k": k, "v": v})).repartition(4),
+            "k",
+            "v",
+            alias="ws",
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    import math
+
+    for kk in "ab":
+        x = np.sort(v[k == kk])
+        n = len(x)
+        lo = x[math.ceil(0.10 * n) - 1]
+        hi = x[math.ceil(0.90 * n) - 1]
+        assert out.loc[kk, "ws"] == int(np.clip(x, lo, hi).sum())
+        assert out.loc[kk, "n"] == n

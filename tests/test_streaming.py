@@ -100,3 +100,38 @@ def test_streaming_exact_dedup_rejects_bad_fp_dtype():
         streaming_exact_dedup(
             rd.from_arrow(t), order_col="rid", fp_col="fp", num_buckets=2
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_session_attribution_first_last_ties():
+    import ray.data as rd
+
+    from geodata_ray.stages.windows import session_attribution
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60, "s")
+    # user 1: two sessions; second session has two events at the SAME
+    # ts -> tie broken by event_id
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2],
+            "ts": [base, base + 5 * m, base + 120 * m, base + 120 * m,
+                   base + 7 * m],
+            "event_id": [10, 11, 13, 12, 20],
+            "event_type": ["view", "click", "buy", "add", "view"],
+            "cents": [100, 200, 300, 400, 500],
+        }
+    )
+    out = (
+        session_attribution(rd.from_pandas(df).repartition(2))
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    s1, s2, s3 = out.iloc[0], out.iloc[1], out.iloc[2]
+    assert (s1.first_type, s1.last_type, s1.n_events, s1.value_sum) == (
+        "view", "click", 2, 300)
+    # same-ts tie: event_id 12 ("add") sorts before 13 ("buy")
+    assert (s2.first_type, s2.last_type, s2.value_sum) == ("add", "buy", 700)
+    assert s3.user_id == 2 and s3.n_events == 1
