@@ -2873,6 +2873,21 @@ _ORACLE_SQL_STATIC = {
         FROM events
         GROUP BY 1
     """,
+    # fuzzy join: the oracle is the ALL-PAIRS plan (cross join +
+    # levenshtein) — independent of the engine's deletion-variant
+    # blocking
+    "fuzzy_match_parts": """
+        WITH dirty AS (
+          SELECT p_partkey + 1000000 AS d_id,
+                 SUBSTRING(p_name, 1, (p_partkey % LENGTH(p_name))) ||
+                 SUBSTRING(p_name, (p_partkey % LENGTH(p_name)) + 2)
+                     AS d_name
+          FROM part
+        )
+        SELECT p.p_partkey AS left_id, d.d_id AS right_id
+        FROM part p CROSS JOIN dirty d
+        WHERE levenshtein(p.p_name, d.d_name) <= 1
+    """,
     # winsorized totals: exact p10/p90 per key via ceil-rank window,
     # then LEAST/GREATEST clip + sum
     "winsorized_value_events": """

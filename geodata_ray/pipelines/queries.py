@@ -3147,6 +3147,50 @@ def session_attribution_users(sf_dir: str):
     )
 
 
+def fuzzy_match_parts(sf_dir: str):
+    """Fuzzy record linkage: match deterministically-corrupted part
+    names (one char deleted at position ``p_partkey % len``) back to
+    the catalog within edit distance 1, via SymSpell deletion-
+    neighborhood blocking + vectorized byte-matrix verify — no
+    all-pairs comparison anywhere.  The oracle IS the all-pairs plan:
+    a cross join with DuckDB's levenshtein, fully independent
+    machinery.  Duplicate catalog names make this a real stress (many
+    dirty names match dozens of parts)."""
+    from geodata_ray.stages.dedup import fuzzy_edit1_pairs
+
+    parts = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    left = parts.map_batches(
+        lambda b: pa.table({"id": b["p_partkey"], "name": b["p_name"]}),
+        batch_format="pyarrow",
+    )
+
+    def dirty(batch: pa.Table) -> pa.Table:
+        names = batch["p_name"].to_pylist()
+        keys = batch["p_partkey"].to_numpy()
+        bs = [x.encode("utf-8") for x in names]
+        n = len(bs)
+        S = np.array(bs)  # padded fixed-width bytes
+        M = S.view(np.uint8).reshape(n, -1)
+        ln = np.fromiter((len(x) for x in bs), np.int64, n)
+        k = keys % ln
+        j = np.arange(M.shape[1] - 1, dtype=np.int64)
+        idx = j[None, :] + (j[None, :] >= k[:, None])
+        gathered = np.take_along_axis(M, idx, axis=1)
+        out = [
+            bytes(gathered[i, : ln[i] - 1]).decode("utf-8")
+            for i in range(n)
+        ]
+        return pa.table(
+            {
+                "id": pa.array(keys + 1_000_000, pa.int64()),
+                "name": pa.array(out, pa.string()),
+            }
+        )
+
+    right = parts.map_batches(dirty, batch_format="pyarrow")
+    return fuzzy_edit1_pairs(left, right, id_col="id", str_col="name")
+
+
 def curation_chain(ds, *, host_mod: int = 97):
     """End-to-end corpus curation — the headline webtext chain, each
     stage an existing operator: language-ID keep-en -> quality rules
@@ -3883,6 +3927,7 @@ RAY_QUERIES = {
     "grid_clusters_events": grid_clusters_events,
     "winsorized_value_events": winsorized_value_events,
     "session_attribution_users": session_attribution_users,
+    "fuzzy_match_parts": fuzzy_match_parts,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

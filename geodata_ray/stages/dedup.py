@@ -1040,3 +1040,134 @@ def cdc_duplicate_spans(
     return agg.filter(expr="n_copies > 1").select_columns(
         [id_col, "n_bytes", "n_copies"]
     )
+
+
+def _edit_le1_mask(a_list: list, b_list: list) -> np.ndarray:
+    """Vectorized edit-distance<=1 verification for candidate string
+    pairs.  Pairs are grouped into (len_a, len_b) classes; inside a
+    class every check is a fixed-width numpy byte-matrix kernel (no
+    per-pair Python).  BYTE-level semantics (== char-level for ASCII;
+    multi-byte UTF-8 chars count per byte, documented contract)."""
+    n = len(a_list)
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    ab = [s.encode("utf-8") for s in a_list]
+    bb = [s.encode("utf-8") for s in b_list]
+    la = np.fromiter((len(x) for x in ab), np.int64, n)
+    lb = np.fromiter((len(x) for x in bb), np.int64, n)
+    for (ca, cb) in set(zip(la.tolist(), lb.tolist())):
+        if abs(ca - cb) > 1:
+            continue
+        sel = np.flatnonzero((la == ca) & (lb == cb))
+        A = np.frombuffer(
+            b"".join(ab[i] for i in sel), np.uint8
+        ).reshape(len(sel), ca) if ca else np.zeros((len(sel), 0), np.uint8)
+        B = np.frombuffer(
+            b"".join(bb[i] for i in sel), np.uint8
+        ).reshape(len(sel), cb) if cb else np.zeros((len(sel), 0), np.uint8)
+        if ca == cb:
+            ok = (A != B).sum(axis=1) <= 1
+        else:
+            if ca > cb:  # make A the shorter side
+                A, B, short = B, A, cb
+            else:
+                short = ca
+            if short == 0:  # "" vs one char: always distance 1
+                out[sel] = True
+                continue
+            # deletion alignment: first mismatch p in the aligned
+            # prefix, then A[p:] must equal B shifted one right
+            cmp0 = A != B[:, :short]
+            has = cmp0.any(axis=1)
+            p = np.where(has, cmp0.argmax(axis=1), short)
+            cmp1 = A != B[:, 1 : short + 1]
+            anyb = cmp1.any(axis=1)
+            lastbad = np.where(
+                anyb, short - 1 - cmp1[:, ::-1].argmax(axis=1), -1
+            )
+            ok = lastbad < p
+        out[sel] = ok
+    return out
+
+
+def fuzzy_edit1_pairs(
+    left,
+    right,
+    *,
+    id_col: str = "id",
+    str_col: str = "name",
+    num_partitions: int = 8,
+):
+    """Record-linkage join: all (left_id, right_id) pairs whose strings
+    are within edit distance 1 (SymSpell-style deletion-neighborhood
+    blocking).
+
+    Why it works: if ``edit(a, b) <= 1`` then the variant sets
+    ``{s} U {del(s, i)}`` of a and b intersect (equality, the deleted
+    form, or both deleting the substituted position).  So: each side
+    emits 64-bit fingerprints of its variants (~len+1 rows per string
+    — the exchange is (hash, id, short-string) tuples, never documents),
+    ONE hash equi-join produces candidates, and a vectorized byte-matrix
+    verify removes the false positives (shared-variant pairs at
+    distance 2, hash collisions).  Strings ride along because this
+    operator targets short keys (names, titles, hosts); for long
+    strings join the pair ids back instead.  Identical strings
+    cross-product inside a block — exact-dedup each side first, as any
+    all-pairs similarity join requires.
+    """
+    from geodata_ray.stages.relational import grouped_aggregate, native_join
+
+    def variants(tag: str):
+        def f(batch: pa.Table) -> pa.Table:
+            s = pc.cast(batch[str_col], pa.string())
+            ids = batch[id_col]
+            strs = s.to_pylist()
+            hs, hid, hname = [], [], []
+            # the string itself
+            hs.append(hash_strings_nomemo(strs).view(np.int64))
+            hid.append(ids)
+            hname.append(s)
+            nbytes = pc.binary_length(s).to_numpy(zero_copy_only=False)
+            maxlen = int(nbytes.max()) if len(nbytes) else 0
+            for i in range(maxlen):
+                mask = pa.array(nbytes > i)
+                sub_s = s.filter(mask)
+                pre = pc.utf8_slice_codeunits(sub_s, 0, i)
+                suf = pc.utf8_slice_codeunits(sub_s, i + 1, 2**30)
+                var = pc.binary_join_element_wise(pre, suf, "")
+                hs.append(
+                    hash_strings_nomemo(var.to_pylist()).view(np.int64)
+                )
+                hid.append(ids.filter(mask))
+                hname.append(sub_s)
+            return pa.table(
+                {
+                    "__h": pa.array(np.concatenate(hs), pa.int64()),
+                    f"{tag}_id": pa.concat_arrays(
+                        [pa.array(c) if not isinstance(c, (pa.Array, pa.ChunkedArray)) else pc.cast(c, pa.int64()).combine_chunks() for c in hid]
+                    ),
+                    f"{tag}_name": pa.concat_arrays(
+                        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in hname]
+                    ),
+                }
+            )
+
+        return f
+
+    lv = left.map_batches(variants("left"), batch_format="pyarrow")
+    rv = right.map_batches(variants("right"), batch_format="pyarrow")
+    cand = native_join(lv, rv, on="__h", num_partitions=num_partitions)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ok = _edit_le1_mask(
+            batch["left_name"].to_pylist(), batch["right_name"].to_pylist()
+        )
+        t = batch.filter(pa.array(ok))
+        return t.select(["left_id", "right_id"])
+
+    pairs = cand.map_batches(verify, batch_format="pyarrow")
+    out = grouped_aggregate(
+        pairs, ["left_id", "right_id"], [("left_id", "count", "__c")]
+    )
+    return out.drop_columns(["__c"])

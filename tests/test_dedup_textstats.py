@@ -615,3 +615,61 @@ def test_ngram_decontaminate_distinct_hits_and_misses():
     )
     assert out.doc_id.tolist() == [1, 2]
     assert out.hit_ngrams.tolist() == [1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fuzzy_edit1_pairs_matches_bruteforce():
+    import pandas as pd
+
+    import ray.data as rd
+
+    from geodata_ray.stages.dedup import fuzzy_edit1_pairs
+
+    rng = np.random.default_rng(21)
+
+    def lev(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            for j in range(len(b) + 1):
+                if i == 0:
+                    m[i][j] = j
+                elif j == 0:
+                    m[i][j] = i
+                else:
+                    m[i][j] = min(
+                        m[i - 1][j] + 1,
+                        m[i][j - 1] + 1,
+                        m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                    )
+        return m[len(a)][len(b)]
+
+    words = [
+        "".join(rng.choice(list("abcd"), rng.integers(1, 7)))
+        for _ in range(60)
+    ]
+    left = pd.DataFrame({"id": range(60), "name": words})
+    rwords = [
+        "".join(rng.choice(list("abcd"), rng.integers(1, 7)))
+        for _ in range(60)
+    ]
+    right = pd.DataFrame({"id": range(100, 160), "name": rwords})
+    got = (
+        fuzzy_edit1_pairs(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            id_col="id",
+            str_col="name",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+    exp = sorted(
+        (int(li), int(ri))
+        for li, a in zip(left.id, left.name)
+        for ri, b in zip(right.id, right.name)
+        if lev(a, b) <= 1
+    )
+    assert [tuple(r) for r in got.to_numpy()] == exp
+    assert len(exp) > 5  # the fixture actually exercises matches
