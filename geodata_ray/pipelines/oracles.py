@@ -2873,6 +2873,64 @@ _ORACLE_SQL_STATIC = {
         FROM events
         GROUP BY 1
     """,
+    # PMI collocations: the same fixed-point qlog2 recursion the LM
+    # oracles use, over N*c_xy and c_x*c_y products
+    "pmi_bigrams_docs": """
+        WITH RECURSIVE tl AS (
+          SELECT string_split(lower(COALESCE(text, '')), ' ') AS ts
+          FROM documents
+        ),
+        uni AS (SELECT unnest(ts) AS term FROM tl),
+        cu AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cx
+               FROM uni GROUP BY 1),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni),
+        st AS (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+               FROM tl),
+        bg AS (
+          SELECT ts[i] AS x, ts[i+1] AS y,
+                 CAST(COUNT(*) AS BIGINT) AS cxy
+          FROM st GROUP BY 1, 2
+          HAVING COUNT(*) >= 5
+        ),
+        j AS (
+          SELECT bg.x, bg.y, bg.cxy,
+                 (SELECT n FROM nn) * bg.cxy AS ca,
+                 cux.cx * cuy.cx AS cb
+          FROM bg
+          JOIN cu cux ON cux.term = bg.x
+          JOIN cu cuy ON cuy.term = bg.y
+        ),
+        vals AS (
+          SELECT DISTINCT ca AS c FROM j
+          UNION SELECT DISTINCT cb FROM j
+        ),
+        it AS (
+          SELECT c, CAST(length(bin(c)) - 1 AS BIGINT) AS msb,
+                 CAST((CAST(c AS HUGEINT) * 1073741824)
+                      // (CAST(CAST(1 AS BIGINT)
+                           << CAST(length(bin(c)) - 1 AS INT)
+                           AS HUGEINT)) AS HUGEINT) AS m,
+                 CAST(0 AS BIGINT) AS frac, 0 AS k
+          FROM vals
+          UNION ALL
+          SELECT c, msb,
+                 CASE WHEN (m * m) // 1073741824 >= 2147483648
+                      THEN ((m * m) // 1073741824) // 2
+                      ELSE (m * m) // 1073741824 END,
+                 frac * 2 + CASE WHEN (m * m) // 1073741824 >= 2147483648
+                                 THEN 1 ELSE 0 END,
+                 k + 1
+          FROM it WHERE k < 16
+        ),
+        q AS (SELECT c, msb * 65536 + frac AS qlog2 FROM it WHERE k = 16)
+        SELECT j.x || ' ' || j.y AS ngram, j.cxy AS n,
+               CAST(qa.qlog2 - qb.qlog2 AS BIGINT) AS pmi_fp
+        FROM j
+        JOIN q qa ON qa.c = j.ca
+        JOIN q qb ON qb.c = j.cb
+        ORDER BY pmi_fp DESC, ngram
+        LIMIT 20
+    """,
     # fuzzy join: the oracle is the ALL-PAIRS plan (cross join +
     # levenshtein) — independent of the engine's deletion-variant
     # blocking

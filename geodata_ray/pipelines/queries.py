@@ -3191,6 +3191,16 @@ def fuzzy_match_parts(sf_dir: str):
     return fuzzy_edit1_pairs(left, right, id_col="id", str_col="name")
 
 
+def pmi_bigrams_docs(sf_dir: str):
+    """Top-20 bigram collocations by exact fixed-point PMI (qlog2
+    domain shared with the LM surprisal); min_count=5 prunes before
+    scoring and bounds the sort."""
+    from geodata_ray.stages.textstats import pmi_top_bigrams
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return pmi_top_bigrams(ds, k=20, min_count=5)
+
+
 def curation_chain(ds, *, host_mod: int = 97):
     """End-to-end corpus curation — the headline webtext chain, each
     stage an existing operator: language-ID keep-en -> quality rules
@@ -3928,6 +3938,7 @@ RAY_QUERIES = {
     "winsorized_value_events": winsorized_value_events,
     "session_attribution_users": session_attribution_users,
     "fuzzy_match_parts": fuzzy_match_parts,
+    "pmi_bigrams_docs": pmi_bigrams_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

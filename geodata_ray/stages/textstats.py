@@ -1000,3 +1000,100 @@ def inverted_index(
         .groupby("__b")
         .map_groups(build, batch_format="pyarrow")
     )
+
+
+def pmi_top_bigrams(
+    ds,
+    *,
+    k: int = 20,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Top-``k`` bigram collocations by EXACT fixed-point PMI:
+    ``pmi_fp = qlog2(N * c_xy) - qlog2(c_x * c_y)`` (N = total token
+    count) — the association-strength upgrade over raw-count
+    ``top_ngrams``, in the same integer-qlog2 domain as the LM
+    surprisal so both engines agree bitwise.
+
+    Scale shape: unigram and bigram corpus counts are pre-combined
+    grouped sums (distinct-in-batch partials only); bigrams prune at
+    ``min_count`` BEFORE scoring (a rare bigram's PMI is noise anyway
+    — the prune is the statistical floor AND the sort bound); the
+    unigram table is vocab-bounded and broadcast (same bound argument
+    as the TF-IDF DF table).  Returns (ngram, n, pmi_fp)."""
+    from geodata_ray.stages.lm import qlog2_fixed
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        _, grams = _ngram_window_batch(
+            batch, id_col=id_col, text_col=text_col, n=1
+        )
+        if len(grams) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        t = pa.table({"term": grams})
+        return t.group_by(["term"]).aggregate([([], "count_all")]) \
+                .rename_columns(["term", "n"])
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        _, grams = _ngram_window_batch(
+            batch, id_col=id_col, text_col=text_col, n=2
+        )
+        if len(grams) == 0:
+            return pa.table(
+                {"ngram": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        t = pa.table({"ngram": grams})
+        return t.group_by(["ngram"]).aggregate([([], "count_all")]) \
+                .rename_columns(["ngram", "n"])
+
+    uni = grouped_aggregate(
+        ds.map_batches(uni_partial, batch_format="pyarrow"),
+        ["term"], [("n", "sum", "cx")],
+    )
+    # vocab-bounded driver materialization (broadcast small side)
+    uni_tbl = pa.concat_tables(
+        list(uni.iter_batches(batch_format="pyarrow"))
+    ).combine_chunks()
+    n_total = int(pc.sum(uni_tbl["cx"]).as_py() or 0)
+
+    bi = grouped_aggregate(
+        ds.map_batches(bi_partial, batch_format="pyarrow"),
+        ["ngram"], [("n", "sum", "cxy")],
+    ).filter(expr=f"cxy >= {min_count}")
+
+    import ray
+
+    uni_ref = ray.put(uni_tbl)
+
+    def score(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {"ngram": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64()),
+                 "pmi_fp": pa.array([], pa.int64())}
+            )
+        ut = ray.get(uni_ref) if isinstance(uni_ref, ray.ObjectRef) else uni_ref
+        parts = pc.split_pattern(batch["ngram"], " ")
+        x = pc.list_element(parts, 0)
+        y = pc.list_element(parts, 1)
+        t = pa.table({"ngram": batch["ngram"], "cxy": batch["cxy"],
+                      "x": x, "y": y})
+        t = t.join(ut.rename_columns(["x", "cx"]), keys=["x"])
+        t = t.join(ut.rename_columns(["y", "cy"]), keys=["y"])
+        cxy = t["cxy"].to_numpy().astype(np.uint64)
+        cx = t["cx"].to_numpy().astype(np.uint64)
+        cy = t["cy"].to_numpy().astype(np.uint64)
+        pmi = qlog2_fixed(np.uint64(n_total) * cxy).astype(np.int64) \
+            - qlog2_fixed(cx * cy).astype(np.int64)
+        return pa.table(
+            {"ngram": t["ngram"], "n": pc.cast(t["cxy"], pa.int64()),
+             "pmi_fp": pa.array(pmi, pa.int64())}
+        )
+
+    scored = bi.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["pmi_fp", "ngram"], descending=[True, False]).limit(k)

@@ -673,3 +673,47 @@ def test_fuzzy_edit1_pairs_matches_bruteforce():
     )
     assert [tuple(r) for r in got.to_numpy()] == exp
     assert len(exp) > 5  # the fixture actually exercises matches
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pmi_top_bigrams_matches_direct():
+    import pandas as pd
+
+    import ray.data as rd
+
+    from geodata_ray.stages.lm import qlog2_fixed
+    from geodata_ray.stages.textstats import pmi_top_bigrams
+
+    docs = [
+        "strong coffee strong coffee strong coffee",
+        "weak tea weak tea weak tea",
+        "strong tea weak coffee strong coffee",
+        "coffee strong coffee strong tea weak",
+    ]
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": range(4), "text": docs})
+    ).repartition(2)
+    out = pmi_top_bigrams(ds, k=50, min_count=2).to_pandas()
+
+    # direct reference
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    for t in docs:
+        ws = t.lower().split(" ")
+        uni.update(ws)
+        bi.update(" ".join(p) for p in zip(ws, ws[1:]))
+    n = sum(uni.values())
+    exp = {}
+    for g, c in bi.items():
+        if c < 2:
+            continue
+        x, y = g.split(" ")
+        exp[g] = int(
+            qlog2_fixed(np.array([n * c], np.uint64))[0]
+        ) - int(qlog2_fixed(np.array([uni[x] * uni[y]], np.uint64))[0])
+    got = dict(zip(out.ngram, out.pmi_fp))
+    assert got == exp
+    # ordering: descending pmi, ngram tiebreak
+    key = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert list(out.ngram) == [g for g, _ in key]
