@@ -311,3 +311,19 @@ def cell_area_km2(cell):
         * dlon
         * (np.sin(np.deg2rad(lat1)) - np.sin(np.deg2rad(lat0)))
     )
+
+
+def morton_interleave2(x: np.ndarray, y: np.ndarray, bits: int) -> np.ndarray:
+    """Z-order (Morton) key: interleave the low ``bits`` of two
+    non-negative integer arrays — x in the even bit positions, y in the
+    odd ones.  The space-filling-curve sort key that co-locates
+    spatially-near rows in storage (the layout optimization behind
+    clustered parquet writes).  Pure int64 bit math, SQL-replayable as
+    SUM(((x // 2^i) % 2) * 4^i + ((y // 2^i) % 2) * 2 * 4^i)."""
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    out = np.zeros_like(x)
+    for i in range(bits):
+        out |= ((x >> i) & 1) << (2 * i)
+        out |= ((y >> i) & 1) << (2 * i + 1)
+    return out

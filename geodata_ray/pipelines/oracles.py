@@ -2873,6 +2873,43 @@ _ORACLE_SQL_STATIC = {
         FROM events
         GROUP BY 1
     """,
+    # Z-order rank: the SQL interleaves bits arithmetically (sum over
+    # bit positions) and ranks with ROW_NUMBER over the same order key
+    "zorder_rank_events": f"""
+        WITH q AS (
+          SELECT event_id,
+                 CAST(FLOOR(({_derive_lat_sql('event_id')} + 90.0)
+                            / 180.0 * 32768.0) AS BIGINT) AS qy,
+                 CAST(FLOOR(({_derive_lon_sql('event_id')} + 180.0)
+                            / 360.0 * 32768.0) AS BIGINT) AS qx
+          FROM events
+        ),
+        z AS (
+          SELECT event_id,
+                 CAST(SUM(((qx // (1::BIGINT << i)) % 2)
+                            * (1::BIGINT << (2 * i))
+                          + ((qy // (1::BIGINT << i)) % 2)
+                            * (1::BIGINT << (2 * i + 1))) AS BIGINT)
+                     AS zkey
+          FROM q, range(15) t(i)
+          GROUP BY event_id
+        )
+        SELECT event_id, zkey,
+               CAST(ROW_NUMBER() OVER
+                    (ORDER BY zkey * 4294967296 + event_id) - 1
+                    AS BIGINT) AS zpos
+        FROM z
+    """,
+    # incremental view maintenance engine-side; the oracle recomputes
+    # the whole aggregate from scratch (merge == recompute)
+    "incremental_daily_merge": """
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events
+        GROUP BY 1
+    """,
     # PMI collocations: the same fixed-point qlog2 recursion the LM
     # oracles use, over N*c_xy and c_x*c_y products
     "pmi_bigrams_docs": """

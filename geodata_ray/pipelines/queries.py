@@ -3201,6 +3201,91 @@ def pmi_bigrams_docs(sf_dir: str):
     return pmi_top_bigrams(ds, k=20, min_count=5)
 
 
+def zorder_rank_events(sf_dir: str):
+    """Z-order (Morton) storage layout: quantize each event's derived
+    lat/lon to 15 bits, interleave into a 30-bit space-filling-curve
+    key, and assign the global Z-curve position with the distributed
+    prefix-sum scan (rank = exclusive prefix of 1s over the unique
+    ``zkey*2^32 + event_id`` order key).  This is the clustered-write
+    ordering that co-locates spatially-near rows; the oracle replays
+    the bit interleave arithmetically and ranks with ROW_NUMBER."""
+    from geodata_ray.cellmath.qcell import morton_interleave2
+    from geodata_ray.stages.packing import global_prefix_sum
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy()
+        lat = _derive_lat_np(ids)
+        lon = _derive_lon_np(ids)
+        qy = np.floor((lat + 90.0) / 180.0 * 32768.0).astype(np.int64)
+        qx = np.floor((lon + 180.0) / 360.0 * 32768.0).astype(np.int64)
+        zkey = morton_interleave2(qx, qy, 15)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "zkey": pa.array(zkey),
+                "zord": pa.array(zkey * 4294967296 + ids),
+                "_one": pa.array(np.ones(len(ids), dtype=np.int64)),
+            }
+        )
+
+    out = global_prefix_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        order_col="zord",
+        value_col="_one",
+        out_col="zpos",
+    )
+    return out.select_columns(["event_id", "zkey", "zpos"])
+
+
+def incremental_daily_merge(sf_dir: str):
+    """Incremental materialized-view maintenance: the stored daily
+    aggregate (history before the cutoff) is PERSISTED to parquet and
+    read back; the delta days aggregate separately; merge_aggregates
+    combines the two projected aggregates — history is never
+    rescanned.  The oracle is one full GROUP BY over all rows, proving
+    merge-equals-recompute."""
+    import tempfile
+
+    import ray.data as rd
+
+    from geodata_ray.stages.relational import merge_aggregates
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    cut = pa.scalar(np.datetime64("2024-01-15", "us"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "ts": batch["ts"],
+                "day": pc.floor_temporal(batch["ts"], unit="day"),
+                "cents": cents,
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    hist = prepped.map_batches(
+        lambda b: b.filter(pc.less(b["ts"], cut)).drop_columns(["ts"]),
+        batch_format="pyarrow",
+    )
+    delta = prepped.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["ts"], cut)).drop_columns(["ts"]),
+        batch_format="pyarrow",
+    )
+    specs = [("cents", "count", "n"), ("cents", "sum", "value_cents")]
+    stored_path = tempfile.mkdtemp(prefix="geodata_mv_daily_")
+    grouped_aggregate(hist, ["day"], specs).write_parquet(stored_path)
+    stored = rd.read_parquet(stored_path)
+    return merge_aggregates(
+        stored, grouped_aggregate(delta, ["day"], specs), ["day"], specs
+    )
+
+
 def curation_chain(ds, *, host_mod: int = 97):
     """End-to-end corpus curation — the headline webtext chain, each
     stage an existing operator: language-ID keep-en -> quality rules
@@ -3939,6 +4024,8 @@ RAY_QUERIES = {
     "session_attribution_users": session_attribution_users,
     "fuzzy_match_parts": fuzzy_match_parts,
     "pmi_bigrams_docs": pmi_bigrams_docs,
+    "zorder_rank_events": zorder_rank_events,
+    "incremental_daily_merge": incremental_daily_merge,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

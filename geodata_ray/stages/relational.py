@@ -896,3 +896,24 @@ def winsorized_grouped_sum(
         [key_col],
         [("__w", "count", "n"), ("__w", "sum", alias)],
     )
+
+
+def merge_aggregates(stored, delta, keys: Sequence[str],
+                     specs: Sequence[AggSpec]):
+    """Incremental materialized-view maintenance: merge a NEW
+    partition's aggregate into a STORED aggregate table without
+    rescanning history — union the two projected aggregate tables and
+    re-aggregate with each aggregate's MERGE function (count/sum by
+    summing, min/max by themselves; means are not mergeable from
+    projected output — store sum+count instead).  Both inputs are
+    (keys + alias) tables as produced by :func:`grouped_aggregate`;
+    the exchange is bounded by key cardinality, never history size.
+    """
+    merge_fn = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    for _c, fn, _a in specs:
+        if fn not in merge_fn:
+            raise ValueError(f"merge requires mergeable aggs, got {fn!r}")
+    u = stored.union(delta)
+    return grouped_aggregate(
+        u, keys, [(alias, merge_fn[fn], alias) for _c, fn, alias in specs]
+    )

@@ -144,3 +144,25 @@ def test_curriculum_pack_orders_by_score_desc():
         merged["start_tok"].to_numpy()[1:]
         == (merged["start_tok"] + merged["n_tokens"]).to_numpy()[:-1]
     ).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_morton_interleave_locality_and_bits():
+    from geodata_ray.cellmath.qcell import morton_interleave2
+
+    x = np.array([0, 1, 0, 1, 2, 3], dtype=np.int64)
+    y = np.array([0, 0, 1, 1, 2, 3], dtype=np.int64)
+    z = morton_interleave2(x, y, 2)
+    # hand-computed: x bits even positions, y bits odd
+    assert list(z) == [0, 1, 2, 3, 12, 15]
+    # round-trip: de-interleave recovers inputs for random 15-bit pairs
+    rng = np.random.default_rng(2)
+    xs = rng.integers(0, 32768, 200)
+    ys = rng.integers(0, 32768, 200)
+    zz = morton_interleave2(xs, ys, 15)
+    rx = np.zeros_like(xs)
+    ry = np.zeros_like(ys)
+    for i in range(15):
+        rx |= ((zz >> (2 * i)) & 1) << i
+        ry |= ((zz >> (2 * i + 1)) & 1) << i
+    assert (rx == xs).all() and (ry == ys).all()

@@ -381,3 +381,39 @@ def test_winsorized_grouped_sum_matches_numpy():
         hi = x[math.ceil(0.90 * n) - 1]
         assert out.loc[kk, "ws"] == int(np.clip(x, lo, hi).sum())
         assert out.loc[kk, "n"] == n
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_aggregates_equals_full_recompute():
+    import ray.data as rd
+
+    from geodata_ray.stages.relational import (
+        grouped_aggregate,
+        merge_aggregates,
+    )
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, 400),
+            "v": rng.integers(-100, 100, 400).astype("int64"),
+        }
+    )
+    specs = [("v", "count", "n"), ("v", "sum", "sv"), ("v", "max", "mx")]
+    full = (
+        grouped_aggregate(rd.from_pandas(df), ["k"], specs)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    a = grouped_aggregate(rd.from_pandas(df.iloc[:150]), ["k"], specs)
+    b = grouped_aggregate(rd.from_pandas(df.iloc[150:]), ["k"], specs)
+    merged = (
+        merge_aggregates(a, b, ["k"], specs)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(merged, full)
+    with pytest.raises(ValueError):
+        merge_aggregates(a, b, ["k"], [("v", "mean", "m")])
