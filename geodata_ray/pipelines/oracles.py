@@ -2873,6 +2873,30 @@ _ORACLE_SQL_STATIC = {
         FROM events
         GROUP BY 1
     """,
+    # grouped mode with deterministic tie-break
+    "top_event_type_per_user": """
+        SELECT user_id, event_type AS top_type, CAST(n AS BIGINT) AS n
+        FROM (
+          SELECT user_id, event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        )
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type) = 1
+    """,
+    # cohort retention triangle
+    "cohort_retention_users": """
+        WITH w AS (
+          SELECT user_id,
+                 DATE_DIFF('second', TIMESTAMP '1970-01-01', ts)
+                   // 86400 // 7 AS wk
+          FROM events
+        ),
+        f AS (SELECT user_id, MIN(wk) AS cohort FROM w GROUP BY 1)
+        SELECT f.cohort AS cohort_week, w.wk - f.cohort AS week_offset,
+               CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users
+        FROM w JOIN f USING (user_id)
+        GROUP BY 1, 2
+    """,
     # Z-order rank: the SQL interleaves bits arithmetically (sum over
     # bit positions) and ranks with ROW_NUMBER over the same order key
     "zorder_rank_events": f"""

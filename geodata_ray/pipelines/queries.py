@@ -3286,6 +3286,81 @@ def incremental_daily_merge(sf_dir: str):
     )
 
 
+def top_event_type_per_user(sf_dir: str):
+    """Grouped MODE: each user's most frequent event type (ties break
+    lexicographically) — pre-combined (user, type) counts, then the
+    bucketed keep-first with a negated-count order key; no per-group
+    Python anywhere."""
+    from geodata_ray.stages.windows import first_per_group
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = grouped_aggregate(
+        ds, ["user_id", "event_type"], [("event_type", "count", "n")]
+    )
+
+    def neg(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "negn", pc.multiply(pc.cast(batch["n"], pa.int64()), -1)
+        )
+
+    win = first_per_group(
+        counts.map_batches(neg, batch_format="pyarrow"),
+        group_cols=["user_id"],
+        order_cols=["negn", "event_type"],
+        hash_col="user_id",
+    )
+    return win.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "top_type": b["event_type"],
+                "n": pc.cast(b["n"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def cohort_retention_users(sf_dir: str):
+    """Weekly cohort retention: cohort = each user's first active epoch
+    week (grouped MIN), then distinct active users per (cohort_week,
+    week_offset) — first-activity exchange + one distinct-count
+    exchange, the product-analytics retention triangle."""
+    from geodata_ray.stages.relational import (
+        grouped_distinct_count,
+        native_join,
+    )
+
+    def weeks(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        wk = ts.astype("datetime64[s]").astype(np.int64) // 86400 // 7
+        return pa.table(
+            {"user_id": batch["user_id"], "wk": pa.array(wk, pa.int64())}
+        )
+
+    w = _read(sf_dir, "events", columns=["user_id", "ts"]).map_batches(
+        weeks, batch_format="pyarrow"
+    )
+    first = grouped_aggregate(w, ["user_id"], [("wk", "min", "cohort")])
+    j = native_join(w, first, on="user_id", num_partitions=8)
+
+    def off(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": batch["cohort"],
+                "week_offset": pc.subtract(batch["wk"], batch["cohort"]),
+                "user_id": batch["user_id"],
+            }
+        )
+
+    return grouped_distinct_count(
+        j.map_batches(off, batch_format="pyarrow"),
+        ["cohort_week", "week_offset"],
+        "user_id",
+        alias="n_users",
+    )
+
+
 def curation_chain(ds, *, host_mod: int = 97):
     """End-to-end corpus curation — the headline webtext chain, each
     stage an existing operator: language-ID keep-en -> quality rules
@@ -4026,6 +4101,8 @@ RAY_QUERIES = {
     "pmi_bigrams_docs": pmi_bigrams_docs,
     "zorder_rank_events": zorder_rank_events,
     "incremental_daily_merge": incremental_daily_merge,
+    "top_event_type_per_user": top_event_type_per_user,
+    "cohort_retention_users": cohort_retention_users,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,
