@@ -2873,6 +2873,24 @@ _ORACLE_SQL_STATIC = {
         FROM events
         GROUP BY 1
     """,
+    # integer EWMA: the halving recursion replayed level-by-level
+    # (values are non-negative, so // agrees across engines)
+    "ewma_user_values": """
+        WITH RECURSIVE o AS (
+          SELECT user_id, event_id,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        r(user_id, event_id, rn, s) AS (
+          SELECT user_id, event_id, rn, cents FROM o WHERE rn = 1
+          UNION ALL
+          SELECT o.user_id, o.event_id, o.rn, (r.s + o.cents) // 2
+          FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+        )
+        SELECT user_id, event_id, CAST(s AS BIGINT) AS ewma_cents FROM r
+    """,
     # grouped mode with deterministic tie-break
     "top_event_type_per_user": """
         SELECT user_id, event_type AS top_type, CAST(n AS BIGINT) AS n

@@ -3361,6 +3361,34 @@ def cohort_retention_users(sf_dir: str):
     )
 
 
+def ewma_user_values(sf_dir: str):
+    """Per-user integer EWMA (alpha=1/2, exact halving recursion) of
+    event cents in time order — the deterministic smoothing operator;
+    the oracle replays the recursion as a recursive CTE over per-user
+    row numbers."""
+    from geodata_ray.stages.windows import ewma_halving
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "cents": cents,
+            }
+        )
+
+    return ewma_halving(
+        ds.map_batches(prep, batch_format="pyarrow"), alias="ewma_cents"
+    )
+
+
 def curation_chain(ds, *, host_mod: int = 97):
     """End-to-end corpus curation — the headline webtext chain, each
     stage an existing operator: language-ID keep-en -> quality rules
@@ -4103,6 +4131,7 @@ RAY_QUERIES = {
     "incremental_daily_merge": incremental_daily_merge,
     "top_event_type_per_user": top_event_type_per_user,
     "cohort_retention_users": cohort_retention_users,
+    "ewma_user_values": ewma_user_values,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -346,3 +346,66 @@ def session_attribution(
         return out
 
     return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+
+
+def ewma_halving(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    val_col: str = "cents",
+    num_buckets: int = 32,
+    alias: str = "ewma",
+):
+    """Per-key exponentially-weighted moving average with alpha = 1/2
+    in EXACT integer arithmetic: ``s_1 = y_1``, ``s_t = (s_{t-1} +
+    y_t) // 2`` over (ts, tie) order — the smoothing recursion as a
+    deterministic cross-engine operator (a float EWMA can never
+    hash-match).
+
+    Values must be NON-NEGATIVE: numpy's ``//`` floors while SQL
+    engines truncate toward zero, so negatives would silently diverge
+    — guarded with a ValueError instead.
+
+    Shape: keys hash into ``num_buckets`` groups (ONE exchange);
+    inside a bucket, one Arrow sort + a vectorized WAVEFRONT
+    recursion — iteration k updates the k-th row of every segment at
+    once, so the Python loop is bounded by the maximum per-key depth,
+    never the row count.  Emits (key, tie, alias) per input row."""
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"),
+             (tie_col, "ascending")]
+        )
+        y = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if y.size and y.min() < 0:
+            raise ValueError(
+                "ewma_halving requires non-negative values (floor vs "
+                "truncating division diverges on negatives)"
+            )
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        n = len(y)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        s = y.copy()
+        for k in range(1, int(counts.max()) if n else 0):
+            sel = starts[counts > k] + k
+            s[sel] = (s[sel - 1] + y[sel]) // 2
+        return pa.table(
+            {
+                key_col: t[key_col],
+                tie_col: t[tie_col],
+                alias: pa.array(s, pa.int64()),
+            }
+        )
+
+    return (
+        _tag_bucket(ds, key_col, num_buckets)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

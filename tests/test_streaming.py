@@ -135,3 +135,42 @@ def test_session_attribution_first_last_ties():
     # same-ts tie: event_id 12 ("add") sorts before 13 ("buy")
     assert (s2.first_type, s2.last_type, s2.value_sum) == ("add", "buy", 700)
     assert s3.user_id == 2 and s3.n_events == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ewma_halving_matches_scalar_recursion():
+    import ray.data as rd
+
+    from geodata_ray.stages.windows import ewma_halving
+
+    rng = np.random.default_rng(17)
+    n = 400
+    base = np.datetime64("2024-01-01", "us")
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 12, n),
+            "ts": base + rng.integers(0, 10**6, n).astype("timedelta64[s]"),
+            "event_id": np.arange(n),
+            "cents": rng.integers(0, 5000, n).astype("int64"),
+        }
+    )
+    out = (
+        ewma_halving(rd.from_pandas(df).repartition(5), num_buckets=4)
+        .to_pandas()
+        .set_index("event_id")["ewma"]
+        .to_dict()
+    )
+    exp = {}
+    for _, g in df.sort_values(["user_id", "ts", "event_id"]).groupby(
+        "user_id"
+    ):
+        s = None
+        for _, row in g.iterrows():
+            s = row.cents if s is None else (s + row.cents) // 2
+            exp[row.event_id] = s
+    assert out == exp
+    # negative values are refused, not silently floored
+    bad = df.copy()
+    bad.loc[0, "cents"] = -1
+    with pytest.raises(Exception):
+        ewma_halving(rd.from_pandas(bad), num_buckets=2).materialize()
