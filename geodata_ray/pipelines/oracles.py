@@ -2873,6 +2873,29 @@ _ORACLE_SQL_STATIC = {
         FROM events
         GROUP BY 1
     """,
+    # market-basket pair support: independent distinct self-join
+    "type_pair_support_events": """
+        WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM d a
+        JOIN d b ON a.user_id = b.user_id
+                AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    """,
+    # per-row CDF via RANGE window (ties included on both sides)
+    "percentile_rank_events": """
+        WITH o AS (
+          SELECT event_id, event_type,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT event_id, event_type, cents,
+               CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY cents
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS rank_le
+        FROM o
+    """,
     # integer EWMA: the halving recursion replayed level-by-level
     # (values are non-negative, so // agrees across engines)
     "ewma_user_values": """

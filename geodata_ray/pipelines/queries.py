@@ -3389,6 +3389,136 @@ def ewma_user_values(sf_dir: str):
     )
 
 
+def type_pair_support_events(sf_dir: str):
+    """Market-basket pair support: for every unordered pair of event
+    types, how many users did both — association-rule mining's support
+    table.  Per batch: distinct (user, type) pre-dedup; one grouped
+    distinct pass; per-user pair expansion is bounded by the TYPE
+    cardinality (k choose 2 per user, k <= 5), then a pre-combined
+    count.  The oracle is an independent self-join."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["user_id", "event_type"]).aggregate([])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        # users arrive whole per bucket; in-batch pre-dedup upstream
+        # leaves at most one (user, type) row per INPUT batch — finish
+        # the distinct here before pair expansion
+        batch = batch.group_by(["user_id", "event_type"]).aggregate([])
+        t = batch.sort_by(
+            [("user_id", "ascending"), ("event_type", "ascending")]
+        )
+        u = t["user_id"].to_numpy()
+        ty = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(u)))
+        a_idx, b_idx = [], []
+        # offsets (i, j) within a user's sorted type list: bounded by
+        # the type cardinality, so this loop is O(k^2) not O(rows)
+        kmax = int(counts.max()) if len(counts) else 0
+        for i in range(kmax):
+            for j in range(i + 1, kmax):
+                sel = starts[counts > j]
+                a_idx.append(sel + i)
+                b_idx.append(sel + j)
+        if not a_idx:
+            return pa.table(
+                {"type_a": pa.array([], pa.string()),
+                 "type_b": pa.array([], pa.string()),
+                 "n_users": pa.array([], pa.int64())}
+            )
+        ai = np.concatenate(a_idx)
+        bi = np.concatenate(b_idx)
+        out = pa.table(
+            {"type_a": pa.array(ty[ai].tolist(), pa.string()),
+             "type_b": pa.array(ty[bi].tolist(), pa.string())}
+        )
+        out = out.group_by(["type_a", "type_b"]).aggregate([([], "count_all")])
+        return out.rename_columns(["type_a", "type_b", "n_users"])
+
+    # route by user hash so each user lands whole (ONE exchange of
+    # in-batch-deduped (user, type) pairs), expand pairs per bucket,
+    # then one pre-combined count exchange
+    from geodata_ray.stages.windows import _tag_bucket
+
+    bucketed = _tag_bucket(
+        ds.map_batches(pre, batch_format="pyarrow"), "user_id", 32
+    )
+    expanded = bucketed.groupby("__b").map_groups(
+        lambda g: expand(g.drop_columns(["__b"])), batch_format="pyarrow"
+    )
+    return grouped_aggregate(
+        expanded, ["type_a", "type_b"], [("n_users", "sum", "n_users")]
+    )
+
+
+def percentile_rank_events(sf_dir: str):
+    """Per-row CDF: each event's rank count within its type
+    (#cents <= x), via the bounded per-type value histogram BROADCAST
+    as a cumulative lookup — zero row-side shuffle for the rank
+    assignment itself; the oracle is a COUNT window."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "cents": cents,
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    hist = grouped_aggregate(
+        prepped, ["event_type", "cents"], [("cents", "count", "hn")]
+    )
+    # bounded (type x distinct cents) table -> cumulative lookup
+    ht = pa.concat_tables(
+        list(hist.iter_batches(batch_format="pyarrow"))
+    ).sort_by([("event_type", "ascending"), ("cents", "ascending")])
+    types = np.asarray(ht["event_type"].to_pylist(), dtype=object)
+    vals = ht["cents"].to_numpy()
+    cnts = ht["hn"].to_numpy()
+    lut = {}
+    new = np.ones(len(types), dtype=bool)
+    new[1:] = types[1:] != types[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(types))
+    for s, e in zip(starts, ends):
+        lut[types[s]] = (vals[s:e], np.cumsum(cnts[s:e]))
+    import ray
+
+    lut_ref = ray.put(lut)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        lu = ray.get(lut_ref) if isinstance(lut_ref, ray.ObjectRef) else lut_ref
+        ty = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        cents = batch["cents"].to_numpy()
+        out = np.empty(len(ty), dtype=np.int64)
+        for t in np.unique(ty):
+            m = ty == t
+            v, cum = lu[t]
+            idx = np.searchsorted(v, cents[m], side="right")
+            out[m] = np.where(idx > 0, cum[np.maximum(idx - 1, 0)], 0)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "cents": batch["cents"],
+                "rank_le": pa.array(out, pa.int64()),
+            }
+        )
+
+    return prepped.map_batches(rank, batch_format="pyarrow")
+
+
 def curation_chain(ds, *, host_mod: int = 97):
     """End-to-end corpus curation — the headline webtext chain, each
     stage an existing operator: language-ID keep-en -> quality rules
@@ -4132,6 +4262,8 @@ RAY_QUERIES = {
     "top_event_type_per_user": top_event_type_per_user,
     "cohort_retention_users": cohort_retention_users,
     "ewma_user_values": ewma_user_values,
+    "type_pair_support_events": type_pair_support_events,
+    "percentile_rank_events": percentile_rank_events,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,
