@@ -2873,6 +2873,41 @@ _ORACLE_SQL_STATIC = {
         FROM events
         GROUP BY 1
     """,
+    # distinct-key INTERSECT
+    "retained_users_events": """
+        SELECT DISTINCT user_id FROM events
+        WHERE ts < TIMESTAMP '2024-01-15'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15'
+    """,
+    # fixed-width histogram ($25 bins; cents nonneg so // == floor)
+    "value_histogram_events": """
+        WITH b AS (
+          SELECT CAST(ROUND(value * 100) AS BIGINT) // 2500 AS bin
+          FROM events
+        )
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(bin * 2500 AS BIGINT) AS lo_cents
+        FROM b GROUP BY bin
+    """,
+    # referential-integrity audit: LEFT JOIN null counts
+    "integrity_audit": """
+        SELECT 'lineitem_orphan_orders' AS check_name,
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+                     WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_violations
+        UNION ALL
+        SELECT 'orders_orphan_customers',
+               CAST((SELECT COUNT(*) FROM orders o
+                     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                     WHERE c.c_custkey IS NULL) AS BIGINT)
+        UNION ALL
+        SELECT 'events_users_not_customers',
+               CAST((SELECT COUNT(*) FROM events e
+                     LEFT JOIN customer c ON e.user_id = c.c_custkey
+                     WHERE c.c_custkey IS NULL) AS BIGINT)
+    """,
     # market-basket pair support: independent distinct self-join
     "type_pair_support_events": """
         WITH d AS (SELECT DISTINCT user_id, event_type FROM events)

@@ -3519,6 +3519,102 @@ def percentile_rank_events(sf_dir: str):
     return prepped.map_batches(rank, batch_format="pyarrow")
 
 
+def retained_users_events(sf_dir: str):
+    """Set INTERSECT as a distributed operator: users active BOTH
+    before and after the cutoff (distinct-in-batch keys + one grouped
+    flag-max exchange) — the retention set-op sibling of the cohort
+    triangle."""
+    from geodata_ray.stages.relational import keyed_set_op
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    cut = pa.scalar(np.datetime64("2024-01-15", "us"))
+    before = ds.map_batches(
+        lambda b: b.filter(pc.less(b["ts"], cut)), batch_format="pyarrow"
+    )
+    after = ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["ts"], cut)),
+        batch_format="pyarrow",
+    )
+    return keyed_set_op(before, after, "user_id", "intersect")
+
+
+def value_histogram_events(sf_dir: str):
+    """Fixed-width histogram of event values ($25 bins over exact
+    cents): one pre-combined grouped count — the profiling primitive
+    every column-stats pass needs."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        bin_ = pc.divide(cents, 2500)  # integer division on int64
+        return pa.table({"bin": bin_})
+
+    binned = ds.map_batches(prep, batch_format="pyarrow")
+    out = grouped_aggregate(binned, ["bin"], [("bin", "count", "n")])
+    return out.map_batches(
+        lambda b: b.append_column(
+            "lo_cents", pc.multiply(b["bin"], 2500)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def integrity_audit(sf_dir: str):
+    """Cross-table referential-integrity audit: orphan counts for
+    lineitem->orders, orders->customer, and events.user->customer —
+    each check is a left-outer native hash join + null count, reported
+    as one (check_name, n_violations) row.  The data-quality gate a
+    100-TB ingest runs before anything else."""
+    from geodata_ray.stages.relational import native_join
+
+    def orphans(left, right, lk, rk):
+        # the native join drops the right key column from its output;
+        # a marker column survives and is null exactly on orphans.
+        # Right sides here are KEY tables — dedup in-batch so the
+        # left_outer join cannot fan out duplicate matches.
+        def mark(b: pa.Table, _c=rk) -> pa.Table:
+            d = b.select([_c]).group_by([_c]).aggregate([])
+            return d.append_column(
+                "__hit", pa.array(np.ones(len(d), np.int64))
+            )
+
+        marked = right.map_batches(mark, batch_format="pyarrow")
+        j = native_join(left, marked, on=lk, right_on=rk,
+                        join_type="left_outer", num_partitions=8)
+        bad = j.map_batches(
+            lambda b: b.filter(pc.is_null(b["__hit"])).select([lk]),
+            batch_format="pyarrow",
+        )
+        return bad.count()
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    orders_k = _read(sf_dir, "orders", columns=["o_orderkey"])
+    orders_c = _read(sf_dir, "orders", columns=["o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    ev = _read(sf_dir, "events", columns=["user_id"])
+
+    rows = [
+        ("lineitem_orphan_orders", orphans(li, orders_k, "l_orderkey", "o_orderkey")),
+        ("orders_orphan_customers", orphans(orders_c, cust, "o_custkey", "c_custkey")),
+        ("events_users_not_customers", orphans(ev, cust, "user_id", "c_custkey")),
+    ]
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "check_name": pa.array([r[0] for r in rows], pa.string()),
+                "n_violations": pa.array(
+                    [int(r[1]) for r in rows], pa.int64()
+                ),
+            }
+        )
+    )
+
+
 def curation_chain(ds, *, host_mod: int = 97):
     """End-to-end corpus curation — the headline webtext chain, each
     stage an existing operator: language-ID keep-en -> quality rules
@@ -4264,6 +4360,9 @@ RAY_QUERIES = {
     "ewma_user_values": ewma_user_values,
     "type_pair_support_events": type_pair_support_events,
     "percentile_rank_events": percentile_rank_events,
+    "retained_users_events": retained_users_events,
+    "value_histogram_events": value_histogram_events,
+    "integrity_audit": integrity_audit,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -917,3 +917,52 @@ def merge_aggregates(stored, delta, keys: Sequence[str],
     return grouped_aggregate(
         u, keys, [(alias, merge_fn[fn], alias) for _c, fn, alias in specs]
     )
+
+
+def keyed_set_op(a, b, key_col: str, op: str):
+    """Distinct-key set operation between two Datasets: ``intersect``,
+    ``except`` (keys in a but not b) or ``union`` — SQL's INTERSECT /
+    EXCEPT / UNION on a single key column.
+
+    Plan: each side reduces to in-batch-distinct keys tagged with a
+    side flag, then ONE grouped max per flag decides membership — the
+    exchange carries distinct-in-batch keys only, never rows.
+    """
+    if op not in ("intersect", "except", "union"):
+        raise ValueError(f"unknown set op {op!r}")
+
+    def tag(side_a: bool):
+        fa, fb = (1, 0) if side_a else (0, 1)
+
+        def f(batch: pa.Table) -> pa.Table:
+            d = batch.select([key_col]).group_by([key_col]).aggregate([])
+            n = len(d)
+            return pa.table(
+                {
+                    key_col: d[key_col],
+                    "__fa": pa.array(np.full(n, fa, np.int64)),
+                    "__fb": pa.array(np.full(n, fb, np.int64)),
+                }
+            )
+
+        return f
+
+    u = a.map_batches(tag(True), batch_format="pyarrow").union(
+        b.map_batches(tag(False), batch_format="pyarrow")
+    )
+    flags = grouped_aggregate(
+        u, [key_col], [("__fa", "max", "__fa"), ("__fb", "max", "__fb")]
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        fa = batch["__fa"]
+        fb = batch["__fb"]
+        if op == "intersect":
+            mask = pc.and_(pc.equal(fa, 1), pc.equal(fb, 1))
+        elif op == "except":
+            mask = pc.and_(pc.equal(fa, 1), pc.equal(fb, 0))
+        else:  # union
+            mask = pc.or_(pc.equal(fa, 1), pc.equal(fb, 1))
+        return batch.filter(mask).select([key_col])
+
+    return flags.map_batches(pick, batch_format="pyarrow")

@@ -423,6 +423,140 @@ def main() -> None:
 
     timed("bm25_retrieval_50k_docs", bm25_50k)
 
+    # --- Z-order rank over 10M events (100x): global sort + the
+    # distributed prefix-sum scan (round 4, fourth wave) ---
+    def zorder_10m():
+        from geodata_ray.cellmath.qcell import morton_interleave2
+        from geodata_ray.pipelines.queries import (
+            _derive_lat_np,
+            _derive_lon_np,
+        )
+        from geodata_ray.stages.packing import global_prefix_sum
+
+        ev = amplify(
+            rd.read_parquet(f"{SF_DIR}/events.parquet",
+                            columns=["event_id"]),
+            AMP * 10,
+            {"event_id": 10_000_000},
+        )
+
+        def prep(batch: pa.Table) -> pa.Table:
+            ids = batch["event_id"].to_numpy()
+            qy = np.floor(
+                (_derive_lat_np(ids) + 90.0) / 180.0 * 32768.0
+            ).astype(np.int64)
+            qx = np.floor(
+                (_derive_lon_np(ids) + 180.0) / 360.0 * 32768.0
+            ).astype(np.int64)
+            zkey = morton_interleave2(qx, qy, 15)
+            return pa.table(
+                {
+                    "event_id": batch["event_id"],
+                    "zord": pa.array(zkey * 4294967296 + ids),
+                    "_one": pa.array(np.ones(len(ids), np.int64)),
+                }
+            )
+
+        return global_prefix_sum(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            order_col="zord", value_col="_one", out_col="zpos",
+        ).count()
+
+    timed("zorder_rank_10m_events", zorder_10m)
+
+    # --- fuzzy edit-1 join over 200k DISTINCT strings + mutations
+    # (round 4, fourth wave).  Distinct sides keep candidates linear —
+    # the operator's documented contract (exact-dedup first) ---
+    def fuzzy_200k():
+        from geodata_ray.stages.dedup import fuzzy_edit1_pairs
+
+        n = 200_000
+
+        def mk(batch: pa.Table) -> pa.Table:
+            ids = batch["id"].to_numpy()
+            s = ((ids * 2654435761) % (2**32)).astype("U10")
+            return pa.table(
+                {"id": batch["id"], "name": pa.array(s.tolist())}
+            )
+
+        def mk_dirty(batch: pa.Table) -> pa.Table:
+            t = mk(batch)
+            names = t["name"].to_pylist()
+            ids = t["id"].to_numpy()
+            out = []
+            for i, x in zip(ids.tolist(), names):
+                k = i % len(x)
+                out.append(x[:k] + x[k + 1:])
+            return pa.table(
+                {
+                    "id": pa.array(ids + 10_000_000, pa.int64()),
+                    "name": pa.array(out, pa.string()),
+                }
+            )
+
+        left = rd.range(n).map_batches(
+            lambda b: mk(b.rename_columns(["id"])), batch_format="pyarrow"
+        )
+        right = rd.range(n).map_batches(
+            lambda b: mk_dirty(b.rename_columns(["id"])),
+            batch_format="pyarrow",
+        )
+        return fuzzy_edit1_pairs(
+            left, right, id_col="id", str_col="name", num_partitions=16
+        ).count()
+
+    timed("fuzzy_edit1_200k_strings", fuzzy_200k)
+
+    # --- PMI collocations over 50k docs (10x token stream) ---
+    def pmi_50k():
+        from geodata_ray.stages.textstats import pmi_top_bigrams
+
+        docs = amplify(
+            rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                            columns=["doc_id", "text"]),
+            AMP,
+            {"doc_id": 1_000_000},
+        )
+        return pmi_top_bigrams(docs, k=20, min_count=50).count()
+
+    timed("pmi_bigrams_50k_docs", pmi_50k)
+
+    # --- integer EWMA over 10M events (100x users; wavefront depth
+    # stays the per-user event count) ---
+    def ewma_10m():
+        from geodata_ray.stages.windows import ewma_halving
+
+        ev = amplify(
+            rd.read_parquet(
+                f"{SF_DIR}/events.parquet",
+                columns=["user_id", "ts", "event_id", "value"],
+            ),
+            AMP * 10,
+            {"user_id": 1_000_000, "event_id": 10_000_000},
+        )
+
+        def prep(batch: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.round(pc.multiply(
+                    pc.cast(batch["value"], pa.float64()), 100.0)),
+                pa.int64(),
+            )
+            return pa.table(
+                {
+                    "user_id": batch["user_id"],
+                    "ts": batch["ts"],
+                    "event_id": batch["event_id"],
+                    "cents": cents,
+                }
+            )
+
+        return ewma_halving(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            num_buckets=64,
+        ).count()
+
+    timed("ewma_10m_events", ewma_10m)
+
     print(json.dumps({
         "metric": "sf1 stress walls (10x gate scale)",
         "unit": "sec",
