@@ -2873,6 +2873,23 @@ _ORACLE_SQL_STATIC = {
         FROM events
         GROUP BY 1
     """,
+    # Pareto skyline: the NOT EXISTS dominance definition
+    "skyline_orders": """
+        WITH o AS (
+          SELECT o_orderkey,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+                 o_orderdate
+          FROM orders
+        )
+        SELECT o_orderkey, price_cents, o_orderdate FROM o b
+        WHERE NOT EXISTS (
+          SELECT 1 FROM o a
+          WHERE a.price_cents >= b.price_cents
+            AND a.o_orderdate <= b.o_orderdate
+            AND (a.price_cents > b.price_cents
+                 OR a.o_orderdate < b.o_orderdate)
+        )
+    """,
     # distinct-key INTERSECT
     "retained_users_events": """
         SELECT DISTINCT user_id FROM events

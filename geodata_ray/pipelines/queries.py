@@ -3615,6 +3615,42 @@ def integrity_audit(sf_dir: str):
     )
 
 
+def skyline_orders(sf_dir: str):
+    """Pareto skyline of orders: maximize price, minimize order date —
+    no order on the front is beaten on both axes.  Local per-batch
+    skyline + one bounded merge (skyline is idempotent-mergeable);
+    the oracle is the NOT EXISTS dominance definition, fully
+    independent machinery."""
+    from geodata_ray.stages.relational import skyline_2d
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["o_totalprice"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "price_cents": cents,
+                "date_s": pc.cast(
+                    pc.cast(batch["o_orderdate"], pa.int64()), pa.int64()
+                ),
+                "o_orderdate": batch["o_orderdate"],
+            }
+        )
+
+    sky = skyline_2d(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        x_col="price_cents",
+        y_col="date_s",
+    )
+    return sky.select_columns(["o_orderkey", "price_cents", "o_orderdate"])
+
+
 def curation_chain(ds, *, host_mod: int = 97):
     """End-to-end corpus curation — the headline webtext chain, each
     stage an existing operator: language-ID keep-en -> quality rules
@@ -4363,6 +4399,7 @@ RAY_QUERIES = {
     "retained_users_events": retained_users_events,
     "value_histogram_events": value_histogram_events,
     "integrity_audit": integrity_audit,
+    "skyline_orders": skyline_orders,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -966,3 +966,50 @@ def keyed_set_op(a, b, key_col: str, op: str):
         return batch.filter(mask).select([key_col])
 
     return flags.map_batches(pick, batch_format="pyarrow")
+
+
+def _skyline_scan(t: pa.Table, x_col: str, y_col: str) -> pa.Table:
+    """Local 2-D skyline (x maximize, y minimize): sort by (x desc,
+    y asc), keep per-x-group minima whose y strictly beats the running
+    min of all higher-x groups.  Ties on BOTH coords all survive
+    (neither dominates the other)."""
+    if len(t) == 0:
+        return t
+    t = t.sort_by([(x_col, "descending"), (y_col, "ascending")])
+    x = t[x_col].to_numpy(zero_copy_only=False)
+    y = t[y_col].to_numpy(zero_copy_only=False)
+    n = len(x)
+    new = np.ones(n, dtype=bool)
+    new[1:] = x[1:] != x[:-1]
+    starts = np.flatnonzero(new)
+    gmin = y[starts]  # per-group min (sorted asc within group)
+    run = np.minimum.accumulate(gmin)
+    prevmin = np.empty(len(starts), dtype=y.dtype)
+    prevmin[0] = np.iinfo(np.int64).max if y.dtype.kind == "i" else np.inf
+    prevmin[1:] = run[:-1]
+    keep_group = gmin < prevmin
+    gid = np.cumsum(new) - 1
+    keep = keep_group[gid] & (y == gmin[gid])
+    return t.filter(pa.array(keep))
+
+
+def skyline_2d(ds, *, x_col: str, y_col: str):
+    """Distributed 2-D Pareto skyline: rows not dominated by any other
+    row (``x`` maximize, ``y`` minimize; a dominates b iff >= / <= with
+    one strict).  The multi-objective "best tradeoffs" operator.
+
+    Plan: skyline is IDEMPOTENT-MERGEABLE — skyline(A u B) =
+    skyline(skyline(A) u skyline(B)) — so each batch emits its local
+    skyline and one bounded final block merges them.  Expected local
+    skyline size is O(log batch) for independent dims; adversarial
+    anti-correlated data degrades toward the input size (then the
+    merge block is the bound to watch — shard by x-range if it ever
+    matters)."""
+    local = ds.map_batches(
+        lambda b: _skyline_scan(b, x_col, y_col), batch_format="pyarrow"
+    )
+    return local.repartition(1).map_batches(
+        lambda b: _skyline_scan(b, x_col, y_col),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -417,3 +417,37 @@ def test_merge_aggregates_equals_full_recompute():
     pd.testing.assert_frame_equal(merged, full)
     with pytest.raises(ValueError):
         merge_aggregates(a, b, ["k"], [("v", "mean", "m")])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_skyline_2d_matches_bruteforce_with_ties():
+    import ray.data as rd
+
+    from geodata_ray.stages.relational import skyline_2d
+
+    rng = np.random.default_rng(23)
+    x = rng.integers(0, 40, 300)
+    y = rng.integers(0, 40, 300)
+    # inject exact coordinate duplicates (both must survive together)
+    x[10], y[10] = x[0], y[0]
+    df = pd.DataFrame({"i": range(300), "x": x, "y": y})
+    got = (
+        skyline_2d(rd.from_pandas(df).repartition(5), x_col="x", y_col="y")
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    dominated = np.zeros(300, dtype=bool)
+    for b in range(300):
+        for a in range(300):
+            if (
+                x[a] >= x[b]
+                and y[a] <= y[b]
+                and (x[a] > x[b] or y[a] < y[b])
+            ):
+                dominated[b] = True
+                break
+    exp = df[~dominated].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64")
+    )
