@@ -2873,6 +2873,43 @@ _ORACLE_SQL_STATIC = {
         FROM events
         GROUP BY 1
     """,
+    # golden record: window argmax joined to grouped profile
+    "golden_record_users": """
+        WITH base AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        prof AS (
+          SELECT user_id,
+                 CAST(MIN(ts_us) AS BIGINT) AS first_seen_us,
+                 CAST(MAX(ts_us) AS BIGINT) AS last_seen_us,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(SUM(cents) AS BIGINT) AS total_cents
+          FROM base GROUP BY 1
+        ),
+        lastt AS (
+          SELECT user_id, event_type AS last_type FROM base
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts_us DESC,
+                                              event_id DESC) = 1
+        )
+        SELECT prof.*, lastt.last_type
+        FROM prof JOIN lastt USING (user_id)
+    """,
+    # first-occurrence sequence support
+    "type_sequence_counts": """
+        WITH f AS (
+          SELECT user_id, event_type,
+                 MIN(epoch_us(ts)) AS t0
+          FROM events GROUP BY 1, 2
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM f a
+        JOIN f b ON a.user_id = b.user_id AND a.t0 < b.t0
+        GROUP BY 1, 2
+    """,
     # Pareto skyline: the NOT EXISTS dominance definition
     "skyline_orders": """
         WITH o AS (

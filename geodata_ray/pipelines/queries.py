@@ -3651,6 +3651,131 @@ def skyline_orders(sf_dir: str):
     return sky.select_columns(["o_orderkey", "price_cents", "o_orderdate"])
 
 
+def golden_record_users(sf_dir: str):
+    """Survivorship merge (MDM golden record): per user the canonical
+    profile — first/last seen, event count, exact cents total, and the
+    type of the LAST event ((ts, event_id) argmax via the bucketed
+    keep-first over negated order keys).  One grouped-agg exchange +
+    one keep-first exchange + a native join on the entity key."""
+    from geodata_ray.stages.relational import native_join
+    from geodata_ray.stages.windows import first_per_group
+
+    ds = _read(
+        sf_dir, "events",
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        ts_us = pc.cast(batch["ts"], pa.int64())
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": ts_us,
+                "neg_ts": pc.multiply(ts_us, -1),
+                "neg_id": pc.multiply(batch["event_id"], -1),
+                "event_type": batch["event_type"],
+                "cents": cents,
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    agg = grouped_aggregate(
+        prepped,
+        ["user_id"],
+        [
+            ("ts_us", "min", "first_seen_us"),
+            ("ts_us", "max", "last_seen_us"),
+            ("cents", "count", "n_events"),
+            ("cents", "sum", "total_cents"),
+        ],
+    )
+    last = first_per_group(
+        prepped.select_columns(["user_id", "neg_ts", "neg_id", "event_type"]),
+        group_cols=["user_id"],
+        order_cols=["neg_ts", "neg_id"],
+        hash_col="user_id",
+    ).map_batches(
+        lambda b: pa.table(
+            {"user_id": b["user_id"], "last_type": b["event_type"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return native_join(agg, last, on="user_id", num_partitions=8)
+
+
+def type_sequence_counts(sf_dir: str):
+    """Sequential-pattern support (first-occurrence ordering): for each
+    ordered type pair (a, b), how many users saw their FIRST a strictly
+    before their FIRST b.  One grouped-min exchange, then per-user pair
+    expansion bounded by type cardinality."""
+    from geodata_ray.stages.windows import _tag_bucket
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+            }
+        )
+
+    firsts = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+        [("ts_us", "min", "t0")],
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        t = batch.sort_by(
+            [("user_id", "ascending"), ("t0", "ascending"),
+             ("event_type", "ascending")]
+        )
+        u = t["user_id"].to_numpy()
+        ty = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        t0 = t["t0"].to_numpy()
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(u)))
+        a_idx, b_idx = [], []
+        kmax = int(counts.max()) if len(counts) else 0
+        for i in range(kmax):
+            for j in range(i + 1, kmax):
+                sel = starts[counts > j]
+                a_idx.append(sel + i)
+                b_idx.append(sel + j)
+        if not a_idx:
+            return pa.table(
+                {"type_a": pa.array([], pa.string()),
+                 "type_b": pa.array([], pa.string()),
+                 "n_users": pa.array([], pa.int64())}
+            )
+        ai = np.concatenate(a_idx)
+        bi = np.concatenate(b_idx)
+        strict = t0[ai] < t0[bi]  # ties are NOT a sequence
+        ai, bi = ai[strict], bi[strict]
+        out = pa.table(
+            {"type_a": pa.array(ty[ai].tolist(), pa.string()),
+             "type_b": pa.array(ty[bi].tolist(), pa.string())}
+        )
+        out = out.group_by(["type_a", "type_b"]).aggregate([([], "count_all")])
+        return out.rename_columns(["type_a", "type_b", "n_users"])
+
+    bucketed = _tag_bucket(firsts, "user_id", 32)
+    expanded = bucketed.groupby("__b").map_groups(
+        lambda g: expand(g.drop_columns(["__b"])), batch_format="pyarrow"
+    )
+    return grouped_aggregate(
+        expanded, ["type_a", "type_b"], [("n_users", "sum", "n_users")]
+    )
+
+
 def curation_chain(ds, *, host_mod: int = 97):
     """End-to-end corpus curation — the headline webtext chain, each
     stage an existing operator: language-ID keep-en -> quality rules
@@ -4400,6 +4525,8 @@ RAY_QUERIES = {
     "value_histogram_events": value_histogram_events,
     "integrity_audit": integrity_audit,
     "skyline_orders": skyline_orders,
+    "golden_record_users": golden_record_users,
+    "type_sequence_counts": type_sequence_counts,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,
