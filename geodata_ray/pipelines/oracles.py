@@ -1182,6 +1182,23 @@ FROM hh
 """
 
 
+def _checksum_sql() -> str:
+    """Per-day anti-entropy checksum: the same unrolled splitmix64
+    chain over event ids, summed mod 2^40 per day (HUGEINT sum, one
+    final mod — identical residue to the engine's per-batch mod-then-
+    sum plan)."""
+    sm = _sql_splitmix_stages("ck", {"e": "CAST(event_id AS HUGEINT)"}, "c0")
+    m = 1 << 40
+    return f"""
+WITH c0 AS (SELECT event_id, ts FROM events),
+{sm}
+SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+       CAST(SUM(h_e % {m}) % {m} AS BIGINT) AS checksum,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM ck6 GROUP BY 1
+"""
+
+
 def _hll_sql() -> str:
     """HLL register table over events.user_id: unrolled splitmix64 +
     exact trailing-zero rank (p=12; 2^52 = 4503599627370496)."""
@@ -2873,6 +2890,31 @@ _ORACLE_SQL_STATIC = {
         FROM events
         GROUP BY 1
     """,
+    # exact integer moment matrix (one mergeable row)
+    "moment_matrix_lineitem": """
+        WITH m AS (
+          SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+                 CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+          FROM lineitem
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q) AS BIGINT) AS sq,
+               CAST(SUM(p) AS BIGINT) AS sp,
+               CAST(SUM(d) AS BIGINT) AS sd,
+               CAST(SUM(q * q) AS BIGINT) AS sqq,
+               CAST(SUM(p * p) AS BIGINT) AS spp,
+               CAST(SUM(d * d) AS BIGINT) AS sdd,
+               CAST(SUM(q * p) AS BIGINT) AS sqp,
+               CAST(SUM(q * d) AS BIGINT) AS sqd,
+               CAST(SUM(p * d) AS BIGINT) AS spd
+        FROM m
+    """,
+    # compaction must be byte-faithful: the oracle IS the source table
+    "compact_files_roundtrip": """
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM events
+    """,
     # golden record: window argmax joined to grouped profile
     "golden_record_users": """
         WITH base AS (
@@ -3449,6 +3491,7 @@ _ORACLE_SQL_STATIC = {
     # round 4: HLL sketch state (the float estimate is golden-tested;
     # the mergeable register table hash-matches exactly)
     "hll_registers_events": _hll_sql(),
+    "partition_checksums_events": _checksum_sql(),
     "daily_hll_users": _hll_keyed_sql(),
     "lm_surprisal_docs": _lm_surprisal_sql(),
     # round 4: seeded deterministic epoch shuffle — the global ORDER

@@ -3776,6 +3776,134 @@ def type_sequence_counts(sf_dir: str):
     )
 
 
+def moment_matrix_lineitem(sf_dir: str):
+    """Column-profiling moment matrix: exact integer first and second
+    cross-moments of (quantity, price cents, discount bp) over all
+    lineitem rows — everything correlation/covariance needs, in one
+    pre-combined pass, as one mergeable row.  All products are exact
+    int64 at driver scales (documented bound; beyond it split the sums
+    into HUGEINT-safe shards)."""
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(batch["l_quantity"]), pa.int64()).to_numpy()
+        p = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["l_extendedprice"],
+                                         pa.float64()), 100.0)),
+            pa.int64(),
+        ).to_numpy()
+        d = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["l_discount"],
+                                         pa.float64()), 100.0)),
+            pa.int64(),
+        ).to_numpy()
+        one = np.ones(len(q), dtype=np.int64)
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(q), np.int64)),
+                "n": pa.array(one),
+                "sq": pa.array(q),
+                "sp": pa.array(p),
+                "sd": pa.array(d),
+                "sqq": pa.array(q * q),
+                "spp": pa.array(p * p),
+                "sdd": pa.array(d * d),
+                "sqp": pa.array(q * p),
+                "sqd": pa.array(q * d),
+                "spd": pa.array(p * d),
+            }
+        )
+
+    cols = ["n", "sq", "sp", "sd", "sqq", "spp", "sdd", "sqp", "sqd", "spd"]
+    out = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["g"],
+        [(c, "sum", c) for c in cols],
+    )
+    return out.drop_columns(["g"])
+
+
+def partition_checksums_events(sf_dir: str):
+    """Anti-entropy partition checksums: per day, an order-insensitive
+    content fingerprint = SUM(splitmix64(event_id) mod 2^40) mod 2^40 —
+    the cheap replica-comparison primitive for 100-TB table sync.
+    Partial sums are reduced MOD m per batch so the grouped int64 sum
+    can never overflow (blocks x 2^40 << 2^63); the SQL replays the
+    same splitmix chain in HUGEINT."""
+    from geodata_ray.sources.synth import splitmix64
+
+    m = np.int64(1) << np.int64(40)
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy()
+        h = splitmix64(ids.astype(np.uint64))
+        hm = (h % np.uint64(m)).astype(np.int64)
+        t = pa.table(
+            {
+                "day": pc.floor_temporal(batch["ts"], unit="day"),
+                "hm": pa.array(hm),
+                "one": pa.array(np.ones(len(ids), np.int64)),
+            }
+        )
+        g = t.group_by(["day"]).aggregate([(["hm"], "sum"), (["one"], "sum")])
+        # reduce partial mod m so downstream sums stay int64-safe
+        return pa.table(
+            {
+                "day": g["day"],
+                "hm": pc.cast(
+                    pa.array(
+                        g["hm_sum"].to_numpy(zero_copy_only=False) % m
+                    ),
+                    pa.int64(),
+                ),
+                "n": g["one_sum"],
+            }
+        )
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"],
+        [("hm", "sum", "hm"), ("n", "sum", "n_rows")],
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": batch["day"],
+                "checksum": pa.array(
+                    batch["hm"].to_numpy(zero_copy_only=False) % m,
+                    pa.int64(),
+                ),
+                "n_rows": pc.cast(batch["n_rows"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def compact_files_roundtrip(sf_dir: str):
+    """Storage maintenance: COMPACTION round-trip — read the events
+    table, rewrite it as a small fixed number of larger parquet files
+    (the small-files problem's fix), read the compacted copy back and
+    return it.  The oracle is the source table itself: compaction must
+    be byte-faithful on every column."""
+    import tempfile
+
+    import ray.data as rd
+
+    ds = _read(sf_dir, "events")
+    out_dir = tempfile.mkdtemp(prefix="geodata_compact_")
+    ds.repartition(4).write_parquet(out_dir)
+    back = rd.read_parquet(out_dir)
+    return back.select_columns(
+        ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+
 def curation_chain(ds, *, host_mod: int = 97):
     """End-to-end corpus curation — the headline webtext chain, each
     stage an existing operator: language-ID keep-en -> quality rules
@@ -4527,6 +4655,9 @@ RAY_QUERIES = {
     "skyline_orders": skyline_orders,
     "golden_record_users": golden_record_users,
     "type_sequence_counts": type_sequence_counts,
+    "moment_matrix_lineitem": moment_matrix_lineitem,
+    "partition_checksums_events": partition_checksums_events,
+    "compact_files_roundtrip": compact_files_roundtrip,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,
