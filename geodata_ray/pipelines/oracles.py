@@ -2910,6 +2910,25 @@ _ORACLE_SQL_STATIC = {
                CAST(SUM(p * d) AS BIGINT) AS spd
         FROM m
     """,
+    # exact integer z-score: (n*x-S)^2 > k^2*(n*SS-S^2), no float math
+    "outlier_events_zscore": """
+        WITH b AS (
+          SELECT event_id, user_id,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        m AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS s,
+                 CAST(SUM(cents * cents) AS BIGINT) AS ss
+          FROM b GROUP BY 1
+        )
+        SELECT b.user_id, b.event_id, b.cents
+        FROM b JOIN m USING (user_id)
+        WHERE m.n >= 8
+          AND (m.n * b.cents - m.s) * (m.n * b.cents - m.s)
+              > 9 * (m.n * m.ss - m.s * m.s)
+    """,
     # compaction must be byte-faithful: the oracle IS the source table
     "compact_files_roundtrip": """
         SELECT event_id, ts, user_id, event_type, value, props

@@ -4547,6 +4547,36 @@ def repetition_stats_docs(sf_dir: str):
 # are stable across rounds; ONLY the ordering moves.  Never append a new query
 # at the end — insert it after the rotation block so it gets a driver row.
 # ---------------------------------------------------------------------------
+def outlier_events_zscore(sf_dir: str):
+    """Per-user anomaly detection: events whose value deviates from the
+    user's mean by more than 3 population standard deviations, decided
+    by EXACT integer arithmetic ((n*x-S)^2 > 9*(n*SS-S^2)) so the flag
+    set is bit-identical across engines — no float mean/std anywhere.
+    Two passes: pre-combined grouped moments, then a broadcast join
+    back (one row per user; ``moments="shuffle"`` is the 10^9-key
+    path).  Reference parity: geodata's out-of-range cell screening
+    before conversion, generalized to keyed z-scores."""
+    from geodata_ray.stages.anomaly import grouped_zscore_outliers
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {"event_id": batch["event_id"], "user_id": batch["user_id"],
+             "cents": c}
+        )
+
+    return grouped_zscore_outliers(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "user_id", "cents", k2=9, min_n=8, carry_cols=["event_id"],
+    )
+
+
 RAY_QUERIES = {
     # -- rotation block: 8 queries displaced from the r3 window (all were
     #    driver-green in CORRECTNESS_r02) --
@@ -4658,6 +4688,7 @@ RAY_QUERIES = {
     "moment_matrix_lineitem": moment_matrix_lineitem,
     "partition_checksums_events": partition_checksums_events,
     "compact_files_roundtrip": compact_files_roundtrip,
+    "outlier_events_zscore": outlier_events_zscore,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -1,0 +1,65 @@
+"""Fifth-wave operator tests (round-4 closing session)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_zscore_outliers_vs_bruteforce():
+    import ray.data as rd
+
+    from geodata_ray.stages.anomaly import grouped_zscore_outliers
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    key = rng.integers(0, 40, n)
+    x = rng.integers(-500, 500, n).astype(np.int64)
+    # plant extreme values so outliers exist
+    hot = rng.choice(n, 25, replace=False)
+    x[hot] += 50_000
+    rid = np.arange(n, dtype=np.int64)
+    t = pa.table({"k": pa.array(key, pa.int64()),
+                  "rid": pa.array(rid),
+                  "x": pa.array(x)})
+
+    got = (
+        grouped_zscore_outliers(
+            rd.from_arrow(t).repartition(7), "k", "x",
+            k2=9, min_n=8, carry_cols=["rid"],
+        )
+        .to_pandas()
+        .sort_values("rid", ignore_index=True)
+    )
+
+    # brute force in exact ints
+    want = []
+    for k in np.unique(key):
+        sel = key == k
+        xs = x[sel]
+        nn, s, ss = len(xs), xs.sum(), (xs * xs).sum()
+        if nn < 8:
+            continue
+        dev = nn * xs - s
+        flag = dev * dev > 9 * (nn * ss - s * s)
+        want.extend(rid[sel][flag].tolist())
+    want = sorted(want)
+    assert got["rid"].tolist() == want
+    assert len(want) > 0
+    assert list(got.columns) == ["k", "rid", "x"]
+
+    # shuffle moments path agrees
+    got2 = (
+        grouped_zscore_outliers(
+            rd.from_arrow(t).repartition(7), "k", "x",
+            k2=9, min_n=8, carry_cols=["rid"], moments="shuffle",
+        )
+        .to_pandas()
+        .sort_values("rid", ignore_index=True)
+    )
+    assert got2["rid"].tolist() == want
+
+    # float column refused
+    bad = rd.from_arrow(pa.table({"k": [1], "x": [1.5], "rid": [0]}))
+    with pytest.raises(Exception, match="integer"):
+        grouped_zscore_outliers(bad, "k", "x", carry_cols=["rid"]).take_all()
