@@ -3549,6 +3549,30 @@ _ORACLE_SQL_STATIC = {
     "bloom_probe_events": _bloom_probe_sql(),
     "tfidf_retrieval_docs": _TFIDF_RETRIEVAL_SQL,
     "bm25_retrieval_docs": _BM25_RETRIEVAL_SQL,
+    # reciprocal-rank fusion of the two retrievers above: both full
+    # SQLs are reused verbatim as subqueries, ranks recomputed with the
+    # engine's exact tie-break, contributions floor(2^20/(60+rank))
+    "rrf_fusion_docs": f"""
+        WITH ta AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS r
+          FROM ({_TFIDF_RETRIEVAL_SQL})
+        ),
+        tb AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS r
+          FROM ({_BM25_RETRIEVAL_SQL})
+        ),
+        u AS (
+          SELECT doc_id, 1048576 // (60 + r) AS c FROM ta
+          UNION ALL
+          SELECT doc_id, 1048576 // (60 + r) AS c FROM tb
+        )
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_fp,
+               CAST(COUNT(*) AS BIGINT) AS n_lists
+        FROM u GROUP BY 1
+        ORDER BY rrf_fp DESC, doc_id LIMIT 10
+    """,
     "perplexity_buckets_docs": _ppx_buckets_sql(),
     "cdc_chunks_docs": _cdc_sql(),
     "cdc_dup_spans_docs": _cdc_dup_spans_sql(),

@@ -4577,6 +4577,46 @@ def outlier_events_zscore(sf_dir: str):
     )
 
 
+def rrf_fusion_docs(sf_dir: str):
+    """Reciprocal-rank fusion of the TF-IDF and BM25 retrievers (the
+    standard multi-retriever merge, Cormack et al.): each retriever
+    contributes floor(2^20 / (60 + rank)) for its top-10 list, fused
+    scores are exact integer sums, ties broken (rrf_fp DESC, doc_id
+    ASC).  Composition of two audited operators; the candidate lists
+    are bounded (k=10 each) so the fuse itself is a constant-size
+    merge — the distributed work is the two retrieval scans."""
+    a = tfidf_retrieval_docs(sf_dir).to_pandas()
+    b = bm25_retrieval_docs(sf_dir).to_pandas()
+
+    import pandas as pd
+
+    parts = []
+    for t in (a, b):
+        t = t.sort_values(
+            ["score_fp", "doc_id"], ascending=[False, True],
+            ignore_index=True,
+        )
+        r = np.arange(1, len(t) + 1, dtype=np.int64)
+        parts.append(pd.DataFrame(
+            {"doc_id": t["doc_id"].to_numpy(),
+             "c": (1 << 20) // (60 + r)}
+        ))
+    u = pd.concat(parts, ignore_index=True)
+    g = u.groupby("doc_id", as_index=False).agg(
+        rrf_fp=("c", "sum"), n_lists=("c", "size")
+    )
+    g = g.sort_values(
+        ["rrf_fp", "doc_id"], ascending=[False, True], ignore_index=True
+    ).head(10)
+    return pa.table(
+        {
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "rrf_fp": pa.array(g["rrf_fp"].to_numpy(), pa.int64()),
+            "n_lists": pa.array(g["n_lists"].to_numpy(), pa.int64()),
+        }
+    )
+
+
 RAY_QUERIES = {
     # -- rotation block: 8 queries displaced from the r3 window (all were
     #    driver-green in CORRECTNESS_r02) --
@@ -4689,6 +4729,7 @@ RAY_QUERIES = {
     "partition_checksums_events": partition_checksums_events,
     "compact_files_roundtrip": compact_files_roundtrip,
     "outlier_events_zscore": outlier_events_zscore,
+    "rrf_fusion_docs": rrf_fusion_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

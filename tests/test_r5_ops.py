@@ -63,3 +63,36 @@ def test_grouped_zscore_outliers_vs_bruteforce():
     bad = rd.from_arrow(pa.table({"k": [1], "x": [1.5], "rid": [0]}))
     with pytest.raises(Exception, match="integer"):
         grouped_zscore_outliers(bad, "k", "x", carry_cols=["rid"]).take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rrf_fusion_exact_contributions():
+    from geodata_ray.pipelines.queries import (
+        bm25_retrieval_docs,
+        rrf_fusion_docs,
+        tfidf_retrieval_docs,
+    )
+    from tests.conftest import SF_DIR
+
+    fused = rrf_fusion_docs(SF_DIR).to_pandas()
+    assert len(fused) == 10
+    s = fused["rrf_fp"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()
+
+    # replay by hand from the two retriever outputs
+    a = tfidf_retrieval_docs(SF_DIR).to_pandas()
+    b = bm25_retrieval_docs(SF_DIR).to_pandas()
+    want: dict[int, list[int]] = {}
+    for t in (a, b):
+        t = t.sort_values(["score_fp", "doc_id"],
+                          ascending=[False, True], ignore_index=True)
+        for r, d in enumerate(t["doc_id"], start=1):
+            want.setdefault(int(d), []).append((1 << 20) // (60 + r))
+    rows = sorted(
+        ((sum(v), int(d)) for d, v in want.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:10]
+    got = list(zip(fused["rrf_fp"], fused["doc_id"]))
+    assert [(int(x), int(y)) for x, y in got] == rows
+    # at least one doc appears in both lists at sf0.001
+    assert (fused["n_lists"] == 2).any()
