@@ -124,7 +124,11 @@ WHERE c_custkey NOT IN
 LANG_SQL = "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"
 
 
-NEAR_DUP_SQL = f"""
+def _jaccard_pairs_sql(threshold: str) -> str:
+    """All-pairs exact 3-gram shingle Jaccard over the mutation corpus
+    — shared by the MinHash near-dup oracle (0.5) and the prefix-filter
+    set-similarity join oracle (0.7)."""
+    return f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id < {_NDUP_LIMIT}
   UNION ALL
@@ -143,8 +147,11 @@ sh AS (
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.s, b.s))::DOUBLE
-      / len(list_distinct(a.s || b.s)) >= 0.5
+      / len(list_distinct(a.s || b.s)) >= {threshold}
 """
+
+
+NEAR_DUP_SQL = _jaccard_pairs_sql("0.5")
 
 
 EMBEDDING_DUPS_SQL = f"""
@@ -2741,6 +2748,8 @@ _ORACLE_SQL_STATIC = {
     "customers_without_big_orders": NO_BIG_ORDERS_SQL,
     "lang_counts": LANG_SQL,
     "near_dup_pairs": NEAR_DUP_SQL,
+    # exact prefix-filter set-similarity join (recall 1, no MinHash)
+    "setsim_join_docs": _jaccard_pairs_sql("0.7"),
     "embedding_dups": EMBEDDING_DUPS_SQL,
     "ann_topk_embeddings": ANN_TOPK_SQL,
     "token_stats_docs": TOKEN_STATS_SQL,

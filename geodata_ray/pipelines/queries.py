@@ -4617,6 +4617,23 @@ def rrf_fusion_docs(sf_dir: str):
     )
 
 
+def setsim_join_docs(sf_dir: str):
+    """EXACT set-similarity self-join (prefix filtering, recall 1 by
+    construction — the deterministic sibling of the MinHash path):
+    all doc pairs with 3-gram shingle Jaccard >= 0.7 over the
+    mutation corpus.  No vocabulary broadcast, no corpus broadcast:
+    df attaches by hash join, candidates verify by joining ids back
+    to texts."""
+    import ray.data as rd
+
+    from geodata_ray.stages.dedup import setsim_join_pairs
+
+    corpus = _ndup_corpus(sf_dir)
+    return setsim_join_pairs(
+        rd.from_arrow(corpus), threshold_num=7, threshold_den=10
+    )
+
+
 RAY_QUERIES = {
     # -- rotation block: 8 queries displaced from the r3 window (all were
     #    driver-green in CORRECTNESS_r02) --
@@ -4730,6 +4747,7 @@ RAY_QUERIES = {
     "compact_files_roundtrip": compact_files_roundtrip,
     "outlier_events_zscore": outlier_events_zscore,
     "rrf_fusion_docs": rrf_fusion_docs,
+    "setsim_join_docs": setsim_join_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

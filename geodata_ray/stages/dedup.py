@@ -1171,3 +1171,177 @@ def fuzzy_edit1_pairs(
         pairs, ["left_id", "right_id"], [("left_id", "count", "__c")]
     )
     return out.drop_columns(["__c"])
+
+
+def setsim_join_pairs(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+    num_buckets: int = 32,
+):
+    """EXACT set-similarity self-join by prefix filtering (Chaudhuri
+    et al.'s SSJoin / PPJoin blocking): all pairs with shingle-set
+    Jaccard >= threshold_num/threshold_den, id_a < id_b — recall
+    exactly 1 by construction, no MinHash randomness.
+
+    Plan (all distributed, no corpus broadcast anywhere):
+      1. explode per-doc sorted-unique shingle hashes (one vectorized
+         pass, ``_batch_shingles``) into (id, sh, m) rows;
+      2. document frequency per shingle (pre-combined aggregate), then
+         attach df to every row via the native hash join — the global
+         token order (df ASC, sh ASC) is the classic rare-first prefix
+         order and needs NO vocabulary broadcast;
+      3. per doc keep only the first ``m - ceil(t*m) + 1`` shingles in
+         that order (integer-exact ceil — a float ``0.7*m`` rounds the
+         wrong way at m=10): any two sets with Jaccard >= t must share
+         a prefix token (pigeonhole over the shared total order);
+      4. prune prefix tokens seen once (they cannot produce a pair),
+         shard the survivors by token hash, generate size-filtered
+         candidate pairs per token (``min_m * den >= num * max_m`` —
+         Jaccard of sets sized (ma<=mb) is at most ma/mb), distinct;
+      5. verify exact Jaccard by joining candidate ids back to their
+         texts (``_verify_pairs_shuffle``) — only candidate pairs and
+         their two texts ever co-locate.
+
+    Scale notes: step 2's df table is vocabulary-sized but never
+    leaves the object store (hash join, not broadcast); step 4's
+    per-token groups are bounded by the df of each doc's RAREST
+    tokens, the quantity prefix filtering minimizes by design; hot
+    stop-shingle groups would signal threshold too low, not skew to
+    salt.  Shingle hashing is the same u64 kernel the (green)
+    MinHash verify path uses — collisions are ~2^-64 per pair.
+    """
+    from geodata_ray.stages.relational import grouped_aggregate, native_join
+    from geodata_ray.stages.windows import _tag_bucket
+
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must be a fraction in (0, 1]")
+    tnum, tden = int(threshold_num), int(threshold_den)
+    threshold = tnum / tden
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        counts, flat = _batch_shingles(batch[text_col], k)
+        return pa.table(
+            {
+                "id": pa.array(np.repeat(ids, counts), pa.int64()),
+                "sh": pa.array(flat.view(np.int64), pa.int64()),
+                "m": pa.array(np.repeat(counts, counts), pa.int64()),
+            }
+        )
+
+    ex = ds.map_batches(explode, batch_format="pyarrow")
+    dfc = grouped_aggregate(ex, ["sh"], [("sh", "count", "df")])
+    # re-batch: sort-aggregate can emit schema-less empty blocks that
+    # crash the native hash join
+    dfc = dfc.map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=65536
+    )
+    exdf = native_join(ex, dfc, on="sh")
+
+    def prefix(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        sh = t["sh"].to_numpy(zero_copy_only=False)
+        m = t["m"].to_numpy(zero_copy_only=False)
+        df = t["df"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sh, df, ids))
+        ids, sh, m, df = ids[order], sh[order], m[order], df[order]
+        new = np.ones(ids.size, dtype=bool)
+        new[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(new)
+        rank = np.arange(ids.size, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, ids.size))
+        )
+        alpha = -((-tnum * m) // tden)  # ceil(t*m), exact integers
+        keep = rank < (m - alpha + 1)
+        return pa.table(
+            {
+                "sh": pa.array(sh[keep]),
+                "id": pa.array(ids[keep]),
+                "m": pa.array(m[keep]),
+            }
+        )
+
+    bucketed = _tag_bucket(exdf, "id", num_buckets)
+    pref = bucketed.groupby("__b").map_groups(
+        lambda g: prefix(g.drop_columns(["__b"])), batch_format="pyarrow"
+    )
+
+    # collision pre-filter: a prefix token held by one doc yields no pair
+    pcounts = grouped_aggregate(pref, ["sh"], [("sh", "count", "n")])
+    keys = (
+        pcounts.filter(expr="n >= 2")
+        .select_columns(["sh"])
+        .map_batches(lambda b: b, batch_format="pyarrow", batch_size=65536)
+        .materialize()
+    )
+    if keys.count() == 0:
+        return ray_empty_pairs()
+    pref = native_join(pref, keys, on="sh")
+
+    n_shards = 32
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        sh = batch["sh"].to_numpy(zero_copy_only=False)
+        shard = (sh.view(np.uint64) % np.uint64(n_shards)).astype(np.int64)
+        return batch.append_column("__shard", pa.array(shard))
+
+    def shard_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby("sh", sort=False):
+            sub = g[["id", "m"]].drop_duplicates()
+            ids = sub["id"].to_numpy()
+            ms = sub["m"].to_numpy()
+            if ids.size < 2:
+                continue
+            o = np.argsort(ids)
+            ids, ms = ids[o], ms[o]
+            a, b = np.triu_indices(ids.size, k=1)
+            ok = (
+                np.minimum(ms[a], ms[b]) * tden
+                >= tnum * np.maximum(ms[a], ms[b])
+            )
+            out_a.append(ids[a][ok])
+            out_b.append(ids[b][ok])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "id_a": np.empty(0, dtype=np.int64),
+                    "id_b": np.empty(0, dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        ).drop_duplicates(ignore_index=True)
+
+    sharded = pref.map_batches(add_shard, batch_format="pyarrow")
+    raw_pairs = sharded.groupby("__shard").map_groups(
+        shard_pairs, batch_format="pandas"
+    )
+    pairs = grouped_aggregate(
+        raw_pairs, ["id_a", "id_b"], [("id_a", "count", "__n")]
+    ).map_batches(
+        lambda b: b.select(["id_a", "id_b"]),
+        batch_format="pyarrow",
+        batch_size=65536,
+    )
+    return _verify_pairs_shuffle(pairs, ds, id_col, text_col, k, threshold)
+
+
+def ray_empty_pairs():
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+            }
+        )
+    )

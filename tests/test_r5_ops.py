@@ -96,3 +96,60 @@ def test_rrf_fusion_exact_contributions():
     assert [(int(x), int(y)) for x, y in got] == rows
     # at least one doc appears in both lists at sf0.001
     assert (fused["n_lists"] == 2).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_setsim_join_vs_bruteforce():
+    import ray.data as rd
+
+    from geodata_ray.stages.dedup import (
+        _batch_shingles,
+        setsim_join_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(60)]
+    texts, ids = [], []
+    for i in range(80):
+        n = rng.integers(8, 25)
+        texts.append(" ".join(rng.choice(vocab, n)))
+        ids.append(i)
+    # planted near-copies: append two tokens (high Jaccard)
+    for i in range(20):
+        texts.append(texts[i] + " zz0 zz1")
+        ids.append(1000 + i)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+
+    got = (
+        setsim_join_pairs(
+            rd.from_arrow(t).repartition(5),
+            threshold_num=7, threshold_den=10,
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+
+    # brute force over shingle-hash sets (same kernel)
+    counts, flat = _batch_shingles(pa.array(texts), 3)
+    offs = np.r_[0, np.cumsum(counts)]
+    sets = [set(flat[offs[i]:offs[i + 1]].tolist())
+            for i in range(len(texts))]
+    want = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = sets[i], sets[j]
+            u = len(a | b)
+            if u and len(a & b) / u >= 0.7:
+                want.append(tuple(sorted((ids[i], ids[j]))))
+    want = sorted(want)
+    assert list(zip(got["id_a"], got["id_b"])) == want
+    assert len(want) >= 20  # every planted copy found
+
+    # all-unique corpus -> empty result, no crash
+    uniq = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["aa bb cc dd", "ee ff gg hh"]),
+    })
+    empty = setsim_join_pairs(rd.from_arrow(uniq)).to_pandas()
+    assert len(empty) == 0
