@@ -2013,7 +2013,10 @@ def _embedding_corpus_size() -> int:
     return len(_gate_vec_ids())
 
 
-def _kmeans_sql(k: int = 8, iters: int = 6, dim: int = 64) -> str:
+def _kmeans_sql(
+    k: int = 8, iters: int = 6, dim: int = 64, src: str | None = None,
+    final: str | None = None,
+) -> str:
     """Fully-independent SQL Lloyd: the SAME init (first k rows), then
     ``iters`` assign+recompute rounds entirely in SQL (cross-join
     distances, ROW_NUMBER argmin with lowest-cluster tie-break,
@@ -2032,8 +2035,10 @@ def _kmeans_sql(k: int = 8, iters: int = 6, dim: int = 64) -> str:
     init_pairs = ", ".join(
         f"({j}, {vid})" for j, vid in enumerate(_embedding_head_ids(k))
     )
+    if src is None:
+        src = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
     parts = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"e AS ({src})",
         f"c0 AS (SELECT i.cl, e.v FROM (VALUES {init_pairs}) i(cl, vid)"
         f" JOIN e ON e.vec_id = i.vid)",
     ]
@@ -2062,16 +2067,41 @@ def _kmeans_sql(k: int = 8, iters: int = 6, dim: int = 64) -> str:
             f" SELECT cl, v FROM c{i - 1}"
             f" WHERE cl NOT IN (SELECT cl FROM cn{i}))"
         )
+    parts.append(
+        f"""asgF AS MATERIALIZED (
+  SELECT vec_id, v, cl FROM (
+    SELECT e.vec_id, e.v, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2}, c.cl) AS rk
+    FROM e CROSS JOIN c{iters} c
+  ) WHERE rk = 1
+)"""
+    )
     body = ",\n".join(parts)
+    if final is None:
+        final = "SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM asgF"
     return f"""
 WITH {body}
-SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM (
-  SELECT e.vec_id, c.cl,
-         ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                            ORDER BY {d2}, c.cl) AS rk
-  FROM e CROSS JOIN c{iters} c
-) WHERE rk = 1
+{final}
 """
+
+
+def _semdedup_sql(k: int = 8, iters: int = 6, tau: str = "0.99") -> str:
+    """SemDeDup oracle: the Lloyd replay above over the mutation
+    corpus, then within-cluster cosine pairs and a NOT IN keep —
+    greedy-by-id semantics identical to the engine's prune kernel."""
+    src = f"""SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_MUT_OFFSET},
+             list_transform(embedding::DOUBLE[], x -> x + 0.01)
+      FROM embeddings"""
+    final = f"""SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM asgF
+WHERE vec_id NOT IN (
+  SELECT b.vec_id
+  FROM asgF a JOIN asgF b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {tau}
+)"""
+    return _kmeans_sql(k=k, iters=iters, src=src, final=final)
 
 
 
@@ -3798,5 +3828,6 @@ def __getattr__(name: str):
             v = dict(_ORACLE_SQL_STATIC)
             v["kmeans_embeddings"] = __getattr__("KMEANS_SQL")
             v["ivf_topk_embeddings"] = __getattr__("IVF_SQL")
+            v["semdedup_embeddings"] = _semdedup_sql()
         _LAZY[name] = v
     return v

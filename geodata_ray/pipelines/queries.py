@@ -4634,6 +4634,22 @@ def setsim_join_docs(sf_dir: str):
     )
 
 
+def semdedup_embeddings(sf_dir: str):
+    """SemDeDup semantic deduplication over the embedding mutation
+    corpus: streaming k-means (k=8, 6 iters), then within-cluster
+    cosine >= 0.99 pruning keeping the lowest id.  The oracle replays
+    Lloyd in MATERIALIZED CTEs and the prune as a within-cluster
+    self-join + NOT IN — the full cluster-then-dedup chain is
+    SQL-audited."""
+    import ray.data as rd
+
+    from geodata_ray.stages.kmeans import semdedup_keep
+
+    corpus = _embedding_corpus(sf_dir)
+    ds = rd.from_arrow(corpus).repartition(8)
+    return semdedup_keep(ds, k=8, iters=6, tau=0.99, init_table=corpus)
+
+
 RAY_QUERIES = {
     # -- rotation block: 8 queries displaced from the r3 window (all were
     #    driver-green in CORRECTNESS_r02) --
@@ -4748,6 +4764,7 @@ RAY_QUERIES = {
     "outlier_events_zscore": outlier_events_zscore,
     "rrf_fusion_docs": rrf_fusion_docs,
     "setsim_join_docs": setsim_join_docs,
+    "semdedup_embeddings": semdedup_embeddings,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

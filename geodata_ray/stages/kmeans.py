@@ -116,3 +116,83 @@ def kmeans_assign(ds, centroids: np.ndarray, *, id_col: str = "vec_id",
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def semdedup_keep(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 6,
+    tau: float = 0.99,
+    init_table: pa.Table | None = None,
+):
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+    clustering then WITHIN-CLUSTER cosine pruning — a vector is dropped
+    iff some lower-id vector in the same cluster has cosine >= tau
+    (greedy-by-id, NOT transitive closure: a dropped vector still
+    suppresses its own higher-id neighbors, exactly the rule a SQL
+    ``NOT IN (SELECT id_b FROM pairs)`` replays).  Returns the KEPT
+    (id, cluster) rows.
+
+    Scale shape: clustering is the streaming Lloyd above (one pass per
+    iteration); the pairwise step never crosses clusters — k is the
+    scale knob (SemDeDup's own design: pick k so n/k fits one worker;
+    within-cluster LSH is the further escape hatch).  The threshold
+    margin (0.99 vs ~0.5 max random cosine) makes the float comparison
+    engine-stable."""
+    import pyarrow.compute as pc
+
+    C, _ = kmeans_fit(
+        ds, vec_col=vec_col, k=k, iters=iters, init_table=init_table
+    )
+    import ray
+
+    cref = ray.put(np.asarray(C, dtype=np.float64))
+
+    def assign_keep_vec(batch: pa.Table) -> pa.Table:
+        Cm = _resolve(cref)
+        V = _as_matrix(batch[vec_col])
+        d2 = (
+            (V * V).sum(axis=1, keepdims=True)
+            - 2.0 * V @ Cm.T
+            + (Cm * Cm).sum(axis=1)[None, :]
+        )
+        return pa.table(
+            {
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "cluster": pa.array(
+                    np.argmin(d2, axis=1).astype(np.int64)
+                ),
+                vec_col: batch[vec_col],
+            }
+        )
+
+    assigned = ds.map_batches(assign_keep_vec, batch_format="pyarrow")
+
+    def prune(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = _as_matrix(t[vec_col])[order]
+        norms = np.sqrt((V * V).sum(axis=1))
+        norms[norms == 0] = 1.0
+        N = V / norms[:, None]
+        S = N @ N.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = S[iu, ju] >= tau
+        dropped = np.zeros(len(ids), dtype=bool)
+        dropped[np.unique(ju[hit])] = True
+        return pa.table(
+            {
+                id_col: pa.array(ids[~dropped], pa.int64()),
+                "cluster": t["cluster"].take(
+                    pa.array(order[~dropped])
+                ),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(
+        prune, batch_format="pyarrow"
+    )

@@ -153,3 +153,57 @@ def test_setsim_join_vs_bruteforce():
     })
     empty = setsim_join_pairs(rd.from_arrow(uniq)).to_pandas()
     assert len(empty) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semdedup_greedy_by_id_vs_bruteforce():
+    import ray.data as rd
+
+    from geodata_ray.stages.kmeans import kmeans_fit, semdedup_keep
+
+    rng = np.random.default_rng(3)
+    # 3 well-separated blobs + planted near-dup chains inside blobs
+    centers = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    rows, ids = [], []
+    vid = 0
+    for c in centers:
+        for _ in range(30):
+            rows.append(c + rng.normal(0, 0.5, 4))
+            ids.append(vid)
+            vid += 1
+    # chain a~b~c with a!~c impossible at cosine 0.999 on tight copies;
+    # plant exact duplicates instead (cos=1 with all copies)
+    for i in (0, 31, 62):
+        rows.append(np.array(rows[i]))
+        ids.append(vid)
+        vid += 1
+    V = np.array(rows)
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(list(V), pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    kept = semdedup_keep(
+        ds, k=3, iters=4, tau=0.999, init_table=t
+    ).to_pandas().sort_values("vec_id", ignore_index=True)
+
+    # brute-force replay: same Lloyd, same greedy rule
+    C, _ = kmeans_fit(ds, k=3, iters=4, init_table=t)
+    d2 = ((V * V).sum(1, keepdims=True) - 2 * V @ C.T
+          + (C * C).sum(1)[None, :])
+    asg = np.argmin(d2, axis=1)
+    norms = np.sqrt((V * V).sum(1))
+    N = V / norms[:, None]
+    want = []
+    for cl in range(3):
+        sel = np.flatnonzero(asg == cl)
+        sub = N[sel]
+        S = sub @ sub.T
+        for jj, j in enumerate(sel):
+            if not any(S[ii, jj] >= 0.999 for ii in range(jj)):
+                want.append(ids[j])
+    assert kept["vec_id"].tolist() == sorted(want)
+    # the three planted exact dups are all dropped
+    assert not set(kept["vec_id"]) & {90, 91, 92}
+    # cluster labels carried through
+    assert set(kept["cluster"]) == {0, 1, 2}
