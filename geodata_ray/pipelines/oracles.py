@@ -2780,6 +2780,11 @@ _ORACLE_SQL_STATIC = {
     "near_dup_pairs": NEAR_DUP_SQL,
     # exact prefix-filter set-similarity join (recall 1, no MinHash)
     "setsim_join_docs": _jaccard_pairs_sql("0.7"),
+    # pruned scan must equal the full-scan filter (proves the zone map
+    # is conservative)
+    "zonemap_pruned_scan_events": """
+        SELECT event_id, value FROM events WHERE value >= 200.0
+    """,
     "embedding_dups": EMBEDDING_DUPS_SQL,
     "ann_topk_embeddings": ANN_TOPK_SQL,
     "token_stats_docs": TOKEN_STATS_SQL,

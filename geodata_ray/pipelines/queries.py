@@ -26,6 +26,8 @@ Conventions:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -4650,6 +4652,47 @@ def semdedup_embeddings(sf_dir: str):
     return semdedup_keep(ds, k=8, iters=6, tau=0.99, init_table=corpus)
 
 
+def zonemap_pruned_scan_events(sf_dir: str):
+    """Zone-map pruned range scan: events rewritten ONCE as
+    value-partitioned parquet (16 buckets), then ``value >= 200``
+    answered by consulting only the file FOOTERS — files whose
+    [min,max] misses the predicate are never opened (the file-level
+    analogue of the reference's reader-side bbox/variable trimming).
+    A residual in-batch filter keeps semantics exact; the oracle is
+    the plain full-scan filter, so the comparison proves pruning
+    loses nothing."""
+    import hashlib
+
+    import ray.data as rd
+
+    from geodata_ray.state.zonemap import pruned_range_read
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    root = f"/tmp/geodata_zonemap/v1/{tag}"
+    done = f"{root}/_SUCCESS"
+    if not os.path.exists(done):
+        ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+        def bucket(batch: pa.Table) -> pa.Table:
+            v = batch["value"].to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "vbucket",
+                pa.array(
+                    np.clip(v // 32.0, 0, 15).astype(np.int64)
+                ),
+            )
+
+        ds.map_batches(bucket, batch_format="pyarrow").write_parquet(
+            root, partition_cols=["vbucket"]
+        )
+        open(done, "w").write("ok")
+    out, n_total, n_read = pruned_range_read(
+        root, "value", 200.0, columns=["event_id", "value"]
+    )
+    assert n_read < n_total, "zone map pruned nothing"
+    return out.select_columns(["event_id", "value"])
+
+
 RAY_QUERIES = {
     # -- rotation block: 8 queries displaced from the r3 window (all were
     #    driver-green in CORRECTNESS_r02) --
@@ -4765,6 +4808,7 @@ RAY_QUERIES = {
     "rrf_fusion_docs": rrf_fusion_docs,
     "setsim_join_docs": setsim_join_docs,
     "semdedup_embeddings": semdedup_embeddings,
+    "zonemap_pruned_scan_events": zonemap_pruned_scan_events,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -207,3 +207,33 @@ def test_semdedup_greedy_by_id_vs_bruteforce():
     assert not set(kept["vec_id"]) & {90, 91, 92}
     # cluster labels carried through
     assert set(kept["cluster"]) == {0, 1, 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zonemap_prunes_files_and_loses_nothing(tmp_path):
+    import ray.data as rd
+
+    from geodata_ray.state.zonemap import pruned_range_read, zonemap_stats
+
+    rng = np.random.default_rng(5)
+    v = rng.uniform(0, 100, 5000)
+    rid = np.arange(5000, dtype=np.int64)
+    t = pa.table({"rid": pa.array(rid), "v": pa.array(v),
+                  "b": pa.array((v // 10).astype(np.int64))})
+    root = str(tmp_path / "zm")
+    rd.from_arrow(t).write_parquet(root, partition_cols=["b"])
+
+    stats = zonemap_stats(root, "v")
+    assert len(stats) >= 10
+
+    ds, total, nread = pruned_range_read(root, "v", 73.0, 91.5)
+    assert nread < total
+    got = ds.to_pandas().sort_values("rid", ignore_index=True)
+    want = np.sort(rid[(v >= 73.0) & (v <= 91.5)])
+    assert got["rid"].to_numpy().tolist() == want.tolist()
+
+    # fully-out-of-range predicate: zero files read, schema preserved
+    ds0, total0, n0 = pruned_range_read(root, "v", 1e6)
+    assert n0 == 0
+    df0 = ds0.to_pandas()
+    assert len(df0) == 0 and "v" in df0.columns
