@@ -232,8 +232,10 @@ def test_zonemap_prunes_files_and_loses_nothing(tmp_path):
     want = np.sort(rid[(v >= 73.0) & (v <= 91.5)])
     assert got["rid"].to_numpy().tolist() == want.tolist()
 
-    # fully-out-of-range predicate: zero files read, schema preserved
+    # fully-out-of-range predicate: zero files read, zero rows, and the
+    # DATASET still carries the schema (to_pandas of all-empty blocks
+    # drops columns — a known Ray quirk, so assert on the Dataset)
     ds0, total0, n0 = pruned_range_read(root, "v", 1e6)
     assert n0 == 0
-    df0 = ds0.to_pandas()
-    assert len(df0) == 0 and "v" in df0.columns
+    assert ds0.count() == 0
+    assert "v" in ds0.schema().names
