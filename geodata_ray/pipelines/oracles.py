@@ -2973,6 +2973,21 @@ _ORACLE_SQL_STATIC = {
           AND (m.n * b.cents - m.s) * (m.n * b.cents - m.s)
               > 9 * (m.n * m.ss - m.s * m.s)
     """,
+    # BPE step-1 pair statistics: vocabulary-weighted substring pairs
+    "bpe_pair_counts_docs": """
+        WITH w AS (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        wc AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY 1
+        ),
+        p AS (
+          SELECT substring(word, CAST(i AS INT), 2) AS pair, n
+          FROM wc, unnest(range(1, length(word))) AS t(i)
+        )
+        SELECT pair, CAST(SUM(n) AS BIGINT) AS n_pairs
+        FROM p GROUP BY 1 HAVING SUM(n) >= 100
+    """,
     # compaction must be byte-faithful: the oracle IS the source table
     "compact_files_roundtrip": """
         SELECT event_id, ts, user_id, event_type, value, props

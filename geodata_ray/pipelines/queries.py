@@ -4693,6 +4693,18 @@ def zonemap_pruned_scan_events(sf_dir: str):
     return out.select_columns(["event_id", "value"])
 
 
+def bpe_pair_counts_docs(sf_dir: str):
+    """Tokenizer training, step one: BPE merge-candidate statistics —
+    adjacent byte-pair counts within whitespace words over the whole
+    corpus, counted on the distinct-word vocabulary weighted by word
+    frequency (Sennrich BPE; the highest-count pair would be the first
+    merge).  Pairs with corpus count >= 100."""
+    from geodata_ray.stages.textstats import bpe_pair_counts
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return bpe_pair_counts(ds, min_count=100)
+
+
 RAY_QUERIES = {
     # -- rotation block: 8 queries displaced from the r3 window (all were
     #    driver-green in CORRECTNESS_r02) --
@@ -4809,6 +4821,7 @@ RAY_QUERIES = {
     "setsim_join_docs": setsim_join_docs,
     "semdedup_embeddings": semdedup_embeddings,
     "zonemap_pruned_scan_events": zonemap_pruned_scan_events,
+    "bpe_pair_counts_docs": bpe_pair_counts_docs,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

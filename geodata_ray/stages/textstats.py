@@ -1097,3 +1097,81 @@ def pmi_top_bigrams(
 
     scored = bi.map_batches(score, batch_format="pyarrow")
     return scored.sort(["pmi_fp", "ngram"], descending=[True, False]).limit(k)
+
+
+def bpe_pair_counts(ds, *, text_col: str = "text", min_count: int = 100):
+    """One BPE-training iteration's pair statistics (Sennrich et al.
+    2016): corpus-wide adjacent byte-pair counts WITHIN whitespace
+    words, computed over the distinct-word VOCABULARY weighted by word
+    frequency — pair counting costs O(|vocab|) bytes, not O(|corpus|),
+    which is the standard tokenizer-training shape (word counts are
+    the only corpus-sized aggregate; everything after runs on the
+    vocabulary).
+
+    Plan: per-batch word counts (pre-combined) -> vocabulary aggregate
+    (hash-partitioned groupby — vocab shuffles, corpus does not) ->
+    vectorized byte-pair explosion per vocab batch (the lm.py byte
+    view + boundary mask, weights repeated per position) -> bounded
+    (<= 65,536 codes) pair aggregate -> decode + threshold.
+
+    Pairs are BYTE pairs (GPT-2-style byte-level BPE); on the pure-
+    ASCII gate corpus bytes == characters, which is what the SQL
+    oracle's substring replays."""
+    from geodata_ray.stages.lm import _byte_view, _pair_codes
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    def wcount(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text.fill_null(""), " ")
+        flat = (
+            toks.combine_chunks()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks
+        ).flatten()
+        t = pa.table({"word": flat})
+        out = t.group_by(["word"]).aggregate([([], "count_all")])
+        return out.rename_columns(["word", "n"])
+
+    vocab = grouped_aggregate(
+        ds.map_batches(wcount, batch_format="pyarrow"),
+        ["word"],
+        [("n", "sum", "n")],
+        coalesce=0,
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        data, offsets = _byte_view(batch["word"])
+        codes, valid = _pair_codes(data, offsets)
+        lens = np.diff(offsets)
+        w = np.repeat(
+            batch["n"].to_numpy(zero_copy_only=False),
+            np.maximum(lens - 1, 0),
+        )
+        acc = np.zeros(65536, dtype=np.int64)
+        np.add.at(acc, codes[valid], w)
+        nz = np.flatnonzero(acc)
+        return pa.table(
+            {
+                "pair_code": pa.array(nz.astype(np.int64)),
+                "c": pa.array(acc[nz]),
+            }
+        )
+
+    agg = grouped_aggregate(
+        vocab.map_batches(pairs, batch_format="pyarrow"),
+        ["pair_code"],
+        [("c", "sum", "n_pairs")],
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["n_pairs"], min_count)
+        t = batch.filter(keep)
+        codes = t["pair_code"].to_numpy(zero_copy_only=False)
+        s = [bytes([c >> 8, c & 255]).decode("latin-1") for c in codes]
+        return pa.table(
+            {"pair": pa.array(s, pa.string()), "n_pairs": t["n_pairs"]}
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")

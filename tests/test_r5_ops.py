@@ -239,3 +239,35 @@ def test_zonemap_prunes_files_and_loses_nothing(tmp_path):
     assert n0 == 0
     assert ds0.count() == 0
     assert "v" in ds0.schema().names
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_pair_counts_vs_bruteforce():
+    import ray.data as rd
+
+    from geodata_ray.stages.textstats import bpe_pair_counts
+
+    texts = [
+        "low low lower lowest",
+        "new newer newest low",
+        None,
+        "",
+        "a bb a",  # 1-byte words contribute nothing
+    ]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    got = (
+        bpe_pair_counts(rd.from_arrow(t).repartition(3), min_count=2)
+        .to_pandas()
+        .sort_values("pair", ignore_index=True)
+    )
+    # brute force
+    from collections import Counter
+
+    c: Counter = Counter()
+    for tx in texts:
+        for w in (tx or "").split(" "):
+            for i in range(len(w) - 1):
+                c[w[i : i + 2]] += 1
+    want = sorted((p, n) for p, n in c.items() if n >= 2)
+    assert list(zip(got["pair"], got["n_pairs"])) == want
+    assert ("lo", 5) in want  # 'low' x3 + lower + lowest
