@@ -2973,6 +2973,32 @@ _ORACLE_SQL_STATIC = {
           AND (m.n * b.cents - m.s) * (m.n * b.cents - m.s)
               > 9 * (m.n * m.ss - m.s * m.s)
     """,
+    # entity resolution: recursive-CTE transitive closure over the two
+    # blocking keys (pairs within {17j,17j+1} and {23j,23j+1})
+    "entity_resolution_customers": """
+        WITH RECURSIVE r AS (SELECT c_custkey AS id FROM customer),
+        e1 AS (
+          SELECT a.id AS u, b.id AS v FROM r a JOIN r b
+          ON a.id % 17 <= 1 AND b.id % 17 <= 1
+             AND a.id // 17 = b.id // 17 AND a.id < b.id
+        ),
+        e2 AS (
+          SELECT a.id AS u, b.id AS v FROM r a JOIN r b
+          ON a.id % 23 <= 1 AND b.id % 23 <= 1
+             AND a.id // 23 = b.id // 23 AND a.id < b.id
+        ),
+        edges AS (
+          SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1
+          UNION ALL SELECT u, v FROM e2 UNION ALL SELECT v, u FROM e2
+        ),
+        reach(node, rr) AS (
+          SELECT id, id FROM r
+          UNION
+          SELECT e.v, reach.rr FROM reach JOIN edges e ON e.u = reach.node
+        )
+        SELECT node AS record_id, CAST(MIN(rr) AS BIGINT) AS entity_id
+        FROM reach GROUP BY 1
+    """,
     # BPE step-1 pair statistics: vocabulary-weighted substring pairs
     "bpe_pair_counts_docs": """
         WITH w AS (

@@ -4705,6 +4705,39 @@ def bpe_pair_counts_docs(sf_dir: str):
     return bpe_pair_counts(ds, min_count=100)
 
 
+def entity_resolution_customers(sf_dir: str):
+    """Multi-key entity resolution over customers: two deterministic
+    blocking keys (an "email" key linking custkeys {17j, 17j+1} and a
+    "phone" key linking {23j, 23j+1}; all other records get null keys)
+    — records sharing EITHER key merge transitively via union-find, so
+    e.g. 68~69 by email and 69~70 by phone yield entity {68, 69, 70}.
+    The oracle replays the closure with a recursive CTE."""
+    import ray.data as rd
+
+    from geodata_ray.stages.graphcc import resolve_entities
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def keys(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch["c_custkey"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        em = k // 17
+        ph = k // 23
+        return pa.table(
+            {
+                "record_id": pa.array(k),
+                "k_email": pa.array(em, pa.int64(), mask=(k % 17 > 1)),
+                "k_phone": pa.array(ph, pa.int64(), mask=(k % 23 > 1)),
+            }
+        )
+
+    recs = ds.map_batches(keys, batch_format="pyarrow")
+    return resolve_entities(
+        recs, id_col="record_id", key_cols=["k_email", "k_phone"]
+    )
+
+
 RAY_QUERIES = {
     # -- rotation block: 8 queries displaced from the r3 window (all were
     #    driver-green in CORRECTNESS_r02) --
@@ -4822,6 +4855,7 @@ RAY_QUERIES = {
     "semdedup_embeddings": semdedup_embeddings,
     "zonemap_pruned_scan_events": zonemap_pruned_scan_events,
     "bpe_pair_counts_docs": bpe_pair_counts_docs,
+    "entity_resolution_customers": entity_resolution_customers,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

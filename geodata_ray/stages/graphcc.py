@@ -712,3 +712,161 @@ def bfs_levels(edges, seeds, *, src: str = "u", dst: str = "v",
         }
     )
     return rd.from_arrow(t)
+
+
+def resolve_entities(ds, *, id_col: str, key_cols, cc_mode: str = "auto"):
+    """Multi-key entity resolution (record linkage by union-find):
+    records sharing ANY blocking-key value — same email, same phone,
+    same content fingerprint — merge TRANSITIVELY into one entity
+    (A~B on email, B~C on phone => {A,B,C}).  Returns one
+    (record_id, entity_id) row per input record; entity_id is the
+    component's minimum record id; null key values never link.
+
+    Plan: explode non-null (key_index, value, id) rows; shard by value
+    hash and emit per-key-value STAR edges (segment min -> others), so
+    a k-record block ships k edges, never k^2 pairs; run the shared
+    connected-components kernel over the union of all keys' edges
+    (distributed label propagation past the local bound); anti-join
+    the edge-free records back in as singleton entities.  Every
+    exchange is keyed by value hash or node id — 10^12-record shape.
+    """
+    import ray
+    import ray.data as rd
+
+    from geodata_ray.sources.synth import splitmix64
+    from geodata_ray.stages.relational import anti_join
+
+    key_cols = list(key_cols)
+    if not key_cols:
+        raise ValueError("need at least one blocking key column")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        hs, rid = [], []
+        for kidx, kc in enumerate(key_cols):
+            col = batch[kc]
+            mask = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            if not mask.any():
+                continue
+            v = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+            vv = v[mask].astype(np.int64)
+            # separate key spaces: same VALUE in different key columns
+            # must not collide.  The salt must be a full-width hash of
+            # the key index — a small additive constant XORed in lets
+            # nearby values alias across spaces (0 ^ C0 == 15 ^ C1
+            # when C1 = C0 ^ 15)
+            salt = splitmix64(
+                np.array([0x51ED2700 + kidx], dtype=np.uint64)
+            )[0]
+            h = splitmix64(vv.view(np.uint64) ^ salt).view(np.int64)
+            hs.append(h)
+            rid.append(ids[mask])
+        if not hs:
+            return pa.table(
+                {
+                    "kh": pa.array([], pa.int64()),
+                    "rid": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "kh": pa.array(np.concatenate(hs)),
+                "rid": pa.array(np.concatenate(rid)),
+            }
+        )
+
+    ex = ds.map_batches(explode, batch_format="pyarrow")
+
+    # star edges straight from a SHARDED groupby (hash(kh) % shards,
+    # complete key groups per shard): sort each shard by (kh, rid),
+    # segment-min per key, emit (min, other) — no join stage at all,
+    # one shuffle keyed by value hash
+    n_shards = 32
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        kh = batch["kh"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__s",
+            pa.array(
+                (kh.view(np.uint64) % np.uint64(n_shards)).astype(
+                    np.int64
+                )
+            ),
+        )
+
+    def star(t: pa.Table) -> pa.Table:
+        kh = t["kh"].to_numpy(zero_copy_only=False)
+        rid = t["rid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((rid, kh))
+        kh, rid = kh[order], rid[order]
+        new = np.ones(kh.size, dtype=bool)
+        new[1:] = kh[1:] != kh[:-1]
+        starts = np.flatnonzero(new)
+        seglen = np.diff(np.append(starts, kh.size))
+        root = np.repeat(rid[starts], seglen)
+        keep = rid != root
+        return pa.table(
+            {
+                "id_a": pa.array(root[keep], pa.int64()),
+                "id_b": pa.array(rid[keep], pa.int64()),
+            }
+        )
+
+    edges = (
+        ex.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("__s")
+        .map_groups(
+            lambda g: star(g.drop_columns(["__s"])),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    ids_only = ds.map_batches(
+        lambda b: pa.table(
+            {id_col: pc.cast(b[id_col], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    if edges.count() == 0:
+        return ids_only.map_batches(
+            lambda b: pa.table(
+                {
+                    "record_id": b[id_col],
+                    "entity_id": b[id_col],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    assign = connected_components(edges, mode=cc_mode)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "record_id": batch["node"],
+                "entity_id": batch["cluster_id"],
+            }
+        )
+
+    linked = assign.map_batches(rename, batch_format="pyarrow")
+    # singleton records (no edge) keep their own id; the linked node
+    # set is bounded by 2x edge count, small relative to the corpus
+    linked_ids = np.unique(
+        np.concatenate(
+            [
+                t["record_id"].to_numpy(zero_copy_only=False)
+                for t in ray.get(linked.to_arrow_refs())
+                if t.num_rows
+            ]
+        )
+        if linked.count()
+        else np.empty(0, dtype=np.int64)
+    )
+    singles = anti_join(ids_only, linked_ids, id_col).map_batches(
+        lambda b: pa.table(
+            {"record_id": b[id_col], "entity_id": b[id_col]}
+        ),
+        batch_format="pyarrow",
+    )
+    return linked.union(singles)

@@ -271,3 +271,55 @@ def test_bpe_pair_counts_vs_bruteforce():
     want = sorted((p, n) for p, n in c.items() if n >= 2)
     assert list(zip(got["pair"], got["n_pairs"])) == want
     assert ("lo", 5) in want  # 'low' x3 + lower + lowest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resolve_entities_transitive_and_nulls():
+    import ray.data as rd
+
+    from geodata_ray.stages.graphcc import resolve_entities
+
+    # email links (1,2) and (3,4); phone links (2,3) and (7,8);
+    # record 9 has all-null keys -> singleton.  Closure: {1,2,3,4}.
+    t = pa.table({
+        "record_id": pa.array([1, 2, 3, 4, 7, 8, 9], pa.int64()),
+        "k_email": pa.array([10, 10, 11, 11, None, None, None],
+                            pa.int64()),
+        "k_phone": pa.array([None, 20, 20, None, 21, 21, None],
+                            pa.int64()),
+    })
+    got = (
+        resolve_entities(
+            rd.from_arrow(t).repartition(3),
+            id_col="record_id", key_cols=["k_email", "k_phone"],
+        )
+        .to_pandas()
+        .sort_values("record_id", ignore_index=True)
+    )
+    assert got["record_id"].tolist() == [1, 2, 3, 4, 7, 8, 9]
+    assert got["entity_id"].tolist() == [1, 1, 1, 1, 7, 7, 9]
+
+    # same VALUE in different key columns must NOT link (key spaces)
+    t2 = pa.table({
+        "record_id": pa.array([1, 2], pa.int64()),
+        "k_email": pa.array([5, None], pa.int64()),
+        "k_phone": pa.array([None, 5], pa.int64()),
+    })
+    got2 = (
+        resolve_entities(rd.from_arrow(t2), id_col="record_id",
+                         key_cols=["k_email", "k_phone"])
+        .to_pandas().sort_values("record_id", ignore_index=True)
+    )
+    assert got2["entity_id"].tolist() == [1, 2]
+
+    # no edges at all
+    t3 = pa.table({
+        "record_id": pa.array([1, 2], pa.int64()),
+        "k_email": pa.array([None, None], pa.int64()),
+    })
+    got3 = (
+        resolve_entities(rd.from_arrow(t3), id_col="record_id",
+                         key_cols=["k_email"])
+        .to_pandas().sort_values("record_id", ignore_index=True)
+    )
+    assert got3["entity_id"].tolist() == [1, 2]
