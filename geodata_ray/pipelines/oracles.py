@@ -2973,6 +2973,33 @@ _ORACLE_SQL_STATIC = {
           AND (m.n * b.cents - m.s) * (m.n * b.cents - m.s)
               > 9 * (m.n * m.ss - m.s * m.s)
     """,
+    # data-quality expectation suite: per-check violation counts
+    "dq_suite_events": """
+        SELECT 'row_count' AS check, CAST(COUNT(*) AS BIGINT)
+               AS n_violations FROM events
+        UNION ALL SELECT 'event_id_null',
+          CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          FROM events
+        UNION ALL SELECT 'value_null',
+          CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          FROM events
+        UNION ALL SELECT 'value_negative',
+          CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM events
+        UNION ALL SELECT 'value_gt_250',
+          CAST(SUM(CASE WHEN value > 250 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM events
+        UNION ALL SELECT 'event_type_unknown',
+          CAST(SUM(CASE WHEN event_type NOT IN
+            ('click','view','purchase','signup','error')
+            THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        UNION ALL SELECT 'ts_out_of_range',
+          CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-01'
+            OR ts >= TIMESTAMP '2026-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+          FROM events
+        UNION ALL SELECT 'event_id_duplicate',
+          CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) FROM events
+    """,
     # entity resolution: recursive-CTE transitive closure over the two
     # blocking keys (pairs within {17j,17j+1} and {23j,23j+1})
     "entity_resolution_customers": """

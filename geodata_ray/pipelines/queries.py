@@ -4738,6 +4738,84 @@ def entity_resolution_customers(sf_dir: str):
     )
 
 
+def dq_suite_events(sf_dir: str):
+    """Data-quality expectation suite (the Deequ/Great-Expectations
+    operator class, one streaming pass): per-check violation counts
+    over events — null checks, domain checks, range checks, an
+    out-of-bounds timestamp check, a threshold watch, plus a
+    duplicate-key check (the only one needing a keyed exchange;
+    everything else pre-combines to one partial row per check per
+    batch).  Zero-violation checks still emit their row, so the report
+    schema never collapses."""
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "events")
+    types = pa.array(["click", "view", "purchase", "signup", "error"])
+    lo = np.datetime64("2024-01-01", "us")
+    hi = np.datetime64("2026-01-01", "us")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        v = batch["value"]
+        vnull = v.null_count
+        vv = v.fill_null(0).to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        bad_type = int(
+            pc.sum(
+                pc.invert(pc.is_in(batch["event_type"], value_set=types))
+            ).as_py()
+            or 0
+        )
+        checks = {
+            "row_count": n,
+            "event_id_null": batch["event_id"].null_count,
+            "value_null": vnull,
+            "value_negative": int((vv < 0).sum()),
+            "value_gt_250": int((vv > 250).sum()),
+            "event_type_unknown": bad_type,
+            "ts_out_of_range": int(((ts < lo) | (ts >= hi)).sum()),
+        }
+        return pa.table(
+            {
+                "check": pa.array(list(checks), pa.string()),
+                "n": pa.array(
+                    np.array(list(checks.values()), dtype=np.int64)
+                ),
+            }
+        )
+
+    rowlevel = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["check"],
+        [("n", "sum", "n_violations")],
+    )
+    # duplicate-key check: the one aggregate that must shuffle by key
+    per_id = grouped_aggregate(
+        ds.select_columns(["event_id"]),
+        ["event_id"],
+        [("event_id", "count", "c")],
+    )
+
+    def dup_partial(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        extra = int((c - 1).clip(min=0).sum())
+        return pa.table(
+            {
+                "check": pa.array(["event_id_duplicate"], pa.string()),
+                "n": pa.array([extra], pa.int64()),
+            }
+        )
+
+    dups = grouped_aggregate(
+        per_id.map_batches(dup_partial, batch_format="pyarrow"),
+        ["check"],
+        [("n", "sum", "n_violations")],
+    )
+    return rowlevel.union(dups)
+
+
 RAY_QUERIES = {
     # -- rotation block: 8 queries displaced from the r3 window (all were
     #    driver-green in CORRECTNESS_r02) --
@@ -4856,6 +4934,7 @@ RAY_QUERIES = {
     "zonemap_pruned_scan_events": zonemap_pruned_scan_events,
     "bpe_pair_counts_docs": bpe_pair_counts_docs,
     "entity_resolution_customers": entity_resolution_customers,
+    "dq_suite_events": dq_suite_events,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

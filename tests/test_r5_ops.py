@@ -323,3 +323,24 @@ def test_resolve_entities_transitive_and_nulls():
         .to_pandas().sort_values("record_id", ignore_index=True)
     )
     assert got3["entity_id"].tolist() == [1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dq_suite_counts_planted_violations():
+    import ray.data as rd
+
+    from geodata_ray.pipelines.queries import dq_suite_events
+    from tests.conftest import SF_DIR
+
+    got = dq_suite_events(SF_DIR).to_pandas()
+    m = dict(zip(got["check"], got["n_violations"]))
+    assert set(m) == {
+        "row_count", "event_id_null", "value_null", "value_negative",
+        "value_gt_250", "event_type_unknown", "ts_out_of_range",
+        "event_id_duplicate",
+    }
+    assert m["row_count"] > 0
+    # clean driver table: structural checks are zero
+    assert m["event_id_null"] == 0
+    assert m["event_id_duplicate"] == 0
+    assert m["event_type_unknown"] == 0
