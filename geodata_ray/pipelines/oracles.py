@@ -2973,6 +2973,15 @@ _ORACLE_SQL_STATIC = {
           AND (m.n * b.cents - m.s) * (m.n * b.cents - m.s)
               > 9 * (m.n * m.ss - m.s * m.s)
     """,
+    # SCD2 validity intervals: LEAD over (user, ts, event_id)
+    "scd2_intervals_users": """
+        SELECT user_id, event_type,
+               CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+               CAST(LEAD(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) AS BIGINT) AS valid_to_us
+        FROM events
+    """,
     # data-quality expectation suite: per-check violation counts
     "dq_suite_events": """
         SELECT 'row_count' AS check, CAST(COUNT(*) AS BIGINT)

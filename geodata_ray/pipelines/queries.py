@@ -4816,6 +4816,62 @@ def dq_suite_events(sf_dir: str):
     return rowlevel.union(dups)
 
 
+def scd2_intervals_users(sf_dir: str):
+    """Slowly-changing-dimension type-2 build: each user's event
+    stream becomes validity intervals — state (event_type) valid from
+    its own timestamp until the NEXT event's timestamp (null for the
+    open current interval).  The distributed LEAD: bucket by user,
+    per-bucket vectorized sort + shift (the keyed-segment family);
+    timestamps exposed as integer epoch-us (exact in both engines)."""
+    from geodata_ray.stages.windows import _tag_bucket
+
+    ds = _read(
+        sf_dir, "events",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "ts_us": us,
+            }
+        )
+
+    def intervals(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, u))
+        u, e, ts = u[order], e[order], ts[order]
+        ty = t["event_type"].take(pa.array(order))
+        nxt = np.empty_like(ts)
+        nxt[:-1] = ts[1:]
+        last = np.zeros(len(u), dtype=bool)
+        last[-1:] = True
+        if len(u) > 1:
+            last[:-1] = u[:-1] != u[1:]
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "event_type": ty,
+                "valid_from_us": pa.array(ts),
+                "valid_to_us": pa.array(nxt, pa.int64(), mask=last),
+            }
+        )
+
+    bucketed = _tag_bucket(
+        ds.map_batches(to_us, batch_format="pyarrow"), "user_id", 32
+    )
+    return bucketed.groupby("__b").map_groups(
+        lambda g: intervals(g.drop_columns(["__b"])),
+        batch_format="pyarrow",
+    )
+
+
 RAY_QUERIES = {
     # -- rotation block: 8 queries displaced from the r3 window (all were
     #    driver-green in CORRECTNESS_r02) --
@@ -4935,6 +4991,7 @@ RAY_QUERIES = {
     "bpe_pair_counts_docs": bpe_pair_counts_docs,
     "entity_resolution_customers": entity_resolution_customers,
     "dq_suite_events": dq_suite_events,
+    "scd2_intervals_users": scd2_intervals_users,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -344,3 +344,22 @@ def test_dq_suite_counts_planted_violations():
     assert m["event_id_null"] == 0
     assert m["event_id_duplicate"] == 0
     assert m["event_type_unknown"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scd2_intervals_chain_per_user():
+    from geodata_ray.pipelines.queries import scd2_intervals_users
+    from tests.conftest import SF_DIR
+
+    got = scd2_intervals_users(SF_DIR).to_pandas()
+    # exactly one open interval (null valid_to) per user
+    opens = got[got["valid_to_us"].isna()].groupby("user_id").size()
+    users = got["user_id"].nunique()
+    assert len(opens) == users and (opens == 1).all()
+    # intervals chain: sorted by valid_from, each row's valid_to equals
+    # the next row's valid_from within a user
+    for uid, g in list(got.groupby("user_id"))[:5]:
+        g = g.sort_values("valid_from_us")
+        closed = g["valid_to_us"].to_numpy()[:-1]
+        nxt = g["valid_from_us"].to_numpy()[1:]
+        assert (closed == nxt).all()
