@@ -327,3 +327,51 @@ def morton_interleave2(x: np.ndarray, y: np.ndarray, bits: int) -> np.ndarray:
         out |= ((x >> i) & 1) << (2 * i)
         out |= ((y >> i) & 1) << (2 * i + 1)
     return out
+
+
+_GEOHASH_ALPHABET = b"0123456789bcdefghjkmnpqrstuvwxyz"
+_GEOHASH_ALPHA_NP = np.frombuffer(_GEOHASH_ALPHABET, dtype=np.uint8)
+
+
+def geohash_encode(lat: np.ndarray, lon: np.ndarray, precision: int = 8):
+    """Standard geohash strings (base32, lon bit first) — the third
+    tiling index family next to the quad cells and S2 tokens.  A
+    precision-p geohash carries 5*p bits: lon gets ceil, lat floor.
+    Vectorized: quantize, Morton-interleave (lat in even positions so
+    the LON bit is most significant, per the geohash spec), then one
+    table lookup per character.  Bit math only — SQL-replayable with
+    the same // and % arithmetic as the Z-order oracle.
+
+    Returns (codes int64 array, pyarrow string array)."""
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in [1, 12]")
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    qlon = np.floor(
+        (np.asarray(lon, dtype=np.float64) + 180.0) / 360.0 * (1 << lon_bits)
+    ).astype(np.int64)
+    qlat = np.floor(
+        (np.asarray(lat, dtype=np.float64) + 90.0) / 180.0 * (1 << lat_bits)
+    ).astype(np.int64)
+    np.clip(qlon, 0, (1 << lon_bits) - 1, out=qlon)
+    np.clip(qlat, 0, (1 << lat_bits) - 1, out=qlat)
+    if lon_bits == lat_bits:
+        # even total: from the LSB, lat sits at even positions, lon at
+        # odd — the MSB is lon's top bit, per the geohash spec
+        gh = morton_interleave2(qlat, qlon, lat_bits)
+    else:
+        # odd total: the sequence starts AND ends with lon, so from
+        # the LSB lon sits at even positions (qlat's top loop bits are
+        # zero — it has one bit fewer)
+        gh = morton_interleave2(qlon, qlat, lon_bits)
+    shifts = np.arange(precision - 1, -1, -1, dtype=np.int64) * 5
+    codes = (gh[:, None] >> shifts[None, :]) & 31
+    chars = _GEOHASH_ALPHA_NP[codes]
+    arr = pa.Array.from_buffers(
+        pa.binary(precision), len(gh), [None, pa.py_buffer(chars.tobytes())]
+    )
+    return gh, pc.cast(arr, pa.string())

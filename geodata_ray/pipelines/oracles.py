@@ -2973,6 +2973,33 @@ _ORACLE_SQL_STATIC = {
           AND (m.n * b.cents - m.s) * (m.n * b.cents - m.s)
               > 9 * (m.n * m.ss - m.s * m.s)
     """,
+    # geohash: Z-order arithmetic interleave + base32 substring decode
+    "geohash_events": f"""
+        WITH q AS (
+          SELECT event_id,
+                 CAST(FLOOR(({_derive_lat_sql('event_id')} + 90.0)
+                            / 180.0 * 1048576.0) AS BIGINT) AS qy,
+                 CAST(FLOOR(({_derive_lon_sql('event_id')} + 180.0)
+                            / 360.0 * 1048576.0) AS BIGINT) AS qx
+          FROM events
+        ),
+        g AS (
+          SELECT event_id,
+                 CAST(SUM(((qy // (1::BIGINT << i)) % 2)
+                            * (1::BIGINT << (2 * i))
+                          + ((qx // (1::BIGINT << i)) % 2)
+                            * (1::BIGINT << (2 * i + 1))) AS BIGINT)
+                     AS gh_int
+          FROM q, range(20) t(i)
+          GROUP BY event_id
+        )
+        SELECT event_id, gh_int,
+               array_to_string(list_transform(range(8), j ->
+                 substring('0123456789bcdefghjkmnpqrstuvwxyz',
+                   CAST((gh_int // (1::BIGINT << CAST((7 - j) * 5 AS INT)))
+                        % 32 AS INT) + 1, 1)), '') AS geohash
+        FROM g
+    """,
     # SCD2 validity intervals: LEAD over (user, ts, event_id)
     "scd2_intervals_users": """
         SELECT user_id, event_type,

@@ -4872,6 +4872,33 @@ def scd2_intervals_users(sf_dir: str):
     )
 
 
+def geohash_events(sf_dir: str):
+    """Geohash tiling (precision 8, the third index family next to
+    the quad cells and S2 tokens): standard base32 geohash of each
+    event's derived point, vectorized bit interleave + one table
+    lookup per character.  The oracle replays the interleave with the
+    Z-order //-and-% arithmetic and decodes base32 with substring —
+    string-level equality, not just bit-level."""
+    from geodata_ray.cellmath.qcell import geohash_encode
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def enc(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy()
+        gh, s = geohash_encode(
+            _derive_lat_np(ids), _derive_lon_np(ids), 8
+        )
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "gh_int": pa.array(gh),
+                "geohash": s,
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
 RAY_QUERIES = {
     # -- rotation block: 8 queries displaced from the r3 window (all were
     #    driver-green in CORRECTNESS_r02) --
@@ -4992,6 +5019,7 @@ RAY_QUERIES = {
     "entity_resolution_customers": entity_resolution_customers,
     "dq_suite_events": dq_suite_events,
     "scd2_intervals_users": scd2_intervals_users,
+    "geohash_events": geohash_events,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -363,3 +363,43 @@ def test_scd2_intervals_chain_per_user():
         closed = g["valid_to_us"].to_numpy()[:-1]
         nxt = g["valid_from_us"].to_numpy()[1:]
         assert (closed == nxt).all()
+
+
+def test_geohash_matches_classic_bisection():
+    from geodata_ray.cellmath.qcell import geohash_encode
+
+    def ref(lat, lon, precision):
+        alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+        latr, lonr = [-90.0, 90.0], [-180.0, 180.0]
+        bits, out, even, ch = 0, [], True, 0
+        while len(out) < precision:
+            if even:
+                mid = (lonr[0] + lonr[1]) / 2
+                if lon >= mid:
+                    ch, lonr[0] = ch * 2 + 1, mid
+                else:
+                    ch, lonr[1] = ch * 2, mid
+            else:
+                mid = (latr[0] + latr[1]) / 2
+                if lat >= mid:
+                    ch, latr[0] = ch * 2 + 1, mid
+                else:
+                    ch, latr[1] = ch * 2, mid
+            even, bits = not even, bits + 1
+            if bits == 5:
+                out.append(alpha[ch])
+                bits, ch = 0, 0
+        return "".join(out)
+
+    # canonical vector
+    _, s = geohash_encode(np.array([57.64911]), np.array([10.40744]), 8)
+    assert s[0].as_py() == "u4pruydq"
+    rng = np.random.default_rng(2)
+    lats = rng.uniform(-90, 90, 50)
+    lons = rng.uniform(-180, 180, 50)
+    for p in (1, 2, 5, 7, 8, 11, 12):
+        _, s = geohash_encode(lats, lons, p)
+        for i in range(50):
+            assert s[i].as_py() == ref(lats[i], lons[i], p)
+    with pytest.raises(ValueError):
+        geohash_encode(lats, lons, 13)
