@@ -2973,6 +2973,15 @@ _ORACLE_SQL_STATIC = {
           AND (m.n * b.cents - m.s) * (m.n * b.cents - m.s)
               > 9 * (m.n * m.ss - m.s * m.s)
     """,
+    # per-row trailing window: RANGE frame with peers, exact count
+    "trailing_window_count_events": """
+        SELECT event_id,
+               CAST(COUNT(*) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_trailing_1h
+        FROM events
+    """,
     # geohash: Z-order arithmetic interleave + base32 substring decode
     "geohash_events": f"""
         WITH q AS (

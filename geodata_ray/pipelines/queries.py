@@ -4899,6 +4899,61 @@ def geohash_events(sf_dir: str):
     return ds.map_batches(enc, batch_format="pyarrow")
 
 
+def trailing_window_count_events(sf_dir: str):
+    """Per-ROW trailing-window aggregate (rate limiting / burst
+    detection): for every event, the count of the same user's events
+    in the preceding hour INCLUDING the current row and its timestamp
+    peers — exactly SQL's RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
+    CURRENT ROW.  Distributed as the keyed-segment family: bucket by
+    user, per-segment vectorized two-sided searchsorted (no per-row
+    loop, no self-join blowup)."""
+    from geodata_ray.stages.windows import _tag_bucket
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    hour_us = 3_600_000_000
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    def count(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, u))
+        u, e, ts = u[order], e[order], ts[order]
+        new = np.ones(u.size, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], u.size)
+        n = np.empty(u.size, dtype=np.int64)
+        for s, z in zip(starts, ends):  # per USER segment, vectorized
+            seg = ts[s:z]
+            hi = np.searchsorted(seg, seg, side="right")
+            lo = np.searchsorted(seg, seg - hour_us, side="left")
+            n[s:z] = hi - lo
+        return pa.table(
+            {
+                "event_id": pa.array(e),
+                "n_trailing_1h": pa.array(n),
+            }
+        )
+
+    bucketed = _tag_bucket(
+        ds.map_batches(to_us, batch_format="pyarrow"), "user_id", 32
+    )
+    return bucketed.groupby("__b").map_groups(
+        lambda g: count(g.drop_columns(["__b"])), batch_format="pyarrow"
+    )
+
+
 RAY_QUERIES = {
     # -- rotation block: 8 queries displaced from the r3 window (all were
     #    driver-green in CORRECTNESS_r02) --
@@ -5020,6 +5075,7 @@ RAY_QUERIES = {
     "dq_suite_events": dq_suite_events,
     "scd2_intervals_users": scd2_intervals_users,
     "geohash_events": geohash_events,
+    "trailing_window_count_events": trailing_window_count_events,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

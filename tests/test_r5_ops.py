@@ -403,3 +403,34 @@ def test_geohash_matches_classic_bisection():
             assert s[i].as_py() == ref(lats[i], lons[i], p)
     with pytest.raises(ValueError):
         geohash_encode(lats, lons, 13)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_trailing_window_count_vs_bruteforce():
+    import pandas as pd
+
+    from geodata_ray.pipelines.queries import trailing_window_count_events
+    from tests.conftest import SF_DIR
+
+    got = (
+        trailing_window_count_events(SF_DIR)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    want = {}
+    for _uid, g in ev.groupby("user_id"):
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy()
+        o = np.argsort(ts, kind="stable")
+        ts, eid = ts[o], eid[o]
+        hi = np.searchsorted(ts, ts, side="right")
+        lo = np.searchsorted(ts, ts - 3_600_000_000, side="left")
+        for i, e in enumerate(eid):
+            want[int(e)] = int(hi[i] - lo[i])
+    assert len(got) == len(ev)
+    assert got["n_trailing_1h"].tolist() == [
+        want[int(e)] for e in got["event_id"]
+    ]
+    assert (got["n_trailing_1h"] >= 1).all()
