@@ -1189,6 +1189,50 @@ FROM hh
 """
 
 
+def _resize_checksum_sql(n: int = 200, max_side: int = 24,
+                         seed: int = 42) -> str:
+    """Resize-audit oracle: regenerate source geometry (splitmix) and
+    pixels (modular RGB), replay the integer half-even target dims and
+    the x*w//nw nearest-neighbor index map, checksum the resized
+    raster with position weights — all integers."""
+    x0 = _sql_xor_u64("CAST(j AS HUGEINT)", f"{seed * 7919}::HUGEINT")
+    sm = _sql_splitmix_stages("rz", {"s": x0}, "c0")
+    ms = max_side
+    def _dim(src: str) -> str:
+        q = f"(({src} * {ms}) // m)"
+        r = f"(({src} * {ms}) % m)"
+        return (f"CASE WHEN m <= {ms} THEN {src} ELSE GREATEST(1, {q} + "
+                f"CASE WHEN 2 * {r} > m OR (2 * {r} = m AND {q} % 2 = 1) "
+                f"THEN 1 ELSE 0 END) END")
+    return f"""
+WITH c0 AS (SELECT j FROM range(0, {n}) t(j)),
+{sm},
+geom AS (
+  SELECT j AS image_id, CAST(16 + (h_s % 48) AS BIGINT) AS w,
+         CAST(16 + ((h_s // 256) % 48) AS BIGINT) AS h
+  FROM rz6
+),
+nd AS (
+  SELECT image_id, w, h,
+         {_dim('w')} AS nw, {_dim('h')} AS nh
+  FROM (SELECT image_id, w, h, GREATEST(w, h) AS m FROM geom)
+),
+val AS (
+  SELECT image_id, nw, nh,
+         (((xs.x * w) // nw * 7 + image_id * 13) % 256)
+       + 256 * (((ys.y * h) // nh * 5 + image_id * 29) % 256)
+       + 65536 * (((xs.x * w) // nw + (ys.y * h) // nh + image_id) % 256)
+           AS rgb,
+         ys.y * nw + xs.x + 1 AS pos
+  FROM nd JOIN range(0, 64) xs(x) ON xs.x < nw
+          JOIN range(0, 64) ys(y) ON ys.y < nh
+)
+SELECT image_id, CAST(nw AS BIGINT) AS nw, CAST(nh AS BIGINT) AS nh,
+       CAST(SUM(rgb * pos) AS BIGINT) AS checksum
+FROM val GROUP BY 1, 2, 3
+"""
+
+
 def _checksum_sql() -> str:
     """Per-day anti-entropy checksum: the same unrolled splitmix64
     chain over event ids, summed mod 2^40 per day (HUGEINT sum, one
@@ -2973,6 +3017,8 @@ _ORACLE_SQL_STATIC = {
           AND (m.n * b.cents - m.s) * (m.n * b.cents - m.s)
               > 9 * (m.n * m.ss - m.s * m.s)
     """,
+    # resize audit: generator pixel replay + integer dim rounding
+    "resize_checksum_images": _resize_checksum_sql(),
     # per-row trailing window: RANGE frame with peers, exact count
     "trailing_window_count_events": """
         SELECT event_id,

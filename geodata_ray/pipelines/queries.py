@@ -4954,6 +4954,54 @@ def trailing_window_count_events(sf_dir: str):
     )
 
 
+def resize_checksum_images(sf_dir: str):
+    """Image RESIZE audited end-to-end: PPM decode -> integer-exact
+    nearest-neighbor downscale (longest side 24, half-even integer
+    target dims) -> PPM re-encode -> second decode -> per-image
+    position-weighted pixel checksum.  The oracle regenerates every
+    SOURCE pixel from the generator arithmetic, replays the dim
+    rounding and the x*w//nw index mapping in SQL, and checksums the
+    resized raster — geometry AND pixel placement both verified."""
+    import ray.data as rd
+
+    from geodata_ray.stages.multimodal import (
+        ppm_decode,
+        resize_images,
+        synth_image_table,
+    )
+
+    ds = rd.from_arrow(synth_image_table(200)).repartition(4)
+    small = resize_images(ds, max_side=24)
+
+    def chk(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_numpy()
+        out_w, out_h, out_c = [], [], []
+        for p in batch["payload"].to_pylist():
+            px, _ = ppm_decode(p)
+            h, w, _ = px.shape
+            rgb = (
+                px[..., 0].astype(np.int64)
+                + 256 * px[..., 1].astype(np.int64)
+                + 65536 * px[..., 2].astype(np.int64)
+            )
+            pos = np.arange(h, dtype=np.int64)[:, None] * w + np.arange(
+                w, dtype=np.int64
+            )[None, :] + 1
+            out_w.append(w)
+            out_h.append(h)
+            out_c.append(int((rgb * pos).sum()))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.int64()),
+                "nw": pa.array(np.array(out_w, np.int64)),
+                "nh": pa.array(np.array(out_h, np.int64)),
+                "checksum": pa.array(np.array(out_c, np.int64)),
+            }
+        )
+
+    return small.map_batches(chk, batch_format="pyarrow", batch_size=64)
+
+
 RAY_QUERIES = {
     # -- rotation block: 8 queries displaced from the r3 window (all were
     #    driver-green in CORRECTNESS_r02) --
@@ -5076,6 +5124,7 @@ RAY_QUERIES = {
     "scd2_intervals_users": scd2_intervals_users,
     "geohash_events": geohash_events,
     "trailing_window_count_events": trailing_window_count_events,
+    "resize_checksum_images": resize_checksum_images,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -245,9 +245,23 @@ def decode_images(ds, *, feature_dim: int = 15, concurrency=(1, 4),
     )
 
 
+def _round_half_even_div(num: int, den: int) -> int:
+    """round(num/den) with exact rational half-to-even semantics —
+    unlike ``round(num * (1.0/den))``, never flips a tie on float
+    error, so resized dimensions are bit-reproducible (and
+    SQL-replayable with integer // and %)."""
+    q, r = divmod(num, den)
+    if 2 * r > den or (2 * r == den and q % 2 == 1):
+        return q + 1
+    return q
+
+
 class ImageResizer:
     """REAL nearest-neighbor resize of the decoded pixels (aspect
-    preserved, longest side <= max_side), re-encoded to PPM."""
+    preserved, longest side <= max_side), re-encoded to PPM.  Target
+    dimensions use exact integer half-even rounding
+    (``_round_half_even_div``) so the output geometry is deterministic
+    and auditable."""
 
     def __init__(self, *, max_side: int = 128):
         self.max_side = max_side
@@ -263,8 +277,12 @@ class ImageResizer:
                 )
             px, _ = ppm_decode(p)
             h, w, _ = px.shape
-            scale = min(1.0, self.max_side / max(w, h))
-            nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
+            m = max(w, h)
+            if m <= self.max_side:
+                nw, nh = w, h
+            else:
+                nw = max(1, _round_half_even_div(w * self.max_side, m))
+                nh = max(1, _round_half_even_div(h * self.max_side, m))
             ri = (np.arange(nh) * h // nh).astype(np.int64)
             ci = (np.arange(nw) * w // nw).astype(np.int64)
             out_p.append(ppm_encode(px[ri][:, ci]))

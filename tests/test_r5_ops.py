@@ -434,3 +434,38 @@ def test_trailing_window_count_vs_bruteforce():
         want[int(e)] for e in got["event_id"]
     ]
     assert (got["n_trailing_1h"] >= 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resize_integer_dims_and_pixel_map():
+    import ray.data as rd
+
+    from geodata_ray.stages.multimodal import (
+        _round_half_even_div,
+        ppm_decode,
+        ppm_encode,
+        resize_images,
+    )
+
+    # half-even rounding: 17.5 -> 18, 16.5 -> 16, plain cases exact
+    assert _round_half_even_div(35 * 24, 48) == 18  # 17.5 -> even 18
+    assert _round_half_even_div(33 * 24, 48) == 16  # 16.5 -> even 16
+    assert _round_half_even_div(30 * 24, 48) == 15
+
+    img = np.arange(40 * 60 * 3, dtype=np.int64).reshape(40, 60, 3)
+    img = (img % 256).astype(np.uint8)
+    t = pa.table({
+        "image_id": pa.array([0], pa.int64()),
+        "payload": pa.array([ppm_encode(img)], pa.binary()),
+        "width": pa.array([60], pa.int32()),
+        "height": pa.array([40], pa.int32()),
+        "format": pa.array(["ppm"]),
+    })
+    out = resize_images(rd.from_arrow(t), max_side=24).take_all()
+    px, _ = ppm_decode(out[0]["payload"])
+    nh, nw, _ = px.shape
+    assert (nw, nh) == (24, 16)
+    # nearest-neighbor map: out[y,x] == src[y*40//16, x*60//24]
+    ri = (np.arange(nh) * 40 // nh)
+    ci = (np.arange(nw) * 60 // nw)
+    assert (px == img[ri][:, ci]).all()
