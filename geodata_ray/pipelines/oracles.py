@@ -1233,6 +1233,41 @@ FROM val GROUP BY 1, 2, 3
 """
 
 
+def _audio_energy_sql(n: int = 100, seed: int = 42) -> str:
+    """WAV-decode audit oracle: regenerate every int16 sample from the
+    splitmix arithmetic (two unrolled chains: clip length, then
+    per-sample value), frame at 256 samples, sum of squares — the
+    audio analogue of the image pixel replay."""
+    x_len = _sql_xor_u64("CAST(j AS HUGEINT)", f"{seed * 65537}::HUGEINT")
+    sm_len = _sql_splitmix_stages("al", {"len": x_len}, "c0")
+    x_s = _sql_xor_u64(
+        "CAST(clip_id AS HUGEINT) * 1048576 + CAST(p AS HUGEINT)",
+        f"{seed * 131071}::HUGEINT",
+    )
+    sm_s = _sql_splitmix_stages("asx", {"s": x_s}, "p0")
+    return f"""
+WITH c0 AS (SELECT j FROM range(0, {n}) t(j)),
+{sm_len},
+clips AS (
+  SELECT j AS clip_id, CAST(512 + (h_len % 1024) AS BIGINT) AS length
+  FROM al6
+),
+p0 AS (
+  SELECT clip_id, p FROM clips JOIN range(0, 1536) t(p) ON t.p < length
+),
+{sm_s},
+sv AS (
+  SELECT clip_id, p // 256 AS frame,
+         CAST(h_s % 4096 AS BIGINT) - 2048 AS v
+  FROM asx6
+)
+SELECT clip_id, CAST(frame AS BIGINT) AS frame,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS energy
+FROM sv GROUP BY 1, 2
+"""
+
+
 def _checksum_sql() -> str:
     """Per-day anti-entropy checksum: the same unrolled splitmix64
     chain over event ids, summed mod 2^40 per day (HUGEINT sum, one
@@ -3017,6 +3052,8 @@ _ORACLE_SQL_STATIC = {
           AND (m.n * b.cents - m.s) * (m.n * b.cents - m.s)
               > 9 * (m.n * m.ss - m.s * m.s)
     """,
+    # WAV decode audit: splitmix sample replay + framewise energy
+    "audio_energy_frames": _audio_energy_sql(),
     # resize audit: generator pixel replay + integer dim rounding
     "resize_checksum_images": _resize_checksum_sql(),
     # per-row trailing window: RANGE frame with peers, exact count

@@ -5002,6 +5002,57 @@ def resize_checksum_images(sf_dir: str):
     return small.map_batches(chk, batch_format="pyarrow", batch_size=64)
 
 
+def audio_energy_frames(sf_dir: str):
+    """WAV decode audited end-to-end: the integer-noise clip corpus
+    decodes through the real RIFF parser, then framewise (256-sample)
+    energy = sum of squared int16 samples — exact integers, so the
+    oracle regenerates every sample from the splitmix arithmetic and
+    replays the framing in SQL (the audio analogue of the image pixel
+    replay; the sine corpus stays rows-only because sin() is not
+    bit-replayable across engines)."""
+    import ray.data as rd
+
+    from geodata_ray.stages.multimodal import (
+        synth_audio_int_table,
+        wav_decode,
+    )
+
+    ds = rd.from_arrow(synth_audio_int_table(100)).repartition(4)
+
+    def frames(batch: pa.Table) -> pa.Table:
+        ids = batch["clip_id"].to_numpy()
+        out_id, out_fr, out_n, out_e = [], [], [], []
+        for cid, p in zip(ids, batch["payload"].to_pylist()):
+            s, _rate = wav_decode(p)
+            v = s.astype(np.int64)
+            fr = np.arange(v.size, dtype=np.int64) // 256
+            nfr = int(fr[-1]) + 1 if v.size else 0
+            out_id.append(np.full(nfr, cid, dtype=np.int64))
+            out_fr.append(np.arange(nfr, dtype=np.int64))
+            out_n.append(np.bincount(fr, minlength=nfr).astype(np.int64))
+            out_e.append(
+                np.bincount(fr, weights=(v * v).astype(np.float64),
+                            minlength=nfr).astype(np.int64)
+            )
+        if not out_id:
+            return pa.table(
+                {"clip_id": pa.array([], pa.int64()),
+                 "frame": pa.array([], pa.int64()),
+                 "n_samples": pa.array([], pa.int64()),
+                 "energy": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "clip_id": pa.array(np.concatenate(out_id)),
+                "frame": pa.array(np.concatenate(out_fr)),
+                "n_samples": pa.array(np.concatenate(out_n)),
+                "energy": pa.array(np.concatenate(out_e)),
+            }
+        )
+
+    return ds.map_batches(frames, batch_format="pyarrow", batch_size=32)
+
+
 RAY_QUERIES = {
     # -- rotation block: 8 queries displaced from the r3 window (all were
     #    driver-green in CORRECTNESS_r02) --
@@ -5125,6 +5176,7 @@ RAY_QUERIES = {
     "geohash_events": geohash_events,
     "trailing_window_count_events": trailing_window_count_events,
     "resize_checksum_images": resize_checksum_images,
+    "audio_energy_frames": audio_energy_frames,
     # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,

@@ -473,3 +473,32 @@ def image_ahash(ds, *, concurrency=(1, 4), batch_size: int = 256):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def synth_audio_int_table(n: int = 100, seed: int = 42) -> pa.Table:
+    """Deterministic REAL-WAV corpus whose samples are PURE INTEGER
+    hash noise (``splitmix64(clip<<20 | pos) % 4096 - 2048``) — unlike
+    the sine corpus, an oracle can regenerate every sample without
+    transcendental functions, so the WAV decode chain is SQL-auditable
+    end-to-end (the audio analogue of the image-aHash pixel replay)."""
+    idx = np.arange(n, dtype=np.uint64)
+    lh = splitmix64(idx ^ np.uint64(seed * 65537))
+    lengths = (512 + (lh % np.uint64(1024))).astype(np.int64)
+    payloads = []
+    for i in range(n):
+        pos = np.arange(lengths[i], dtype=np.uint64)
+        h = splitmix64(
+            (np.uint64(i) * np.uint64(1 << 20) + pos)
+            ^ np.uint64(seed * 131071)
+        )
+        s = ((h % np.uint64(4096)).astype(np.int64) - 2048).astype(
+            np.int16
+        )
+        payloads.append(wav_encode(s))
+    return pa.table(
+        {
+            "clip_id": pa.array(idx.astype(np.int64)),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "format": pa.array(["wav"] * n),
+        }
+    )

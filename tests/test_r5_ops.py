@@ -469,3 +469,28 @@ def test_resize_integer_dims_and_pixel_map():
     ri = (np.arange(nh) * 40 // nh)
     ci = (np.arange(nw) * 60 // nw)
     assert (px == img[ri][:, ci]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_audio_energy_frames_vs_bruteforce():
+    from geodata_ray.pipelines.queries import audio_energy_frames
+    from geodata_ray.stages.multimodal import (
+        synth_audio_int_table,
+        wav_decode,
+    )
+    from tests.conftest import SF_DIR
+
+    got = (
+        audio_energy_frames(SF_DIR)
+        .to_pandas()
+        .sort_values(["clip_id", "frame"], ignore_index=True)
+    )
+    t = synth_audio_int_table(100)
+    want = []
+    for cid, p in zip(t["clip_id"].to_pylist(), t["payload"].to_pylist()):
+        s, _ = wav_decode(p)
+        v = s.astype(np.int64)
+        for f in range(0, v.size, 256):
+            seg = v[f : f + 256]
+            want.append((cid, f // 256, len(seg), int((seg * seg).sum())))
+    assert [tuple(r) for r in got.to_numpy()] == want
