@@ -557,6 +557,141 @@ def main() -> None:
 
     timed("ewma_10m_events", ewma_10m)
 
+    # --- fifth wave: entity resolution at 1.5M records ---
+    def entity_1m5():
+        from geodata_ray.stages.graphcc import resolve_entities
+
+        cust = amplify(
+            rd.read_parquet(
+                f"{SF_DIR}/customer.parquet", columns=["c_custkey"]
+            ),
+            100,
+            {"c_custkey": 1_000_000},
+        )
+
+        def keys(batch: pa.Table) -> pa.Table:
+            k = pc.cast(batch["c_custkey"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            em = k // 17
+            ph = k // 23
+            return pa.table(
+                {
+                    "record_id": pa.array(k),
+                    "k_email": pa.array(em, pa.int64(),
+                                        mask=(k % 17 > 1)),
+                    "k_phone": pa.array(ph, pa.int64(),
+                                        mask=(k % 23 > 1)),
+                }
+            )
+
+        return resolve_entities(
+            cust.map_batches(keys, batch_format="pyarrow"),
+            id_col="record_id", key_cols=["k_email", "k_phone"],
+        ).count()
+
+    timed("entity_resolution_1m5", entity_1m5)
+
+    # --- fifth wave: exact set-similarity join, 40k docs w/ planted dups ---
+    def setsim_40k():
+        from geodata_ray.stages.dedup import setsim_join_pairs
+
+        docs = amplify(
+            rd.read_parquet(
+                
+            ),
+            4,
+            {"doc_id": 1_000_000},
+        )
+
+        def plant(batch: pa.Table) -> pa.Table:
+            ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            mut = pa.table(
+                {
+                    "doc_id": pa.array(ids + 50_000_000),
+                    "text": pc.binary_join_element_wise(
+                        batch["text"], " zz0 zz1 zz2", ""
+                    ),
+                }
+            )
+            return pa.concat_tables(
+                [batch.select(["doc_id", "text"]), mut]
+            )
+
+        return setsim_join_pairs(
+            docs.map_batches(plant, batch_format="pyarrow"),
+            threshold_num=7, threshold_den=10,
+        ).count()
+
+    timed("setsim_join_40k_docs", setsim_40k)
+
+    # --- fifth wave: per-row trailing window over 10M events ---
+    def trailing_10m():
+        from geodata_ray.pipelines.queries import (
+            trailing_window_count_events,
+        )
+        from geodata_ray.stages.windows import _tag_bucket
+
+        ev = amplify(
+            rd.read_parquet(
+                f"{SF_DIR}/events.parquet",
+                columns=["user_id", "event_id", "ts"],
+            ),
+            AMP * 10,
+            {"user_id": 1_000_000, "event_id": 10_000_000},
+        )
+
+        def to_us(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "user_id": batch["user_id"],
+                    "event_id": batch["event_id"],
+                    "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(
+                        pa.int64()
+                    ),
+                }
+            )
+
+        hour_us = 3_600_000_000
+
+        def count(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            u = t["user_id"].to_numpy(zero_copy_only=False)
+            e = t["event_id"].to_numpy(zero_copy_only=False)
+            ts = t["ts_us"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((e, ts, u))
+            u, e, ts = u[order], e[order], ts[order]
+            new = np.ones(u.size, dtype=bool)
+            new[1:] = u[1:] != u[:-1]
+            starts = np.flatnonzero(new)
+            ends = np.append(starts[1:], u.size)
+            n = np.empty(u.size, dtype=np.int64)
+            for s, z in zip(starts, ends):
+                seg = ts[s:z]
+                hi = np.searchsorted(seg, seg, side="right")
+                lo = np.searchsorted(seg, seg - hour_us, side="left")
+                n[s:z] = hi - lo
+            return pa.table(
+                {"event_id": pa.array(e), "n_trailing_1h": pa.array(n)}
+            )
+
+        bucketed = _tag_bucket(
+            ev.map_batches(to_us, batch_format="pyarrow"), "user_id", 64
+        )
+        return (
+            bucketed.groupby("__b")
+            .map_groups(
+                lambda g: count(g.drop_columns(["__b"])),
+                batch_format="pyarrow",
+            )
+            .count()
+        )
+
+    timed("trailing_window_10m", trailing_10m)
+
     print(json.dumps({
         "metric": "sf1 stress walls (10x gate scale)",
         "unit": "sec",
