@@ -2992,6 +2992,14 @@ _ORACLE_SQL_STATIC = {
     """,
     # ROLLUP levels derive from one finest-level exchange engine-side;
     # the SQL recomputes all levels directly
+    "cube_daily_type_events": """
+        SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events
+        GROUP BY CUBE (event_type, 2)
+    """,
     "rollup_daily_events": """
         SELECT event_type,
                CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
@@ -3041,14 +3049,14 @@ _ORACLE_SQL_STATIC = {
           FROM events
         ),
         m AS (
-          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+          SELECT user_id, CAST(COUNT(cents) AS BIGINT) AS n,
                  CAST(SUM(cents) AS BIGINT) AS s,
                  CAST(SUM(cents * cents) AS BIGINT) AS ss
           FROM b GROUP BY 1
         )
         SELECT b.user_id, b.event_id, b.cents
         FROM b JOIN m USING (user_id)
-        WHERE m.n >= 8
+        WHERE b.cents IS NOT NULL AND m.n >= 8
           AND (m.n * b.cents - m.s) * (m.n * b.cents - m.s)
               > 9 * (m.n * m.ss - m.s * m.s)
     """,
@@ -3126,7 +3134,11 @@ _ORACLE_SQL_STATIC = {
             OR ts >= TIMESTAMP '2026-01-01' THEN 1 ELSE 0 END) AS BIGINT)
           FROM events
         UNION ALL SELECT 'event_id_duplicate',
-          CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) FROM events
+          -- nulls form one group (n nulls = n-1 duplicates), matching
+          -- the engine's validity-keyed grouping
+          CAST(COUNT(*) - COUNT(DISTINCT event_id)
+               - CASE WHEN COUNT(*) > COUNT(event_id) THEN 1 ELSE 0 END
+               AS BIGINT) FROM events
     """,
     # entity resolution: recursive-CTE transitive closure over the two
     # blocking keys (pairs within {17j,17j+1} and {23j,23j+1})

@@ -1125,6 +1125,36 @@ def rollup_daily_events(sf_dir: str):
     )
 
 
+def cube_daily_type_events(sf_dir: str):
+    """GROUP BY CUBE(event_type, day): all four grouping sets —
+    (type, day), (type), (day), grand total — from ONE distributed
+    finest-level exchange plus a bounded local derivation (the
+    rollup's sibling via the shared grouping-sets plan)."""
+    from geodata_ray.stages.relational import cube_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "day": pc.floor_temporal(batch["ts"], unit="day"),
+                "cents": cents,
+            }
+        )
+
+    return cube_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "day"],
+        [("cents", "count", "n"), ("cents", "sum", "value_cents")],
+    )
+
+
 def pivot_event_types_daily(sf_dir: str):
     """Dynamic PIVOT: one count column per discovered event type,
     grouped by day.  The distinct-value pre-pass is the boundedness
@@ -4661,16 +4691,16 @@ def zonemap_pruned_scan_events(sf_dir: str):
     A residual in-batch filter keeps semantics exact; the oracle is
     the plain full-scan filter, so the comparison proves pruning
     loses nothing."""
-    import hashlib
-
     import ray.data as rd
 
+    from geodata_ray.state.lineage import fingerprint_files
     from geodata_ray.state.zonemap import pruned_range_read
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # cache keyed by the INPUT FILE's content hash (not the path): a
+    # regenerated sf_dir can never silently reuse stale partitions
+    tag = fingerprint_files([f"{sf_dir}/events.parquet"])[:16]
     root = f"/tmp/geodata_zonemap/v1/{tag}"
-    done = f"{root}/_SUCCESS"
-    if not os.path.exists(done):
+    if not os.path.exists(root):
         ds = _read(sf_dir, "events", columns=["event_id", "value"])
 
         def bucket(batch: pa.Table) -> pa.Table:
@@ -4682,10 +4712,19 @@ def zonemap_pruned_scan_events(sf_dir: str):
                 ),
             )
 
+        # write to a process-unique tmp dir, then one atomic rename:
+        # concurrent gate runs race benignly (loser's rename fails,
+        # winner's complete tree is used — never a doubled directory)
+        tmp = f"{root}.tmp.{os.getpid()}"
         ds.map_batches(bucket, batch_format="pyarrow").write_parquet(
-            root, partition_cols=["vbucket"]
+            tmp, partition_cols=["vbucket"]
         )
-        open(done, "w").write("ok")
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     out, n_total, n_read = pruned_range_read(
         root, "value", 200.0, columns=["event_id", "value"]
     )
@@ -4762,9 +4801,13 @@ def dq_suite_events(sf_dir: str):
         ts = batch["ts"].cast(pa.timestamp("us")).to_numpy(
             zero_copy_only=False
         )
+        # a NULL event_type is NOT 'unknown' (SQL: NULL NOT IN -> NULL,
+        # uncounted) — mask validity before inverting
+        et = batch["event_type"]
         bad_type = int(
             pc.sum(
-                pc.invert(pc.is_in(batch["event_type"], value_set=types))
+                pc.and_(pc.invert(pc.is_in(et, value_set=types)),
+                        pc.is_valid(et))
             ).as_py()
             or 0
         )
@@ -4791,11 +4834,23 @@ def dq_suite_events(sf_dir: str):
         ["check"],
         [("n", "sum", "n_violations")],
     )
-    # duplicate-key check: the one aggregate that must shuffle by key
+    # duplicate-key check: the one aggregate that must shuffle by key.
+    # NULL ids form ONE group, keyed by an explicit validity flag so no
+    # stage ever groups on a null key (n nulls = n-1 duplicates, the
+    # same rule the oracle's COUNT arithmetic replays)
+    def id_key(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"]
+        return pa.table(
+            {
+                "eid": pc.cast(eid, pa.int64()).fill_null(0),
+                "isnull": pc.invert(pc.is_valid(eid)),
+            }
+        )
+
     per_id = grouped_aggregate(
-        ds.select_columns(["event_id"]),
-        ["event_id"],
-        [("event_id", "count", "c")],
+        ds.map_batches(id_key, batch_format="pyarrow"),
+        ["eid", "isnull"],
+        [("eid", "count", "c")],
     )
 
     def dup_partial(batch: pa.Table) -> pa.Table:
@@ -4904,53 +4959,21 @@ def trailing_window_count_events(sf_dir: str):
     detection): for every event, the count of the same user's events
     in the preceding hour INCLUDING the current row and its timestamp
     peers — exactly SQL's RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
-    CURRENT ROW.  Distributed as the keyed-segment family: bucket by
-    user, per-segment vectorized two-sided searchsorted (no per-row
-    loop, no self-join blowup)."""
-    from geodata_ray.stages.windows import _tag_bucket
+    CURRENT ROW.  Thin wrapper over the shared
+    ``windows.trailing_window_counts`` kernel (the sf1 stress case
+    drives the same code)."""
+    from geodata_ray.stages.windows import trailing_window_counts
 
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
-    hour_us = 3_600_000_000
-
-    def to_us(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "event_id": batch["event_id"],
-                "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(
-                    pa.int64()
-                ),
-            }
-        )
-
-    def count(t: pa.Table) -> pa.Table:
-        u = t["user_id"].to_numpy(zero_copy_only=False)
-        e = t["event_id"].to_numpy(zero_copy_only=False)
-        ts = t["ts_us"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((e, ts, u))
-        u, e, ts = u[order], e[order], ts[order]
-        new = np.ones(u.size, dtype=bool)
-        new[1:] = u[1:] != u[:-1]
-        starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], u.size)
-        n = np.empty(u.size, dtype=np.int64)
-        for s, z in zip(starts, ends):  # per USER segment, vectorized
-            seg = ts[s:z]
-            hi = np.searchsorted(seg, seg, side="right")
-            lo = np.searchsorted(seg, seg - hour_us, side="left")
-            n[s:z] = hi - lo
-        return pa.table(
-            {
-                "event_id": pa.array(e),
-                "n_trailing_1h": pa.array(n),
-            }
-        )
-
-    bucketed = _tag_bucket(
-        ds.map_batches(to_us, batch_format="pyarrow"), "user_id", 32
+    out = trailing_window_counts(
+        ds, key_col="user_id", ts_col="ts", tie_col="event_id",
+        window_us=3_600_000_000,
     )
-    return bucketed.groupby("__b").map_groups(
-        lambda g: count(g.drop_columns(["__b"])), batch_format="pyarrow"
+    return out.map_batches(
+        lambda b: pa.table(
+            {"event_id": b["event_id"], "n_trailing_1h": b["n_trailing"]}
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -5139,6 +5162,7 @@ RAY_QUERIES = {
     "s2_tokens_events": s2_tokens_events,
     "q5_region_supplier_volume": q5_region_supplier_volume,
     "rollup_daily_events": rollup_daily_events,
+    "cube_daily_type_events": cube_daily_type_events,
     "pivot_event_types_daily": pivot_event_types_daily,
     "ip_range_lookup_events": ip_range_lookup_events,
     "user_value_trend_events": user_value_trend_events,

@@ -26,10 +26,15 @@ Scale notes: the moments table has one row per distinct key.  The
 default ``moments="broadcast"`` puts it in the object store once
 (bounded by distinct-key count — fine for users/hosts/languages); for
 ~10^9 distinct keys pass ``moments="shuffle"`` to co-partition via the
-native hash join instead.  Integer bound: ``k2 * n * SS`` must fit in
-int64 — with 2-decimal money values (|cents| <= ~5e4) this holds to
-~10^8 rows per key at k=3; beyond that, shard the sums (documented,
-same bound family as the moment-matrix operator).
+native hash join instead.  Integer bound: the comparison needs
+``k2 * (n*SS - S^2)`` (~``k2 * n^2 * max|x|^2``) inside int64 — with
+2-decimal money values (|cents| <= ~5e4) that holds to ~2e4 rows per
+key at k=3.  The flag stage PREDICTS the magnitude in float64 and
+raises instead of wrapping; past the bound, rescale the values or
+shard the sums (same bound family as the moment-matrix operator).
+
+Null semantics: null values contribute to neither the moments nor the
+output (SQL aggregate semantics — a null can never be an outlier).
 """
 
 from __future__ import annotations
@@ -38,6 +43,7 @@ from typing import Sequence
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from geodata_ray.stages.relational import (
     broadcast_join,
@@ -79,6 +85,9 @@ def grouped_zscore_outliers(
                 f"{value_col} must be integer-valued (scale floats to "
                 f"fixed point first); got {x.type}"
             )
+        if x.null_count:  # nulls join neither the moments nor the output
+            batch = batch.filter(pc.is_valid(x))
+            x = batch[value_col]
         xv = x.cast(pa.int64()).to_numpy(zero_copy_only=False)
         cols = {key_col: batch[key_col]}
         for c in carry:
@@ -114,6 +123,18 @@ def grouped_zscore_outliers(
         s = batch["__s"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         ss = batch["__ss"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         x = batch[value_col].to_numpy(zero_copy_only=False)
+        # predict the magnitudes in float64 and refuse to wrap: the
+        # exact test needs k2*(n*SS - S^2) and (n*x - S)^2 inside int64
+        nf, sf, ssf, xf = (a.astype(np.float64) for a in (n, s, ss, x))
+        bound = 4.0e18
+        if len(n) and max(
+            float(np.max(np.abs(k2 * (nf * ssf - sf * sf)), initial=0.0)),
+            float(np.max((nf * xf - sf) ** 2, initial=0.0)),
+        ) > bound:
+            raise OverflowError(
+                "z-score comparison would exceed int64: rescale "
+                f"{value_col} or shard the per-key sums (see docstring)"
+            )
         dev = n * x - s
         keep = (n >= min_n) & (dev * dev > k2 * (n * ss - s * s))
         out = batch.select([key_col, *carry, value_col]).filter(

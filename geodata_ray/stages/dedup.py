@@ -1236,7 +1236,10 @@ def setsim_join_pairs(
             }
         )
 
-    ex = ds.map_batches(explode, batch_format="pyarrow")
+    # ex feeds both the df aggregate and the join; pref feeds both the
+    # collision count and the key filter — materialize each once, or
+    # the whole upstream chain re-executes per consumer
+    ex = ds.map_batches(explode, batch_format="pyarrow").materialize()
     dfc = grouped_aggregate(ex, ["sh"], [("sh", "count", "df")])
     # re-batch: sort-aggregate can emit schema-less empty blocks that
     # crash the native hash join
@@ -1271,7 +1274,7 @@ def setsim_join_pairs(
     bucketed = _tag_bucket(exdf, "id", num_buckets)
     pref = bucketed.groupby("__b").map_groups(
         lambda g: prefix(g.drop_columns(["__b"])), batch_format="pyarrow"
-    )
+    ).materialize()
 
     # collision pre-filter: a prefix token held by one doc yields no pair
     pcounts = grouped_aggregate(pref, ["sh"], [("sh", "count", "n")])

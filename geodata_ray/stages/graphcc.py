@@ -750,7 +750,12 @@ def resolve_entities(ds, *, id_col: str, key_cols, cc_mode: str = "auto"):
             mask = pc.is_valid(col).to_numpy(zero_copy_only=False)
             if not mask.any():
                 continue
-            v = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+            # fill nulls BEFORE to_numpy: a nullable int64 column
+            # otherwise converts through float64, which aliases
+            # distinct keys >= 2^53 (e.g. 64-bit content fingerprints)
+            v = pc.cast(col, pa.int64()).fill_null(0).to_numpy(
+                zero_copy_only=False
+            )
             vv = v[mask].astype(np.int64)
             # separate key spaces: same VALUE in different key columns
             # must not collide.  The salt must be a full-width hash of

@@ -725,42 +725,36 @@ def grouped_distinct_count(
     return grouped_aggregate(distinct, keys, [(col, "count", alias)])
 
 
-def rollup_aggregate(ds, keys: Sequence[str], specs: Sequence[AggSpec]):
-    """``GROUP BY ROLLUP(keys...)``: the finest level plus every key
-    prefix up to the grand total, dropped keys emitted as NULL.
-
-    Plan: ONE distributed ``grouped_aggregate`` at the finest level
-    (the only all-to-all exchange — partials pre-combine per batch as
-    usual), then the coarser levels derive LOCALLY by re-aggregating
-    the finest table, which is bounded by the finest group cardinality
-    (the same bounded-result invariant every grouped query here
-    already relies on; at 100 TB a rollup whose finest level is
-    unbounded is the wrong query).  Only mergeable aggregates are
-    allowed (count/sum/min/max — a mean does not re-aggregate from
-    projected output; compute sum+count and divide downstream).
-    """
+def _grouping_sets_plan(ds, keys, specs, kept_sets):
+    """Shared GROUPING SETS executor: ONE distributed aggregate at the
+    finest level, then every requested key subset derives LOCALLY by
+    re-aggregating the bounded finest table (dropped keys emitted as
+    NULL).  Only mergeable aggregates (count/sum/min/max)."""
     keys = list(keys)
     for _c, fn, _a in specs:
         if fn not in ("count", "sum", "min", "max"):
-            raise ValueError(f"rollup requires mergeable aggs, got {fn!r}")
+            raise ValueError(
+                f"grouping sets require mergeable aggs, got {fn!r}"
+            )
     finest = grouped_aggregate(ds, keys, specs)
 
-    # re-aggregation spec over the PROJECTED finest table: counts merge
-    # by summing, sums by summing, min/max by themselves
     merge_fn = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
     pa_aggs = [([alias], merge_fn[fn]) for _c, fn, alias in specs]
     out_names = [f"{alias}_{merge_fn[fn]}" for _c, fn, alias in specs]
 
     def derive(batch: pa.Table) -> pa.Table:
-        levels = [batch]
-        for depth in range(len(keys) - 1, -1, -1):
-            kept = keys[:depth]
+        levels = []
+        for kept in kept_sets:
+            kept = list(kept)
+            if kept == keys:
+                levels.append(batch)
+                continue
             if kept:
                 agg = batch.group_by(kept).aggregate(pa_aggs)
             else:
-                agg = batch.select([a for _c, _f, a in specs]).group_by(
-                    []
-                ).aggregate(pa_aggs)
+                agg = batch.select(
+                    [a for _c, _f, a in specs]
+                ).group_by([]).aggregate(pa_aggs)
             cols = {}
             for k in keys:
                 if k in kept:
@@ -777,6 +771,40 @@ def rollup_aggregate(ds, keys: Sequence[str], specs: Sequence[AggSpec]):
     return finest.repartition(1).map_batches(
         derive, batch_format="pyarrow", batch_size=None
     )
+
+
+def rollup_aggregate(ds, keys: Sequence[str], specs: Sequence[AggSpec]):
+    """``GROUP BY ROLLUP(keys...)``: the finest level plus every key
+    prefix up to the grand total, dropped keys emitted as NULL.
+
+    Plan: ONE distributed ``grouped_aggregate`` at the finest level
+    (the only all-to-all exchange — partials pre-combine per batch as
+    usual), then the coarser levels derive LOCALLY by re-aggregating
+    the finest table, which is bounded by the finest group cardinality
+    (the same bounded-result invariant every grouped query here
+    already relies on; at 100 TB a rollup whose finest level is
+    unbounded is the wrong query).  Only mergeable aggregates are
+    allowed (count/sum/min/max — a mean does not re-aggregate from
+    projected output; compute sum+count and divide downstream).
+    """
+    keys = list(keys)
+    sets = [tuple(keys[:d]) for d in range(len(keys), -1, -1)]
+    return _grouping_sets_plan(ds, keys, specs, sets)
+
+
+def cube_aggregate(ds, keys: Sequence[str], specs: Sequence[AggSpec]):
+    """``GROUP BY CUBE(keys...)``: every subset of the keys (2^k
+    grouping sets), dropped keys emitted as NULL — same one-exchange
+    plan as ``rollup_aggregate``, with all subsets instead of
+    prefixes."""
+    import itertools
+
+    keys = list(keys)
+    sets = []
+    for d in range(len(keys), -1, -1):
+        for combo in itertools.combinations(keys, d):
+            sets.append(combo)
+    return _grouping_sets_plan(ds, keys, specs, sets)
 
 
 def _pivot_partial(batch: pa.Table, *, key_col: str, pivot_col: str,

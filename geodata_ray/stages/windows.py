@@ -409,3 +409,60 @@ def ewma_halving(
         .groupby("__b")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def trailing_window_counts(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    window_us: int = 3_600_000_000,
+    num_buckets: int = 32,
+):
+    """Per-ROW trailing-window count: for every row, how many of the
+    same key's rows fall in the preceding ``window_us`` INCLUDING the
+    row and its timestamp peers — exactly SQL's ``RANGE BETWEEN
+    <window> PRECEDING AND CURRENT ROW``.  Keyed-segment plan: bucket
+    by key, per-key-segment two-sided searchsorted (vectorized per
+    segment; no self-join blowup).  Returns (tie_col, n_trailing)."""
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                tie_col: batch[tie_col],
+                "__ts_us": batch[ts_col]
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+            }
+        )
+
+    def count(t: pa.Table) -> pa.Table:
+        u = t[key_col].to_numpy(zero_copy_only=False)
+        e = t[tie_col].to_numpy(zero_copy_only=False)
+        ts = t["__ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, u))
+        u, e, ts = u[order], e[order], ts[order]
+        new = np.ones(u.size, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], u.size)
+        n = np.empty(u.size, dtype=np.int64)
+        for s, z in zip(starts, ends):  # per KEY segment, vectorized
+            seg = ts[s:z]
+            hi = np.searchsorted(seg, seg, side="right")
+            lo = np.searchsorted(seg, seg - window_us, side="left")
+            n[s:z] = hi - lo
+        return pa.table(
+            {tie_col: pa.array(e), "n_trailing": pa.array(n)}
+        )
+
+    bucketed = _tag_bucket(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        key_col,
+        num_buckets,
+    )
+    return bucketed.groupby("__b").map_groups(
+        lambda g: count(g.drop_columns(["__b"])), batch_format="pyarrow"
+    )

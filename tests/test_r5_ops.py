@@ -494,3 +494,120 @@ def test_audio_energy_frames_vs_bruteforce():
             seg = v[f : f + 256]
             want.append((cid, f // 256, len(seg), int((seg * seg).sum())))
     assert [tuple(r) for r in got.to_numpy()] == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_review_fixes_r5():
+    import ray.data as rd
+
+    from geodata_ray.stages.anomaly import grouped_zscore_outliers
+    from geodata_ray.stages.graphcc import resolve_entities
+
+    # 1) null values: skipped from moments AND output (no crash)
+    # (a single spike needs n >= 11 to exceed 3 sigma: max z^2 = n-1)
+    t = pa.table({
+        "k": pa.array([1] * 14, pa.int64()),
+        "rid": pa.array(range(14), pa.int64()),
+        "x": pa.array([0] * 12 + [1000, None], pa.int64()),
+    })
+    got = grouped_zscore_outliers(
+        rd.from_arrow(t), "k", "x", k2=9, min_n=8, carry_cols=["rid"]
+    ).to_pandas()
+    assert got["rid"].tolist() == [12]  # the 1000, not the null
+
+    # 2) overflow predictor raises instead of wrapping
+    big = pa.table({
+        "k": pa.array([1] * 30000, pa.int64()),
+        "rid": pa.array(range(30000), pa.int64()),
+        "x": pa.array(
+            np.where(np.arange(30000) % 2 == 0, 50_000, -50_000),
+            pa.int64(),
+        ),
+    })
+    with pytest.raises(Exception, match="int64"):
+        grouped_zscore_outliers(
+            rd.from_arrow(big), "k", "x", carry_cols=["rid"]
+        ).take_all()
+
+    # 3) entity resolution: keys >= 2^53 stay distinct (no float alias)
+    a, b = (1 << 53) + 1, (1 << 53) + 3
+    t2 = pa.table({
+        "record_id": pa.array([1, 2, 3], pa.int64()),
+        "fp": pa.array([a, b, None], pa.int64()),
+    })
+    got2 = (
+        resolve_entities(rd.from_arrow(t2), id_col="record_id",
+                         key_cols=["fp"])
+        .to_pandas().sort_values("record_id", ignore_index=True)
+    )
+    assert got2["entity_id"].tolist() == [1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dq_suite_dirty_data_matches_oracle():
+    """Engine vs DuckDB on a DIRTY table — the operator's whole point."""
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from geodata_ray.pipelines.queries import dq_suite_events
+    from geodata_ray.pipelines.oracles import _ORACLE_SQL_STATIC
+
+    dirty = pa.table({
+        "event_id": pa.array([1, 1, None, None, None, 5], pa.int64()),
+        "ts": pa.array(
+            np.array(["2024-02-01", "2023-01-01", "2024-02-01",
+                      "2026-06-01", "2024-02-01", "2024-02-01"],
+                     dtype="datetime64[us]")
+        ),
+        "user_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "event_type": pa.array(
+            ["click", "bogus", None, "view", "view", "view"]),
+        "value": pa.array([1.0, -2.0, None, 300.0, 5.0, 6.0]),
+        "props": pa.array(["{}"] * 6),
+    })
+    d = tempfile.mkdtemp(prefix="dq_dirty_")
+    pq.write_table(dirty, f"{d}/events.parquet")
+    got = (
+        dq_suite_events(d).to_pandas()
+        .sort_values("check", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet')"
+    )
+    want = (
+        con.execute(_ORACLE_SQL_STATIC["dq_suite_events"]).fetchdf()
+        .sort_values("check", ignore_index=True)
+    )
+    assert got["check"].tolist() == want["check"].tolist()
+    assert got["n_violations"].tolist() == want["n_violations"].tolist()
+    m = dict(zip(got["check"], got["n_violations"]))
+    assert m["event_id_duplicate"] == 3  # 1 dup pair + 3 nulls - 1
+    assert m["event_type_unknown"] == 1  # 'bogus' only, null uncounted
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cube_aggregate_all_subsets():
+    import ray.data as rd
+
+    from geodata_ray.stages.relational import cube_aggregate
+
+    t = pa.table({
+        "a": pa.array(["x", "x", "y"], pa.string()),
+        "b": pa.array([1, 2, 1], pa.int64()),
+        "v": pa.array([10, 20, 30], pa.int64()),
+    })
+    got = (
+        cube_aggregate(rd.from_arrow(t), ["a", "b"],
+                       [("v", "sum", "sv"), ("v", "count", "n")])
+        .to_pandas()
+    )
+    # 3 finest + 2 per-a + 2 per-b + 1 total = 8 rows
+    assert len(got) == 8
+    total = got[got["a"].isna() & got["b"].isna()]
+    assert total["sv"].tolist() == [60] and total["n"].tolist() == [3]
+    per_b = got[got["a"].isna() & got["b"].notna()].sort_values("b")
+    assert per_b["sv"].tolist() == [40, 20]

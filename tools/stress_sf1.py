@@ -598,7 +598,7 @@ def main() -> None:
 
         docs = amplify(
             rd.read_parquet(
-                
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
             ),
             4,
             {"doc_id": 1_000_000},
@@ -629,10 +629,7 @@ def main() -> None:
 
     # --- fifth wave: per-row trailing window over 10M events ---
     def trailing_10m():
-        from geodata_ray.pipelines.queries import (
-            trailing_window_count_events,
-        )
-        from geodata_ray.stages.windows import _tag_bucket
+        from geodata_ray.stages.windows import trailing_window_counts
 
         ev = amplify(
             rd.read_parquet(
@@ -642,53 +639,10 @@ def main() -> None:
             AMP * 10,
             {"user_id": 1_000_000, "event_id": 10_000_000},
         )
-
-        def to_us(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "user_id": batch["user_id"],
-                    "event_id": batch["event_id"],
-                    "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(
-                        pa.int64()
-                    ),
-                }
-            )
-
-        hour_us = 3_600_000_000
-
-        def count(t: pa.Table) -> pa.Table:
-            import numpy as np
-
-            u = t["user_id"].to_numpy(zero_copy_only=False)
-            e = t["event_id"].to_numpy(zero_copy_only=False)
-            ts = t["ts_us"].to_numpy(zero_copy_only=False)
-            order = np.lexsort((e, ts, u))
-            u, e, ts = u[order], e[order], ts[order]
-            new = np.ones(u.size, dtype=bool)
-            new[1:] = u[1:] != u[:-1]
-            starts = np.flatnonzero(new)
-            ends = np.append(starts[1:], u.size)
-            n = np.empty(u.size, dtype=np.int64)
-            for s, z in zip(starts, ends):
-                seg = ts[s:z]
-                hi = np.searchsorted(seg, seg, side="right")
-                lo = np.searchsorted(seg, seg - hour_us, side="left")
-                n[s:z] = hi - lo
-            return pa.table(
-                {"event_id": pa.array(e), "n_trailing_1h": pa.array(n)}
-            )
-
-        bucketed = _tag_bucket(
-            ev.map_batches(to_us, batch_format="pyarrow"), "user_id", 64
-        )
-        return (
-            bucketed.groupby("__b")
-            .map_groups(
-                lambda g: count(g.drop_columns(["__b"])),
-                batch_format="pyarrow",
-            )
-            .count()
-        )
+        return trailing_window_counts(
+            ev, key_col="user_id", ts_col="ts", tie_col="event_id",
+            window_us=3_600_000_000, num_buckets=64,
+        ).count()
 
     timed("trailing_window_10m", trailing_10m)
 
