@@ -1268,6 +1268,41 @@ FROM sv GROUP BY 1, 2
 """
 
 
+def _scene_deltas_sql(n: int = 60, seed: int = 42) -> str:
+    """Video cut-detection oracle: regenerate both adjacent frames'
+    pixels from the generator arithmetic (frame content index =
+    video*100 + frame) and replay the exact |delta| channel sum."""
+    x0 = _sql_xor_u64("CAST(j AS HUGEINT)", f"{seed * 31337}::HUGEINT")
+    sm = _sql_splitmix_stages("vd", {"k": x0}, "c0")
+    return f"""
+WITH c0 AS (SELECT j FROM range(0, {n}) t(j)),
+{sm},
+vids AS (
+  SELECT j AS video_id, CAST(4 + (h_k % 28) AS BIGINT) AS nf FROM vd6
+),
+pairs AS (
+  SELECT video_id, f FROM vids JOIN range(1, 32) t(f) ON t.f < nf
+),
+px AS (
+  SELECT video_id, f,
+         video_id * 100 + f AS c1, video_id * 100 + f - 1 AS c0i,
+         xs.x, ys.y
+  FROM pairs JOIN range(0, 16) xs(x) ON true
+             JOIN range(0, 12) ys(y) ON true
+),
+d AS (
+  SELECT video_id, f,
+         ABS((x * 7 + c1 * 13) % 256 - (x * 7 + c0i * 13) % 256)
+       + ABS((y * 5 + c1 * 29) % 256 - (y * 5 + c0i * 29) % 256)
+       + ABS((x + y + c1) % 256 - (x + y + c0i) % 256) AS dd
+  FROM px
+)
+SELECT video_id, CAST(f AS BIGINT) AS frame_no,
+       CAST(SUM(dd) AS BIGINT) AS delta
+FROM d GROUP BY 1, 2
+"""
+
+
 def _checksum_sql() -> str:
     """Per-day anti-entropy checksum: the same unrolled splitmix64
     chain over event ids, summed mod 2^40 per day (HUGEINT sum, one
@@ -3059,6 +3094,26 @@ _ORACLE_SQL_STATIC = {
         WHERE b.cents IS NOT NULL AND m.n >= 8
           AND (m.n * b.cents - m.s) * (m.n * b.cents - m.s)
               > 9 * (m.n * m.ss - m.s * m.s)
+    """,
+    # video cut-detection audit: adjacent-frame pixel replay
+    "scene_deltas_video": _scene_deltas_sql(),
+    # vocabulary coverage curve: ranked cumulative share, integer bp
+    "vocab_coverage_docs": """
+        WITH w AS (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        wc AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY 1
+        ),
+        r AS (
+          SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word ASC) AS rk
+          FROM wc
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM wc)
+        SELECT CAST(k AS BIGINT) AS k,
+               CAST(10000 * (SELECT SUM(n) FROM r WHERE rk <= v.k)
+                    // (SELECT t FROM tot) AS BIGINT) AS coverage_bp
+        FROM (VALUES (100), (1000), (10000)) v(k)
     """,
     # WAV decode audit: splitmix sample replay + framewise energy
     "audio_energy_frames": _audio_energy_sql(),

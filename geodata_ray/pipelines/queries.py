@@ -5076,6 +5076,119 @@ def audio_energy_frames(sf_dir: str):
     return ds.map_batches(frames, batch_format="pyarrow", batch_size=32)
 
 
+def scene_deltas_video(sf_dir: str):
+    """Video scene-cut signal, SQL-audited end-to-end (completing the
+    image/audio/video trio): decode every PPM-stream frame, emit the
+    exact integer sum of absolute per-pixel channel deltas between
+    adjacent frames — the standard cut-detection statistic.  The
+    oracle regenerates both frames' pixels from the generator
+    arithmetic and replays the |delta| sum."""
+    import ray.data as rd
+
+    from geodata_ray.stages.multimodal import ppm_decode, synth_video_table
+
+    ds = rd.from_arrow(synth_video_table(60)).repartition(4)
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        ids = batch["video_id"].to_numpy()
+        out_id, out_fr, out_d = [], [], []
+        for vid, p in zip(ids, batch["payload"].to_pylist()):
+            off, frames = 0, []
+            while off < len(p):
+                px, off = ppm_decode(p, off)
+                frames.append(px.astype(np.int64))
+            for f in range(1, len(frames)):
+                out_id.append(int(vid))
+                out_fr.append(f)
+                out_d.append(int(np.abs(frames[f] - frames[f - 1]).sum()))
+        return pa.table(
+            {
+                "video_id": pa.array(out_id, pa.int64()),
+                "frame_no": pa.array(out_fr, pa.int64()),
+                "delta": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(deltas, batch_format="pyarrow", batch_size=16)
+
+
+def vocab_coverage_docs(sf_dir: str):
+    """Tokenizer-vocabulary sizing report: what fraction (basis
+    points, exact integer floor) of the corpus token stream is covered
+    by the top-k most frequent words, for k in {100, 1000, 10000} —
+    the coverage curve that decides vocab size before training.  Word
+    counts aggregate once (the corpus-sized exchange); each block then
+    ships only its top-k candidates plus ONE total-row, so the final
+    merge is bounded by k x blocks regardless of vocabulary size."""
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def wcount(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text.fill_null(""), " ")
+        flat = (
+            toks.combine_chunks()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks
+        ).flatten()
+        out = pa.table({"word": flat}).group_by(["word"]).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["word", "n"])
+
+    vocab = grouped_aggregate(
+        ds.map_batches(wcount, batch_format="pyarrow"),
+        ["word"],
+        [("n", "sum", "n")],
+    )
+    kmax = 10_000
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        w = batch["word"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, -n))[:kmax]
+        return pa.table(
+            {
+                "word": pa.array(
+                    np.append(w[order], [""]).astype(object), pa.string()
+                ),
+                "n": pa.array(np.append(n[order], [int(n.sum())])),
+                "is_tot": pa.array(
+                    np.append(np.zeros(len(order), bool), [True])
+                ),
+            }
+        )
+
+    def report(batch: pa.Table) -> pa.Table:
+        tot_mask = batch["is_tot"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        total = int(n[tot_mask].sum())
+        nn = n[~tot_mask]
+        ww = batch["word"].to_numpy(zero_copy_only=False)[~tot_mask]
+        order = np.lexsort((ww, -nn))
+        csum = np.cumsum(nn[order])
+        ks = np.array([100, 1000, 10_000], dtype=np.int64)
+        cov = np.array(
+            [
+                10_000 * int(csum[min(int(k), len(csum)) - 1]) // total
+                if len(csum) and total
+                else 0
+                for k in ks
+            ],
+            dtype=np.int64,
+        )
+        return pa.table({"k": pa.array(ks), "coverage_bp": pa.array(cov)})
+
+    return (
+        vocab.map_batches(partial_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(report, batch_format="pyarrow", batch_size=None)
+    )
+
+
 RAY_QUERIES = {
     # -- rotation block: 8 queries displaced from the r3 window (all were
     #    driver-green in CORRECTNESS_r02) --
@@ -5163,6 +5276,8 @@ RAY_QUERIES = {
     "q5_region_supplier_volume": q5_region_supplier_volume,
     "rollup_daily_events": rollup_daily_events,
     "cube_daily_type_events": cube_daily_type_events,
+    "scene_deltas_video": scene_deltas_video,
+    "vocab_coverage_docs": vocab_coverage_docs,
     "pivot_event_types_daily": pivot_event_types_daily,
     "ip_range_lookup_events": ip_range_lookup_events,
     "user_value_trend_events": user_value_trend_events,

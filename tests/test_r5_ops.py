@@ -611,3 +611,38 @@ def test_cube_aggregate_all_subsets():
     assert total["sv"].tolist() == [60] and total["n"].tolist() == [3]
     per_b = got[got["a"].isna() & got["b"].notna()].sort_values("b")
     assert per_b["sv"].tolist() == [40, 20]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scene_deltas_and_vocab_coverage():
+    from geodata_ray.pipelines.queries import (
+        scene_deltas_video,
+        vocab_coverage_docs,
+    )
+    from geodata_ray.stages.multimodal import ppm_decode, synth_video_table
+    from tests.conftest import SF_DIR
+
+    got = (
+        scene_deltas_video(SF_DIR)
+        .to_pandas()
+        .sort_values(["video_id", "frame_no"], ignore_index=True)
+    )
+    # brute force on 3 videos
+    t = synth_video_table(60)
+    for vid in (0, 7, 59):
+        p = t["payload"][vid].as_py()
+        off, frames = 0, []
+        while off < len(p):
+            px, off = ppm_decode(p, off)
+            frames.append(px.astype(np.int64))
+        sub = got[got["video_id"] == vid]
+        assert len(sub) == len(frames) - 1
+        for f in range(1, len(frames)):
+            want = int(np.abs(frames[f] - frames[f - 1]).sum())
+            assert int(sub[sub["frame_no"] == f]["delta"].iloc[0]) == want
+
+    cov = vocab_coverage_docs(SF_DIR).to_pandas().sort_values("k")
+    c = cov["coverage_bp"].to_numpy()
+    assert len(c) == 3
+    assert (np.diff(c) >= 0).all()  # monotone in k
+    assert c[-1] <= 10_000 and c[0] > 0
