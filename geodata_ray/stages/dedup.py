@@ -444,6 +444,72 @@ def _pairwise_jaccard_keep(texts_a, texts_b, k, threshold) -> np.ndarray:
     return keep
 
 
+def _verify_pairs_auto(pairs, corpus_ds, id_col, text_col, k, threshold,
+                       *, shuffle_bound: int = 50_000):
+    """Candidate-pair verify with a robustness switch: above
+    ``shuffle_bound`` candidates, the fully-distributed join-back path
+    (:func:`_verify_pairs_shuffle`); below it, a bounded local verify —
+    semi-join the corpus to the candidate ids (broadcast id set), pull
+    the <= 2n candidate texts, and run the exact-Jaccard kernel once.
+    The small path exists because Ray's native hash join CRASHES any
+    partition that receives zero left shards (zero-column builder
+    table -> FieldRef miss), which sparse candidate sets make likely;
+    the bounded path never routes a sparse side through it."""
+    import ray
+    import ray.data as rd
+
+    pairs = pairs.materialize()
+    n = pairs.count()
+    if n == 0:
+        return ray_empty_pairs()
+    if n > shuffle_bound:
+        return _verify_pairs_shuffle(
+            pairs, corpus_ds, id_col, text_col, k, threshold
+        )
+    ptbl = pa.concat_tables(
+        ray.get(pairs.to_arrow_refs()), promote_options="default"
+    )
+    ids = np.unique(
+        np.concatenate(
+            [
+                ptbl["id_a"].to_numpy(zero_copy_only=False),
+                ptbl["id_b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+    )
+    from geodata_ray.stages.relational import semi_join
+
+    cand = semi_join(
+        corpus_ds.map_batches(
+            lambda b: pa.table(
+                {id_col: pc.cast(b[id_col], pa.int64()),
+                 text_col: b[text_col]}
+            ),
+            batch_format="pyarrow",
+        ),
+        ids,
+        id_col,
+    )
+    ctbl = pa.concat_tables(
+        ray.get(cand.to_arrow_refs()), promote_options="default"
+    )
+    texts = dict(
+        zip(ctbl[id_col].to_pylist(), ctbl[text_col].to_pylist())
+    )
+    ia = ptbl["id_a"].to_pylist()
+    ib = ptbl["id_b"].to_pylist()
+    keep = _pairwise_jaccard_keep(
+        [texts[int(x)] for x in ia],
+        [texts[int(x)] for x in ib],
+        k,
+        threshold,
+    )
+    out = ptbl.filter(pa.array(keep))
+    if out.num_rows == 0:
+        return ray_empty_pairs()
+    return rd.from_arrow(out)
+
+
 def _verify_pairs_shuffle(pairs, corpus_ds, id_col, text_col, k, threshold):
     """Scale-path verify: join pair ids to texts (both sides) via
     Ray's native hash joins (Arrow-schema-stable), then the exact
@@ -1173,7 +1239,7 @@ def fuzzy_edit1_pairs(
     return out.drop_columns(["__c"])
 
 
-def setsim_join_pairs(
+def _setsim_rep_pairs(
     ds,
     *,
     id_col: str = "doc_id",
@@ -1183,7 +1249,12 @@ def setsim_join_pairs(
     threshold_den: int = 10,
     num_buckets: int = 32,
 ):
-    """EXACT set-similarity self-join by prefix filtering (Chaudhuri
+    """Prefix-filter core of :func:`setsim_join_pairs`, run over
+    DISTINCT texts only (the caller collapses exact duplicates first —
+    identical shingle sets make every prefix bucket collide, turning
+    candidate generation quadratic in duplicate density).
+
+    EXACT set-similarity self-join by prefix filtering (Chaudhuri
     et al.'s SSJoin / PPJoin blocking): all pairs with shingle-set
     Jaccard >= threshold_num/threshold_den, id_a < id_b — recall
     exactly 1 by construction, no MinHash randomness.
@@ -1272,8 +1343,12 @@ def setsim_join_pairs(
         )
 
     bucketed = _tag_bucket(exdf, "id", num_buckets)
+    # sized re-batching after map_groups: the sort-groupby emits
+    # schema-less empty blocks that crash the native hash join
     pref = bucketed.groupby("__b").map_groups(
         lambda g: prefix(g.drop_columns(["__b"])), batch_format="pyarrow"
+    ).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=65536
     ).materialize()
 
     # collision pre-filter: a prefix token held by one doc yields no pair
@@ -1334,7 +1409,7 @@ def setsim_join_pairs(
         batch_format="pyarrow",
         batch_size=65536,
     )
-    return _verify_pairs_shuffle(pairs, ds, id_col, text_col, k, threshold)
+    return _verify_pairs_auto(pairs, ds, id_col, text_col, k, threshold)
 
 
 def ray_empty_pairs():
@@ -1348,3 +1423,188 @@ def ray_empty_pairs():
             }
         )
     )
+
+
+def setsim_join_pairs(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+    num_buckets: int = 32,
+):
+    """EXACT set-similarity self-join (Jaccard >= num/den over k-gram
+    shingle sets, id_a < id_b, recall 1): exact-duplicate texts are
+    COLLAPSED to one representative before the prefix-filter core —
+    for g identical copies every prefix bucket holds all g, so the raw
+    candidate volume grows as prefix_len x g^2 per text (measured: a
+    4x-amplified corpus with planted mutations ran >15 min before this
+    collapse, ~40 s after).  Identical texts have identical shingle
+    sets, so representative-level similarity transfers exactly:
+    cross-group pairs expand via two id-keyed joins, and every
+    same-text group of size g contributes its C(g,2) pairs at
+    Jaccard 1.
+    """
+    import ray.data as rd
+
+    from geodata_ray.stages.relational import broadcast_join
+    from geodata_ray.stages.windows import _tag_bucket
+
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        fp = hash_strings_nomemo(texts.fill_null("").to_pylist())
+        return pa.table(
+            {
+                "id": pc.cast(batch[id_col], pa.int64()),
+                "fp": pa.array(fp.view(np.int64)),
+                "text": texts.fill_null(""),
+            }
+        )
+
+    fpds = ds.map_batches(fp_batch, batch_format="pyarrow")
+
+    # one sharded pass emits reps (tagged rows carrying text) and
+    # members (id -> rep) together
+    def collapse(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        fp = t["fp"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, fp))
+        ids, fp = ids[order], fp[order]
+        txt = t["text"].take(pa.array(order))
+        new = np.ones(ids.size, dtype=bool)
+        new[1:] = fp[1:] != fp[:-1]
+        starts = np.flatnonzero(new)
+        seglen = np.diff(np.append(starts, ids.size))
+        rep = np.repeat(ids[starts], seglen)
+        is_rep = np.zeros(ids.size, dtype=bool)
+        is_rep[starts] = True
+        return pa.table(
+            {
+                "id": pa.array(ids),
+                "rep": pa.array(rep),
+                "is_rep": pa.array(is_rep),
+                "text": txt,
+            }
+        )
+
+    bucketed = _tag_bucket(fpds, "fp", num_buckets)
+    collapsed = bucketed.groupby("__b").map_groups(
+        lambda g: collapse(g.drop_columns(["__b"])),
+        batch_format="pyarrow",
+    ).materialize()
+
+    reps = collapsed.filter(expr="is_rep == True").map_batches(
+        lambda b: pa.table({id_col: b["id"], text_col: b["text"]}),
+        batch_format="pyarrow",
+        batch_size=65536,
+    )
+    members = collapsed.map_batches(
+        lambda b: b.select(["id", "rep"]),
+        batch_format="pyarrow",
+        batch_size=65536,
+    ).materialize()
+
+    rep_pairs = _setsim_rep_pairs(
+        reps, id_col=id_col, text_col=text_col, k=k,
+        threshold_num=threshold_num, threshold_den=threshold_den,
+        num_buckets=num_buckets,
+    )
+
+    # cross-group expansion: two id-keyed joins (rep -> its members)
+    def side(name):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {f"rep_{name}": batch["rep"], f"m_{name}": batch["id"]}
+            )
+
+        return f
+
+    # the verified representative-pair set is ANSWER-sized (it is the
+    # operator's output at group granularity), so it broadcasts; the
+    # corpus-sized members table streams through two broadcast joins.
+    # (A generic shuffle/native join here is the schema-fragile path:
+    # sparse pair sets produce empty leading bundles.)
+    import ray
+
+    rp_tbl = pa.concat_tables(
+        ray.get(
+            rep_pairs.map_batches(
+                lambda b: pa.table(
+                    {"rep_a": b["id_a"], "rep_b": b["id_b"]}
+                ),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    if rp_tbl.num_rows == 0:
+        rp_tbl = pa.table(
+            {"rep_a": pa.array([], pa.int64()),
+             "rep_b": pa.array([], pa.int64())}
+        )
+    ma = members.map_batches(side("a"), batch_format="pyarrow")
+    j1 = broadcast_join(ma, rp_tbl, ["rep_a"])
+    j1_tbl = pa.concat_tables(
+        ray.get(j1.to_arrow_refs()), promote_options="default"
+    )
+    if j1_tbl.num_rows == 0:
+        j1_tbl = pa.table(
+            {"rep_a": pa.array([], pa.int64()),
+             "m_a": pa.array([], pa.int64()),
+             "rep_b": pa.array([], pa.int64())}
+        )
+    mb = members.map_batches(side("b"), batch_format="pyarrow")
+    j2 = broadcast_join(mb, j1_tbl, ["rep_b"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        a = batch["m_a"].to_numpy(zero_copy_only=False)
+        b = batch["m_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id_a": pa.array(np.minimum(a, b)),
+                "id_b": pa.array(np.maximum(a, b)),
+            }
+        )
+
+    cross = j2.map_batches(norm, batch_format="pyarrow")
+
+    # within-group pairs (identical texts: Jaccard exactly 1 >= t)
+    def group_pairs(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        rep = t["rep"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, rep))
+        ids, rep = ids[order], rep[order]
+        new = np.ones(ids.size, dtype=bool)
+        new[1:] = rep[1:] != rep[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, ids.size))
+        out_a, out_b = [], []
+        kmax = int(counts.max()) if counts.size else 0
+        for i in range(kmax):
+            for j in range(i + 1, kmax):
+                sel = starts[counts > j]
+                out_a.append(ids[sel + i])
+                out_b.append(ids[sel + j])
+        if not out_a:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
+            }
+        )
+
+    within = _tag_bucket(members, "rep", num_buckets).groupby(
+        "__b"
+    ).map_groups(
+        lambda g: group_pairs(g.drop_columns(["__b"])),
+        batch_format="pyarrow",
+    )
+    return cross.union(within)

@@ -646,3 +646,34 @@ def test_scene_deltas_and_vocab_coverage():
     assert len(c) == 3
     assert (np.diff(c) >= 0).all()  # monotone in k
     assert c[-1] <= 10_000 and c[0] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_setsim_collapses_exact_duplicates():
+    """Identical texts collapse before the prefix filter; within-group
+    and cross-group pairs both surface after expansion."""
+    import ray.data as rd
+
+    from geodata_ray.stages.dedup import setsim_join_pairs
+
+    base = "aa bb cc dd ee ff gg hh ii jj"
+    texts = [base, base, base,              # group A (ids 0,1,2)
+             base + " kk ll",               # group B near-dup of A (3)
+             base + " kk ll",               # (4)
+             "zz yy xx ww vv uu tt ss"]     # unrelated (5)
+    t = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(texts),
+    })
+    got = (
+        setsim_join_pairs(rd.from_arrow(t).repartition(3))
+        .to_pandas().sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    # within A: (0,1),(0,2),(1,2); within B: (3,4)
+    assert {(0, 1), (0, 2), (1, 2), (3, 4)} <= pairs
+    # cross A-B iff Jaccard(A,B) >= 0.7: shingles A=8, B=10, inter=8
+    # -> 8/10 = 0.8 >= 0.7, so ALL 6 cross pairs must be present
+    assert {(0, 3), (0, 4), (1, 3), (1, 4), (2, 3), (2, 4)} <= pairs
+    assert not any(5 in p for p in pairs)
+    assert len(pairs) == 10
