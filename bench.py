@@ -168,6 +168,18 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "trajectory_stats_events",
         "bloom_join_lineitem",
         "zonal_stats_events",
+        # fifth wave
+        "outlier_events_zscore",
+        "setsim_join_docs",
+        "semdedup_embeddings",
+        "entity_resolution_customers",
+        "dq_suite_events",
+        "scd2_intervals_users",
+        "geohash_events",
+        "trailing_window_count_events",
+        "bpe_pair_counts_docs",
+        "cube_daily_type_events",
+        "vocab_coverage_docs",
     )
     for name in query_names:
         t0 = time.perf_counter()
