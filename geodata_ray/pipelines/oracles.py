@@ -3095,6 +3095,51 @@ _ORACLE_SQL_STATIC = {
           AND (m.n * b.cents - m.s) * (m.n * b.cents - m.s)
               > 9 * (m.n * m.ss - m.s * m.s)
     """,
+    # frontier politeness: within-host rank * n_hosts + host
+    "crawl_frontier_order": """
+        SELECT doc_id, doc_id % 101 AS host,
+               CAST((ROW_NUMBER() OVER (PARTITION BY doc_id % 101
+                                        ORDER BY doc_id) - 1) * 101
+                    + doc_id % 101 AS BIGINT) AS fetch_slot
+        FROM documents
+    """,
+    # language-ID confidence: unpivot the four counts, rank, margin
+    "langid_margin_docs": """
+        WITH w AS (
+          SELECT doc_id,
+                 list_distinct(string_split(lower(text), ' ')) AS ws
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id,
+            len(list_intersect(ws, ['the','a','of','to','and','is']))
+              AS n_en,
+            len(list_intersect(ws, ['el','la','de','que','y','los']))
+              AS n_es,
+            len(list_intersect(ws, ['der','die','und','das','nicht','ist']))
+              AS n_de,
+            len(list_intersect(ws, ['le','la','et','les','des','un']))
+              AS n_fr
+          FROM w
+        ),
+        u AS (
+          SELECT doc_id, v,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY v DESC) AS rk
+          FROM (
+            SELECT doc_id, n_en AS v FROM c
+            UNION ALL SELECT doc_id, n_es FROM c
+            UNION ALL SELECT doc_id, n_de FROM c
+            UNION ALL SELECT doc_id, n_fr FROM c
+          )
+        )
+        SELECT doc_id,
+               CAST(MAX(CASE WHEN rk = 1 THEN v END) AS BIGINT) AS n_top1,
+               CAST(MAX(CASE WHEN rk = 1 THEN v END)
+                    - MAX(CASE WHEN rk = 2 THEN v END) AS BIGINT)
+                   AS margin
+        FROM u GROUP BY doc_id
+    """,
     # video cut-detection audit: adjacent-frame pixel replay
     "scene_deltas_video": _scene_deltas_sql(),
     # vocabulary coverage curve: ranked cumulative share, integer bp

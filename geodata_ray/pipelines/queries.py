@@ -5189,6 +5189,85 @@ def vocab_coverage_docs(sf_dir: str):
     )
 
 
+def crawl_frontier_order(sf_dir: str):
+    """Crawler politeness scheduling: assign every URL a global fetch
+    slot that round-robins across hosts (slot = within-host sequence *
+    n_hosts + host id), so no host is ever fetched twice before every
+    other host with pending work gets a turn — the standard frontier
+    interleave, as exact integer arithmetic.  Distributed as keyed
+    segments (bucket by host, per-segment rank)."""
+    from geodata_ray.stages.windows import _tag_bucket
+
+    n_hosts = 101
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def host(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {"doc_id": pa.array(d), "host": pa.array(d % n_hosts)}
+        )
+
+    def order(t: pa.Table) -> pa.Table:
+        h = t["host"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((d, h))
+        h, d = h[o], d[o]
+        new = np.ones(h.size, dtype=bool)
+        new[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(new)
+        seq = np.arange(h.size, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, h.size))
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "host": pa.array(h),
+                "fetch_slot": pa.array(seq * n_hosts + h),
+            }
+        )
+
+    bucketed = _tag_bucket(
+        ds.map_batches(host, batch_format="pyarrow"), "host", 32
+    )
+    return bucketed.groupby("__b").map_groups(
+        lambda g: order(g.drop_columns(["__b"])), batch_format="pyarrow"
+    )
+
+
+def langid_margin_docs(sf_dir: str):
+    """Language-ID CONFIDENCE: the margin between the best and
+    second-best stopword-hit counts per document (the CLD-style
+    score-gap gate: small margin = ambiguous, route to review).
+    Exact integers; the oracle unpivots the four counts and ranks."""
+    from geodata_ray.stages.textstats import langid_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def margin(batch: pa.Table) -> pa.Table:
+        lg = langid_batch(batch, return_counts=True)
+        counts = np.stack(
+            [
+                lg[c].to_numpy(zero_copy_only=False)
+                for c in ("n_en", "n_es", "n_de", "n_fr")
+            ],
+            axis=1,
+        )
+        part = np.partition(counts, counts.shape[1] - 2, axis=1)
+        n1 = part[:, -1]
+        n2 = part[:, -2]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_top1": pa.array(n1.astype(np.int64)),
+                "margin": pa.array((n1 - n2).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(margin, batch_format="pyarrow")
+
+
 RAY_QUERIES = {
     # -- rotation block: 8 queries displaced from the r3 window (all were
     #    driver-green in CORRECTNESS_r02) --
@@ -5278,6 +5357,8 @@ RAY_QUERIES = {
     "cube_daily_type_events": cube_daily_type_events,
     "scene_deltas_video": scene_deltas_video,
     "vocab_coverage_docs": vocab_coverage_docs,
+    "crawl_frontier_order": crawl_frontier_order,
+    "langid_margin_docs": langid_margin_docs,
     "pivot_event_types_daily": pivot_event_types_daily,
     "ip_range_lookup_events": ip_range_lookup_events,
     "user_value_trend_events": user_value_trend_events,

@@ -78,7 +78,8 @@ def quality_score_batch(
 
 
 def langid_batch(
-    batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"
+    batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text",
+    return_counts: bool = False,
 ) -> pa.Table:
     """Stopword-profile language ID: argmax of per-language DISTINCT
     stopword hits, 'und' (undetermined) when nothing matches.
@@ -89,9 +90,12 @@ def langid_batch(
     langs = list(LANG_PROFILES)
     n = len(batch)
     if n == 0:
-        return pa.table(
-            {id_col: batch[id_col], "lang_pred": pa.array([], pa.string())}
-        )
+        cols = {id_col: batch[id_col],
+                "lang_pred": pa.array([], pa.string())}
+        if return_counts:
+            for lang in langs:
+                cols[f"n_{lang}"] = pa.array([], pa.int64())
+        return pa.table(cols)
     text = pc.utf8_lower(batch[text_col])
     toks = pc.split_pattern(text, " ")
     lengths = (
@@ -119,9 +123,12 @@ def langid_batch(
     pred = np.where(
         counts.max(axis=1) == 0, "und", np.asarray(langs, dtype=object)[best]
     )
-    return pa.table(
-        {id_col: batch[id_col], "lang_pred": pa.array(pred, type=pa.string())}
-    )
+    cols = {id_col: batch[id_col],
+            "lang_pred": pa.array(pred, type=pa.string())}
+    if return_counts:
+        for li, lang in enumerate(langs):
+            cols[f"n_{lang}"] = pa.array(counts[:, li])
+    return pa.table(cols)
 
 
 def fingerprint_batch(

@@ -677,3 +677,31 @@ def test_setsim_collapses_exact_duplicates():
     assert {(0, 3), (0, 4), (1, 3), (1, 4), (2, 3), (2, 4)} <= pairs
     assert not any(5 in p for p in pairs)
     assert len(pairs) == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frontier_order_and_langid_margin():
+    from geodata_ray.pipelines.queries import (
+        crawl_frontier_order,
+        langid_margin_docs,
+    )
+    from tests.conftest import SF_DIR
+
+    got = crawl_frontier_order(SF_DIR).to_pandas()
+    # politeness invariant: sorting by fetch_slot never repeats a host
+    # before every other host with pending work has had its turn — in
+    # round r, all slots r*101+h are distinct hosts
+    s = got.sort_values("fetch_slot")
+    rounds = s["fetch_slot"].to_numpy() // 101
+    hosts = s["host"].to_numpy()
+    import pandas as pd
+
+    per_round = pd.DataFrame({"r": rounds, "h": hosts}).groupby("r")["h"]
+    assert (per_round.nunique() == per_round.size()).all()
+    # slots unique globally
+    assert s["fetch_slot"].is_unique
+
+    m = langid_margin_docs(SF_DIR).to_pandas()
+    assert (m["margin"] >= 0).all()
+    assert (m["n_top1"] >= m["margin"]).all()
+    assert len(m) > 0
