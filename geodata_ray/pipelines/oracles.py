@@ -3095,6 +3095,44 @@ _ORACLE_SQL_STATIC = {
           AND (m.n * b.cents - m.s) * (m.n * b.cents - m.s)
               > 9 * (m.n * m.ss - m.s * m.s)
     """,
+    # bot signature: LAG gaps in floor-seconds, exact integer moments
+    "bot_signature_users": """
+        WITH b AS (
+          SELECT user_id, epoch_us(ts) // 1000000 AS ts_s,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rk
+          FROM events
+        ),
+        g AS (
+          SELECT a.user_id, b2.ts_s - a.ts_s AS gap
+          FROM b a JOIN b b2
+            ON a.user_id = b2.user_id AND b2.rk = a.rk + 1
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap) AS BIGINT) AS gap_sum_s,
+               CAST(SUM(gap * gap) AS BIGINT) AS gap_sumsq_s,
+               COUNT(*) >= 10
+               AND COUNT(*) * SUM(gap * gap) - SUM(gap) * SUM(gap) = 0
+                 AS is_regular
+        FROM g GROUP BY 1
+    """,
+    # URL template mining: derived paths, digit runs -> N, counts
+    "url_templates_docs": """
+        WITH p AS (
+          SELECT CASE WHEN doc_id % 2 = 0 THEN
+              '/' || chr(97 + CAST(doc_id % 5 AS INT)) || '/item/'
+              || CAST(doc_id * 7 % 1000 AS VARCHAR)
+              || '/page/' || CAST(doc_id % 13 AS VARCHAR)
+            ELSE
+              '/post/' || CAST(doc_id AS VARCHAR)
+              || '/comment/' || CAST(doc_id % 7 AS VARCHAR)
+            END AS path
+          FROM documents
+        )
+        SELECT regexp_replace(path, '[0-9]+', 'N', 'g') AS template,
+               CAST(COUNT(*) AS BIGINT) AS n_urls
+        FROM p GROUP BY 1
+    """,
     # frontier politeness: within-host rank * n_hosts + host
     "crawl_frontier_order": """
         SELECT doc_id, doc_id % 101 AS host,

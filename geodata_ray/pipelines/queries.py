@@ -5268,6 +5268,107 @@ def langid_margin_docs(sf_dir: str):
     return ds.map_batches(margin, batch_format="pyarrow")
 
 
+def bot_signature_users(sf_dir: str):
+    """Bot/automation detection signal: per-user inter-arrival-gap
+    moments (count, sum, sum of squares — gaps in WHOLE SECONDS so the
+    squares stay exact in int64; microsecond gaps square past 2^63)
+    plus the regularity flag ((n*SS - S^2) == 0 with n >= 10 gaps —
+    perfectly periodic traffic).  Humans never have zero gap variance;
+    schedulers do.  Keyed-segment plan: bucket by user, per-segment
+    sorted diff, one exact moment row per user; an overflow predictor
+    raises rather than wrapping (same family as the z-score guard)."""
+    from geodata_ray.stages.windows import _tag_bucket
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def to_s(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts_s": pc.divide(us, 1_000_000),
+            }
+        )
+
+    def moments(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_s"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, u))
+        u, ts = u[order], ts[order]
+        same = np.zeros(u.size, dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        gaps = (ts[1:] - ts[:-1])[same[1:]]
+        gu = u[1:][same[1:]]
+        uniq, inv = np.unique(gu, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        ss = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, gaps)
+        np.add.at(ss, inv, gaps * gaps)
+        if len(n) and (
+            float(np.max(n.astype(np.float64) * ss.astype(np.float64)))
+            > 4.0e18
+            or float(np.max(s.astype(np.float64) ** 2)) > 4.0e18
+        ):
+            raise OverflowError(
+                "gap moments exceed int64 — rescale gaps or shard sums"
+            )
+        regular = (n >= 10) & (n * ss - s * s == 0)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq),
+                "n_gaps": pa.array(n),
+                "gap_sum_s": pa.array(s),
+                "gap_sumsq_s": pa.array(ss),
+                "is_regular": pa.array(regular),
+            }
+        )
+
+    bucketed = _tag_bucket(
+        ds.map_batches(to_s, batch_format="pyarrow"), "user_id", 32
+    )
+    return bucketed.groupby("__b").map_groups(
+        lambda g: moments(g.drop_columns(["__b"])),
+        batch_format="pyarrow",
+    )
+
+
+def url_templates_docs(sf_dir: str):
+    """URL template mining (site-structure discovery): digit runs in
+    the derived path collapse to 'N' and templates are counted — the
+    standard crawl-dedup/structure signal ('/a/item/N' vs
+    '/post/N/comment/N').  One vectorized regex replace per batch +
+    a pre-combined grouped count."""
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def paths(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cat = np.array(list("abcde"), dtype=object)[d % 5]
+        even = d % 2 == 0
+        p = np.where(
+            even,
+            [f"/{c}/item/{v * 7 % 1000}/page/{v % 13}"
+             for c, v in zip(cat, d)],
+            [f"/post/{v}/comment/{v % 7}" for v in d],
+        )
+        tmpl = pc.replace_substring_regex(
+            pa.array(p, pa.string()), r"[0-9]+", "N"
+        )
+        return pa.table({"template": tmpl})
+
+    return grouped_aggregate(
+        ds.map_batches(paths, batch_format="pyarrow"),
+        ["template"],
+        [("template", "count", "n_urls")],
+    )
+
+
 RAY_QUERIES = {
     # -- rotation block: 8 queries displaced from the r3 window (all were
     #    driver-green in CORRECTNESS_r02) --
@@ -5359,6 +5460,8 @@ RAY_QUERIES = {
     "vocab_coverage_docs": vocab_coverage_docs,
     "crawl_frontier_order": crawl_frontier_order,
     "langid_margin_docs": langid_margin_docs,
+    "bot_signature_users": bot_signature_users,
+    "url_templates_docs": url_templates_docs,
     "pivot_event_types_daily": pivot_event_types_daily,
     "ip_range_lookup_events": ip_range_lookup_events,
     "user_value_trend_events": user_value_trend_events,

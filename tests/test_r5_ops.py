@@ -705,3 +705,34 @@ def test_frontier_order_and_langid_margin():
     assert (m["margin"] >= 0).all()
     assert (m["n_top1"] >= m["margin"]).all()
     assert len(m) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bot_signature_flags_periodic_user():
+    import ray.data as rd
+
+    from geodata_ray.pipelines.queries import bot_signature_users
+    import pyarrow.parquet as pq
+    import tempfile
+
+    # synthetic table: user 1 perfectly periodic (bot), user 2 human
+    ts_bot = np.datetime64("2024-01-01", "us") + np.arange(20) * np.timedelta64(60, "s")
+    rng = np.random.default_rng(9)
+    ts_hum = np.datetime64("2024-01-01", "us") + np.cumsum(
+        rng.integers(10, 500, 20)
+    ) * np.timedelta64(1, "s")
+    t = pa.table({
+        "event_id": pa.array(range(40), pa.int64()),
+        "user_id": pa.array([1] * 20 + [2] * 20, pa.int64()),
+        "ts": pa.array(np.concatenate([ts_bot, ts_hum])),
+        "event_type": pa.array(["view"] * 40),
+        "value": pa.array([1.0] * 40),
+        "props": pa.array(["{}"] * 40),
+    })
+    d = tempfile.mkdtemp(prefix="bot_sig_")
+    pq.write_table(t, f"{d}/events.parquet")
+    got = bot_signature_users(d).to_pandas().set_index("user_id")
+    assert bool(got.loc[1, "is_regular"])
+    assert not bool(got.loc[2, "is_regular"])
+    assert int(got.loc[1, "n_gaps"]) == 19
+    assert int(got.loc[1, "gap_sum_s"]) == 19 * 60
