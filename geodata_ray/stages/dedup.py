@@ -1311,13 +1311,42 @@ def _setsim_rep_pairs(
     # collision count and the key filter — materialize each once, or
     # the whole upstream chain re-executes per consumer
     ex = ds.map_batches(explode, batch_format="pyarrow").materialize()
-    dfc = grouped_aggregate(ex, ["sh"], [("sh", "count", "df")])
-    # re-batch: sort-aggregate can emit schema-less empty blocks that
-    # crash the native hash join
-    dfc = dfc.map_batches(
-        lambda b: b, batch_format="pyarrow", batch_size=65536
-    )
-    exdf = native_join(ex, dfc, on="sh")
+    dfc = grouped_aggregate(ex, ["sh"], [("sh", "count", "df")]).materialize()
+    if dfc.count() <= 5_000_000:
+        # bounded vocabulary: broadcast the (sh -> df) map once and
+        # attach per batch with a sorted-array lookup — one exchange
+        # fewer than the hash join, and every sh is guaranteed present
+        import ray
+
+        dtbl = pa.concat_tables(
+            ray.get(dfc.to_arrow_refs()), promote_options="default"
+        )
+        sh_sorted = dtbl["sh"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sh_sorted)
+        df_ref = ray.put(
+            (sh_sorted[order],
+             dtbl["df"].to_numpy(zero_copy_only=False)[order])
+        )
+
+        def attach(batch: pa.Table) -> pa.Table:
+            import ray as _r
+
+            ks, vs = _r.get(df_ref)
+            sh = batch["sh"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(ks, sh)
+            return batch.append_column("df", pa.array(vs[idx]))
+
+        exdf = ex.map_batches(attach, batch_format="pyarrow")
+    else:
+        # re-batch: sort-aggregate can emit schema-less empty blocks
+        # that crash the native hash join
+        exdf = native_join(
+            ex,
+            dfc.map_batches(
+                lambda b: b, batch_format="pyarrow", batch_size=65536
+            ),
+            on="sh",
+        )
 
     def prefix(t: pa.Table) -> pa.Table:
         ids = t["id"].to_numpy(zero_copy_only=False)
@@ -1359,9 +1388,22 @@ def _setsim_rep_pairs(
         .map_batches(lambda b: b, batch_format="pyarrow", batch_size=65536)
         .materialize()
     )
-    if keys.count() == 0:
+    n_keys = keys.count()
+    if n_keys == 0:
         return ray_empty_pairs()
-    pref = native_join(pref, keys, on="sh")
+    if n_keys <= 5_000_000:
+        # bounded colliding set: broadcast membership filter (no
+        # second exchange of the prefix rows) — minhash's auto pattern
+        import ray
+
+        from geodata_ray.stages.relational import semi_join
+
+        key_arr = pa.concat_tables(
+            ray.get(keys.to_arrow_refs()), promote_options="default"
+        )["sh"].to_numpy(zero_copy_only=False)
+        pref = semi_join(pref, key_arr, "sh")
+    else:
+        pref = native_join(pref, keys, on="sh")
 
     n_shards = 32
 
@@ -1501,7 +1543,20 @@ def setsim_join_pairs(
         lambda b: pa.table({id_col: b["id"], text_col: b["text"]}),
         batch_format="pyarrow",
         batch_size=65536,
-    )
+    ).materialize()
+
+    n_total = collapsed.count()  # metadata-cheap on materialized data
+    n_reps = reps.count()
+    if n_reps == n_total:
+        # no duplicate texts at all: reps ARE the corpus; skip the
+        # member expansion and within-group machinery entirely (saves
+        # ~5 control-plane executions — the common clean-corpus path)
+        return _setsim_rep_pairs(
+            reps, id_col=id_col, text_col=text_col, k=k,
+            threshold_num=threshold_num, threshold_den=threshold_den,
+            num_buckets=num_buckets,
+        )
+
     members = collapsed.map_batches(
         lambda b: b.select(["id", "rep"]),
         batch_format="pyarrow",
