@@ -5128,7 +5128,10 @@ def vocab_coverage_docs(sf_dir: str):
         text = batch["text"]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        toks = pc.split_pattern(text.fill_null(""), " ")
+        # NULL texts contribute no tokens (SQL unnest(string_split(
+        # NULL)) emits nothing; a fill_null('') would count one '')
+        text = text.drop_null()
+        toks = pc.split_pattern(text, " ")
         flat = (
             toks.combine_chunks()
             if isinstance(toks, pa.ChunkedArray)
@@ -5351,14 +5354,14 @@ def url_templates_docs(sf_dir: str):
         )
         cat = np.array(list("abcde"), dtype=object)[d % 5]
         even = d % 2 == 0
-        p = np.where(
-            even,
-            [f"/{c}/item/{v * 7 % 1000}/page/{v % 13}"
-             for c, v in zip(cat, d)],
-            [f"/post/{v}/comment/{v % 7}" for v in d],
-        )
+        p = np.empty(len(d), dtype=object)
+        ie = np.flatnonzero(even)
+        io = np.flatnonzero(~even)
+        p[ie] = [f"/{cat[i]}/item/{d[i] * 7 % 1000}/page/{d[i] % 13}"
+                 for i in ie]
+        p[io] = [f"/post/{d[i]}/comment/{d[i] % 7}" for i in io]
         tmpl = pc.replace_substring_regex(
-            pa.array(p, pa.string()), r"[0-9]+", "N"
+            pa.array(list(p), pa.string()), r"[0-9]+", "N"
         )
         return pa.table({"template": tmpl})
 

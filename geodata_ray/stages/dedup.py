@@ -1312,6 +1312,10 @@ def _setsim_rep_pairs(
     # the whole upstream chain re-executes per consumer
     ex = ds.map_batches(explode, batch_format="pyarrow").materialize()
     dfc = grouped_aggregate(ex, ["sh"], [("sh", "count", "df")]).materialize()
+    if dfc.count() == 0:
+        # every text shorter than k tokens -> zero shingles anywhere;
+        # no pair can exist (and the concat below would be schema-less)
+        return ray_empty_pairs()
     if dfc.count() <= 5_000_000:
         # bounded vocabulary: broadcast the (sh -> df) map once and
         # attach per batch with a sorted-array lookup — one exchange
@@ -1517,6 +1521,7 @@ def setsim_join_pairs(
         order = np.lexsort((ids, fp))
         ids, fp = ids[order], fp[order]
         txt = t["text"].take(pa.array(order))
+        counts, _flat = _batch_shingles(txt, k)
         new = np.ones(ids.size, dtype=bool)
         new[1:] = fp[1:] != fp[:-1]
         starts = np.flatnonzero(new)
@@ -1529,6 +1534,11 @@ def setsim_join_pairs(
                 "id": pa.array(ids),
                 "rep": pa.array(rep),
                 "is_rep": pa.array(is_rep),
+                # shingle-less texts (fewer than k tokens) have EMPTY
+                # sets: Jaccard is 0/0, never a pair — the within-group
+                # expansion must skip them (verify kernel, brute-force
+                # definition, and SQL oracle all agree)
+                "has_sh": pa.array(counts > 0),
                 "text": txt,
             }
         )
@@ -1562,6 +1572,13 @@ def setsim_join_pairs(
         batch_format="pyarrow",
         batch_size=65536,
     ).materialize()
+    # within-group pairs only among shingle-BEARING texts; cross pairs
+    # are safe (verified reps necessarily have shingles)
+    members_sh = collapsed.filter(expr="has_sh == True").map_batches(
+        lambda b: b.select(["id", "rep"]),
+        batch_format="pyarrow",
+        batch_size=65536,
+    )
 
     rep_pairs = _setsim_rep_pairs(
         reps, id_col=id_col, text_col=text_col, k=k,
@@ -1602,18 +1619,27 @@ def setsim_join_pairs(
              "rep_b": pa.array([], pa.int64())}
         )
     ma = members.map_batches(side("a"), batch_format="pyarrow")
-    j1 = broadcast_join(ma, rp_tbl, ["rep_a"])
-    j1_tbl = pa.concat_tables(
-        ray.get(j1.to_arrow_refs()), promote_options="default"
-    )
-    if j1_tbl.num_rows == 0:
-        j1_tbl = pa.table(
-            {"rep_a": pa.array([], pa.int64()),
-             "m_a": pa.array([], pa.int64()),
-             "rep_b": pa.array([], pa.int64())}
-        )
+    j1 = broadcast_join(ma, rp_tbl, ["rep_a"]).materialize()
     mb = members.map_batches(side("b"), batch_format="pyarrow")
-    j2 = broadcast_join(mb, j1_tbl, ["rep_b"])
+    if j1.count() <= 5_000_000:
+        j1_tbl = pa.concat_tables(
+            ray.get(j1.to_arrow_refs()), promote_options="default"
+        )
+        if j1_tbl.num_rows == 0:
+            j1_tbl = pa.table(
+                {"rep_a": pa.array([], pa.int64()),
+                 "m_a": pa.array([], pa.int64()),
+                 "rep_b": pa.array([], pa.int64())}
+            )
+        j2 = broadcast_join(mb, j1_tbl, ["rep_b"])
+    else:
+        # expansion too large to broadcast: bucketed acero join over
+        # the two materialized (schema-known) sides
+        from geodata_ray.stages.relational import shuffle_join
+
+        j2 = shuffle_join(
+            j1, mb.materialize(), ["rep_b"], num_buckets=64
+        )
 
     def norm(batch: pa.Table) -> pa.Table:
         a = batch["m_a"].to_numpy(zero_copy_only=False)
@@ -1656,7 +1682,7 @@ def setsim_join_pairs(
             }
         )
 
-    within = _tag_bucket(members, "rep", num_buckets).groupby(
+    within = _tag_bucket(members_sh, "rep", num_buckets).groupby(
         "__b"
     ).map_groups(
         lambda g: group_pairs(g.drop_columns(["__b"])),

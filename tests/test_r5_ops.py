@@ -736,3 +736,28 @@ def test_bot_signature_flags_periodic_user():
     assert not bool(got.loc[2, "is_regular"])
     assert int(got.loc[1, "n_gaps"]) == 19
     assert int(got.loc[1, "gap_sum_s"]) == 19 * 60
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_setsim_shingleless_duplicates_emit_no_pairs():
+    """Texts with fewer than k tokens have EMPTY shingle sets: Jaccard
+    is 0/0 and the oracle/verify/brute-force all say no pair — even
+    for byte-identical duplicates."""
+    import ray.data as rd
+
+    from geodata_ray.stages.dedup import setsim_join_pairs
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["aa bb", "aa bb", "cc dd ee ff gg"]),
+    })
+    got = setsim_join_pairs(rd.from_arrow(t)).to_pandas()
+    assert len(got) == 0
+
+    # all-short corpus: zero shingles anywhere -> clean empty result
+    t2 = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["aa bb", "cc dd"]),
+    })
+    got2 = setsim_join_pairs(rd.from_arrow(t2)).to_pandas()
+    assert len(got2) == 0
