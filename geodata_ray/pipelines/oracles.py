@@ -3095,6 +3095,12 @@ _ORACLE_SQL_STATIC = {
           AND (m.n * b.cents - m.s) * (m.n * b.cents - m.s)
               > 9 * (m.n * m.ss - m.s * m.s)
     """,
+    # time travel: snapshot v1 must equal the plain timestamp filter
+    "time_travel_events": """
+        SELECT event_id, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE ts < TIMESTAMP '2024-01-15'
+    """,
     # bot signature: LAG gaps in floor-seconds, exact integer moments
     "bot_signature_users": """
         WITH b AS (

@@ -5372,6 +5372,74 @@ def url_templates_docs(sf_dir: str):
     )
 
 
+def time_travel_events(sf_dir: str):
+    """Append-only TIME TRAVEL over the lineage-manifested partitioned
+    store: write the early days, commit snapshot v1, append the
+    remaining days (snapshot v2), then read the table AS OF v1 —
+    which must equal a plain timestamp filter (the oracle).  Reads
+    verify content hashes, so a rewritten partition can never serve
+    silently wrong history."""
+    import ray.data as rd
+
+    from geodata_ray.state.lineage import (
+        commit_snapshot,
+        fingerprint_files,
+        read_snapshot,
+        write_partitioned_resumable,
+    )
+
+    tag = fingerprint_files([f"{sf_dir}/events.parquet"])[:16]
+    root = f"/tmp/geodata_timetravel/v2/{tag}"
+    marker = f"{root}/_SNAPSHOTS_DONE"
+    cut = np.datetime64("2024-01-15", "us")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.timestamp("us"))
+        month = pc.strftime(ts, format="%Y-%m-%d")
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "day": month,
+                "cents": cents,
+                "ts_us": ts.cast(pa.int64()),
+            }
+        )
+
+    if not os.path.exists(marker):
+        # build the whole store (partitions + snapshots + marker) in a
+        # process-unique dir, then ONE atomic rename — concurrent gate
+        # runs can never observe (or interleave into) a half-built
+        # snapshot history
+        build = f"{root}.tmp.{os.getpid()}"
+        ds = _read(sf_dir, "events", columns=["event_id", "ts", "value"])
+        prepped = ds.map_batches(prep, batch_format="pyarrow")
+        early = prepped.filter(
+            expr=f"ts_us < {int(cut.astype('int64'))}"
+        )
+        late = prepped.filter(
+            expr=f"ts_us >= {int(cut.astype('int64'))}"
+        )
+        write_partitioned_resumable(early, build, "day")
+        v1 = commit_snapshot(build)
+        write_partitioned_resumable(late, build, "day")
+        commit_snapshot(build)
+        open(f"{build}/_SNAPSHOTS_DONE", "w").write(str(v1))
+        try:
+            os.rename(build, root)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(build, ignore_errors=True)
+    v1 = int(open(marker).read())
+    out = read_snapshot(root, v1)
+    return out.select_columns(["event_id", "day", "cents"])
+
+
 RAY_QUERIES = {
     # -- rotation block: 8 queries displaced from the r3 window (all were
     #    driver-green in CORRECTNESS_r02) --
@@ -5465,6 +5533,7 @@ RAY_QUERIES = {
     "langid_margin_docs": langid_margin_docs,
     "bot_signature_users": bot_signature_users,
     "url_templates_docs": url_templates_docs,
+    "time_travel_events": time_travel_events,
     "pivot_event_types_daily": pivot_event_types_daily,
     "ip_range_lookup_events": ip_range_lookup_events,
     "user_value_trend_events": user_value_trend_events,

@@ -252,3 +252,61 @@ def stage_metrics(ds) -> list[dict]:
             }
         )
     return out
+
+
+def commit_snapshot(out_dir: str) -> int:
+    """Append-only TIME TRAVEL: record the current manifest (partition
+    keys + content hashes) as the next numbered snapshot under
+    ``_snapshots/``.  Returns the snapshot version.  Partitions are
+    immutable once committed (the writer's atomic-rename contract), so
+    an old snapshot is exactly "the table as of then" as long as its
+    partitions still verify — reading detects rewrites and refuses
+    loudly instead of serving silently wrong history."""
+    sdir = os.path.join(out_dir, "_snapshots")
+    os.makedirs(sdir, exist_ok=True)
+    existing = [
+        int(fn[:-5]) for fn in os.listdir(sdir) if fn.endswith(".json")
+    ]
+    version = (max(existing) + 1) if existing else 1
+    manifest = load_manifest(out_dir)
+    rec = {
+        "version": version,
+        "created_at": time.time(),
+        "partitions": {
+            k: m["content_hash"] for k, m in manifest.items()
+        },
+    }
+    tmp = os.path.join(sdir, f".{version}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, os.path.join(sdir, f"{version}.json"))
+    return version
+
+
+def read_snapshot(out_dir: str, version: int):
+    """Read the table AS OF ``version``: only the partitions that
+    snapshot recorded, verified against the live manifest — a
+    partition rewritten since (content hash changed) raises instead of
+    silently mixing histories.  Returns a ray Dataset."""
+    import ray.data as rd
+
+    path = os.path.join(out_dir, "_snapshots", f"{version}.json")
+    with open(path) as f:
+        snap = json.load(f)
+    live = load_manifest(out_dir)
+    files = []
+    for k, h in snap["partitions"].items():
+        cur = live.get(k)
+        if cur is None:
+            raise FileNotFoundError(
+                f"snapshot v{version} partition {k!r} no longer exists"
+            )
+        if cur["content_hash"] != h:
+            raise ValueError(
+                f"snapshot v{version} partition {k!r} was rewritten "
+                f"(content hash changed) — history is not recoverable"
+            )
+        files.append(os.path.join(out_dir, f"part={k}", "data.parquet"))
+    if not files:
+        raise ValueError(f"snapshot v{version} is empty")
+    return rd.read_parquet(files)

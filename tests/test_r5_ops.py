@@ -761,3 +761,39 @@ def test_setsim_shingleless_duplicates_emit_no_pairs():
     })
     got2 = setsim_join_pairs(rd.from_arrow(t2)).to_pandas()
     assert len(got2) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_time_travel_snapshots(tmp_path):
+    import ray.data as rd
+
+    from geodata_ray.state.lineage import (
+        commit_snapshot,
+        read_snapshot,
+        write_partitioned_resumable,
+    )
+
+    root = str(tmp_path / "tt")
+    t1 = pa.table({"k": pa.array(["a", "a", "b"], pa.string()),
+                   "v": pa.array([1, 2, 3], pa.int64())})
+    write_partitioned_resumable(rd.from_arrow(t1), root, "k")
+    v1 = commit_snapshot(root)
+    t2 = pa.table({"k": pa.array(["c", "c"], pa.string()),
+                   "v": pa.array([4, 5], pa.int64())})
+    write_partitioned_resumable(rd.from_arrow(t2), root, "k")
+    v2 = commit_snapshot(root)
+    assert (v1, v2) == (1, 2)
+
+    old = read_snapshot(root, v1).to_pandas()
+    assert sorted(old["v"].tolist()) == [1, 2, 3]
+    new = read_snapshot(root, v2).to_pandas()
+    assert sorted(new["v"].tolist()) == [1, 2, 3, 4, 5]
+
+    # rewriting partition 'a' breaks v1's history -> read refuses
+    t3 = pa.table({"k": pa.array(["a"], pa.string()),
+                   "v": pa.array([99], pa.int64())})
+    write_partitioned_resumable(
+        rd.from_arrow(t3), root, "k", stage_version="v2"
+    )
+    with pytest.raises(ValueError, match="rewritten"):
+        read_snapshot(root, v1).to_pandas()
