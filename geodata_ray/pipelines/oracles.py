@@ -3095,6 +3095,14 @@ _ORACLE_SQL_STATIC = {
           AND (m.n * b.cents - m.s) * (m.n * b.cents - m.s)
               > 9 * (m.n * m.ss - m.s * m.s)
     """,
+    # schema evolution: v1-writer rows surface with NULL event_type
+    "schema_evolution_read_events": """
+        SELECT event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CASE WHEN event_id % 2 = 1 THEN event_type END
+                   AS event_type
+        FROM events
+    """,
     # time travel: snapshot v1 must equal the plain timestamp filter
     "time_travel_events": """
         SELECT event_id, strftime(ts, '%Y-%m-%d') AS day,

@@ -5440,6 +5440,71 @@ def time_travel_events(sf_dir: str):
     return out.select_columns(["event_id", "day", "cents"])
 
 
+def schema_evolution_read_events(sf_dir: str):
+    """SCHEMA EVOLUTION read: half the table was written by a v1
+    writer (event_id, cents), the other half by a v2 writer that added
+    event_type — one unified read with typed nulls for the missing
+    column, no file ever rewritten (the lakehouse add-column
+    contract).  The oracle replays the writer split with a CASE."""
+    from geodata_ray.state.lineage import fingerprint_files
+    from geodata_ray.state.zonemap import read_evolved
+
+    tag = fingerprint_files([f"{sf_dir}/events.parquet"])[:16]
+    root = f"/tmp/geodata_schevo/v1/{tag}"
+    if not os.path.exists(root):
+        ds = _read(
+            sf_dir, "events", columns=["event_id", "value", "event_type"]
+        )
+
+        def prep(batch: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.round(pc.multiply(
+                    pc.cast(batch["value"], pa.float64()), 100.0)),
+                pa.int64(),
+            )
+            return pa.table(
+                {
+                    "event_id": batch["event_id"],
+                    "cents": cents,
+                    "event_type": batch["event_type"],
+                }
+            )
+
+        prepped = ds.map_batches(prep, batch_format="pyarrow")
+        build = f"{root}.tmp.{os.getpid()}"
+
+        def half(parity, cols):
+            def f(batch: pa.Table) -> pa.Table:
+                ids = batch["event_id"].to_numpy(zero_copy_only=False)
+                return batch.filter(
+                    pa.array(ids % 2 == parity)
+                ).select(cols)
+
+            return f
+
+        prepped.map_batches(
+            half(0, ["event_id", "cents"]), batch_format="pyarrow"
+        ).write_parquet(f"{build}/writer_v1")
+        prepped.map_batches(
+            half(1, ["event_id", "cents", "event_type"]),
+            batch_format="pyarrow",
+        ).write_parquet(f"{build}/writer_v2")
+        try:
+            os.rename(build, root)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(build, ignore_errors=True)
+    target = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("cents", pa.int64()),
+            ("event_type", pa.string()),
+        ]
+    )
+    return read_evolved(root, target)
+
+
 RAY_QUERIES = {
     # -- rotation block: 8 queries displaced from the r3 window (all were
     #    driver-green in CORRECTNESS_r02) --
@@ -5534,6 +5599,7 @@ RAY_QUERIES = {
     "bot_signature_users": bot_signature_users,
     "url_templates_docs": url_templates_docs,
     "time_travel_events": time_travel_events,
+    "schema_evolution_read_events": schema_evolution_read_events,
     "pivot_event_types_daily": pivot_event_types_daily,
     "ip_range_lookup_events": ip_range_lookup_events,
     "user_value_trend_events": user_value_trend_events,

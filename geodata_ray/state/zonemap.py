@@ -106,3 +106,59 @@ def pruned_range_read(
         len(stats),
         0 if pruned_to_zero else len(keep),
     )
+
+
+def read_evolved(root: str, target: "pa.Schema"):
+    """SCHEMA EVOLUTION on read: a directory written over time by
+    writers with different column sets reads back as ONE dataset with
+    the target schema — files missing a column contribute typed nulls
+    (the lakehouse add-column contract; files are never rewritten).
+    Files are grouped by their footer's column set and each group is
+    one ``read_parquet`` (so pruning still works per group); a file
+    with a column whose TYPE conflicts with the target raises instead
+    of casting silently."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    groups: dict[tuple, list[str]] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            path = os.path.join(dirpath, f)
+            sch = pq.read_schema(path)
+            names = tuple(n for n in target.names if n in sch.names)
+            for n in names:
+                have = sch.field(n).type
+                want = target.field(n).type
+                if have != want:
+                    raise TypeError(
+                        f"{path}: column {n!r} is {have}, target wants "
+                        f"{want} — schema evolution only ADDS columns"
+                    )
+            groups.setdefault(names, []).append(path)
+    if not groups:
+        raise FileNotFoundError(f"no parquet files under {root}")
+
+    def conform(names):
+        def f(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for fld in target:
+                if fld.name in names:
+                    cols[fld.name] = batch[fld.name]
+                else:
+                    cols[fld.name] = pa.nulls(batch.num_rows, fld.type)
+            return pa.table(cols)
+
+        return f
+
+    parts = []
+    for names, paths in sorted(groups.items()):
+        ds = rd.read_parquet(paths, columns=list(names))
+        parts.append(
+            ds.map_batches(conform(names), batch_format="pyarrow")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

@@ -797,3 +797,39 @@ def test_time_travel_snapshots(tmp_path):
     )
     with pytest.raises(ValueError, match="rewritten"):
         read_snapshot(root, v1).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_evolved_fills_and_refuses(tmp_path):
+    import pyarrow.parquet as pq
+
+    from geodata_ray.state.zonemap import read_evolved
+
+    root = str(tmp_path / "evo")
+    import os
+
+    os.makedirs(f"{root}/old")
+    os.makedirs(f"{root}/new")
+    pq.write_table(
+        pa.table({"a": pa.array([1, 2], pa.int64())}), f"{root}/old/f1.parquet"
+    )
+    pq.write_table(
+        pa.table({"a": pa.array([3], pa.int64()),
+                  "b": pa.array(["x"], pa.string())}),
+        f"{root}/new/f2.parquet",
+    )
+    target = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    got = read_evolved(root, target).to_pandas().sort_values(
+        "a", ignore_index=True
+    )
+    assert got["a"].tolist() == [1, 2, 3]
+    assert got["b"].tolist()[:2] == [None, None] and got["b"][2] == "x"
+
+    # type conflict refuses instead of casting
+    os.makedirs(f"{root}/bad")
+    pq.write_table(
+        pa.table({"a": pa.array([1.5], pa.float64())}),
+        f"{root}/bad/f3.parquet",
+    )
+    with pytest.raises(TypeError, match="ADDS columns"):
+        read_evolved(root, target)
