@@ -3095,6 +3095,20 @@ _ORACLE_SQL_STATIC = {
           AND (m.n * b.cents - m.s) * (m.n * b.cents - m.s)
               > 9 * (m.n * m.ss - m.s * m.s)
     """,
+    # MERGE INTO: LEFT JOIN change set + CASE, inserts unioned
+    "merge_upsert_events": """
+        WITH base AS (
+          SELECT event_id AS id,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT id,
+               CASE WHEN id % 10 = 0 THEN cents + 100 ELSE cents END
+                   AS cents
+        FROM base WHERE id % 10 <> 1
+        UNION ALL
+        SELECT id + 1000000000, cents + 5 FROM base WHERE id % 10 = 2
+    """,
     # schema evolution: v1-writer rows surface with NULL event_type
     "schema_evolution_read_events": """
         SELECT event_id,

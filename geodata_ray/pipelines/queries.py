@@ -5505,6 +5505,90 @@ def schema_evolution_read_events(sf_dir: str):
     return read_evolved(root, target)
 
 
+def merge_upsert_events(sf_dir: str):
+    """MERGE INTO (upsert apply — the write-side complement of the
+    crawl-diff CDC operator): a change set of Updates, Deletes and
+    Inserts applies onto the base table in ONE keyed exchange — per
+    key, the change row wins over the base row; deletes drop, updates
+    replace, inserts land.  Change set derived deterministically from
+    the base (id%10: 0=update +100 cents, 1=delete, 2=insert id+10^9
+    at cents+5); the oracle replays it with a LEFT JOIN + CASE."""
+    from geodata_ray.stages.windows import _tag_bucket
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["event_id"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        m = ids % 10
+        # base rows (is_change=0)
+        out_id = [ids]
+        out_c = [cents]
+        out_ch = [np.zeros(len(ids), np.int64)]
+        out_op = [np.full(len(ids), "B", dtype=object)]
+        # updates
+        upd = m == 0
+        out_id.append(ids[upd])
+        out_c.append(cents[upd] + 100)
+        out_ch.append(np.ones(int(upd.sum()), np.int64))
+        out_op.append(np.full(int(upd.sum()), "U", dtype=object))
+        # deletes
+        del_ = m == 1
+        out_id.append(ids[del_])
+        out_c.append(np.zeros(int(del_.sum()), np.int64))
+        out_ch.append(np.ones(int(del_.sum()), np.int64))
+        out_op.append(np.full(int(del_.sum()), "D", dtype=object))
+        # inserts (new keys)
+        ins = m == 2
+        out_id.append(ids[ins] + 1_000_000_000)
+        out_c.append(cents[ins] + 5)
+        out_ch.append(np.ones(int(ins.sum()), np.int64))
+        out_op.append(np.full(int(ins.sum()), "I", dtype=object))
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate(out_id)),
+                "cents": pa.array(np.concatenate(out_c)),
+                "is_change": pa.array(np.concatenate(out_ch)),
+                "op": pa.array(
+                    np.concatenate(out_op).tolist(), pa.string()
+                ),
+            }
+        )
+
+    def apply_merge(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        ch = t["is_change"].to_numpy(zero_copy_only=False)
+        op = np.asarray(t["op"].to_pylist(), dtype=object)
+        order = np.lexsort((ch, ids))  # change row LAST per key
+        ids, cents, ch, op = (
+            ids[order], cents[order], ch[order], op[order]
+        )
+        last = np.ones(ids.size, dtype=bool)
+        last[:-1] = ids[:-1] != ids[1:]
+        keep = last & (op != "D")
+        return pa.table(
+            {
+                "id": pa.array(ids[keep]),
+                "cents": pa.array(cents[keep]),
+            }
+        )
+
+    bucketed = _tag_bucket(
+        ds.map_batches(prep, batch_format="pyarrow"), "id", 32
+    )
+    return bucketed.groupby("__b").map_groups(
+        lambda g: apply_merge(g.drop_columns(["__b"])),
+        batch_format="pyarrow",
+    )
+
+
 RAY_QUERIES = {
     # -- rotation block: 8 queries displaced from the r3 window (all were
     #    driver-green in CORRECTNESS_r02) --
@@ -5600,6 +5684,7 @@ RAY_QUERIES = {
     "url_templates_docs": url_templates_docs,
     "time_travel_events": time_travel_events,
     "schema_evolution_read_events": schema_evolution_read_events,
+    "merge_upsert_events": merge_upsert_events,
     "pivot_event_types_daily": pivot_event_types_daily,
     "ip_range_lookup_events": ip_range_lookup_events,
     "user_value_trend_events": user_value_trend_events,

@@ -833,3 +833,27 @@ def test_read_evolved_fills_and_refuses(tmp_path):
     )
     with pytest.raises(TypeError, match="ADDS columns"):
         read_evolved(root, target)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_upsert_semantics():
+    from geodata_ray.pipelines.queries import merge_upsert_events
+    from tests.conftest import SF_DIR
+
+    import pandas as pd
+
+    got = merge_upsert_events(SF_DIR).to_pandas()
+    base = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                           columns=["event_id", "value"])
+    base["cents"] = (base["value"] * 100).round().astype("int64")
+    m = base["event_id"] % 10
+    n_del = int((m == 1).sum())
+    n_ins = int((m == 2).sum())
+    assert len(got) == len(base) - n_del + n_ins
+    g = got.set_index("id")["cents"]
+    for _, r in base[m == 0].head(5).iterrows():
+        assert g[r["event_id"]] == r["cents"] + 100  # updated
+    assert not set(base[m == 1]["event_id"]) & set(got["id"])  # deleted
+    ins = base[m == 2].head(5)
+    for _, r in ins.iterrows():
+        assert g[r["event_id"] + 1_000_000_000] == r["cents"] + 5
