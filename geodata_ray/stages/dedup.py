@@ -1663,6 +1663,13 @@ def setsim_join_pairs(
         new[1:] = rep[1:] != rep[:-1]
         starts = np.flatnonzero(new)
         counts = np.diff(np.append(starts, ids.size))
+        if counts.size and int(counts.max()) > 100_000:
+            raise ValueError(
+                f"same-text group of {int(counts.max())} copies would "
+                "expand to C(g,2) pairs — run exact dedup (keep-first) "
+                "before the similarity join instead of enumerating "
+                "billions of identical pairs"
+            )
         out_a, out_b = [], []
         kmax = int(counts.max()) if counts.size else 0
         for i in range(kmax):
