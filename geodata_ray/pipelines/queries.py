@@ -5417,7 +5417,9 @@ def time_travel_events(sf_dir: str):
         # snapshot history
         build = f"{root}.tmp.{os.getpid()}"
         ds = _read(sf_dir, "events", columns=["event_id", "ts", "value"])
-        prepped = ds.map_batches(prep, batch_format="pyarrow")
+        # materialize once: both writes consume prepped, and lazy
+        # re-execution would scan+prep the source twice
+        prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
         early = prepped.filter(
             expr=f"ts_us < {int(cut.astype('int64'))}"
         )
@@ -5526,6 +5528,10 @@ def merge_upsert_events(sf_dir: str):
                                  100.0)),
             pa.int64(),
         ).to_numpy(zero_copy_only=False)
+        if ids.size and int(ids.max()) >= 1_000_000_000:
+            raise ValueError(
+                "insert-key offset collides with base event_ids >= 1e9"
+            )
         m = ids % 10
         # base rows (is_change=0)
         out_id = [ids]

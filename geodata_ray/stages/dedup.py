@@ -1480,6 +1480,7 @@ def setsim_join_pairs(
     threshold_num: int = 7,
     threshold_den: int = 10,
     num_buckets: int = 32,
+    max_group: int = 4_000,
 ):
     """EXACT set-similarity self-join (Jaccard >= num/den over k-gram
     shingle sets, id_a < id_b, recall 1): exact-duplicate texts are
@@ -1663,12 +1664,13 @@ def setsim_join_pairs(
         new[1:] = rep[1:] != rep[:-1]
         starts = np.flatnonzero(new)
         counts = np.diff(np.append(starts, ids.size))
-        if counts.size and int(counts.max()) > 100_000:
+        if counts.size and int(counts.max()) > max_group:
+            g = int(counts.max())
             raise ValueError(
-                f"same-text group of {int(counts.max())} copies would "
-                "expand to C(g,2) pairs — run exact dedup (keep-first) "
-                "before the similarity join instead of enumerating "
-                "billions of identical pairs"
+                f"same-text group of {g} copies would expand to "
+                f"C({g},2) = {g * (g - 1) // 2} identical pairs — run "
+                "exact dedup (keep-first) before the similarity join "
+                "instead of enumerating them"
             )
         out_a, out_b = [], []
         kmax = int(counts.max()) if counts.size else 0

@@ -264,23 +264,32 @@ def commit_snapshot(out_dir: str) -> int:
     loudly instead of serving silently wrong history."""
     sdir = os.path.join(out_dir, "_snapshots")
     os.makedirs(sdir, exist_ok=True)
-    existing = [
-        int(fn[:-5]) for fn in os.listdir(sdir) if fn.endswith(".json")
-    ]
-    version = (max(existing) + 1) if existing else 1
     manifest = load_manifest(out_dir)
-    rec = {
-        "version": version,
-        "created_at": time.time(),
-        "partitions": {
-            k: m["content_hash"] for k, m in manifest.items()
-        },
-    }
-    tmp = os.path.join(sdir, f".{version}.tmp")
-    with open(tmp, "w") as f:
-        json.dump(rec, f)
-    os.replace(tmp, os.path.join(sdir, f"{version}.json"))
-    return version
+    partitions = {k: m["content_hash"] for k, m in manifest.items()}
+    while True:
+        existing = [
+            int(fn[:-5]) for fn in os.listdir(sdir)
+            if fn.endswith(".json")
+        ]
+        version = (max(existing) + 1) if existing else 1
+        rec = {
+            "version": version,
+            "created_at": time.time(),
+            "partitions": partitions,
+        }
+        # O_CREAT|O_EXCL makes version allocation atomic: two
+        # concurrent committers can never clobber each other's record
+        # (an os.replace would silently overwrite the loser's history)
+        try:
+            fd = os.open(
+                os.path.join(sdir, f"{version}.json"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            json.dump(rec, f)
+        return version
 
 
 def read_snapshot(out_dir: str, version: int):
@@ -288,8 +297,6 @@ def read_snapshot(out_dir: str, version: int):
     snapshot recorded, verified against the live manifest — a
     partition rewritten since (content hash changed) raises instead of
     silently mixing histories.  Returns a ray Dataset."""
-    import ray.data as rd
-
     path = os.path.join(out_dir, "_snapshots", f"{version}.json")
     with open(path) as f:
         snap = json.load(f)
@@ -306,7 +313,10 @@ def read_snapshot(out_dir: str, version: int):
                 f"snapshot v{version} partition {k!r} was rewritten "
                 f"(content hash changed) — history is not recoverable"
             )
-        files.append(os.path.join(out_dir, f"part={k}", "data.parquet"))
+        files.append(k)
     if not files:
         raise ValueError(f"snapshot v{version} is empty")
-    return rd.read_parquet(files)
+    # read_part_dirs passes partitioning=None: the part=<key>/ path
+    # segments are lineage structure, and hive inference would inject
+    # a spurious 'part' column into every AS-OF read
+    return read_part_dirs(out_dir, files)

@@ -128,6 +128,12 @@ def read_evolved(root: str, target: "pa.Schema"):
             path = os.path.join(dirpath, f)
             sch = pq.read_schema(path)
             names = tuple(n for n in target.names if n in sch.names)
+            if not names:
+                raise TypeError(
+                    f"{path}: no column overlaps the target schema — "
+                    "its rows would silently vanish from the unified "
+                    "read (columns=[] reads zero rows)"
+                )
             for n in names:
                 have = sch.field(n).type
                 want = target.field(n).type

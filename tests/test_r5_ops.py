@@ -857,3 +857,53 @@ def test_merge_upsert_semantics():
     ins = base[m == 2].head(5)
     for _, r in ins.iterrows():
         assert g[r["event_id"] + 1_000_000_000] == r["cents"] + 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_setsim_group_expansion_guard():
+    import ray.data as rd
+
+    from geodata_ray.stages.dedup import setsim_join_pairs
+
+    texts = ["aa bb cc dd ee"] * 6 + ["zz yy xx ww vv"]
+    t = pa.table({
+        "doc_id": pa.array(range(7), pa.int64()),
+        "text": pa.array(texts),
+    })
+    with pytest.raises(Exception, match="exact dedup"):
+        setsim_join_pairs(rd.from_arrow(t), max_group=5).to_pandas()
+    # same corpus passes with the default bound
+    out = setsim_join_pairs(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 15  # C(6,2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_snapshot_no_hive_column_and_disjoint_refusal(tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from geodata_ray.state.lineage import (
+        commit_snapshot,
+        read_snapshot,
+        write_partitioned_resumable,
+    )
+    from geodata_ray.state.zonemap import read_evolved
+
+    root = str(tmp_path / "tt2")
+    t1 = pa.table({"k": pa.array(["a", "b"], pa.string()),
+                   "v": pa.array([1, 2], pa.int64())})
+    write_partitioned_resumable(rd.from_arrow(t1), root, "k")
+    v1 = commit_snapshot(root)
+    got = read_snapshot(root, v1).to_pandas()
+    # hive inference must NOT inject a 'part' column
+    assert sorted(got.columns) == ["k", "v"]
+
+    # read_evolved: a zero-overlap file refuses instead of vanishing
+    import os
+
+    evo = str(tmp_path / "evo2")
+    os.makedirs(evo)
+    pq.write_table(pa.table({"other": pa.array([1], pa.int64())}),
+                   f"{evo}/f.parquet")
+    with pytest.raises(TypeError, match="no column overlaps"):
+        read_evolved(evo, pa.schema([("a", pa.int64())]))
