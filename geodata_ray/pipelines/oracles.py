@@ -3095,6 +3095,31 @@ _ORACLE_SQL_STATIC = {
           AND (m.n * b.cents - m.s) * (m.n * b.cents - m.s)
               > 9 * (m.n * m.ss - m.s * m.s)
     """,
+    # weighted mean as exact (num, den) integer ratio
+    "weighted_discount_lineitem": """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                        * CAST(ROUND(l_discount * 100) AS BIGINT))
+                    AS BIGINT) AS wnum,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS wden
+        FROM lineitem GROUP BY 1
+    """,
+    # day-over-day delta: LAG guarded to consecutive calendar days
+    "daily_delta_events": """
+        WITH d AS (
+          SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                     AS cents
+          FROM events GROUP BY 1
+        )
+        SELECT day, cents,
+               CASE WHEN day - LAG(day) OVER (ORDER BY day)
+                         = INTERVAL 1 DAY
+                    THEN cents - LAG(cents) OVER (ORDER BY day)
+               END AS delta_cents
+        FROM d
+    """,
     # MERGE INTO: LEFT JOIN change set + CASE, inserts unioned
     "merge_upsert_events": """
         WITH base AS (

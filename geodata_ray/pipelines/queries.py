@@ -5595,6 +5595,102 @@ def merge_upsert_events(sf_dir: str):
     )
 
 
+def weighted_discount_lineitem(sf_dir: str):
+    """Weighted aggregate as an EXACT integer ratio: per return flag,
+    the quantity-weighted average discount exposed as (numerator =
+    sum qty*disc_bp, denominator = sum qty) — the weighted-mean family
+    without a single float division (consumers divide downstream)."""
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(batch["l_quantity"]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        bp = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["l_discount"],
+                                         pa.float64()), 100.0)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "wnum": pa.array(qty * bp),
+                "wden": pa.array(qty),
+            }
+        )
+
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    return grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag"],
+        [("wnum", "sum", "wnum"), ("wden", "sum", "wden")],
+    )
+
+
+def daily_delta_events(sf_dir: str):
+    """Day-over-day change report: daily cents totals plus the LAG
+    delta vs the previous CALENDAR day (null when yesterday had no
+    rows — a gap is not a zero).  The daily table is bounded, so the
+    shift is the documented single-block merge after one pre-combined
+    exchange."""
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "day": pc.floor_temporal(
+                    batch["ts"].cast(pa.timestamp("us")), unit="day"
+                ),
+                "cents": cents,
+            }
+        )
+
+    daily = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["day"],
+        [("cents", "sum", "cents")],
+    )
+
+    def shift(batch: pa.Table) -> pa.Table:
+        day = batch["day"].cast(pa.timestamp("us")).cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        order = np.argsort(day)
+        day, cents = day[order], cents[order]
+        prev = np.empty_like(cents)
+        prev[1:] = cents[:-1]
+        one_day = 86_400_000_000
+        has_prev = np.zeros(day.size, dtype=bool)
+        if day.size > 1:
+            has_prev[1:] = day[1:] - day[:-1] == one_day
+        delta = cents - prev
+        return pa.table(
+            {
+                "day": pa.array(day).cast(pa.timestamp("us")),
+                "cents": pa.array(cents),
+                "delta_cents": pa.array(
+                    delta, pa.int64(), mask=~has_prev
+                ),
+            }
+        )
+
+    return daily.repartition(1).map_batches(
+        shift, batch_format="pyarrow", batch_size=None
+    )
+
+
 RAY_QUERIES = {
     # -- rotation block: 8 queries displaced from the r3 window (all were
     #    driver-green in CORRECTNESS_r02) --
@@ -5691,6 +5787,8 @@ RAY_QUERIES = {
     "time_travel_events": time_travel_events,
     "schema_evolution_read_events": schema_evolution_read_events,
     "merge_upsert_events": merge_upsert_events,
+    "weighted_discount_lineitem": weighted_discount_lineitem,
+    "daily_delta_events": daily_delta_events,
     "pivot_event_types_daily": pivot_event_types_daily,
     "ip_range_lookup_events": ip_range_lookup_events,
     "user_value_trend_events": user_value_trend_events,

@@ -907,3 +907,38 @@ def test_read_snapshot_no_hive_column_and_disjoint_refusal(tmp_path):
                    f"{evo}/f.parquet")
     with pytest.raises(TypeError, match="no column overlaps"):
         read_evolved(evo, pa.schema([("a", pa.int64())]))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_ratio_and_daily_delta():
+    import pandas as pd
+
+    from geodata_ray.pipelines.queries import (
+        daily_delta_events,
+        weighted_discount_lineitem,
+    )
+    from tests.conftest import SF_DIR
+
+    w = weighted_discount_lineitem(SF_DIR).to_pandas()
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_discount"])
+    li["q"] = li["l_quantity"].round().astype("int64")
+    li["bp"] = (li["l_discount"] * 100).round().astype("int64")
+    for _, r in w.iterrows():
+        sub = li[li["l_returnflag"] == r["l_returnflag"]]
+        assert r["wnum"] == int((sub["q"] * sub["bp"]).sum())
+        assert r["wden"] == int(sub["q"].sum())
+
+    d = daily_delta_events(SF_DIR).to_pandas().sort_values(
+        "day", ignore_index=True
+    )
+    # first day has no predecessor
+    assert pd.isna(d["delta_cents"].iloc[0])
+    # consecutive-day deltas replay
+    for i in range(1, len(d)):
+        gap = (d["day"][i] - d["day"][i - 1]).days
+        if gap == 1:
+            assert d["delta_cents"][i] == d["cents"][i] - d["cents"][i - 1]
+        else:
+            assert pd.isna(d["delta_cents"][i])
