@@ -5692,8 +5692,96 @@ def daily_delta_events(sf_dir: str):
 
 
 RAY_QUERIES = {
-    # -- rotation block: 8 queries displaced from the r3 window (all were
-    #    driver-green in CORRECTNESS_r02) --
+    # -- r5 driver window (50 slots): queries that have never held an
+    #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
+    #    the late-r4 block (first 25 in debut order, with fuzzy_match_parts
+    #    and skyline_orders swapped in for daily_distinct_users /
+    #    daily_hll_users, whose operator families already hold green
+    #    driver rows).  Rotation recorded in COVERAGE.md; guarded by
+    #    tools/check_window.py. --
+    "outlier_events_zscore": outlier_events_zscore,
+    "rrf_fusion_docs": rrf_fusion_docs,
+    "setsim_join_docs": setsim_join_docs,
+    "semdedup_embeddings": semdedup_embeddings,
+    "zonemap_pruned_scan_events": zonemap_pruned_scan_events,
+    "bpe_pair_counts_docs": bpe_pair_counts_docs,
+    "entity_resolution_customers": entity_resolution_customers,
+    "dq_suite_events": dq_suite_events,
+    "scd2_intervals_users": scd2_intervals_users,
+    "geohash_events": geohash_events,
+    "trailing_window_count_events": trailing_window_count_events,
+    "resize_checksum_images": resize_checksum_images,
+    "audio_energy_frames": audio_energy_frames,
+    "cube_daily_type_events": cube_daily_type_events,
+    "scene_deltas_video": scene_deltas_video,
+    "vocab_coverage_docs": vocab_coverage_docs,
+    "crawl_frontier_order": crawl_frontier_order,
+    "langid_margin_docs": langid_margin_docs,
+    "bot_signature_users": bot_signature_users,
+    "url_templates_docs": url_templates_docs,
+    "time_travel_events": time_travel_events,
+    "schema_evolution_read_events": schema_evolution_read_events,
+    "merge_upsert_events": merge_upsert_events,
+    "weighted_discount_lineitem": weighted_discount_lineitem,
+    "daily_delta_events": daily_delta_events,
+    "normalize_text_docs": normalize_text_docs,
+    "bloom_probe_events": bloom_probe_events,
+    "tfidf_retrieval_docs": tfidf_retrieval_docs,
+    "perplexity_buckets_docs": perplexity_buckets_docs,
+    "cdc_chunks_docs": cdc_chunks_docs,
+    "cdc_dup_spans_docs": cdc_dup_spans_docs,
+    "pretrain_pipeline_docs": pretrain_pipeline_docs,
+    "classifier_score_docs": classifier_score_docs,
+    "crawl_diff_docs": crawl_diff_docs,
+    "inverted_index_docs": inverted_index_docs,
+    "zonal_stats_events": zonal_stats_events,
+    "kring_smooth_raster": kring_smooth_raster,
+    "trajectory_stats_events": trajectory_stats_events,
+    "bloom_join_lineitem": bloom_join_lineitem,
+    "grouped_quantiles_events": grouped_quantiles_events,
+    "image_ahash_dups": image_ahash_dups,
+    "triangle_counts_hosts": triangle_counts_hosts,
+    "corpus_stats_docs": corpus_stats_docs,
+    "windowed_dedup_events": windowed_dedup_events,
+    "knn_classify_embeddings": knn_classify_embeddings,
+    "funnel_users_events": funnel_users_events,
+    "bm25_retrieval_docs": bm25_retrieval_docs,
+    "curriculum_pack_docs": curriculum_pack_docs,
+    "fuzzy_match_parts": fuzzy_match_parts,
+    "skyline_orders": skyline_orders,
+    # -- still never-windowed (28): green in the identical local gate
+    #    (tools/check_correctness.py); no external row — the 50-slot
+    #    window cannot hold all 78 rotation candidates. --
+    "daily_distinct_users": daily_distinct_users,
+    "daily_hll_users": daily_hll_users,
+    "s2_tokens_events": s2_tokens_events,
+    "q5_region_supplier_volume": q5_region_supplier_volume,
+    "rollup_daily_events": rollup_daily_events,
+    "pivot_event_types_daily": pivot_event_types_daily,
+    "ip_range_lookup_events": ip_range_lookup_events,
+    "user_value_trend_events": user_value_trend_events,
+    "bfs_hosts_2hop": bfs_hosts_2hop,
+    "grid_clusters_events": grid_clusters_events,
+    "winsorized_value_events": winsorized_value_events,
+    "session_attribution_users": session_attribution_users,
+    "pmi_bigrams_docs": pmi_bigrams_docs,
+    "zorder_rank_events": zorder_rank_events,
+    "incremental_daily_merge": incremental_daily_merge,
+    "top_event_type_per_user": top_event_type_per_user,
+    "cohort_retention_users": cohort_retention_users,
+    "ewma_user_values": ewma_user_values,
+    "type_pair_support_events": type_pair_support_events,
+    "percentile_rank_events": percentile_rank_events,
+    "retained_users_events": retained_users_events,
+    "value_histogram_events": value_histogram_events,
+    "integrity_audit": integrity_audit,
+    "golden_record_users": golden_record_users,
+    "type_sequence_counts": type_sequence_counts,
+    "moment_matrix_lineitem": moment_matrix_lineitem,
+    "partition_checksums_events": partition_checksums_events,
+    "compact_files_roundtrip": compact_files_roundtrip,
+    # -- r5 additions slot in here (before the backfill) --
+    # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
     "winddir_grid": winddir_grid,
@@ -5702,8 +5790,6 @@ RAY_QUERIES = {
     "raster_filter_trim": raster_filter_trim,
     "raster_resample_r5": raster_resample_r5,
     "raster_min_area": raster_min_area,
-    # -- rotation block: 20 queries that never had a driver row (green in the
-    #    identical local gate, tools/check_correctness.py) --
     "raster_min_area_km2": raster_min_area_km2,
     "knn_events_gazetteer": knn_events_gazetteer,
     "wind_model_fit_grid": wind_model_fit_grid,
@@ -5724,7 +5810,6 @@ RAY_QUERIES = {
     "exact_quantiles_events": exact_quantiles_events,
     "ts_series_grid": ts_series_grid,
     "heatmap_grid": heatmap_grid,
-    # -- round-4 additions slot in here (before the backfill) --
     "repetition_stats_docs": repetition_stats_docs,
     "near_dup_keep_docs": near_dup_keep_docs,
     "pack_sequences_docs": pack_sequences_docs,
@@ -5747,87 +5832,6 @@ RAY_QUERIES = {
     "pagerank_hosts_docs": pagerank_hosts_docs,
     "curation_pipeline_docs": curation_pipeline_docs,
     "chunk_documents_docs": chunk_documents_docs,
-    # r4 post-window additions (debut driver row expected in the r5
-    # rotation; the 50-slot window is exactly full above)
-    "normalize_text_docs": normalize_text_docs,
-    "bloom_probe_events": bloom_probe_events,
-    "tfidf_retrieval_docs": tfidf_retrieval_docs,
-    "perplexity_buckets_docs": perplexity_buckets_docs,
-    "cdc_chunks_docs": cdc_chunks_docs,
-    "cdc_dup_spans_docs": cdc_dup_spans_docs,
-    "pretrain_pipeline_docs": pretrain_pipeline_docs,
-    "classifier_score_docs": classifier_score_docs,
-    "crawl_diff_docs": crawl_diff_docs,
-    "inverted_index_docs": inverted_index_docs,
-    "zonal_stats_events": zonal_stats_events,
-    "kring_smooth_raster": kring_smooth_raster,
-    "trajectory_stats_events": trajectory_stats_events,
-    "bloom_join_lineitem": bloom_join_lineitem,
-    "grouped_quantiles_events": grouped_quantiles_events,
-    "daily_distinct_users": daily_distinct_users,
-    "image_ahash_dups": image_ahash_dups,
-    "triangle_counts_hosts": triangle_counts_hosts,
-    "corpus_stats_docs": corpus_stats_docs,
-    "windowed_dedup_events": windowed_dedup_events,
-    "knn_classify_embeddings": knn_classify_embeddings,
-    "funnel_users_events": funnel_users_events,
-    "bm25_retrieval_docs": bm25_retrieval_docs,
-    "daily_hll_users": daily_hll_users,
-    "curriculum_pack_docs": curriculum_pack_docs,
-    "s2_tokens_events": s2_tokens_events,
-    "q5_region_supplier_volume": q5_region_supplier_volume,
-    "rollup_daily_events": rollup_daily_events,
-    "cube_daily_type_events": cube_daily_type_events,
-    "scene_deltas_video": scene_deltas_video,
-    "vocab_coverage_docs": vocab_coverage_docs,
-    "crawl_frontier_order": crawl_frontier_order,
-    "langid_margin_docs": langid_margin_docs,
-    "bot_signature_users": bot_signature_users,
-    "url_templates_docs": url_templates_docs,
-    "time_travel_events": time_travel_events,
-    "schema_evolution_read_events": schema_evolution_read_events,
-    "merge_upsert_events": merge_upsert_events,
-    "weighted_discount_lineitem": weighted_discount_lineitem,
-    "daily_delta_events": daily_delta_events,
-    "pivot_event_types_daily": pivot_event_types_daily,
-    "ip_range_lookup_events": ip_range_lookup_events,
-    "user_value_trend_events": user_value_trend_events,
-    "bfs_hosts_2hop": bfs_hosts_2hop,
-    "grid_clusters_events": grid_clusters_events,
-    "winsorized_value_events": winsorized_value_events,
-    "session_attribution_users": session_attribution_users,
-    "fuzzy_match_parts": fuzzy_match_parts,
-    "pmi_bigrams_docs": pmi_bigrams_docs,
-    "zorder_rank_events": zorder_rank_events,
-    "incremental_daily_merge": incremental_daily_merge,
-    "top_event_type_per_user": top_event_type_per_user,
-    "cohort_retention_users": cohort_retention_users,
-    "ewma_user_values": ewma_user_values,
-    "type_pair_support_events": type_pair_support_events,
-    "percentile_rank_events": percentile_rank_events,
-    "retained_users_events": retained_users_events,
-    "value_histogram_events": value_histogram_events,
-    "integrity_audit": integrity_audit,
-    "skyline_orders": skyline_orders,
-    "golden_record_users": golden_record_users,
-    "type_sequence_counts": type_sequence_counts,
-    "moment_matrix_lineitem": moment_matrix_lineitem,
-    "partition_checksums_events": partition_checksums_events,
-    "compact_files_roundtrip": compact_files_roundtrip,
-    "outlier_events_zscore": outlier_events_zscore,
-    "rrf_fusion_docs": rrf_fusion_docs,
-    "setsim_join_docs": setsim_join_docs,
-    "semdedup_embeddings": semdedup_embeddings,
-    "zonemap_pruned_scan_events": zonemap_pruned_scan_events,
-    "bpe_pair_counts_docs": bpe_pair_counts_docs,
-    "entity_resolution_customers": entity_resolution_customers,
-    "dq_suite_events": dq_suite_events,
-    "scd2_intervals_users": scd2_intervals_users,
-    "geohash_events": geohash_events,
-    "trailing_window_count_events": trailing_window_count_events,
-    "resize_checksum_images": resize_checksum_images,
-    "audio_energy_frames": audio_energy_frames,
-    # -- backfill: long-stable driver-green queries (r1-r3) fill the window --
     "q1_pricing_summary": q1_pricing_summary,
     "tiles_r7_events": tiles_r7_events,
     "bbox_filter_events": bbox_filter_events,

@@ -72,6 +72,10 @@ def main():
     # comparing at any other sf would yield silent value mismatches
     # that look like engine bugs — refuse instead.
     sys.path.insert(0, "/root/repo")
+    from tools.check_window import check as _check_window
+
+    _check_window()  # window-contract guard (VERDICT r4 #3)
+
     from geodata_ray.pipelines import queries as _q
 
     if sf_dir.rstrip("/") != _q._ORACLE_SF_DIR:
