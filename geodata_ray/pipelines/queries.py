@@ -5576,6 +5576,18 @@ def merge_upsert_events(sf_dir: str):
         ids, cents, ch, op = (
             ids[order], cents[order], ch[order], op[order]
         )
+        # MERGE presupposes unique base keys; keep-last would silently
+        # collapse duplicate base rows where the oracle's LEFT JOIN
+        # keeps every one — refuse instead (all rows of a key share a
+        # bucket, so the per-group check is complete).  After the
+        # lexsort, duplicate base rows are adjacent with is_change=0.
+        if ids.size > 1 and bool(
+            ((ids[1:] == ids[:-1]) & (ch[1:] == 0)).any()
+        ):
+            raise ValueError(
+                "merge_upsert: duplicate base-table key — MERGE "
+                "semantics require a unique merge key on the target"
+            )
         last = np.ones(ids.size, dtype=bool)
         last[:-1] = ids[:-1] != ids[1:]
         keep = last & (op != "D")

@@ -89,6 +89,14 @@ def grouped_zscore_outliers(
             batch = batch.filter(pc.is_valid(x))
             x = batch[value_col]
         xv = x.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # isqrt(2^63-1): any |x| above this wraps x*x in int64, and the
+        # downstream float64 overflow predictor would then operate on an
+        # already-corrupted SS — refuse here so SS is always exact.
+        if xv.size and int(np.abs(xv).max()) > 3_037_000_499:
+            raise OverflowError(
+                f"{value_col} magnitude exceeds isqrt(int64 max); "
+                "x*x would wrap — rescale the fixed-point input"
+            )
         cols = {key_col: batch[key_col]}
         for c in carry:
             cols[c] = batch[c]

@@ -857,15 +857,14 @@ def resolve_entities(ds, *, id_col: str, key_cols, cc_mode: str = "auto"):
     linked = assign.map_batches(rename, batch_format="pyarrow")
     # singleton records (no edge) keep their own id; the linked node
     # set is bounded by 2x edge count, small relative to the corpus
-    linked_ids = np.unique(
-        np.concatenate(
-            [
-                t["record_id"].to_numpy(zero_copy_only=False)
-                for t in ray.get(linked.to_arrow_refs())
-                if t.num_rows
-            ]
-        )
-        if linked.count()
+    linked_parts = [
+        t["record_id"].to_numpy(zero_copy_only=False)
+        for t in ray.get(linked.to_arrow_refs())
+        if t.num_rows
+    ]
+    linked_ids = (
+        np.unique(np.concatenate(linked_parts))
+        if linked_parts
         else np.empty(0, dtype=np.int64)
     )
     singles = anti_join(ids_only, linked_ids, id_col).map_batches(

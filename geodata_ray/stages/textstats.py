@@ -1139,7 +1139,11 @@ def bpe_pair_counts(ds, *, text_col: str = "text", min_count: int = 100):
         ).flatten()
         t = pa.table({"word": flat})
         out = t.group_by(["word"]).aggregate([([], "count_all")])
-        return out.rename_columns(["word", "n"])
+        # select by NAME: pyarrow has historically varied key-vs-
+        # aggregate column ORDER across versions, and a positional
+        # rename would silently swap word/count
+        ncol = next(c for c in out.column_names if c != "word")
+        return pa.table({"word": out["word"], "n": out[ncol]})
 
     vocab = grouped_aggregate(
         ds.map_batches(wcount, batch_format="pyarrow"),

@@ -942,3 +942,45 @@ def test_weighted_ratio_and_daily_delta():
             assert d["delta_cents"][i] == d["cents"][i] - d["cents"][i - 1]
         else:
             assert pd.isna(d["delta_cents"][i])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zscore_prep_refuses_square_overflow():
+    """ADVICE r4: |x| > isqrt(int64 max) would wrap x*x silently in the
+    prep stage, corrupting SS before the float64 predictor ever runs —
+    the stage must raise there instead."""
+    import ray.data as rd
+
+    from geodata_ray.stages.anomaly import grouped_zscore_outliers
+
+    t = pa.table({
+        "k": pa.array([1] * 10, pa.int64()),
+        "x": pa.array([3_037_000_500] + [0] * 9, pa.int64()),
+    })
+    with pytest.raises(Exception, match="isqrt"):
+        grouped_zscore_outliers(
+            rd.from_arrow(t), "k", "x", k2=9, min_n=8
+        ).materialize()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_upsert_refuses_duplicate_base_keys(tmp_path):
+    """ADVICE r4: keep-last would collapse duplicate base rows where
+    MERGE (and the oracle's LEFT JOIN) keeps every base row — the query
+    must refuse a non-unique merge key instead of silently deduping."""
+    import pyarrow.parquet as pq
+
+    from geodata_ray.pipelines.queries import merge_upsert_events
+
+    d = tmp_path / "dup"
+    d.mkdir()
+    # event_id 7 appears twice (7%10 != 0,1,2 → no change row targets it)
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([7, 7, 13, 24, 35], pa.int64()),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+        }),
+        str(d / "events.parquet"),
+    )
+    with pytest.raises(Exception, match="unique merge key"):
+        merge_upsert_events(str(d)).materialize()
