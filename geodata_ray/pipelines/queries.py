@@ -3936,7 +3936,7 @@ def compact_files_roundtrip(sf_dir: str):
     )
 
 
-def curation_chain(ds, *, host_mod: int = 97):
+def curation_chain(ds, *, host_mod: int = 97, flag_fn=None):
     """End-to-end corpus curation — the headline webtext chain, each
     stage an existing operator: language-ID keep-en -> quality rules
     (INTEGER-form Gopher bands: 3*ntok <= nchars <= 12*ntok,
@@ -3946,7 +3946,13 @@ def curation_chain(ds, *, host_mod: int = 97):
     ascending head).  Single fused filter+hash map stage, ONE hash-key
     shuffle, one bounded per-key head: the 100-TB shape is three
     exchanges total.  Shared by the gate query (host_mod=97) and the
-    sf1 stress case (host_mod=9973) so the two can never diverge."""
+    sf1 stress case (host_mod=9973) so the two can never diverge.
+
+    ``flag_fn`` (optional): a ``batch -> bool ndarray`` kernel run in
+    the SAME first scan (while text is still in hand) whose result is
+    carried through the chain as an int64 ``__flag`` column — the
+    one-scan fusion hook for decontamination (the flag is a pure
+    function of text, so min() over an exact-dup group preserves it)."""
     from geodata_ray.stages.dedup import hash_strings_nomemo
     from geodata_ray.stages.skew import salted_topk_per_key
     from geodata_ray.stages.textstats import langid_batch, token_stats_batch
@@ -3968,30 +3974,33 @@ def curation_chain(ds, *, host_mod: int = 97):
         )
         kept = batch.filter(pa.array(keep))
         h = hash_strings_nomemo(kept["text"].to_pylist())
-        return pa.table(
-            {
-                "doc_id": kept["doc_id"],
-                "text_hash": pa.array(h.astype(np.int64)),
-                "n_tokens": pa.array(ntok[keep]),
-            }
-        )
+        cols = {
+            "doc_id": kept["doc_id"],
+            "text_hash": pa.array(h.astype(np.int64)),
+            "n_tokens": pa.array(ntok[keep]),
+        }
+        if flag_fn is not None:
+            cols["__flag"] = pa.array(
+                np.asarray(flag_fn(kept), dtype=bool).astype(np.int64)
+            )
+        return pa.table(cols)
 
+    specs = [("doc_id", "min", "doc_id"), ("n_tokens", "min", "n_tokens")]
+    if flag_fn is not None:
+        specs.append(("__flag", "min", "__flag"))
     hashed = ds.map_batches(filt, batch_format="pyarrow")
-    kept = grouped_aggregate(
-        hashed,
-        ["text_hash"],
-        [("doc_id", "min", "doc_id"), ("n_tokens", "min", "n_tokens")],
-    )
+    kept = grouped_aggregate(hashed, ["text_hash"], specs)
 
     def add_host(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "host": pa.array(ids % host_mod),
-                "n_tokens": batch["n_tokens"],
-            }
-        )
+        cols = {
+            "doc_id": batch["doc_id"],
+            "host": pa.array(ids % host_mod),
+            "n_tokens": batch["n_tokens"],
+        }
+        if flag_fn is not None:
+            cols["__flag"] = batch["__flag"]
+        return pa.table(cols)
 
     hosted = kept.map_batches(add_host, batch_format="pyarrow")
     return salted_topk_per_key(
@@ -4380,17 +4389,22 @@ def pretrain_pipeline_docs(sf_dir: str):
     eval windows, contaminated ids anti-joined) -> Knuth-order
     sequence packing (distributed prefix-sum, seq_len=512).  The
     oracle wraps the SAME standalone curation and decontamination SQL
-    texts as CTEs, so the composition cannot drift from its parts."""
+    texts as CTEs, so the composition cannot drift from its parts.
+
+    FUSED (r5): the contamination check runs as a ``flag_fn`` inside
+    curation's first scan — ONE pass over the corpus text instead of
+    two, no hit-id driver round-trip, no anti-join exchange.  The flag
+    rides the hash-only shuffle as one int64 and the contaminated rows
+    drop AFTER the per-host cap, exactly where the oracle's anti-join
+    sits, so the output is bit-identical to the two-scan plan."""
     import pyarrow.parquet as pq
 
     import ray
 
     from geodata_ray.stages.packing import pack_sequences
-    from geodata_ray.stages.relational import anti_join
-    from geodata_ray.stages.textstats import ngram_decontaminate
+    from geodata_ray.stages.textstats import contamination_flag_fn
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    kept = curation_chain(docs, host_mod=97)
 
     ev = pq.read_table(
         f"{sf_dir}/documents.parquet",
@@ -4401,13 +4415,26 @@ def pretrain_pipeline_docs(sf_dir: str):
         pc.utf8_lower(ev["text"].combine_chunks().fill_null("")), " "
     )
     eval_ngrams = pc.binary_join(pc.list_slice(toks, 2, 10), " ")
-    hits = ngram_decontaminate(docs, eval_ngrams, n=8)
-    hit_tbl = pa.concat_tables(ray.get(hits.to_arrow_refs()))
-    # contaminated-id set is eval-scale-bounded: broadcast anti-join
-    hit_ids = (
-        hit_tbl["doc_id"].to_pylist() if len(hit_tbl) else [-1]
+    eval_ref = ray.put(
+        pa.array(eval_ngrams, type=pa.string())
+        if not isinstance(eval_ngrams, (pa.Array, pa.ChunkedArray))
+        else (
+            eval_ngrams.combine_chunks()
+            if isinstance(eval_ngrams, pa.ChunkedArray)
+            else eval_ngrams
+        )
     )
-    clean = anti_join(kept, hit_ids, "doc_id")
+    kept = curation_chain(
+        docs,
+        host_mod=97,
+        flag_fn=contamination_flag_fn(eval_ref, n=8),
+    )
+    clean = kept.map_batches(
+        lambda b: b.filter(pc.equal(b["__flag"], 0)).drop_columns(
+            ["__flag"]
+        ),
+        batch_format="pyarrow",
+    )
 
     def prep(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()

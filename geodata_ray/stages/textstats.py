@@ -653,6 +653,61 @@ class _NgramContaminationScorer:
         return out.rename_columns([self.id_col, "hit_ngrams"])
 
 
+_EVAL_SET_MEMO: dict = {}
+
+
+def contamination_flag_fn(
+    eval_ref,
+    *,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-batch contaminated-row FLAG kernel for fused scans: returns
+    a callable ``batch -> bool ndarray`` (True = the row shares an
+    ``n``-token window with the broadcast eval set) so a curation scan
+    can compute decontamination in the SAME pass over the corpus
+    instead of re-reading it (the :func:`ngram_decontaminate` plan is
+    two scans when composed; this is the one-scan form).  The eval
+    n-gram array is ``ray.get`` once per worker process via a
+    module-level memo — never re-shipped per batch."""
+
+    def flags(batch: pa.Table) -> np.ndarray:
+        key = eval_ref.hex() if hasattr(eval_ref, "hex") else id(eval_ref)
+        ev = _EVAL_SET_MEMO.get(key)
+        if ev is None:
+            try:
+                import ray
+
+                ev = (
+                    ray.get(eval_ref)
+                    if isinstance(eval_ref, ray.ObjectRef)
+                    else eval_ref
+                )
+            except Exception:
+                ev = eval_ref
+            if not isinstance(ev, (pa.Array, pa.ChunkedArray)):
+                ev = pa.array(list(ev), type=pa.string())
+            _EVAL_SET_MEMO.clear()
+            _EVAL_SET_MEMO[key] = ev
+        out = np.zeros(len(batch), dtype=bool)
+        if len(batch) == 0 or len(ev) == 0:
+            return out
+        ids, ngrams = _ngram_window_batch(
+            batch, id_col=id_col, text_col=text_col, n=n
+        )
+        if len(ngrams) == 0:
+            return out
+        hit = pc.is_in(ngrams, value_set=ev).to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return out
+        hit_ids = np.unique(ids[hit])
+        row_ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return np.isin(row_ids, hit_ids)
+
+    return flags
+
+
 def ngram_decontaminate(
     ds,
     eval_ngrams,
