@@ -113,6 +113,16 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     flagship_only = os.environ.get(
         "GRAFT_BENCH_FLAGSHIP_ONLY", ""
     ).lower() not in ("", "0", "false")
+    # --scaling subprocesses: flagship + the two shuffle-heavy
+    # pipelines whose 8-vs-32 efficiency BASELINE.md reports (the >=0.8
+    # bar must hold beyond the map-dominated flagship; VERDICT r4 #7)
+    if flagship_only:
+        for name in ("near_dup_keep_docs", "pagerank_hosts_docs"):
+            t0 = time.perf_counter()
+            RAY_QUERIES[name](sf_dir).to_pandas()  # warm (worker spawn)
+            t0 = time.perf_counter()
+            RAY_QUERIES[name](sf_dir).to_pandas()
+            timings[name] = round(time.perf_counter() - t0, 3)
     query_names = () if flagship_only else (
         "q1_pricing_summary",
         "tiles_r7_events",
@@ -224,19 +234,25 @@ def main():
         lo = _subprocess_value(8)
         hi = _subprocess_value(32)
         eff = (lo["value"] / hi["value"]) / (32 / 8)
-        print(
-            json.dumps(
-                {
-                    "metric": "scaling efficiency 8->32 cpus (flagship tiling)",
-                    "sec_8": lo["value"],
-                    "sec_32": hi["value"],
-                    "rows_per_sec_8": lo["rows_per_sec"],
-                    "rows_per_sec_32": hi["rows_per_sec"],
-                    "scaling_efficiency": round(eff, 3),
-                    "sf": sf_dir,
-                }
-            )
-        )
+        out = {
+            "metric": "scaling efficiency 8->32 cpus (flagship tiling)",
+            "sec_8": lo["value"],
+            "sec_32": hi["value"],
+            "rows_per_sec_8": lo["rows_per_sec"],
+            "rows_per_sec_32": hi["rows_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+            "sf": sf_dir,
+        }
+        # shuffle-heavy pipelines (VERDICT r4 #7): same two-level
+        # protocol, warm-run walls from the subprocesses above
+        for name in ("near_dup_keep_docs", "pagerank_hosts_docs"):
+            s8 = lo["queries"].get(name)
+            s32 = hi["queries"].get(name)
+            if s8 and s32:
+                out[f"{name}_sec_8"] = s8
+                out[f"{name}_sec_32"] = s32
+                out[f"{name}_efficiency"] = round((s8 / s32) / 4.0, 3)
+        print(json.dumps(out))
         return
     result = run_bench(ncpu, sf_dir)
     print(json.dumps(result))

@@ -79,15 +79,27 @@ def kmeans_fit(
     counts = np.zeros(C.shape[0], dtype=np.int64)
     for _ in range(iters):
         cref = ray.put(C)
-        partials = ds.map_batches(
-            lambda b, cref=cref: _partial_stats(b, cref, vec_col),
-            batch_format="pyarrow",
-        ).to_pandas()
+        parts = [
+            t
+            for t in ray.get(
+                ds.map_batches(
+                    lambda b, cref=cref: _partial_stats(b, cref, vec_col),
+                    batch_format="pyarrow",
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
         sums = np.zeros_like(C)
         counts = np.zeros(C.shape[0], dtype=np.int64)
-        for _, row in partials.iterrows():
-            sums[row["cluster"]] += np.asarray(row["vsum"])
-            counts[row["cluster"]] += row["n"]
+        if parts:
+            pt = pa.concat_tables(parts)
+            cl = pt["cluster"].to_numpy(zero_copy_only=False)
+            vs = _as_matrix(pt["vsum"])
+            # vectorized scatter-add (one partial row per block x
+            # cluster — was a pandas iterrows loop)
+            np.add.at(sums, cl, vs)
+            np.add.at(counts, cl,
+                      pt["n"].to_numpy(zero_copy_only=False))
         nonempty = counts > 0
         C[nonempty] = sums[nonempty] / counts[nonempty, None]
     return C, counts

@@ -507,6 +507,67 @@ def main() -> None:
 
     timed("fuzzy_edit1_200k_strings", fuzzy_200k)
 
+    # --- SemDeDup over 500k vectors with the k-knob SCALED (VERDICT r4
+    # #6): k = n/4000 = 125 so each cluster's pairwise prune stays
+    # worker-sized — the gate query's k=8 is corpus-sized the same way
+    # (2k vectors / 8 = 250 per cluster).  10% planted exact dups
+    # (id%10==0 copies id-1's vector) must all be pruned ---
+    def semdedup_500k():
+        from geodata_ray.sources.synth import splitmix64
+        from geodata_ray.stages.kmeans import semdedup_keep
+
+        n, dim = 500_000, 32
+        k = n // 4000  # the SemDeDup scale knob: n/k per-worker-sized
+
+        # k unit-ish cluster directions (random splitmix directions:
+        # pairwise cosine ~0 +- 0.2, far from tau) + per-vector noise
+        # 0.2 so same-cluster NON-dups sit at cosine ~0.9 < tau while
+        # planted exact dups sit at exactly 1.0
+        jc = np.arange(dim, dtype=np.uint64)
+        hc = splitmix64(
+            (np.arange(k, dtype=np.uint64)[:, None] * np.uint64(dim))
+            + jc[None, :]
+        )
+        centers = (hc.astype(np.float64) / 2.0**64 - 0.5).reshape(k, dim)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+        def vecs(batch: pa.Table) -> pa.Table:
+            ids = batch["id"].to_numpy()
+            base = np.where(ids % 10 == 0, np.maximum(ids - 1, 0), ids)
+            j = np.arange(dim, dtype=np.uint64)
+            h = splitmix64(
+                (base[:, None].astype(np.uint64) * np.uint64(dim))
+                + j[None, :]
+                + np.uint64(0x9E3779B97F4A7C15)
+            )
+            noise = (h.astype(np.float64) / 2.0**64 - 0.5).reshape(
+                -1, dim
+            ) * 0.2
+            c = (base % k).astype(np.int64)
+            flat = (centers[c] + noise).astype(np.float32).ravel()
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(flat, pa.float32()), dim
+                    ).cast(pa.list_(pa.float32())),
+                }
+            )
+
+        # materialize: Lloyd makes one pass per iteration, and a lazy
+        # input would re-run the generator kernel on every pass
+        ds = rd.range(n).map_batches(
+            lambda b: vecs(b.rename_columns(["id"])),
+            batch_format="pyarrow",
+        ).materialize()
+        kept = semdedup_keep(ds, k=k, iters=4, tau=0.99)
+        nk = kept.count()
+        # every planted dup must be pruned (id%10==0, id>0 copies id-1)
+        assert nk <= n - (n // 10 - 1), nk
+        return nk
+
+    timed("semdedup_500k_vectors_k125", semdedup_500k)
+
     # --- PMI collocations over 50k docs (10x token stream) ---
     def pmi_50k():
         from geodata_ray.stages.textstats import pmi_top_bigrams
