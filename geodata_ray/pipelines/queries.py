@@ -2256,31 +2256,84 @@ def exact_quantiles_events(sf_dir: str):
 
 
 def sample_frames_stream(sf_dir: str):
-    """Video frame sampling over REAL PPM-stream payloads: the actor
-    parses every frame header, skips pixel blocks, and emits every
-    n-th decoded frame's mean intensity (flat-map shape; rows-only —
-    binary decode has no SQL expression)."""
+    """Video frame sampling over REAL PPM-stream payloads, SQL-audited
+    (r5 conversion from rows-only): the kernel parses every frame
+    header from the byte stream, decodes every 4th frame, and emits its
+    EXACT integer pixel sum (r+g+b over the 16x12 raster) — the oracle
+    regenerates the sampled frames' pixels from the generator
+    arithmetic and replays the sums, so frame boundaries, sampling
+    stride AND decoded pixel bytes are all verified (the float
+    frame-mean form of this stage stays in
+    stages/multimodal.py::sample_frames for feature use)."""
     import ray.data as rd
 
-    from geodata_ray.stages.multimodal import sample_frames, synth_video_table
+    from geodata_ray.stages.multimodal import ppm_decode, synth_video_table
 
     ds = rd.from_arrow(synth_video_table(60)).repartition(4)
-    return sample_frames(ds)
+
+    def sampled_sums(batch: pa.Table) -> pa.Table:
+        ids = batch["video_id"].to_numpy()
+        out_id, out_no, out_sum = [], [], []
+        for vid, p in zip(ids, batch["payload"].to_pylist()):
+            off, frame_no = 0, 0
+            while off < len(p):
+                px, off = ppm_decode(p, off)
+                if frame_no % 4 == 0:
+                    out_id.append(int(vid))
+                    out_no.append(frame_no)
+                    out_sum.append(int(px.astype(np.int64).sum()))
+                frame_no += 1
+        return pa.table(
+            {
+                "video_id": pa.array(out_id, pa.int64()),
+                "frame_no": pa.array(out_no, pa.int64()),
+                "pixel_sum": pa.array(out_sum, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(
+        sampled_sums, batch_format="pyarrow", batch_size=128
+    )
 
 
 def audio_features_wav(sf_dir: str):
-    """Audio features from REAL decoded PCM WAV samples (RIFF chunk
-    walk + int16 decode + cosine cepstrum; actor pool, payload dropped
-    before output; rows-only)."""
+    """Audio features from REAL decoded PCM WAV samples, SQL-audited
+    (r5 conversion from rows-only): the RIFF chunk walk + int16 decode
+    run over the integer-noise clip corpus, and the features are
+    EXACT-integer waveform statistics — sample count, sum of absolute
+    amplitudes, zero-crossing count, peak amplitude — which the oracle
+    replays by regenerating every sample from the splitmix arithmetic
+    (LAG for the crossings).  The float cepstrum form stays in
+    stages/multimodal.py::extract_audio_features for feature use (its
+    sine corpus is not bit-replayable across engines)."""
     import ray.data as rd
 
     from geodata_ray.stages.multimodal import (
-        extract_audio_features,
-        synth_audio_table,
+        synth_audio_int_table,
+        wav_decode,
     )
 
-    ds = rd.from_arrow(synth_audio_table(200)).repartition(4)
-    return extract_audio_features(ds)
+    ds = rd.from_arrow(synth_audio_int_table(200)).repartition(4)
+
+    def feats(batch: pa.Table) -> pa.Table:
+        ids = batch["clip_id"].to_numpy()
+        out = {"clip_id": [], "n_samples": [], "abs_sum": [],
+               "zero_crossings": [], "peak": []}
+        for cid, p in zip(ids, batch["payload"].to_pylist()):
+            s, _rate = wav_decode(p)
+            v = s.astype(np.int64)
+            out["clip_id"].append(int(cid))
+            out["n_samples"].append(int(v.size))
+            out["abs_sum"].append(int(np.abs(v).sum()))
+            out["zero_crossings"].append(
+                int((v[1:] * v[:-1] < 0).sum()) if v.size > 1 else 0
+            )
+            out["peak"].append(int(np.abs(v).max()) if v.size else 0)
+        return pa.table(
+            {k: pa.array(vals, pa.int64()) for k, vals in out.items()}
+        )
+
+    return ds.map_batches(feats, batch_format="pyarrow", batch_size=128)
 
 
 def running_totals_actor_stream(sf_dir: str):
@@ -2349,15 +2402,48 @@ def normalize_era5_raw(sf_dir: str):
 
 
 def decode_images_ppm(sf_dir: str):
-    """Image decode over REAL binary-PPM payloads: the actor parses the
-    Netpbm header and computes grid features from the decoded pixels
-    (binary dropped before output; rows-only)."""
+    """Image decode over REAL binary-PPM payloads, SQL-audited (r5
+    conversion from rows-only): the Netpbm header parse + pixel decode
+    run for real, and the output is the EXACT integer per-grid-cell
+    channel sums (5 column cells via x*5//w, matching the aHash block
+    mapping) — the oracle regenerates geometry (splitmix) and every
+    pixel (modular RGB arithmetic) and replays the cell sums, so
+    header, dimensions and pixel bytes are all verified.  The float
+    grid-mean feature form stays in
+    stages/multimodal.py::decode_images."""
     import ray.data as rd
 
-    from geodata_ray.stages.multimodal import decode_images, synth_image_table
+    from geodata_ray.stages.multimodal import ppm_decode, synth_image_table
 
     ds = rd.from_arrow(synth_image_table(200)).repartition(4)
-    return decode_images(ds)
+    cells = 5
+
+    def grid_sums(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_numpy()
+        out_id, out_c, sums = [], [], [[], [], []]
+        for iid, p in zip(ids, batch["payload"].to_pylist()):
+            px, _ = ppm_decode(p)
+            h, w, _ = px.shape
+            cell = (np.arange(w, dtype=np.int64) * cells) // w
+            for c in range(cells):
+                m = px[:, cell == c, :].astype(np.int64)
+                out_id.append(int(iid))
+                out_c.append(c)
+                for ch in range(3):
+                    sums[ch].append(int(m[..., ch].sum()))
+        return pa.table(
+            {
+                "image_id": pa.array(out_id, pa.int64()),
+                "cell": pa.array(out_c, pa.int64()),
+                "r_sum": pa.array(sums[0], pa.int64()),
+                "g_sum": pa.array(sums[1], pa.int64()),
+                "b_sum": pa.array(sums[2], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(
+        grid_sums, batch_format="pyarrow", batch_size=128
+    )
 
 
 def lsh_buckets_embeddings(sf_dir: str):
