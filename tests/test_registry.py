@@ -10,11 +10,11 @@ def test_every_oracle_has_a_query_and_names_are_stable():
     # side-effect audit, approximate sketch) — growth here is a smell
     rows_only = set(RAY_QUERIES) - set(ORACLE_SQL)
     assert rows_only == {
-        "decode_images_ppm",
-        "sample_frames_stream",
-        "audio_features_wav",
-        "flagship_resumable",
-        "value_quantiles_events",
+        # r5 converted decode_images_ppm / sample_frames_stream /
+        # audio_features_wav to SQL-audited via generator pixel/sample
+        # replay; these three remain the honest exceptions:
+        "flagship_resumable",  # side-effect audit (writes partitions)
+        "value_quantiles_events",  # approximate sketch by design
         # S2 Hilbert tokens have no bit-stable SQL replay (libm trig);
         # spec property tests carry correctness (tests/test_s2.py)
         "s2_tokens_events",
