@@ -3361,6 +3361,141 @@ _ORACLE_SQL_STATIC = {
     "audio_energy_frames": _audio_energy_sql(),
     # resize audit: generator pixel replay + integer dim rounding
     "resize_checksum_images": _resize_checksum_sql(),
+    # --- sixth wave (round 5) ---
+    # robust MAD outliers: ceil-rank median + MAD per key, 3*MAD flag
+    "robust_outliers_events": """
+        WITH c AS (
+          SELECT event_id, event_type,
+                 CAST(ROUND(CAST(value AS DOUBLE) * 100.0) AS BIGINT)
+                     AS cents
+          FROM events
+        ),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY cents) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM c
+        ),
+        m AS (
+          SELECT event_type, cents AS med FROM r
+          WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+        ),
+        d AS (
+          SELECT c.event_id, c.event_type, c.cents, m.med,
+                 ABS(c.cents - m.med) AS dev
+          FROM c JOIN m USING (event_type)
+        ),
+        r2 AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY dev) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM d
+        ),
+        md AS (
+          SELECT event_type, dev AS mad FROM r2
+          WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+        )
+        SELECT d.event_id, d.event_type, d.cents, d.med, md.mad
+        FROM d JOIN md USING (event_type)
+        WHERE d.dev > 3 * md.mad
+    """,
+    # fixed-radius spatial self-join on the derived integer grid:
+    # band-predicate self-join over identical splitmix coordinates
+    "radius_join_events": f"""
+        WITH c0 AS (SELECT event_id FROM events),
+        {_sql_splitmix_stages(
+            "rj",
+            {
+                "x": "CAST(event_id AS HUGEINT)",
+                "y": _sql_xor_u64(
+                    "CAST(event_id AS HUGEINT)",
+                    str(0xD1B54A32D192ED03) + "::HUGEINT",
+                ),
+            },
+            "c0",
+        )},
+        p AS (
+          SELECT event_id AS id,
+                 CAST(h_x % 4096 AS BIGINT) AS qx,
+                 CAST(h_y % 4096 AS BIGINT) AS qy
+          FROM rj6
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST((a.qx - b.qx) * (a.qx - b.qx)
+                  + (a.qy - b.qy) * (a.qy - b.qy) AS BIGINT) AS d2
+        FROM p a JOIN p b
+          ON a.id < b.id
+         AND b.qx BETWEEN a.qx - 64 AND a.qx + 64
+         AND b.qy BETWEEN a.qy - 64 AND a.qy + 64
+         AND (a.qx - b.qx) * (a.qx - b.qx)
+           + (a.qy - b.qy) * (a.qy - b.qy) <= 4096
+    """,
+    # event-time watermark lateness: running max over strictly earlier
+    # ARRIVALS (event_id order) minus 600 s allowed lateness
+    "late_events_watermark": f"""
+        WITH w AS (
+          SELECT event_id, ts,
+                 MAX(ts) OVER (ORDER BY (event_id * {_GEO_A}) % {_GEO_M}
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS mx
+          FROM events
+        )
+        SELECT event_id, ts,
+               CAST((epoch_us(mx) - 600000000 - epoch_us(ts))
+                    // 1000000 AS BIGINT) AS lateness_sec
+        FROM w
+        WHERE mx IS NOT NULL
+          AND epoch_us(ts) < epoch_us(mx) - 600000000
+    """,
+    # TPC-H Q4-shaped EXISTS semi-join on available columns
+    "q4_priority_exists": """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        )
+        GROUP BY 1
+    """,
+    # TPC-H Q10-shaped returned revenue, exact integer micro-units
+    "q10_returned_revenue": """
+        WITH r AS (
+          SELECT l_orderkey,
+                 CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100.0)
+                      AS BIGINT)
+                 * (10000 - CAST(ROUND(CAST(l_discount AS DOUBLE)
+                                       * 10000.0) AS BIGINT))
+                     AS rev_micro
+          FROM lineitem WHERE l_returnflag = 'R'
+        )
+        SELECT n_name,
+               CAST(SUM(rev_micro) AS BIGINT) AS revenue_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM r
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY 1
+    """,
+    # reciprocal (mutual) directed edges on the derived host graph
+    "mutual_links_hosts": """
+        WITH e AS (
+          SELECT DISTINCT u, v FROM (
+            SELECT doc_id % 97 AS u,
+                   ((doc_id % 97) * 3 + doc_id % 7 + 1) % 97 AS v
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 97,
+                   ((doc_id % 97) * 5 + doc_id % 11 + 2) % 97
+            FROM documents
+          ) WHERE u <> v
+        )
+        SELECT a.u, a.v
+        FROM e a JOIN e b ON a.u = b.v AND a.v = b.u
+        WHERE a.u < a.v
+    """,
     # r5 rows-only conversions: generator replay for the remaining
     # binary decodes (VERDICT r4 #4)
     "decode_images_ppm": _decode_images_sql(),

@@ -5816,6 +5816,482 @@ def daily_delta_events(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# sixth wave (round 5): MAD outliers, grid radius join, watermark
+# lateness, EXISTS semi-join, returned-revenue join, reciprocal edges
+# ---------------------------------------------------------------------------
+
+
+def robust_outliers_events(sf_dir: str):
+    """Robust (median/MAD) outlier flags per event type — the
+    median-based complement of the mean/std z-score family
+    (``outlier_events_zscore``), immune to the very outliers it hunts.
+    EXACT integers end to end: per-key median and MAD both come from
+    the bounded-histogram quantile machinery (ceil-rank quantile_disc
+    semantics); a row is flagged iff |cents - med| > 3 * MAD.  Output
+    is the flagged rows only.  Scale shape: two keyed histogram
+    exchanges (value-cardinality-bounded) + two broadcast join-backs
+    of the tiny per-key tables — raw rows never shuffle."""
+    import ray
+
+    from geodata_ray.stages.relational import (
+        broadcast_join,
+        grouped_exact_quantiles,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(batch["value"], pa.float64()), 100.0)
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "cents": cents,
+            }
+        )
+
+    rows = ds.map_batches(prep, batch_format="pyarrow").materialize()
+
+    med = grouped_exact_quantiles(
+        rows, "event_type", "cents", [(50, 0.5)]
+    ).to_pandas()
+    med_tbl = pa.table(
+        {
+            "event_type": pa.array(med["event_type"], pa.string()),
+            "med": pa.array(med["cents"].astype("int64")),
+        }
+    )
+    with_med = broadcast_join(rows, med_tbl, ["event_type"])
+
+    def dev(batch: pa.Table) -> pa.Table:
+        d = pc.abs(pc.subtract(batch["cents"], batch["med"]))
+        return batch.append_column("dev", pc.cast(d, pa.int64()))
+
+    devd = with_med.map_batches(dev, batch_format="pyarrow").materialize()
+    mad = grouped_exact_quantiles(
+        devd, "event_type", "dev", [(50, 0.5)]
+    ).to_pandas()
+    mad_tbl = pa.table(
+        {
+            "event_type": pa.array(mad["event_type"], pa.string()),
+            "mad": pa.array(mad["dev"].astype("int64")),
+        }
+    )
+    joined = broadcast_join(
+        devd.select_columns(
+            ["event_id", "event_type", "cents", "med", "dev"]
+        ),
+        mad_tbl,
+        ["event_type"],
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            batch["dev"], pc.multiply(batch["mad"], pa.scalar(3, pa.int64()))
+        )
+        return batch.filter(keep).select(
+            ["event_id", "event_type", "cents", "med", "mad"]
+        )
+
+    return joined.map_batches(flag, batch_format="pyarrow")
+
+
+def radius_join_events(sf_dir: str):
+    """Spatial RADIUS self-join (all pairs within distance R) on the
+    integer event grid — the fixed-radius companion of the kNN join:
+    each point hashes to an R-sized cell, probes replicate to the 3x3
+    neighbor cells, ONE equi-join on cell id co-locates every
+    candidate, and the exact integer L2^2 test keeps dx^2 + dy^2 <=
+    R^2.  Pair (a, b) surfaces exactly once (probe id < home id).
+    Scale shape: one keyed exchange of 10n rows (9 probes + 1 home per
+    point); a hot cell (megacity skew) splits by raising the grid
+    resolution — documented partitioning assumption.  Coordinates and
+    the distance test are pure int64, so the oracle is a band-predicate
+    self-join over the identical derived grid."""
+    from geodata_ray.stages.relational import shuffle_join
+
+    from geodata_ray.sources.synth import splitmix64
+
+    R = 64
+    GRID = 4096
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def points(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy()
+        # splitmix coordinates: the two Knuth multiplicative hash
+        # streams are lattice-correlated (documented in the oracle
+        # rules), which piles points onto lines and inflates the pair
+        # count ~30x — the splitmix streams are uniform
+        qx = (
+            splitmix64(ids.astype(np.uint64)) % np.uint64(GRID)
+        ).astype(np.int64)
+        qy = (
+            splitmix64(ids.astype(np.uint64) ^ np.uint64(0xD1B54A32D192ED03))
+            % np.uint64(GRID)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "id": batch["event_id"],
+                "qx": pa.array(qx),
+                "qy": pa.array(qy),
+            }
+        )
+
+    pts = ds.map_batches(points, batch_format="pyarrow").materialize()
+    ncell = GRID // R
+
+    def home(batch: pa.Table) -> pa.Table:
+        qx = batch["qx"].to_numpy()
+        qy = batch["qy"].to_numpy()
+        cell = (qx // R) * ncell + (qy // R)
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "h_id": batch["id"],
+                "h_qx": batch["qx"],
+                "h_qy": batch["qy"],
+            }
+        )
+
+    def probes(batch: pa.Table) -> pa.Table:
+        qx = batch["qx"].to_numpy()
+        qy = batch["qy"].to_numpy()
+        ids = batch["id"].to_numpy()
+        cx, cy = qx // R, qy // R
+        out = []
+        for dx_ in (-1, 0, 1):
+            for dy_ in (-1, 0, 1):
+                nx, ny = cx + dx_, cy + dy_
+                ok = (nx >= 0) & (nx < ncell) & (ny >= 0) & (ny < ncell)
+                out.append(
+                    pa.table(
+                        {
+                            "cell": pa.array(
+                                (nx[ok] * ncell + ny[ok]).astype(np.int64)
+                            ),
+                            "p_id": pa.array(ids[ok]),
+                            "p_qx": pa.array(qx[ok]),
+                            "p_qy": pa.array(qy[ok]),
+                        }
+                    )
+                )
+        return pa.concat_tables(out)
+
+    hm = pts.map_batches(home, batch_format="pyarrow")
+    pb = pts.map_batches(probes, batch_format="pyarrow")
+    j = shuffle_join(pb, hm, ["cell"], num_buckets=32)
+
+    def dist_keep(batch: pa.Table) -> pa.Table:
+        dx = (
+            batch["p_qx"].to_numpy(zero_copy_only=False)
+            - batch["h_qx"].to_numpy(zero_copy_only=False)
+        )
+        dy = (
+            batch["p_qy"].to_numpy(zero_copy_only=False)
+            - batch["h_qy"].to_numpy(zero_copy_only=False)
+        )
+        pi = batch["p_id"].to_numpy(zero_copy_only=False)
+        hi = batch["h_id"].to_numpy(zero_copy_only=False)
+        keep = (pi < hi) & (dx * dx + dy * dy <= R * R)
+        t = batch.filter(pa.array(keep))
+        d2 = (
+            t["p_qx"].to_numpy(zero_copy_only=False)
+            - t["h_qx"].to_numpy(zero_copy_only=False)
+        ) ** 2 + (
+            t["p_qy"].to_numpy(zero_copy_only=False)
+            - t["h_qy"].to_numpy(zero_copy_only=False)
+        ) ** 2
+        return pa.table(
+            {
+                "id_a": t["p_id"],
+                "id_b": t["h_id"],
+                "d2": pa.array(d2.astype(np.int64)),
+            }
+        )
+
+    return j.map_batches(dist_keep, batch_format="pyarrow")
+
+
+def late_events_watermark(sf_dir: str):
+    """Event-time watermark / late-data accounting (the streaming
+    semantics every windowed aggregation needs): consuming events in
+    ARRIVAL order (event_id), the watermark is the running max event
+    time over all STRICTLY EARLIER arrivals minus a 600 s allowed
+    lateness; an event is late iff its own timestamp is already behind
+    the watermark.  Output: the late rows with integer lateness
+    seconds.  Scale shape: the same two-phase distributed scan as the
+    packing prefix-sum — per-block running max + an exclusive
+    cross-block max carry, no single-block funnel."""
+    import ray
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+    LATENESS_US = 600 * 1_000_000
+
+    # arrival order is a deterministic SCRAMBLE of event_id (bijective
+    # for ids < 2^32): the driver tables emit events in event-time
+    # order, so id-order arrival would make lateness vacuously zero —
+    # the scramble models a crawler's out-of-order delivery and is
+    # reproducible as the identical expression in the oracle
+    def arrival(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy()
+        return batch.append_column(
+            "__arr", pa.array((ids * _GEO_A) % _GEO_M)
+        )
+
+    sorted_ds = ds.map_batches(
+        arrival, batch_format="pyarrow"
+    ).sort("__arr").materialize()
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "first_order": pa.array([], pa.int64()),
+                    "block_max": pa.array([], pa.int64()),
+                }
+            )
+        order = batch["__arr"].to_numpy(zero_copy_only=False)
+        tsv = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "first_order": pa.array([np.int64(order[0])]),
+                "block_max": pa.array([np.int64(tsv.max())]),
+            }
+        )
+
+    summaries = sorted_ds.map_batches(
+        block_summary, batch_size=None, batch_format="pyarrow"
+    ).to_pandas().sort_values("first_order", ignore_index=True)
+    firsts = summaries["first_order"].to_numpy().astype(np.int64)
+    bmax = summaries["block_max"].to_numpy().astype(np.int64)
+    # exclusive running max across blocks (carry into each block); the
+    # no-predecessor sentinel is min+LATENESS so wm = min (never wraps
+    # below int64 min) and the stream's first row can never flag late
+    carry = np.empty_like(bmax)
+    carry[0] = np.iinfo(np.int64).min + LATENESS_US
+    if bmax.size > 1:
+        np.maximum.accumulate(bmax[:-1], out=bmax[:-1])
+        carry[1:] = bmax[:-1]
+    bc = ray.put((firsts, carry))
+
+    def flag_late(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        fo = bc if isinstance(bc, tuple) else _ray.get(bc)
+        f, c = fo
+        order = batch["__arr"].to_numpy(zero_copy_only=False)
+        tsv = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        bi = np.searchsorted(f, order[0], side="right") - 1
+        run = np.empty(tsv.size, dtype=np.int64)
+        run[0] = c[bi]
+        if tsv.size > 1:
+            np.maximum.accumulate(tsv[:-1], out=run[1:])
+            np.maximum(run[1:], c[bi], out=run[1:])
+        wm = run - LATENESS_US
+        late = tsv < wm
+        t = batch.filter(pa.array(late))
+        lateness = ((wm - tsv)[late] // 1_000_000).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "lateness_sec": pa.array(lateness),
+            }
+        )
+
+    return sorted_ds.map_batches(
+        flag_late, batch_size=None, batch_format="pyarrow"
+    )
+
+
+def q4_priority_exists(sf_dir: str):
+    """TPC-H Q4-shaped EXISTS semi-join: count orders per priority that
+    have at least one line item shipped more than 30 days after the
+    order date.  The semi-join side carries only the qualifying
+    DISTINCT orderkeys (hash-bounded), never line rows — the canonical
+    decorrelated-EXISTS plan."""
+    from geodata_ray.stages.relational import (
+        grouped_aggregate,
+        native_join,
+    )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate",
+                                   "o_orderpriority"]
+    )
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    lk = grouped_aggregate(
+        li, ["l_orderkey"], [("l_shipdate", "max", "max_ship")]
+    )
+    j = native_join(
+        orders, lk, on="o_orderkey", right_on="l_orderkey",
+        num_partitions=16,
+    )
+
+    def qual(batch: pa.Table) -> pa.Table:
+        od = (
+            batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        ms = (
+            batch["max_ship"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keep = ms > od + np.int64(30) * 86_400_000_000
+        return pa.table(
+            {"o_orderpriority": batch["o_orderpriority"]}
+        ).filter(pa.array(keep))
+
+    return grouped_aggregate(
+        j.map_batches(qual, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        [("o_orderpriority", "count", "order_count")],
+    )
+
+
+def q10_returned_revenue(sf_dir: str):
+    """TPC-H Q10-shaped returned-item revenue: customer x orders x
+    lineitem x nation, returnflag = 'R', revenue = extendedprice *
+    (1 - discount) in EXACT integer fixed point (price cents x
+    discount basis points -> 10^-6 currency units), grouped by
+    nation.  One native hash join chain with the small nation side
+    broadcast."""
+    import ray
+
+    from geodata_ray.stages.relational import (
+        broadcast_join,
+        grouped_aggregate,
+        native_join,
+    )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    import pyarrow.parquet as pq
+
+    # key renamed to the big side's name (broadcast_join equi-keys)
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).rename_columns(["c_nationkey", "n_name"])
+
+    def ret(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(t["l_extendedprice"], pa.float64()),
+                            100.0)
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        bp = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(t["l_discount"], pa.float64()),
+                            10000.0)
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        rev = cents * (10000 - bp)  # 10^-6 currency units, exact int64
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "rev_micro": pa.array(rev)}
+        )
+
+    r = li.map_batches(ret, batch_format="pyarrow")
+    jo = native_join(
+        r, orders, on="l_orderkey", right_on="o_orderkey",
+        num_partitions=16,
+    )
+    jc = native_join(
+        jo.select_columns(["o_custkey", "rev_micro"]), cust,
+        on="o_custkey", right_on="c_custkey", num_partitions=16,
+    )
+    jn = broadcast_join(
+        jc.select_columns(["c_nationkey", "rev_micro"]), nation,
+        ["c_nationkey"],
+    )
+    return grouped_aggregate(
+        jn.select_columns(["n_name", "rev_micro"]),
+        ["n_name"],
+        [("rev_micro", "sum", "revenue_micro"),
+         ("rev_micro", "count", "n_items")],
+    )
+
+
+def mutual_links_hosts(sf_dir: str):
+    """Reciprocal-edge detection on the derived host link graph (the
+    link-farm / mutual-citation signal): directed edges (u, v) from
+    the documents link generator, answer = distinct pairs linked in
+    BOTH directions (u < v).  Plan: distinct directed edges (packed
+    tree distinct), then one self-equi-join realized as a packed-key
+    membership test against the broadcast reversed edge set — bounded
+    by the distinct edge count, zero extra shuffle."""
+    import ray
+    import ray.data as rd
+
+    from geodata_ray.stages.graphcc import distinct_edges_packed
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        u = ids % 97
+        # two asymmetric link streams so reciprocity is non-trivial
+        v1 = (u * 3 + ids % 7 + 1) % 97
+        v2 = (u * 5 + ids % 11 + 2) % 97
+        uu = np.concatenate([u, u])
+        vv = np.concatenate([v1, v2])
+        ok = uu != vv
+        return pa.table(
+            {"u": pa.array(uu[ok]), "v": pa.array(vv[ok])}
+        )
+
+    e = distinct_edges_packed(
+        ds.map_batches(edges, batch_format="pyarrow")
+    ).materialize()
+
+    fwd = pa.concat_tables(ray.get(e.to_arrow_refs()))
+    uv = (
+        fwd["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        << np.int64(32)
+    ) | fwd["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rev_ref = ray.put(np.sort(uv))
+
+    def mutual(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        rev = rev_ref if isinstance(rev_ref, np.ndarray) else _ray.get(
+            rev_ref
+        )
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vu = (v << np.int64(32)) | u
+        pos = np.searchsorted(rev, vu)
+        pos = np.minimum(pos, max(rev.size - 1, 0))
+        has = rev.size > 0
+        hit = (rev[pos] == vu) if has else np.zeros(u.size, bool)
+        keep = hit & (u < v)  # emit each mutual pair once
+        t = batch.filter(pa.array(keep))
+        return pa.table({"u": t["u"], "v": t["v"]})
+
+    return e.map_batches(mutual, batch_format="pyarrow")
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -5906,6 +6382,12 @@ RAY_QUERIES = {
     "partition_checksums_events": partition_checksums_events,
     "compact_files_roundtrip": compact_files_roundtrip,
     # -- r5 additions slot in here (before the backfill) --
+    "robust_outliers_events": robust_outliers_events,
+    "radius_join_events": radius_join_events,
+    "late_events_watermark": late_events_watermark,
+    "q4_priority_exists": q4_priority_exists,
+    "q10_returned_revenue": q10_returned_revenue,
+    "mutual_links_hosts": mutual_links_hosts,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,

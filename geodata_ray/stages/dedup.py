@@ -362,6 +362,10 @@ def minhash_lsh_pairs(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         ).drop_duplicates(ignore_index=True)
 
+    # materialize the filtered band rows: the id-range probe below and
+    # the pair-gen pass both consume them, and the filter join must not
+    # re-execute per consumer
+    band_ds = band_ds.materialize()
     sharded = band_ds.map_batches(add_shard, batch_format="pyarrow")
     raw_pairs = sharded.groupby("__shard").map_groups(
         shard_pairs, batch_format="pandas"
@@ -372,14 +376,42 @@ def minhash_lsh_pairs(
     def drop_n(batch: pa.Table) -> pa.Table:
         return batch.select(["id_a", "id_b"])
 
-    # batch_size is EXPLICIT here: Ray's sort-aggregate emits
-    # schema-less empty blocks when partitions outnumber rows, and the
-    # native hash join crashes on them; bundling blocks into sized
-    # batches re-blocks the stream and dissolves the empties (a plain
-    # per-block map_batches SKIPS empty blocks and cannot heal them).
-    pairs = _gagg(
-        raw_pairs, ["id_a", "id_b"], [("id_a", "count", "__n")]
-    ).map_batches(drop_n, batch_format="pyarrow", batch_size=65536)
+    def _shuffle_distinct(rp):
+        # batch_size is EXPLICIT here: Ray's sort-aggregate emits
+        # schema-less empty blocks when partitions outnumber rows, and
+        # the native hash join crashes on them; bundling blocks into
+        # sized batches re-blocks the stream and dissolves the empties
+        # (a plain per-block map_batches SKIPS empty blocks and cannot
+        # heal them).
+        return _gagg(
+            rp, ["id_a", "id_b"], [("id_a", "count", "__n")]
+        ).map_batches(drop_n, batch_format="pyarrow", batch_size=65536)
+
+    # cross-band pair distinct.  Ray's sort-based groupby costs ~26 s
+    # at 3M raw pairs (measured, its documented floor); when both ids
+    # fit [0, 2^31) the pairs pack into ONE int64 and the fan-in-8
+    # tree distinct (an allreduce, not a shuffle) does the same job in
+    # ~2 s — the exact machinery graphcc uses for edge distinct.  The
+    # id range is probed on the (materialized, collision-filtered)
+    # band rows; past the packed bound the tree RAISES driver-side and
+    # the shuffle distinct takes over.
+    from ray.data.aggregate import Max, Min
+
+    stats = band_ds.aggregate(Min("id"), Max("id"))
+    lo = stats.get("min(id)") if stats else None
+    hi = stats.get("max(id)") if stats else None
+    if lo is not None and lo >= 0 and hi is not None and hi < (1 << 31):
+        from geodata_ray.stages.graphcc import distinct_edges_packed
+
+        raw_pairs = raw_pairs.materialize()
+        try:
+            pairs = distinct_edges_packed(
+                raw_pairs, src="id_a", dst="id_b"
+            )
+        except ValueError:  # pair volume past the one-task bound
+            pairs = _shuffle_distinct(raw_pairs)
+    else:
+        pairs = _shuffle_distinct(raw_pairs)
 
     if verify_mode == "auto":
         verify_mode = (

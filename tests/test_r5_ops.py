@@ -1022,3 +1022,99 @@ def test_concurrent_snapshot_committers(tmp_path):
     for v in range(1, 51):
         with open(os.path.join(sdir, f"{v}.json")) as f:
             assert json.load(f)["version"] == v
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_radius_join_vs_bruteforce():
+    """Grid radius join must equal the O(n^2) scan on the gate data."""
+    import pandas as pd
+
+    from geodata_ray.pipelines.queries import radius_join_events
+    from geodata_ray.sources.synth import splitmix64
+    from tests.conftest import SF_DIR
+
+    got = (
+        radius_join_events(SF_DIR)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    ids = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["event_id"]
+    )["event_id"].to_numpy()
+    qx = (splitmix64(ids.astype(np.uint64)) % np.uint64(4096)).astype(
+        np.int64
+    )
+    qy = (
+        splitmix64(ids.astype(np.uint64) ^ np.uint64(0xD1B54A32D192ED03))
+        % np.uint64(4096)
+    ).astype(np.int64)
+    order = np.argsort(ids)
+    ids, qx, qy = ids[order], qx[order], qy[order]
+    rows = []
+    # brute force on a bounded slice via sorted-x sweep
+    ox = np.argsort(qx, kind="stable")
+    sx, sy, sid = qx[ox], qy[ox], ids[ox]
+    for i in range(len(sx)):
+        j = i + 1
+        while j < len(sx) and sx[j] - sx[i] <= 64:
+            dx = int(sx[j] - sx[i]); dy = int(sy[j] - sy[i])
+            if dx * dx + dy * dy <= 4096:
+                a, b = int(sid[i]), int(sid[j])
+                if a > b:
+                    a, b = b, a
+                rows.append((a, b, dx * dx + dy * dy))
+            j += 1
+    exp = pd.DataFrame(rows, columns=["id_a", "id_b", "d2"]).sort_values(
+        ["id_a", "id_b"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64")
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_watermark_lateness_replay():
+    """Distributed two-phase running max == the serial replay."""
+    import pandas as pd
+
+    from geodata_ray.pipelines.queries import (
+        _GEO_A,
+        _GEO_M,
+        late_events_watermark,
+    )
+    from tests.conftest import SF_DIR
+
+    got = late_events_watermark(SF_DIR).to_pandas()
+    ev = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["event_id", "ts"]
+    )
+    ev["arr"] = (ev["event_id"].to_numpy() * _GEO_A) % _GEO_M
+    ev = ev.sort_values("arr", ignore_index=True)
+    tsv = ev["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    run = np.empty_like(tsv)
+    run[0] = np.iinfo(np.int64).min + 600_000_000
+    np.maximum.accumulate(tsv[:-1], out=run[1:])
+    wm = run - 600_000_000
+    late = tsv < wm
+    assert int(late.sum()) == len(got)
+    exp_lateness = ((wm - tsv)[late] // 1_000_000)
+    g = got.sort_values("event_id", ignore_index=True)
+    e = pd.DataFrame(
+        {"event_id": ev["event_id"].to_numpy()[late],
+         "lateness_sec": exp_lateness}
+    ).sort_values("event_id", ignore_index=True)
+    assert (g["event_id"].to_numpy() == e["event_id"].to_numpy()).all()
+    assert (
+        g["lateness_sec"].to_numpy() == e["lateness_sec"].to_numpy()
+    ).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mutual_links_are_reciprocal():
+    from geodata_ray.pipelines.queries import mutual_links_hosts
+    from tests.conftest import SF_DIR
+
+    got = mutual_links_hosts(SF_DIR).to_pandas()
+    assert len(got) > 0 and (got["u"] < got["v"]).all()
+    pairs = set(zip(got["u"], got["v"]))
+    assert len(pairs) == len(got)  # distinct
