@@ -543,11 +543,21 @@ def _verify_pairs_auto(pairs, corpus_ds, id_col, text_col, k, threshold,
 
 
 def _verify_pairs_shuffle(pairs, corpus_ds, id_col, text_col, k, threshold):
-    """Scale-path verify: join pair ids to texts (both sides) via
-    Ray's native hash joins (Arrow-schema-stable), then the exact
-    shingle-Jaccard kernel.  Only candidate pairs and their two texts
-    ever co-locate."""
-    from geodata_ray.stages.relational import native_join
+    """Scale-path verify: join pair ids to texts (both sides) via the
+    engine's bucketed ``shuffle_join`` (schema-stable by construction:
+    every bucket is merged with acero against the declared unified
+    schema), then the exact shingle-Jaccard kernel.  Only candidate
+    pairs and their two texts ever co-locate.
+
+    NOT ``native_join`` here: the candidate-pair side is small and
+    sparse, and Ray's built-in hash join was observed (flaky, under
+    full-suite load) to emit a malformed empty block when a join
+    partition receives zero left shards — chaining a second join over
+    that output then fails inside acero with an ambiguous
+    ``FieldRef.Name(id_b)``.  The large dense-keyed ``native_join``
+    sites elsewhere never hit this because every partition is
+    occupied."""
+    from geodata_ray.stages.relational import shuffle_join
 
     def as_side(side):
         def f(batch: pa.Table) -> pa.Table:
@@ -562,8 +572,8 @@ def _verify_pairs_shuffle(pairs, corpus_ds, id_col, text_col, k, threshold):
 
     ca = corpus_ds.map_batches(as_side("a"), batch_format="pyarrow")
     cb = corpus_ds.map_batches(as_side("b"), batch_format="pyarrow")
-    j1 = native_join(pairs, ca, on="id_a", num_partitions=8)
-    j2 = native_join(j1, cb, on="id_b", num_partitions=8)
+    j1 = shuffle_join(pairs, ca, ["id_a"], num_buckets=8)
+    j2 = shuffle_join(j1, cb, ["id_b"], num_buckets=8)
 
     def verify(batch: pa.Table) -> pa.Table:
         keep = _pairwise_jaccard_keep(
