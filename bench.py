@@ -252,6 +252,13 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "bpe_pair_counts_docs",
         "cube_daily_type_events",
         "vocab_coverage_docs",
+        # sixth wave (round 5)
+        "robust_outliers_events",
+        "radius_join_events",
+        "late_events_watermark",
+        "q4_priority_exists",
+        "q10_returned_revenue",
+        "mutual_links_hosts",
     )
     for name in query_names:
         t0 = time.perf_counter()
