@@ -914,3 +914,95 @@ def resolve_entities(ds, *, id_col: str, key_cols, cc_mode: str = "auto"):
         batch_format="pyarrow",
     )
     return linked.union(singles)
+
+
+def sssp(edges, source: int, *, src: str = "u", dst: str = "v",
+         weight: str = "w", max_rounds: int = 64,
+         node_bound: int = 5_000_000):
+    """Weighted single-source shortest paths by distributed
+    Bellman-Ford relaxation — the weighted sibling of
+    :func:`bfs_levels` (crawl-cost / link-latency distances over the
+    host graph).
+
+    Per round the CURRENT distance table — bounded by the reachable
+    node count, never the edge count — is broadcast once
+    (``ray.put``); every edge block relaxes vectorized
+    (``searchsorted`` lookup of ``dist[src]``, candidate
+    ``dist + w``, per-block ``minimum.reduceat`` partial min per
+    ``dst``), and only the tiny (node, candidate-min) partials merge
+    driver-side.  Edges stream every round with zero shuffle;
+    convergence = a round with no improvement (<= V-1 rounds by
+    Bellman-Ford's invariant, typically the graph diameter).  Negative
+    weights are rejected (termination guard); ``node_bound`` raises
+    rather than silently degrading — past it, swap the broadcast for a
+    ``native_join`` of the distance Dataset against edges, round shape
+    unchanged.  Returns a Dataset of (node, dist) for reached nodes.
+    """
+    import ray
+    import ray.data as rd
+
+    nodes = np.array([int(source)], dtype=np.int64)
+    dist = np.array([0], dtype=np.int64)
+
+    def relax_fn(nodes_ref, dist_ref):
+        def relax(batch: pa.Table) -> pa.Table:
+            nd = nodes_ref if isinstance(nodes_ref, np.ndarray) \
+                else ray.get(nodes_ref)
+            dv = dist_ref if isinstance(dist_ref, np.ndarray) \
+                else ray.get(dist_ref)
+            u = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+            w = batch[weight].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            if w.size and int(w.min()) < 0:
+                raise ValueError("sssp: negative edge weight")
+            pos = np.searchsorted(nd, u)
+            pos = np.minimum(pos, max(nd.size - 1, 0))
+            known = nd.size > 0
+            hit = (nd[pos] == u) if known else np.zeros(u.size, bool)
+            if not hit.any():
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "cand": pa.array([], pa.int64())})
+            cand = dv[pos[hit]] + w[hit]
+            vv = v[hit]
+            order = np.argsort(vv, kind="stable")
+            vv, cand = vv[order], cand[order]
+            starts = np.flatnonzero(np.r_[True, vv[1:] != vv[:-1]])
+            return pa.table(
+                {
+                    "node": pa.array(vv[starts]),
+                    "cand": pa.array(
+                        np.minimum.reduceat(cand, starts).astype(np.int64)
+                    ),
+                }
+            )
+        return relax
+
+    for _ in range(max_rounds):
+        nref, dref = ray.put(nodes), ray.put(dist)
+        part = edges.map_batches(
+            relax_fn(nref, dref), batch_format="pyarrow"
+        )
+        # merge the bounded per-block partials (<= blocks x reached)
+        cand = part.groupby("node").min("cand").to_pandas()
+        if cand.empty:
+            break
+        cn = cand["node"].to_numpy().astype(np.int64)
+        cd = cand["min(cand)"].to_numpy().astype(np.int64)
+        all_nodes = np.union1d(nodes, cn)
+        if all_nodes.size > node_bound:
+            raise ValueError(
+                f"sssp: reachable set exceeds node_bound={node_bound}; "
+                "use the join-distance path"
+            )
+        new = np.full(all_nodes.size, np.iinfo(np.int64).max, np.int64)
+        new[np.searchsorted(all_nodes, nodes)] = dist
+        ci = np.searchsorted(all_nodes, cn)
+        np.minimum.at(new, ci, cd)
+        if all_nodes.size == nodes.size and np.array_equal(new, dist):
+            break
+        nodes, dist = all_nodes, new
+
+    return rd.from_arrow(
+        pa.table({"node": pa.array(nodes), "dist": pa.array(dist)})
+    )

@@ -275,3 +275,29 @@ def stratified_sample(
         .groupby("__shard")
         .map_groups(final_quota, batch_format="pandas")
     )
+
+
+def bottom_k(ds, sort_cols, k: int):
+    """Global bottom-k rows by ``sort_cols`` (ascending, left-to-right
+    tie-break) WITHOUT a global sort: each block keeps its own k
+    smallest rows (vectorized lexsort + slice), then the surviving
+    <= n_blocks x k rows — bounded and tiny — merge through one final
+    sort + limit.  The all-to-all exchange a naive ``ds.sort().limit``
+    would pay never happens; at 100 TB only k rows per block move.
+    Mirrors the reference's sorted-table sinks (geodata
+    convert.py sorted outputs) generalized to a weighted-priority
+    selection.  Returns a Dataset of exactly min(k, total) rows."""
+
+    cols = list(sort_cols)
+
+    def local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        arrs = [
+            batch[c].to_numpy(zero_copy_only=False) for c in reversed(cols)
+        ]
+        order = np.lexsort(arrs)[:k]
+        return batch.take(pa.array(order))
+
+    pruned = ds.map_batches(local, batch_format="pyarrow")
+    return pruned.sort(cols).limit(k)

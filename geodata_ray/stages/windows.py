@@ -466,3 +466,77 @@ def trailing_window_counts(
     return bucketed.groupby("__b").map_groups(
         lambda g: count(g.drop_columns(["__b"])), batch_format="pyarrow"
     )
+
+
+def interval_union_length(
+    ds,
+    *,
+    key_col: str = "user_id",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    num_buckets: int = 32,
+):
+    """Per-key length of the UNION of half-open integer intervals
+    [start, end) — the coverage primitive behind "active seconds",
+    sensor uptime and crawl-window accounting (the keyed complement of
+    the reference's per-cell time aggregation, SURVEY §2.5 A1).
+
+    Exact int64 sweep, fully vectorized: keys hash into
+    ``num_buckets`` bounded groups; inside each group ONE Arrow sort
+    by (key, start, end), then the classic sweep — interval i
+    contributes ``max(0, end_i - max(start_i, M))`` where M is the
+    running max of earlier ends in the same key segment.  The
+    segment-reset running max uses the offset trick (add
+    ``seg_id * (range+1)`` before a global ``np.maximum.accumulate``),
+    guarded against int64 overflow so results are exact or the stage
+    refuses loudly.  One exchange; per-group memory bounded by
+    ``num_buckets``.  Returns (key, covered) with ``covered`` in the
+    interval units."""
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by(
+            [
+                (key_col, "ascending"),
+                (start_col, "ascending"),
+                (end_col, "ascending"),
+            ]
+        )
+        u = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        seg_id = np.cumsum(np.r_[0, (u[1:] != u[:-1]).astype(np.int64)])
+        lo = min(int(s.min()), int(e.min()))
+        hi = max(int(s.max()), int(e.max()))
+        rng = hi - lo + 1
+        n_seg = int(seg_id[-1]) + 1
+        if n_seg * rng >= 2**62:  # offset trick must stay exact
+            raise ValueError(
+                "interval_union_length: value range x segment count "
+                "overflows int64 — shrink num_buckets groups or "
+                "pre-normalize timestamps"
+            )
+        off = seg_id * np.int64(rng)
+        cummax_e = np.maximum.accumulate(e - lo + off) - off + lo
+        # running max of ends STRICTLY BEFORE row i, within segment
+        prev = np.empty(n, dtype=np.int64)
+        prev[1:] = cummax_e[:-1]
+        prev[starts] = np.iinfo(np.int64).min
+        contrib = np.maximum(e - np.maximum(s, prev), 0)
+        covered = np.add.reduceat(contrib, starts)
+        return pa.table(
+            {
+                key_col: pa.array(u[starts]),
+                "covered": pa.array(covered.astype(np.int64)),
+            }
+        )
+
+    return (
+        _tag_bucket(ds, key_col, num_buckets)
+        .groupby("__b")
+        .map_groups(
+            lambda g: per_bucket(g.drop_columns(["__b"])),
+            batch_format="pyarrow",
+        )
+    )
