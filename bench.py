@@ -259,6 +259,13 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "q4_priority_exists",
         "q10_returned_revenue",
         "mutual_links_hosts",
+        # seventh wave (round 5)
+        "interval_coverage_users",
+        "sssp_hosts",
+        "seasonal_anomaly_events",
+        "weighted_sample_events",
+        "activity_bitmap_users",
+        "apportion_crawl_budget",
     )
     for name in query_names:
         t0 = time.perf_counter()

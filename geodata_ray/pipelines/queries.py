@@ -6292,6 +6292,282 @@ def mutual_links_hosts(sf_dir: str):
     return e.map_batches(mutual, batch_format="pyarrow")
 
 
+# seventh wave (round 5): interval coverage, weighted SSSP, seasonal
+# anomalies, weighted reservoir-free sampling, activity bitmaps,
+# largest-remainder budget apportionment.
+
+
+def interval_coverage_users(sf_dir: str):
+    """Per-user covered time: the union length of half-open activity
+    intervals [ts, ts+300 s) — "active seconds" accounting, the keyed
+    interval-union primitive (gaps-and-islands).  Exact int64
+    epoch-microseconds end to end; one bounded-bucket exchange
+    (``interval_union_length``), raw rows shuffle once, no per-key
+    Python."""
+    from geodata_ray.stages.windows import interval_union_length
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def iv(batch: pa.Table) -> pa.Table:
+        s = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "start_us": s,
+                "end_us": pc.add(s, pa.scalar(300_000_000, pa.int64())),
+            }
+        )
+
+    out = interval_union_length(
+        ds.map_batches(iv, batch_format="pyarrow"), key_col="user_id"
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": batch["user_id"], "covered_us": batch["covered"]}
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def sssp_hosts(sf_dir: str):
+    """Weighted single-source shortest paths over the derived host
+    link graph (crawl-cost distances from host 0): the same directed
+    edge generator as ``mutual_links_hosts`` plus a deterministic
+    integer weight 1 + (u*7 + v*13) % 9, relaxed to convergence by the
+    distributed Bellman-Ford stage.  Both engines apply the identical
+    path-cost cutoff (< 150) — with non-negative weights every prefix
+    of a sub-cutoff shortest path is itself sub-cutoff, so the
+    recursive-CTE oracle's bounded enumeration is exact."""
+    from geodata_ray.stages.graphcc import distinct_edges_packed, sssp
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        u = ids % 97
+        v1 = (u * 3 + ids % 7 + 1) % 97
+        v2 = (u * 5 + ids % 11 + 2) % 97
+        uu = np.concatenate([u, u])
+        vv = np.concatenate([v1, v2])
+        ok = uu != vv
+        return pa.table({"u": pa.array(uu[ok]), "v": pa.array(vv[ok])})
+
+    e = distinct_edges_packed(ds.map_batches(edges, batch_format="pyarrow"))
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "w", pa.array(1 + (u * 7 + v * 13) % 9)
+        )
+
+    dist = sssp(
+        e.map_batches(weigh, batch_format="pyarrow"), 0, max_rounds=160
+    )
+    return dist.filter(expr="dist < 150")
+
+
+def seasonal_anomaly_events(sf_dir: str):
+    """Seasonal count anomalies: bucket events by (type, day, hour),
+    baseline each (type, hour-of-day) slot across the days it appears
+    in, flag buckets whose count deviates from the slot mean by more
+    than 3 sigma.  EXACT integer predicate — (n*x - S)^2 > 9*(n*SS -
+    S^2) clears the division — with an explicit overflow guard, same
+    family as ``outlier_events_zscore``.  Scale shape: counts
+    pre-combine inside blocks, so both exchanges carry only the
+    bounded (type x day x hour) bucket table; raw rows never
+    shuffle."""
+    from geodata_ray.stages.relational import (
+        broadcast_join,
+        grouped_aggregate,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        us = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        )
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "day_idx": pa.array(us // 86_400_000_000),
+                "hour": pa.array((us // 3_600_000_000) % 24),
+            }
+        )
+
+    b = grouped_aggregate(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["event_type", "day_idx", "hour"],
+        [("event_type", "count", "x")],
+    ).materialize()
+
+    def sq(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if x.size and int(x.max()) > 3_037_000_499:  # isqrt(2^63 - 1)
+            raise OverflowError(
+                "seasonal_anomaly_events: bucket count too large for "
+                "exact int64 moments"
+            )
+        return batch.append_column("xx", pa.array(x * x))
+
+    m = grouped_aggregate(
+        b.map_batches(sq, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        [("x", "count", "n"), ("x", "sum", "s"), ("xx", "sum", "ss")],
+    ).to_pandas()  # bounded: event types x 24 hour slots
+    joined = broadcast_join(b, m, ["event_type", "hour"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ss = batch["ss"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lhs = n * x - s
+        keep = (n >= 3) & (lhs * lhs > 9 * (n * ss - s * s))
+        t = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "day_idx": t["day_idx"],
+                "hour": t["hour"],
+                "n_events": t["x"],
+            }
+        )
+
+    return joined.map_batches(flag, batch_format="pyarrow")
+
+
+def weighted_sample_events(sf_dir: str):
+    """Weighted sample without replacement, reservoir-free: each row
+    draws a deterministic priority ``(splitmix64(event_id) >> 1) //
+    w`` (integer Efraimidis-Spirakis — heavier w, smaller expected
+    priority) with weight ``w = ((cents % 1000) + 1000) % 1000 + 1``,
+    and the k=100 smallest (priority, event_id) win via the bounded
+    ``bottom_k`` partial-then-merge — no global sort, only k rows per
+    block ever move."""
+    from geodata_ray.sources.synth import splitmix64
+    from geodata_ray.stages.skew import bottom_k
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def prio(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy()
+        cents = (
+            pc.cast(
+                pc.round(
+                    pc.multiply(pc.cast(batch["value"], pa.float64()), 100.0)
+                ),
+                pa.int64(),
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        w = ((cents % 1000) + 1000) % 1000 + 1
+        u = (splitmix64(ids) >> np.uint64(1)).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "w": pa.array(w),
+                "priority": pa.array(u // w),
+            }
+        )
+
+    return bottom_k(
+        ds.map_batches(prio, batch_format="pyarrow"),
+        ["priority", "event_id"],
+        100,
+    )
+
+
+def activity_bitmap_users(sf_dir: str):
+    """Per-user day-of-month activity bitmap: bit (d-1) set iff the
+    user has an event on calendar day d, plus the active-day count —
+    the roaring-bitmap-style presence encoding, exactly reproducible
+    in SQL because distinct day bits make bitwise-OR equal to SUM of
+    distinct powers.  Two pre-combined exchanges, both bounded by
+    users x 31."""
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def dom(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "dom": pc.day(batch["ts"].cast(pa.timestamp("us"))).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    distinct = grouped_aggregate(
+        ds.map_batches(dom, batch_format="pyarrow"),
+        ["user_id", "dom"],
+        [("dom", "count", "__n")],
+    )
+
+    def pw(batch: pa.Table) -> pa.Table:
+        d = batch["dom"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "p": pa.array(np.int64(1) << (d - 1)),
+            }
+        )
+
+    return grouped_aggregate(
+        distinct.map_batches(pw, batch_format="pyarrow"),
+        ["user_id"],
+        [("p", "sum", "bitmap"), ("p", "count", "active_days")],
+    )
+
+
+def apportion_crawl_budget(sf_dir: str):
+    """Largest-remainder (Hamilton) apportionment of a fixed crawl
+    budget B=1,000,000 across hosts proportional to document counts:
+    exact integer quotas ``docs*B // total`` plus one extra fetch for
+    the hosts with the largest remainders — the canonical
+    fair-allocation report.  Host counts pre-combine per block
+    (bounded exchange); the final rank runs driver-side over the
+    host-cardinality table (97 rows here; bounded by the host universe
+    by construction, documented like the pagerank node table)."""
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    B = 1_000_000
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def host(batch: pa.Table) -> pa.Table:
+        return pa.table({"host": pa.array(batch["doc_id"].to_numpy() % 97)})
+
+    counts = grouped_aggregate(
+        ds.map_batches(host, batch_format="pyarrow"),
+        ["host"],
+        [("host", "count", "docs")],
+    ).to_pandas()
+
+    h = counts["host"].to_numpy().astype(np.int64)
+    docs = counts["docs"].to_numpy().astype(np.int64)
+    total = int(docs.sum())
+    base = docs * B // total
+    rem = docs * B % total
+    leftover = B - int(base.sum())
+    order = np.lexsort((h, -rem))  # rem DESC, host ASC
+    extra = np.zeros(h.size, dtype=np.int64)
+    extra[order[:leftover]] = 1
+    out = pa.table(
+        {
+            "host": pa.array(h),
+            "docs": pa.array(docs),
+            "budget": pa.array(base + extra),
+        }
+    )
+    import ray.data as rd
+
+    return rd.from_arrow(out)
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -6388,6 +6664,12 @@ RAY_QUERIES = {
     "q4_priority_exists": q4_priority_exists,
     "q10_returned_revenue": q10_returned_revenue,
     "mutual_links_hosts": mutual_links_hosts,
+    "interval_coverage_users": interval_coverage_users,
+    "sssp_hosts": sssp_hosts,
+    "seasonal_anomaly_events": seasonal_anomaly_events,
+    "weighted_sample_events": weighted_sample_events,
+    "activity_bitmap_users": activity_bitmap_users,
+    "apportion_crawl_budget": apportion_crawl_budget,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,

@@ -1118,3 +1118,120 @@ def test_mutual_links_are_reciprocal():
     assert len(got) > 0 and (got["u"] < got["v"]).all()
     pairs = set(zip(got["u"], got["v"]))
     assert len(pairs) == len(got)  # distinct
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interval_union_vs_bruteforce():
+    import ray.data as rd
+
+    from geodata_ray.stages.windows import interval_union_length
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    key = rng.integers(0, 50, n).astype(np.int64)
+    s = rng.integers(0, 10_000, n).astype(np.int64)
+    e = s + rng.integers(1, 500, n).astype(np.int64)
+    t = pa.table({"user_id": pa.array(key), "start_us": pa.array(s),
+                  "end_us": pa.array(e)})
+    got = (
+        interval_union_length(rd.from_arrow(t).repartition(6))
+        .to_pandas().set_index("user_id")["covered"].to_dict()
+    )
+    for k in np.unique(key):
+        sel = key == k
+        iv = sorted(zip(s[sel].tolist(), e[sel].tolist()))
+        cov, cur_s, cur_e = 0, None, None
+        for a, b in iv:
+            if cur_e is None or a > cur_e:
+                if cur_e is not None:
+                    cov += cur_e - cur_s
+                cur_s, cur_e = a, b
+            else:
+                cur_e = max(cur_e, b)
+        cov += cur_e - cur_s
+        assert got[int(k)] == cov, k
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sssp_vs_dijkstra_bruteforce():
+    import heapq
+
+    import ray.data as rd
+
+    from geodata_ray.stages.graphcc import sssp
+
+    rng = np.random.default_rng(3)
+    n_nodes, n_edges = 60, 400
+    u = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    v = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    w = rng.integers(1, 10, n_edges).astype(np.int64)
+    keep = u != v
+    u, v, w = u[keep], v[keep], w[keep]
+    t = pa.table({"u": pa.array(u), "v": pa.array(v), "w": pa.array(w)})
+    got = (
+        sssp(rd.from_arrow(t).repartition(5), 0)
+        .to_pandas().set_index("node")["dist"].to_dict()
+    )
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for a, b, c in zip(u.tolist(), v.tolist(), w.tolist()):
+        adj.setdefault(a, []).append((b, c))
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        d, x = heapq.heappop(pq)
+        if d > dist.get(x, 1 << 60):
+            continue
+        for y, c in adj.get(x, []):
+            if d + c < dist.get(y, 1 << 60):
+                dist[y] = d + c
+                heapq.heappush(pq, (d + c, y))
+    assert got == dist
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sssp_rejects_negative_weights():
+    import ray.data as rd
+
+    from geodata_ray.stages.graphcc import sssp
+
+    t = pa.table({"u": pa.array([0, 1], pa.int64()),
+                  "v": pa.array([1, 2], pa.int64()),
+                  "w": pa.array([1, -2], pa.int64())})
+    with pytest.raises(Exception, match="negative"):
+        sssp(rd.from_arrow(t), 0).materialize()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bottom_k_matches_global_sort():
+    import ray.data as rd
+
+    from geodata_ray.stages.skew import bottom_k
+
+    rng = np.random.default_rng(5)
+    p = rng.integers(0, 1000, 5000).astype(np.int64)  # heavy ties
+    rid = np.arange(5000, dtype=np.int64)
+    t = pa.table({"p": pa.array(p), "rid": pa.array(rid)})
+    got = bottom_k(rd.from_arrow(t).repartition(9), ["p", "rid"], 37)
+    gdf = got.to_pandas().sort_values(["p", "rid"], ignore_index=True)
+    order = np.lexsort((rid, p))[:37]
+    assert list(gdf["p"]) == list(p[order])
+    assert list(gdf["rid"]) == list(rid[order])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interval_union_overflow_guard():
+    import ray.data as rd
+
+    from geodata_ray.stages.windows import interval_union_length
+
+    # huge value range x many segments must refuse, not wrap
+    n_seg = 1024
+    key = np.arange(n_seg, dtype=np.int64)
+    s = np.zeros(n_seg, dtype=np.int64)
+    e = np.full(n_seg, 2**53, dtype=np.int64)
+    t = pa.table({"user_id": pa.array(key), "start_us": pa.array(s),
+                  "end_us": pa.array(e)})
+    with pytest.raises(Exception, match="overflow"):
+        interval_union_length(
+            rd.from_arrow(t), num_buckets=1
+        ).materialize()
