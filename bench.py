@@ -266,6 +266,15 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "weighted_sample_events",
         "activity_bitmap_users",
         "apportion_crawl_budget",
+        # eighth wave (round 5)
+        "ohlc_candles_events",
+        "gapfill_hourly_events",
+        "late_shipment_priority",
+        "q18_large_orders",
+        "q22_idle_customers",
+        "winnowing_docs",
+        "k_core_hosts",
+        "changepoint_users_events",
     )
     for name in query_names:
         t0 = time.perf_counter()

@@ -2986,6 +2986,68 @@ FROM p
 """
 
 
+def _winnowing_sql(k: int = 8, w: int = 4, prefix_len: int = 200) -> str:
+    """Winnowing oracle: replay the k-gram byte packing + splitmix64
+    hash, then select each window's rightmost-min via a MAX over the
+    HUGEINT pack ``(2^64-1 - hash) * 2^32 + pos`` (min hash wins, ties
+    to the LARGEST position), dedup (doc, pos).  ASCII prefix only —
+    the engine's documented contract (char pos == byte pos)."""
+    pack = " + ".join(
+        f"ascii(substr(s, i + {b}, 1)) * {256 ** b}::HUGEINT"
+        for b in range(k)
+    )
+    sm = _sql_splitmix_stages("wn", {"f": f"({pack})"}, "g")
+    u64max = (1 << 64) - 1
+    return f"""
+        WITH t AS (
+          SELECT doc_id, substr(lower(text), 1, {prefix_len}) AS s
+          FROM documents WHERE text IS NOT NULL
+        ),
+        a AS (
+          SELECT doc_id, s FROM t
+          WHERE length(s) >= {k + w - 1}
+            AND octet_length(encode(s)) = length(s)
+        ),
+        g AS (
+          SELECT doc_id, s, gs.i
+          FROM a CROSS JOIN LATERAL (
+            SELECT UNNEST(generate_series(1, length(s) - {k - 1}))
+                   AS i
+          ) gs
+        ),
+        {sm},
+        pk AS (
+          SELECT doc_id, i, h_f,
+                 ({u64max}::HUGEINT - h_f) * 4294967296 + i AS pack,
+                 COUNT(*) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW
+                 ) AS wlen
+          FROM wn6
+        ),
+        win AS (
+          SELECT doc_id,
+                 MAX(pack) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW
+                 ) AS sel,
+                 wlen
+          FROM pk
+        ),
+        sel AS (
+          SELECT DISTINCT doc_id,
+                 CAST(sel % 4294967296 AS BIGINT) AS pos,
+                 ({u64max}::HUGEINT - sel // 4294967296) AS fp_u
+          FROM win WHERE wlen = {w}
+        )
+        SELECT doc_id, pos,
+               CAST(CASE WHEN fp_u >= 9223372036854775808::HUGEINT
+                         THEN fp_u - 18446744073709551616::HUGEINT
+                         ELSE fp_u END AS BIGINT) AS fp
+        FROM sel
+    """
+
+
 _ORACLE_SQL_STATIC = {
     "q1_pricing_summary": Q1_SQL,
     "tiles_r7_events": TILES_R7_SQL,
@@ -4576,8 +4638,234 @@ _ORACLE_SQL_STATIC = {
         LEFT JOIN top_bg USING (doc_id)
         JOIN mr USING (doc_id)
     """,
-}
 
+    # --- eighth wave (round 5) ---
+    # OHLC bars: window first/last over (ts, tie) order + grouped
+    # min/max — every column exact cents
+    "ohlc_candles_events": """
+        WITH c AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+                 epoch_us(ts) AS ts_us, event_id,
+                 CAST(ROUND(CAST(value AS DOUBLE) * 100.0) AS BIGINT)
+                     AS cents
+          FROM events
+        ),
+        w AS (
+          SELECT event_type, hour, cents,
+                 FIRST_VALUE(cents) OVER (
+                   PARTITION BY event_type, hour
+                   ORDER BY ts_us, event_id) AS o,
+                 LAST_VALUE(cents) OVER (
+                   PARTITION BY event_type, hour
+                   ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING) AS cl
+          FROM c
+        )
+        SELECT event_type, CAST(hour AS BIGINT) AS hour,
+               CAST(MIN(o) AS BIGINT) AS open_cents,
+               CAST(MAX(cents) AS BIGINT) AS high_cents,
+               CAST(MIN(cents) AS BIGINT) AS low_cents,
+               CAST(MIN(cl) AS BIGINT) AS close_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM w GROUP BY 1, 2
+    """,
+    # gap-filled hourly timeline: generate_series spine x distinct
+    # keys, LEFT JOIN the counts, COALESCE 0
+    "gapfill_hourly_events": """
+        WITH c AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        b AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM c),
+        t AS (SELECT DISTINCT event_type FROM c),
+        s AS (
+          SELECT t.event_type, gs.hour
+          FROM t CROSS JOIN b
+          CROSS JOIN LATERAL (
+            SELECT UNNEST(generate_series(b.h0, b.h1)) AS hour
+          ) gs
+        )
+        SELECT s.event_type, CAST(s.hour AS BIGINT) AS hour,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+        FROM s LEFT JOIN c
+          ON s.event_type = c.event_type AND s.hour = c.hour
+    """,
+    # winnowing fingerprints: generated hash-replay SQL
+    "winnowing_docs": _winnowing_sql(),
+    # Q12-style conditional aggregation over a join
+    "late_shipment_priority": """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN late AND high THEN 1 ELSE 0 END)
+                    AS BIGINT) AS high_late_count,
+               CAST(SUM(CASE WHEN late AND NOT high THEN 1 ELSE 0 END)
+                    AS BIGINT) AS low_late_count,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM (
+          SELECT l_returnflag,
+                 epoch_us(l_shipdate) - epoch_us(o_orderdate)
+                     > 90 * 86400000000 AS late,
+                 o_orderpriority IN ('1-URGENT', '2-HIGH') AS high
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )
+        GROUP BY 1
+    """,
+    # Q18: HAVING-filtered quantity aggregate, then enrich
+    "q18_large_orders": """
+        WITH s AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                     AS sum_qty
+          FROM lineitem GROUP BY 1
+        ),
+        big AS (SELECT * FROM s WHERE sum_qty > 200)
+        SELECT c.c_name, o.o_custkey, o.o_orderkey,
+               epoch_us(o.o_orderdate) AS o_orderdate_us,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+               big.sum_qty
+        FROM big
+        JOIN orders o ON big.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    # Q22 shape: exact scalar-average broadcast + anti join
+    "q22_idle_customers": """
+        WITH pos AS (
+          SELECT * FROM (
+            SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+                   CAST(ROUND(CAST(c_acctbal AS DOUBLE) * 100.0)
+                        AS BIGINT) AS cents
+            FROM customer
+          ) WHERE cents > 0
+        ),
+        a AS (SELECT SUM(cents) AS s, COUNT(*) AS n FROM pos),
+        rich AS (
+          SELECT pos.* FROM pos, a WHERE pos.cents * a.n > a.s
+        ),
+        recent AS (
+          SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        )
+        SELECT nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM rich
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM recent)
+        GROUP BY 1
+    """,
+
+    # k-core (k=21): 12 unrolled peels over the symmetrized host
+    # graph; peeling is monotone + idempotent past the fixpoint, so
+    # the fixed unroll equals the engine's early-breaking loop
+    "k_core_hosts": """
+        WITH e0 AS MATERIALIZED (
+          SELECT DISTINCT u, v FROM (
+            SELECT (doc_id % 97) AS u,
+                   ((doc_id % 97) + 1 + ((doc_id * 1) % 96)) % 97 AS v
+            FROM documents
+            UNION ALL
+            SELECT (doc_id % 97),
+                   ((doc_id % 97) + 1 + ((doc_id * 2) % 96)) % 97
+            FROM documents
+            UNION ALL
+            SELECT (doc_id % 97),
+                   ((doc_id % 97) + 1 + ((doc_id * 3) % 96)) % 97
+            FROM documents
+          )
+        ),
+        e AS MATERIALIZED (
+          SELECT DISTINCT u, v FROM (
+            SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+          ) WHERE u <> v
+        ),
+        d1 AS (SELECT u AS node, COUNT(*) AS c FROM e GROUP BY 1),
+a1 AS MATERIALIZED (SELECT node FROM d1 WHERE c >= 21),
+d2 AS (SELECT e.u AS node, COUNT(*) AS c FROM e
+        JOIN a1 x ON e.u = x.node
+        JOIN a1 y ON e.v = y.node GROUP BY 1),
+a2 AS MATERIALIZED (SELECT node FROM d2 WHERE c >= 21),
+d3 AS (SELECT e.u AS node, COUNT(*) AS c FROM e
+        JOIN a2 x ON e.u = x.node
+        JOIN a2 y ON e.v = y.node GROUP BY 1),
+a3 AS MATERIALIZED (SELECT node FROM d3 WHERE c >= 21),
+d4 AS (SELECT e.u AS node, COUNT(*) AS c FROM e
+        JOIN a3 x ON e.u = x.node
+        JOIN a3 y ON e.v = y.node GROUP BY 1),
+a4 AS MATERIALIZED (SELECT node FROM d4 WHERE c >= 21),
+d5 AS (SELECT e.u AS node, COUNT(*) AS c FROM e
+        JOIN a4 x ON e.u = x.node
+        JOIN a4 y ON e.v = y.node GROUP BY 1),
+a5 AS MATERIALIZED (SELECT node FROM d5 WHERE c >= 21),
+d6 AS (SELECT e.u AS node, COUNT(*) AS c FROM e
+        JOIN a5 x ON e.u = x.node
+        JOIN a5 y ON e.v = y.node GROUP BY 1),
+a6 AS MATERIALIZED (SELECT node FROM d6 WHERE c >= 21),
+d7 AS (SELECT e.u AS node, COUNT(*) AS c FROM e
+        JOIN a6 x ON e.u = x.node
+        JOIN a6 y ON e.v = y.node GROUP BY 1),
+a7 AS MATERIALIZED (SELECT node FROM d7 WHERE c >= 21),
+d8 AS (SELECT e.u AS node, COUNT(*) AS c FROM e
+        JOIN a7 x ON e.u = x.node
+        JOIN a7 y ON e.v = y.node GROUP BY 1),
+a8 AS MATERIALIZED (SELECT node FROM d8 WHERE c >= 21),
+d9 AS (SELECT e.u AS node, COUNT(*) AS c FROM e
+        JOIN a8 x ON e.u = x.node
+        JOIN a8 y ON e.v = y.node GROUP BY 1),
+a9 AS MATERIALIZED (SELECT node FROM d9 WHERE c >= 21),
+d10 AS (SELECT e.u AS node, COUNT(*) AS c FROM e
+        JOIN a9 x ON e.u = x.node
+        JOIN a9 y ON e.v = y.node GROUP BY 1),
+a10 AS MATERIALIZED (SELECT node FROM d10 WHERE c >= 21),
+d11 AS (SELECT e.u AS node, COUNT(*) AS c FROM e
+        JOIN a10 x ON e.u = x.node
+        JOIN a10 y ON e.v = y.node GROUP BY 1),
+a11 AS MATERIALIZED (SELECT node FROM d11 WHERE c >= 21),
+d12 AS (SELECT e.u AS node, COUNT(*) AS c FROM e
+        JOIN a11 x ON e.u = x.node
+        JOIN a11 y ON e.v = y.node GROUP BY 1),
+a12 AS MATERIALIZED (SELECT node FROM d12 WHERE c >= 21),
+        df AS (
+          SELECT e.u AS node, COUNT(*) AS c FROM e
+          JOIN a12 x ON e.u = x.node
+          JOIN a12 y ON e.v = y.node GROUP BY 1
+        )
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(c AS BIGINT) AS core_degree
+        FROM df
+    """,
+    # CUSUM change point: window prefix sums + QUALIFY argmax
+    "changepoint_users_events": """
+        WITH c AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                 CAST(ROUND(CAST(value AS DOUBLE) * 100.0) AS BIGINT)
+                     AS cents
+          FROM events
+        ),
+        s AS (
+          SELECT user_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id) AS i,
+                 SUM(cents) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cs,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n,
+                 SUM(cents) OVER (PARTITION BY user_id) AS t
+          FROM c
+        ),
+        st AS (
+          SELECT user_id, n, i, ABS(n * cs - i * t) AS stat
+          FROM s WHERE i < n AND n >= 8
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(n AS BIGINT) AS n,
+               CAST(i AS BIGINT) AS split_i,
+               CAST(stat AS BIGINT) AS stat
+        FROM st
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY stat DESC, i ASC) = 1
+    """,
+}
 
 _LAZY: dict[str, object] = {}
 

@@ -6568,6 +6568,329 @@ def apportion_crawl_budget(sf_dir: str):
     return rd.from_arrow(out)
 
 
+
+# ---------------------------------------------------------------------------
+# Eighth wave (round 5): OHLC bars, gap-filled timelines, three more
+# TPC-H shapes, winnowing fingerprints, k-core, CUSUM change points
+# ---------------------------------------------------------------------------
+
+
+def ohlc_candles_events(sf_dir: str):
+    """Per (event_type, hour) OHLC candlestick bars: open/close = the
+    first/last value in (ts, event_id) order, high/low = max/min, all
+    in exact cents — the time-bucket bar summarization with
+    deterministic tie-breaks, so the result is independent of block
+    order and parallelism.  One sort per block + one bounded partial
+    exchange (stages/windows.py ``ohlc_candles``); open/close
+    candidates carry their own (ts, tie) keys so partials merge
+    exactly."""
+    from geodata_ray.stages.windows import ohlc_candles
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": pc.divide(ts_us, 3_600_000_000),
+                "ts_us": ts_us,
+                "event_id": batch["event_id"],
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(
+                            pc.cast(batch["value"], pa.float64()), 100.0
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ohlc_candles(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_cols=["event_type", "hour"],
+        ts_col="ts_us",
+        tie_col="event_id",
+        val_col="cents",
+    )
+
+
+def gapfill_hourly_events(sf_dir: str):
+    """Gap-filled hourly event counts per type: every hour between the
+    global min and max active hour appears, missing hours as EXPLICIT
+    zero rows — time-series densification (the resample-with-fill the
+    reference does daily, ``convert.py:151``, generalized to a
+    distributed counting spine).  Counts pre-combine per block; the
+    spine is a bounded post-aggregate artifact (guarded), never a
+    join."""
+    from geodata_ray.stages.windows import gapfill_hourly_counts
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    return gapfill_hourly_counts(ds, key_col="event_type", ts_col="ts")
+
+
+def late_shipment_priority(sf_dir: str):
+    """TPC-H Q12-style shipping-delay audit: lineitems shipped more
+    than 90 days after their order date, counted per returnflag and
+    split by order-priority class (URGENT/HIGH vs the rest) — the
+    conditional-aggregation-over-a-join shape.  One hash exchange
+    (native join on orderkey); the flags are vectorized int64 0/1
+    columns pre-combined before the tiny final groupby."""
+    from geodata_ray.stages.relational import native_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_shipdate", "l_returnflag"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = native_join(li, od, on="l_orderkey", right_on="o_orderkey")
+
+    def flags(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        odt = batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        late = pc.cast(
+            pc.greater(pc.subtract(ship, odt), 90 * 86_400_000_000),
+            pa.int64(),
+        )
+        high = pc.cast(
+            pc.is_in(
+                batch["o_orderpriority"],
+                value_set=pa.array(["1-URGENT", "2-HIGH"]),
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "high_late": pc.multiply(late, high),
+                "low_late": pc.multiply(
+                    late, pc.subtract(pa.scalar(1, pa.int64()), high)
+                ),
+            }
+        )
+
+    return grouped_aggregate(
+        j.map_batches(flags, batch_format="pyarrow"),
+        ["l_returnflag"],
+        [
+            ("high_late", "sum", "high_late_count"),
+            ("low_late", "sum", "low_late_count"),
+            ("high_late", "count", "n_lines"),
+        ],
+    )
+
+
+def q18_large_orders(sf_dir: str):
+    """TPC-H Q18 (large-volume orders): orders whose total lineitem
+    quantity exceeds 200 units, enriched with customer name and order
+    facts — the HAVING-filter-then-enrich shape.  The quantity
+    aggregate pre-combines per block; the having filter shrinks the
+    key set ~20x before any join; enrichment is one native join plus
+    a broadcast of the small customer dimension."""
+    from geodata_ray.stages.relational import native_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "qty": pc.cast(pc.round(batch["l_quantity"]), pa.int64()),
+            }
+        )
+
+    qsum = grouped_aggregate(
+        li.map_batches(qty, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [("qty", "sum", "sum_qty")],
+    )
+    big = qsum.map_batches(
+        lambda b: b.filter(pc.greater(b["sum_qty"], 200)),
+        batch_format="pyarrow",
+    )
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate",
+                        "o_totalprice"])
+    j = native_join(big, od, on="l_orderkey", right_on="o_orderkey")
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).rename_columns(["o_custkey", "c_name"])
+    enriched = broadcast_join(j, cust, ["o_custkey"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        # native_join consumed the right key column; l_orderkey IS the
+        # orderkey after the equi-join
+        return pa.table(
+            {
+                "c_name": batch["c_name"],
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["l_orderkey"],
+                "o_orderdate_us": batch["o_orderdate"]
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+                "total_cents": pc.cast(
+                    pc.round(pc.multiply(batch["o_totalprice"], 100.0)),
+                    pa.int64(),
+                ),
+                "sum_qty": batch["sum_qty"],
+            }
+        )
+
+    return enriched.map_batches(project, batch_format="pyarrow")
+
+
+def q22_idle_customers(sf_dir: str):
+    """TPC-H Q22 shape (global-scalar broadcast + anti join): rich
+    customers — strictly above the average positive balance, decided
+    by exact cross-multiplied integers ``cents * n > sum`` — with no
+    order since 1999, grouped by nation.  The scalar (sum, n) pair is
+    ONE tiny aggregate broadcast into the filter; the recent-buyer key
+    set is bounded by the customer dimension and anti-joins without a
+    shuffle."""
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["c_acctbal"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "nationkey": pc.cast(batch["c_nationkey"], pa.int64()),
+                "cents": c,
+            }
+        )
+        return t.filter(pc.greater(t["cents"], 0))
+
+    pos = cust.map_batches(cents, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+
+    agg = pos.aggregate(Sum("cents"), Count())
+    s, n = int(agg["sum(cents)"]), int(agg["count()"])
+
+    rich = pos.map_batches(
+        lambda b, s=s, n=n: b.filter(
+            pc.greater(pc.multiply(b["cents"], pa.scalar(n, pa.int64())),
+                       pa.scalar(s, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+
+    cutoff_us = int(
+        (np.datetime64("1999-01-01T00:00:00", "us")
+         - np.datetime64(0, "us")).astype(np.int64)
+    )
+    od = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    recent = grouped_aggregate(
+        od.map_batches(
+            lambda b: pa.table(
+                {"o_custkey": b["o_custkey"]}
+            ).filter(
+                pc.greater_equal(
+                    b["o_orderdate"].cast(pa.timestamp("us"))
+                    .cast(pa.int64()),
+                    cutoff_us,
+                )
+            ),
+            batch_format="pyarrow",
+        ),
+        ["o_custkey"],
+        [("o_custkey", "count", "__n")],
+    )
+    recent_keys = recent.to_pandas()["o_custkey"].to_numpy()  # bounded
+    idle = anti_join(rich, recent_keys, "c_custkey")
+    return grouped_aggregate(
+        idle,
+        ["nationkey"],
+        [("cents", "count", "n_customers"), ("cents", "sum", "total_cents")],
+    )
+
+
+def winnowing_docs(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken —
+    the MOSS algorithm): k=8-byte-gram splitmix64 hashes over the
+    lower-cased 200-char ASCII prefix, rightmost-min selection per
+    w=4 window, distinct (pos, fp) per doc.  Zero shuffle, fully
+    vectorized (one sliding-window argmin over all docs per batch);
+    the oracle replays the identical hash + window arithmetic."""
+    from geodata_ray.stages.textstats import winnowing_fingerprints
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(winnowing_fingerprints, batch_format="pyarrow")
+
+
+def k_core_hosts(sf_dir: str):
+    """k-core decomposition (k=21) of the symmetrized 97-node host
+    link graph (same deterministic 3-out-link derivation as
+    ``pagerank_hosts_docs``): iteratively peel nodes with induced
+    degree < k — the density filter that isolates spam farms / link
+    rings.  Edges stream every round with zero shuffle; only the
+    bounded alive set broadcasts (stages/graphcc.py ``k_core``); the
+    oracle unrolls the same 12 peels as chained CTEs."""
+    from geodata_ray.stages.graphcc import k_core
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        u = ids % 97
+        us, vs = [], []
+        for j in (1, 2, 3):
+            us.append(u)
+            vs.append((u + 1 + (ids * j) % 96) % 97)
+        return pa.table(
+            {"u": pa.array(np.concatenate(us)),
+             "v": pa.array(np.concatenate(vs))}
+        )
+
+    return k_core(
+        ds.map_batches(edges, batch_format="pyarrow"),
+        k=21,
+        max_rounds=12,
+    )
+
+
+def changepoint_users_events(sf_dir: str):
+    """Per-user CUSUM change-point detection in exact integers: over
+    the user's events in (ts, event_id) order with prefix sums c_i and
+    total T, report the split i maximizing |n*c_i - i*T| (ties to the
+    smallest i) — mean-shift detection with the normalizer cleared so
+    the argmax is bit-identical across engines.  One keyed-bucket
+    exchange; per bucket a lexsort + segment prefix sums + a lexsort
+    argmax (stages/windows.py ``cusum_changepoint``)."""
+    from geodata_ray.stages.windows import cusum_changepoint
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(
+                            pc.cast(batch["value"], pa.float64()), 100.0
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return cusum_changepoint(
+        ds.map_batches(prep, batch_format="pyarrow"), min_n=8
+    )
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -6670,6 +6993,14 @@ RAY_QUERIES = {
     "weighted_sample_events": weighted_sample_events,
     "activity_bitmap_users": activity_bitmap_users,
     "apportion_crawl_budget": apportion_crawl_budget,
+    "ohlc_candles_events": ohlc_candles_events,
+    "gapfill_hourly_events": gapfill_hourly_events,
+    "late_shipment_priority": late_shipment_priority,
+    "q18_large_orders": q18_large_orders,
+    "q22_idle_customers": q22_idle_customers,
+    "winnowing_docs": winnowing_docs,
+    "k_core_hosts": k_core_hosts,
+    "changepoint_users_events": changepoint_users_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,

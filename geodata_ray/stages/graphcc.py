@@ -1006,3 +1006,109 @@ def sssp(edges, source: int, *, src: str = "u", dst: str = "v",
     return rd.from_arrow(
         pa.table({"node": pa.array(nodes), "dist": pa.array(dist)})
     )
+
+
+def k_core(edges, *, k: int, src: str = "u", dst: str = "v",
+           max_rounds: int = 12, node_bound: int = 5_000_000):
+    """k-core decomposition by iterative peeling: repeatedly drop
+    nodes whose degree in the surviving induced subgraph is below
+    ``k`` — the standard spam-farm / community-density filter over
+    the host link graph.  Input edges are treated as UNDIRECTED and
+    are symmetrized + dedup'd here (self-loops dropped), so callers
+    pass the raw directed link table.
+
+    Shape: edges live in a Dataset and stream every round with zero
+    shuffle; only the ALIVE node set — bounded by ``node_bound``,
+    raises past it — broadcasts via ``ray.put``.  Per round each edge
+    block emits pre-combined per-node degree partials for edges whose
+    BOTH endpoints are alive; the bounded partials merge in one tiny
+    groupby.  Peeling is monotone, so a round that removes nothing is
+    the fixpoint and rounds past it are no-ops — running to
+    ``max_rounds`` and early-breaking on stability are the SAME
+    function, which is what makes the unrolled-CTE oracle exact.
+    Returns (node, core_degree) for nodes surviving ``max_rounds``
+    peels, with their degree in the final induced subgraph."""
+    import ray
+    import ray.data as rd
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        a = b[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != c  # vectorized self-loop drop, pre-shuffle
+        a, c = a[keep], c[keep]
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, c])),
+                "v": pa.array(np.concatenate([c, a])),
+            }
+        )
+
+    sym = distinct_edges_packed(
+        edges.map_batches(symmetrize, batch_format="pyarrow")
+    )
+
+    def degree_fn(alive_ref):
+        def deg(batch: pa.Table) -> pa.Table:
+            al = (
+                alive_ref
+                if alive_ref is None or isinstance(alive_ref, np.ndarray)
+                else ray.get(alive_ref)
+            )
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            if al is not None:
+                keep = np.isin(u, al) & np.isin(v, al)
+                u = u[keep]
+            if u.size == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "d": pa.array([], pa.int64())})
+            uu, cc = np.unique(u, return_counts=True)
+            return pa.table({"node": pa.array(uu.astype(np.int64)),
+                             "d": pa.array(cc.astype(np.int64))})
+        return deg
+
+    alive = None  # first round: all endpoint nodes
+    last = None
+    for _ in range(max_rounds):
+        aref = ray.put(alive) if alive is not None else None
+        part = sym.map_batches(
+            degree_fn(aref if aref is not None else alive),
+            batch_format="pyarrow",
+        )
+        degs = part.groupby("node").sum("d").to_pandas()
+        if degs.empty:
+            alive = np.array([], dtype=np.int64)
+            last = degs
+            break
+        nodes = degs["node"].to_numpy().astype(np.int64)
+        if nodes.size > node_bound:
+            raise ValueError(
+                f"k_core: alive set {nodes.size} exceeds "
+                f"node_bound={node_bound}"
+            )
+        d = degs["sum(d)"].to_numpy().astype(np.int64)
+        new_alive = np.sort(nodes[d >= k])
+        last = degs
+        if alive is not None and np.array_equal(new_alive, alive):
+            break
+        alive = new_alive
+
+    if alive is None or alive.size == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "core_degree": pa.array([], pa.int64())})
+        )
+    # final degrees within the surviving induced subgraph
+    aref = ray.put(alive)
+    part = sym.map_batches(degree_fn(aref), batch_format="pyarrow")
+    final = part.groupby("node").sum("d")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"],
+                "core_degree": batch["sum(d)"].cast(pa.int64()),
+            }
+        )
+
+    return final.map_batches(project, batch_format="pyarrow")

@@ -1241,3 +1241,101 @@ def bpe_pair_counts(ds, *, text_col: str = "text", min_count: int = 100):
         )
 
     return agg.map_batches(decode, batch_format="pyarrow")
+
+
+def winnowing_fingerprints(
+    batch: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    prefix_len: int = 200,
+) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    the MOSS local fingerprinting algorithm): hash every ``k``-gram of
+    the lower-cased text prefix, slide a window over ``w`` consecutive
+    hashes, and select the MINIMUM hash per window (rightmost position
+    on ties — the paper's rule, which guarantees any match of length
+    >= w+k-1 shares a selected fingerprint).  Emits one row per
+    DISTINCT selected (position, hash) per doc: ``(id, pos, fp)`` with
+    ``pos`` 1-based to line up with SQL ``substr``.
+
+    Exactness contract (documented, SQL-replayable): the k-gram hash
+    is splitmix64 over the k=8 prefix BYTES packed little-endian, so
+    only docs whose prefix is pure ASCII participate (character
+    positions == byte positions on both engines); docs with fewer
+    than ``k + w - 1`` prefix chars emit nothing (no full window).
+
+    Shape: zero shuffle — embarrassingly parallel per batch.  Fully
+    vectorized: all docs' k-gram hashes concatenate into ONE array
+    with max-uint64 sentinel padding between docs, a single
+    ``sliding_window_view`` argmin (reversed input, so ties pick the
+    rightmost) selects every window's winner, and a packed
+    ``np.unique`` dedups — no per-position Python loop."""
+    if k != 8:
+        raise ValueError("winnowing k-gram packer is fixed at k=8 bytes")
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    texts = pc.utf8_slice_codeunits(
+        pc.utf8_lower(batch[text_col]), 0, prefix_len
+    ).to_pylist()
+
+    powers = np.uint64(1) << (np.arange(k, dtype=np.uint64) * np.uint64(8))
+    sent = np.full(w - 1, np.iinfo(np.uint64).max, dtype=np.uint64)
+    hash_blocks: list[np.ndarray] = []
+    row_blocks: list[np.ndarray] = []
+    for row, t in enumerate(texts):
+        if t is None or len(t) < k + w - 1 or not t.isascii():
+            continue
+        b = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+        grams = np.lib.stride_tricks.sliding_window_view(b, k).astype(
+            np.uint64
+        )
+        hash_blocks.append(sent)
+        row_blocks.append(np.full(w - 1, -1, dtype=np.int64))
+        hash_blocks.append(splitmix64(grams @ powers))
+        row_blocks.append(np.full(grams.shape[0], row, dtype=np.int64))
+    if not hash_blocks:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "fp": pa.array([], pa.int64()),
+            }
+        )
+
+    allh = np.concatenate(hash_blocks)
+    rows = np.concatenate(row_blocks)
+    # position of each hash within its doc (0-based): reset at the
+    # first real hash after each sentinel run
+    real = rows >= 0
+    idx = np.arange(allh.size, dtype=np.int64)
+    block_start = np.zeros(allh.size, dtype=np.int64)
+    is_first = real & np.r_[True, ~real[:-1]]
+    block_start[is_first] = idx[is_first]
+    block_start = np.maximum.accumulate(block_start)
+    pos0 = idx - block_start  # valid only where real
+
+    # every length-w window: winner = rightmost min.  The paper's
+    # windows are the FULL in-doc ones, so keep a window only when its
+    # start and end rows agree and are real — the sentinel runs (row
+    # -1, value max-uint64) exist purely so one sliding pass covers
+    # every doc without windows bleeding across doc boundaries.
+    win = np.lib.stride_tricks.sliding_window_view(allh, w)
+    jrev = win[:, ::-1].argmin(axis=1)
+    winner = np.arange(win.shape[0], dtype=np.int64) + (w - 1 - jrev)
+    full = (rows[w - 1:] >= 0) & (rows[: allh.size - w + 1]
+                                  == rows[w - 1:])
+    winner = winner[full]
+
+    sel_rows = rows[winner]
+    packed_key = sel_rows * np.int64(2**32) + winner
+    uniq = np.unique(packed_key)
+    sel = (uniq % np.int64(2**32)).astype(np.int64)
+    return pa.table(
+        {
+            id_col: pa.array(ids[rows[sel]].astype(np.int64)),
+            "pos": pa.array(pos0[sel] + 1),
+            "fp": pa.array(allh[sel].astype(np.int64)),
+        }
+    )

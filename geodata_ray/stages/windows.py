@@ -540,3 +540,313 @@ def interval_union_length(
             batch_format="pyarrow",
         )
     )
+
+
+def _key_codes(t: pa.Table, cols) -> np.ndarray:
+    """Per-column integer codes for segment-boundary detection: string
+    columns dictionary-encode to indices, everything else passes
+    through as numpy — avoids object-array comparisons in the hot
+    path."""
+    out = []
+    for c in cols:
+        col = t[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            out.append(col.dictionary_encode().indices.to_numpy(
+                zero_copy_only=False).astype(np.int64))
+        else:
+            out.append(col.to_numpy(zero_copy_only=False))
+    return out
+
+
+def _segment_starts(code_cols: list[np.ndarray]) -> np.ndarray:
+    n = code_cols[0].size if code_cols else 0
+    new = np.ones(n, dtype=bool)
+    if n > 1:
+        acc = np.zeros(n - 1, dtype=bool)
+        for c in code_cols:
+            acc |= c[1:] != c[:-1]
+        new[1:] = acc
+    return np.flatnonzero(new)
+
+
+def ohlc_candles(
+    ds,
+    *,
+    key_cols,
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    val_col: str = "cents",
+):
+    """Per-key OHLC candlesticks: ``open`` = value of the first row in
+    (ts, tie) order, ``close`` = value of the last, ``high``/``low`` =
+    max/min value, ``n_rows`` = count — the financial-bar /
+    time-bucket summarization as a deterministic distributed operator
+    (ties broken by ``tie_col``, so the result is order-independent).
+
+    Shape: per input block ONE Arrow sort + reduceat extracts a
+    9-column partial row per key (open/close candidates carry their
+    own (ts, tie) order keys, so partials MERGE exactly — tuple argmin
+    needs no packed key); the only exchange groups the tiny partials
+    (<= blocks x keys rows) and lexsort-merges per key.  Nothing ever
+    materializes on the driver."""
+    key_cols = list(key_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    **{k: batch[k] for k in key_cols},
+                    "o_ts": pa.array([], pa.int64()),
+                    "o_tie": pa.array([], pa.int64()),
+                    "o_val": pa.array([], pa.int64()),
+                    "c_ts": pa.array([], pa.int64()),
+                    "c_tie": pa.array([], pa.int64()),
+                    "c_val": pa.array([], pa.int64()),
+                    "lo": pa.array([], pa.int64()),
+                    "hi": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        t = batch.sort_by(
+            [(k, "ascending") for k in key_cols]
+            + [(ts_col, "ascending"), (tie_col, "ascending")]
+        )
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tie = t[tie_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = _segment_starts(_key_codes(t, key_cols))
+        ends = np.append(starts[1:], t.num_rows)
+        last = ends - 1
+        cols = {k: t[k].take(pa.array(starts)) for k in key_cols}
+        cols.update(
+            {
+                "o_ts": pa.array(ts[starts]),
+                "o_tie": pa.array(tie[starts]),
+                "o_val": pa.array(val[starts]),
+                "c_ts": pa.array(ts[last]),
+                "c_tie": pa.array(tie[last]),
+                "c_val": pa.array(val[last]),
+                "lo": pa.array(np.minimum.reduceat(val, starts)),
+                "hi": pa.array(np.maximum.reduceat(val, starts)),
+                "n": pa.array(ends - starts),
+            }
+        )
+        return pa.table(cols)
+
+    def merge(g: pa.Table) -> pa.Table:
+        o = np.lexsort(
+            (
+                g["o_tie"].to_numpy(zero_copy_only=False),
+                g["o_ts"].to_numpy(zero_copy_only=False),
+            )
+        )
+        c = np.lexsort(
+            (
+                g["c_tie"].to_numpy(zero_copy_only=False),
+                g["c_ts"].to_numpy(zero_copy_only=False),
+            )
+        )
+        row = {k: g[k].take(pa.array([0])) for k in key_cols}
+        row.update(
+            {
+                "open_cents": pa.array(
+                    [int(g["o_val"][int(o[0])].as_py())], pa.int64()
+                ),
+                "high_cents": pa.array(
+                    [int(pc.max(g["hi"]).as_py())], pa.int64()
+                ),
+                "low_cents": pa.array(
+                    [int(pc.min(g["lo"]).as_py())], pa.int64()
+                ),
+                "close_cents": pa.array(
+                    [int(g["c_val"][int(c[-1])].as_py())], pa.int64()
+                ),
+                "n_rows": pa.array([int(pc.sum(g["n"]).as_py())], pa.int64()),
+            }
+        )
+        return pa.table(row)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(key_cols).map_groups(
+        merge, batch_format="pyarrow"
+    )
+
+
+def cusum_changepoint(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    val_col: str = "cents",
+    min_n: int = 8,
+    num_buckets: int = 32,
+):
+    """Per-key CUSUM change-point detection in EXACT integer
+    arithmetic: over the key's rows in (ts, tie) order with prefix
+    sums ``c_i`` and total ``T``, the change point is the split
+    ``i`` (1-based, ``1 <= i < n``) maximizing ``|n*c_i - i*T|`` —
+    the classic mean-shift CUSUM statistic with the 1/n(n-i)i
+    normalizer cleared so no float ever appears; ties break to the
+    SMALLEST ``i``.  Keys with fewer than ``min_n`` rows are dropped.
+
+    Shape: keys hash into ``num_buckets`` groups (ONE exchange); per
+    bucket one lexsort + segment-offset prefix sums + a lexsort
+    argmax — no per-row Python.  ``n * sum|value|`` per key must fit
+    int64 (raises otherwise: a silent wrap would flip the argmax).
+    Emits (key, n, split_i, stat)."""
+    from geodata_ray.stages.windows import _tag_bucket
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        ts = g[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tie = g[tie_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = g[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tie, ts, k))
+        k, y = k[order], y[order]
+        n = k.size
+        if n == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "split_i": pa.array([], pa.int64()),
+                    "stat": pa.array([], pa.int64()),
+                }
+            )
+        new = np.ones(n, dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        seg = np.cumsum(new) - 1  # segment id per row
+        lens = ends - starts
+        # segment-local prefix sums via global cumsum minus the
+        # per-segment offset (repeat, NOT accumulate: cumsums can be
+        # negative, so a running max would mis-propagate offsets)
+        gc = np.cumsum(y)
+        prev = np.zeros(starts.size, dtype=np.int64)
+        prev[1:] = gc[starts[1:] - 1]
+        cs = gc - np.repeat(prev, lens)
+        i_local = np.arange(n, dtype=np.int64) - starts[seg] + 1
+        tot = cs[ends - 1][seg]
+        nn = lens[seg]
+        # overflow guard: |n*c_i| <= n * sum|y| per key, and |i*T| too.
+        # Computed in float64 (an int64 product would itself wrap
+        # before the check fires); float sum error is ~n*eps, far
+        # inside the 2x margin between the 2^62 bar and the 2^63 wrap
+        abs_sum = np.add.reduceat(
+            np.abs(y).astype(np.float64), starts
+        )
+        if abs_sum.size and float(
+            (lens.astype(np.float64) * abs_sum).max()
+        ) > float(2**62):
+            raise ValueError(
+                "cusum_changepoint: n * sum|value| exceeds the exact-"
+                "int64 budget; rescale the value column"
+            )
+        stat = np.abs(nn * cs - i_local * tot)
+        # candidates: interior splits of segments with >= min_n rows
+        cand = (i_local < nn) & (nn >= min_n)
+        if not cand.any():
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "split_i": pa.array([], pa.int64()),
+                    "stat": pa.array([], pa.int64()),
+                }
+            )
+        cs_seg = seg[cand]
+        cs_stat = stat[cand]
+        cs_i = i_local[cand]
+        o = np.lexsort((cs_i, -cs_stat, cs_seg))
+        first = np.flatnonzero(
+            np.r_[True, cs_seg[o][1:] != cs_seg[o][:-1]]
+        )
+        pick = o[first]
+        return pa.table(
+            {
+                key_col: pa.array(k[starts[cs_seg[pick]]]),
+                "n": pa.array(nn[cand][pick]),
+                "split_i": pa.array(cs_i[pick]),
+                "stat": pa.array(cs_stat[pick]),
+            }
+        )
+
+    return (
+        _tag_bucket(ds, key_col, num_buckets)
+        .groupby("__b")
+        .map_groups(
+            lambda g: per_bucket(g.drop_columns(["__b"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def gapfill_hourly_counts(
+    ds,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    max_spine_rows: int = 2_000_000,
+):
+    """Time-series densification: hourly counts per key INCLUDING
+    zero rows for every hour between the global min and max active
+    hour — the gap-filling resample every monitoring/feature pipeline
+    needs before windowed math (a missing hour must read as 0, not as
+    an absent row).
+
+    Shape: counts pre-combine per block (one bounded exchange); the
+    spine is keys x hour-range — an inherently BOUNDED post-aggregate
+    artifact (guarded by ``max_spine_rows``: a sparse 10^9-hour range
+    raises instead of exploding), so the fill is a vectorized local
+    scatter, not a join."""
+    import ray.data as rd
+
+    def hour(batch: pa.Table) -> pa.Table:
+        h = pc.divide(
+            batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            3_600_000_000,
+        )
+        return pa.table({key_col: batch[key_col], "hour": h})
+
+    counts = grouped_aggregate(
+        ds.map_batches(hour, batch_format="pyarrow"),
+        [key_col, "hour"],
+        [("hour", "count", "n_events")],
+    ).to_pandas()  # bounded: distinct keys x active hours
+
+    if counts.empty:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    key_col: pa.array([], pa.string()),
+                    "hour": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        )
+    hours = counts["hour"].to_numpy().astype(np.int64)
+    h0, h1 = int(hours.min()), int(hours.max())
+    keys = np.sort(counts[key_col].unique())
+    span = h1 - h0 + 1
+    if span * keys.size > max_spine_rows:
+        raise ValueError(
+            f"gapfill spine {span * keys.size} rows exceeds "
+            f"max_spine_rows={max_spine_rows}; narrow the range or "
+            "partition by key"
+        )
+    key_idx = {k: i for i, k in enumerate(keys)}
+    filled = np.zeros((keys.size, span), dtype=np.int64)
+    rows = counts[key_col].map(key_idx).to_numpy().astype(np.int64)
+    filled[rows, hours - h0] = counts["n_events"].to_numpy()
+    out = pa.table(
+        {
+            key_col: pa.array(np.repeat(keys, span)),
+            "hour": pa.array(np.tile(np.arange(h0, h1 + 1), keys.size)),
+            "n_events": pa.array(filled.ravel()),
+        }
+    )
+    return rd.from_arrow(out)

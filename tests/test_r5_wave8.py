@@ -1,0 +1,239 @@
+"""Eighth-wave operator tests (round 5): OHLC bars, CUSUM change
+points, winnowing fingerprints, k-core peeling, hourly gap-fill."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ohlc_candles_vs_bruteforce():
+    import ray.data as rd
+
+    from geodata_ray.stages.windows import ohlc_candles
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    key = rng.integers(0, 7, n).astype(np.int64)
+    ts = rng.integers(0, 500, n).astype(np.int64)  # heavy ts ties
+    tie = np.arange(n, dtype=np.int64)
+    val = rng.integers(-1000, 1000, n).astype(np.int64)
+    t = pa.table(
+        {"k": pa.array(key), "ts": pa.array(ts),
+         "event_id": pa.array(tie), "cents": pa.array(val)}
+    )
+    res = (
+        ohlc_candles(
+            rd.from_arrow(t).repartition(9),
+            key_cols=["k"], ts_col="ts", tie_col="event_id",
+            val_col="cents",
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    for kk in np.unique(key):
+        sel = key == kk
+        o = np.lexsort((tie[sel], ts[sel]))
+        r = res[res["k"] == kk].iloc[0]
+        assert int(r.open_cents) == int(val[sel][o[0]])
+        assert int(r.close_cents) == int(val[sel][o[-1]])
+        assert int(r.high_cents) == int(val[sel].max())
+        assert int(r.low_cents) == int(val[sel].min())
+        assert int(r.n_rows) == int(sel.sum())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cusum_changepoint_vs_bruteforce():
+    import ray.data as rd
+
+    from geodata_ray.stages.windows import cusum_changepoint
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    key = rng.integers(0, 30, n).astype(np.int64)
+    ts = rng.integers(0, 10**6, n).astype(np.int64)
+    tie = np.arange(n, dtype=np.int64)
+    val = rng.integers(-500, 500, n).astype(np.int64)
+    # plant a real mean shift in key 0
+    sel0 = key == 0
+    half = np.flatnonzero(sel0)[sel0.sum() // 2:]
+    val[half] += 2000
+    t = pa.table(
+        {"user_id": pa.array(key), "ts": pa.array(ts),
+         "event_id": pa.array(tie), "cents": pa.array(val)}
+    )
+    res = (
+        cusum_changepoint(rd.from_arrow(t).repartition(5), min_n=8)
+        .to_pandas()
+        .set_index("user_id")
+    )
+    for kk in np.unique(key):
+        sel = key == kk
+        m = int(sel.sum())
+        if m < 8:
+            assert kk not in res.index
+            continue
+        o = np.lexsort((tie[sel], ts[sel]))
+        y = val[sel][o]
+        cs = np.cumsum(y)
+        stat = np.abs(m * cs[:-1] - np.arange(1, m) * cs[-1])
+        best = int(stat.argmax())  # first occurrence = smallest i
+        r = res.loc[kk]
+        assert int(r.n) == m
+        assert int(r.split_i) == best + 1
+        assert int(r.stat) == int(stat[best])
+
+
+def test_cusum_overflow_guard():
+    import ray.data as rd
+
+    from geodata_ray.stages.windows import cusum_changepoint
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1] * 10, pa.int64()),
+            "ts": pa.array(list(range(10)), pa.int64()),
+            "event_id": pa.array(list(range(10)), pa.int64()),
+            "cents": pa.array([2**60] * 10, pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="int64"):
+        cusum_changepoint(rd.from_arrow(t), min_n=8).to_pandas()
+
+
+def test_winnowing_vs_bruteforce():
+    from geodata_ray.sources.synth import splitmix64
+    from geodata_ray.stages.textstats import winnowing_fingerprints
+
+    rng = np.random.default_rng(3)
+    texts = [
+        "".join(rng.choice(list("abcd "), size=rng.integers(0, 60)))
+        for _ in range(200)
+    ]
+    texts += ["short", "", None,
+              "ThisIsMixedCase With Spaces and more text here",
+              "café non-ascii prefix must be skipped entirely"]
+    ids = np.arange(len(texts), dtype=np.int64)
+    t = pa.table(
+        {"doc_id": pa.array(ids), "text": pa.array(texts, pa.string())}
+    )
+    got = winnowing_fingerprints(t, k=8, w=4, prefix_len=200).to_pandas()
+    got_set = set(map(tuple, got[["doc_id", "pos", "fp"]].to_numpy()))
+
+    def brute(doc_id, s, k=8, w=4):
+        if s is None:
+            return set()
+        s = s.lower()[:200]
+        if len(s) < k + w - 1 or not s.isascii():
+            return set()
+        b = s.encode("ascii")
+        hs = [
+            int(splitmix64(np.uint64(
+                sum(b[i + j] << (8 * j) for j in range(k))
+            )))
+            for i in range(len(b) - k + 1)
+        ]
+        out = set()
+        for e in range(w - 1, len(hs)):
+            window = hs[e - w + 1:e + 1]
+            mn = min(window)
+            for j in range(w - 1, -1, -1):  # rightmost min
+                if window[j] == mn:
+                    pos = e - w + 1 + j
+                    break
+            out.add((doc_id, pos + 1, int(np.uint64(mn).astype(np.int64))))
+        return out
+
+    want = set()
+    for i, s in zip(ids, texts):
+        want |= brute(int(i), s)
+    assert got_set == want
+    # the non-ascii doc contributed nothing
+    assert not any(d == ids[-1] for d, _, _ in got_set)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_k_core_vs_bruteforce():
+    import ray.data as rd
+
+    from geodata_ray.stages.graphcc import k_core
+
+    rng = np.random.default_rng(3)
+    u = rng.integers(0, 60, 800).astype(np.int64)
+    v = rng.integers(0, 60, 800).astype(np.int64)
+    eb = pa.table({"u": pa.array(u), "v": pa.array(v)})
+
+    E = set()
+    for a, b in zip(u, v):
+        if a != b:
+            E.add((int(a), int(b)))
+            E.add((int(b), int(a)))
+
+    for K in (3, 8, 15, 40):
+        got = k_core(
+            rd.from_arrow(eb).repartition(4), k=K, max_rounds=12
+        ).to_pandas()
+        alive = set(x for p in E for x in p)
+        for _ in range(12):
+            deg = {}
+            for a, b in E:
+                if a in alive and b in alive:
+                    deg[a] = deg.get(a, 0) + 1
+            new = set(x for x in alive if deg.get(x, 0) >= K)
+            if new == alive:
+                break
+            alive = new
+        deg = {}
+        for a, b in E:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+        want = sorted((x, deg[x]) for x in alive if deg.get(x, 0) > 0)
+        if not want:
+            assert len(got) == 0
+            continue
+        got_pairs = sorted(
+            map(tuple, got[["node", "core_degree"]].to_numpy())
+        )
+        assert got_pairs == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gapfill_hourly_counts():
+    import collections
+
+    import ray.data as rd
+
+    from geodata_ray.stages.windows import gapfill_hourly_counts
+
+    rng = np.random.default_rng(5)
+    ts = (
+        np.datetime64("2024-01-01")
+        + rng.integers(0, 3600 * 72, 2000).astype("timedelta64[s]")
+    ).astype("datetime64[us]")
+    et = np.array(["a", "b", "c"])[rng.integers(0, 3, 2000)]
+    t = pa.table({"event_type": pa.array(et), "ts": pa.array(ts)})
+    got = gapfill_hourly_counts(rd.from_arrow(t).repartition(3)).to_pandas()
+
+    hrs = ts.astype("datetime64[h]").astype(np.int64)
+    h0, h1 = int(hrs.min()), int(hrs.max())
+    assert len(got) == 3 * (h1 - h0 + 1)
+    assert int(got.n_events.sum()) == 2000
+    want = collections.Counter(zip(et, hrs))
+    for _, r in got.iterrows():
+        assert want.get((r.event_type, r.hour), 0) == r.n_events
+
+    # spine guard
+    far = pa.table(
+        {
+            "event_type": pa.array(["a", "a"]),
+            "ts": pa.array(
+                np.array(
+                    ["1970-01-01", "2100-01-01"], dtype="datetime64[us]"
+                )
+            ),
+        }
+    )
+    with pytest.raises(ValueError, match="spine"):
+        gapfill_hourly_counts(
+            rd.from_arrow(far), max_spine_rows=1000
+        )
