@@ -275,6 +275,11 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "winnowing_docs",
         "k_core_hosts",
         "changepoint_users_events",
+        # ninth wave (round 5)
+        "compact_cells_events",
+        "rfm_segments_users",
+        "pr_curve_docs",
+        "hits_hosts_docs",
     )
     for name in query_names:
         t0 = time.perf_counter()

@@ -375,3 +375,16 @@ def geohash_encode(lat: np.ndarray, lon: np.ndarray, precision: int = 8):
         pa.binary(precision), len(gh), [None, pa.py_buffer(chars.tobytes())]
     )
     return gh, pc.cast(arr, pa.string())
+
+
+def parent_sql_expr(cell_expr: str) -> str:
+    """ANSI-SQL expression computing :func:`cell_to_parent` (one level
+    up) for a cell-id expression — the oracle-side twin, sharing the
+    bit layout constants with the numpy kernel."""
+    res_div = 1 << RES_SHIFT
+    row_div = 1 << ROW_SHIFT
+    return (
+        f"((({cell_expr}) // {res_div} - 1) * {res_div}"
+        f" + ((({cell_expr}) % {res_div}) // {row_div} // 2) * {row_div}"
+        f" + ((({cell_expr}) % {row_div}) // 2))"
+    )

@@ -3048,6 +3048,69 @@ def _winnowing_sql(k: int = 8, w: int = 4, prefix_len: int = 200) -> str:
     """
 
 
+
+
+def _compact_cells_sql(res: int = 4, min_res: int = 2) -> str:
+    """Cell-compaction oracle: unrolled per-level peels — parents with
+    all 4 children present promote, partial-group children are kept
+    final.  Shares the bit-layout SQL with the engine via
+    ``qcell.parent_sql_expr``."""
+    cell = qcell.cell_sql_expr(
+        _derive_lat_sql("event_id"), _derive_lon_sql("event_id"), res
+    )
+    parts = [
+        f"pts AS (SELECT {cell} AS cell FROM events)",
+        f"c{res} AS MATERIALIZED (SELECT DISTINCT cell FROM pts)",
+    ]
+    keeps = []
+    for r in range(res, min_res, -1):
+        par = qcell.parent_sql_expr("cell")
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT {par} AS p, COUNT(*) AS n "
+            f"FROM c{r} GROUP BY 1)"
+        )
+        parts.append(
+            f"k{r} AS (SELECT cell FROM c{r} JOIN p{r} "
+            f"ON {par} = p{r}.p WHERE p{r}.n < 4)"
+        )
+        parts.append(
+            f"c{r - 1} AS MATERIALIZED "
+            f"(SELECT p AS cell FROM p{r} WHERE n = 4)"
+        )
+        keeps.append(f"SELECT cell FROM k{r}")
+    keeps.append(f"SELECT cell FROM c{min_res}")
+    body = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(keeps)
+    return f"WITH {body}\n{union}"
+
+
+def _pr_curve_sql() -> str:
+    """PR-curve oracle: the full classifier hash-replay SQL as a
+    subquery, joined back to documents for the lang ground truth,
+    cross-joined with the fixed threshold grid."""
+    from geodata_ray.pipelines.queries import _PR_THRESHOLDS
+
+    vals = ", ".join(f"({t})" for t in _PR_THRESHOLDS)
+    return f"""
+WITH sc AS MATERIALIZED ({_classifier_sql()}),
+lab AS (
+  SELECT sc.doc_id, sc.score, (d.lang = 'en') AS pos
+  FROM sc JOIN documents d USING (doc_id)
+),
+t(threshold) AS (VALUES {vals})
+SELECT CAST(threshold AS BIGINT) AS threshold,
+       CAST(SUM(CASE WHEN score >= threshold AND pos
+                THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN score >= threshold AND NOT pos
+                THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN score < threshold AND pos
+                THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(SUM(CASE WHEN score < threshold AND NOT pos
+                THEN 1 ELSE 0 END) AS BIGINT) AS tn
+FROM lab CROSS JOIN t GROUP BY 1
+"""
+
+
 _ORACLE_SQL_STATIC = {
     "q1_pricing_summary": Q1_SQL,
     "tiles_r7_events": TILES_R7_SQL,
@@ -4639,6 +4702,135 @@ _ORACLE_SQL_STATIC = {
         JOIN mr USING (doc_id)
     """,
 
+
+    # --- ninth wave (round 5) ---
+    "compact_cells_events": _compact_cells_sql(),
+    "pr_curve_docs": _pr_curve_sql(),
+    # RFM: ceil-rank quintile boundaries per measure + bucket scores
+    "rfm_segments_users": """
+        WITH c AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                 CAST(ROUND(CAST(value AS DOUBLE) * 100.0) AS BIGINT)
+                     AS cents
+          FROM events
+        ),
+        u AS (
+          SELECT user_id, MAX(day) AS last_day,
+                 CAST(COUNT(*) AS BIGINT) AS frequency,
+                 CAST(SUM(cents) AS BIGINT) AS monetary_cents
+          FROM c GROUP BY 1
+        ),
+        m AS (
+          SELECT user_id,
+                 (SELECT MAX(last_day) FROM u) - last_day
+                     AS recency_days,
+                 frequency, monetary_cents
+          FROM u
+        ),
+        rq AS (
+          SELECT recency_days AS v,
+                 ROW_NUMBER() OVER (ORDER BY recency_days) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM m
+        ),
+        rb AS (
+          SELECT MAX(CASE WHEN q = 1 THEN v END) AS b1,
+                 MAX(CASE WHEN q = 2 THEN v END) AS b2,
+                 MAX(CASE WHEN q = 3 THEN v END) AS b3,
+                 MAX(CASE WHEN q = 4 THEN v END) AS b4
+          FROM rq
+          JOIN (VALUES (1, 0.2), (2, 0.4), (3, 0.6), (4, 0.8))
+               q(q, qq)
+            ON rn = CAST(ceil(qq * n) AS BIGINT)
+        ),
+        fq AS (
+          SELECT frequency AS v,
+                 ROW_NUMBER() OVER (ORDER BY frequency) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM m
+        ),
+        fb AS (
+          SELECT MAX(CASE WHEN q = 1 THEN v END) AS b1,
+                 MAX(CASE WHEN q = 2 THEN v END) AS b2,
+                 MAX(CASE WHEN q = 3 THEN v END) AS b3,
+                 MAX(CASE WHEN q = 4 THEN v END) AS b4
+          FROM fq
+          JOIN (VALUES (1, 0.2), (2, 0.4), (3, 0.6), (4, 0.8))
+               q(q, qq)
+            ON rn = CAST(ceil(qq * n) AS BIGINT)
+        ),
+        mq AS (
+          SELECT monetary_cents AS v,
+                 ROW_NUMBER() OVER (ORDER BY monetary_cents) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM m
+        ),
+        mb AS (
+          SELECT MAX(CASE WHEN q = 1 THEN v END) AS b1,
+                 MAX(CASE WHEN q = 2 THEN v END) AS b2,
+                 MAX(CASE WHEN q = 3 THEN v END) AS b3,
+                 MAX(CASE WHEN q = 4 THEN v END) AS b4
+          FROM mq
+          JOIN (VALUES (1, 0.2), (2, 0.4), (3, 0.6), (4, 0.8))
+               q(q, qq)
+            ON rn = CAST(ceil(qq * n) AS BIGINT)
+        ),
+        sc AS (
+          SELECT m.user_id, m.recency_days, m.frequency,
+                 m.monetary_cents,
+                 1 + CAST(m.recency_days > rb.b1 AS BIGINT)
+                   + CAST(m.recency_days > rb.b2 AS BIGINT)
+                   + CAST(m.recency_days > rb.b3 AS BIGINT)
+                   + CAST(m.recency_days > rb.b4 AS BIGINT) AS r_score,
+                 1 + CAST(m.frequency > fb.b1 AS BIGINT)
+                   + CAST(m.frequency > fb.b2 AS BIGINT)
+                   + CAST(m.frequency > fb.b3 AS BIGINT)
+                   + CAST(m.frequency > fb.b4 AS BIGINT) AS f_score,
+                 1 + CAST(m.monetary_cents > mb.b1 AS BIGINT)
+                   + CAST(m.monetary_cents > mb.b2 AS BIGINT)
+                   + CAST(m.monetary_cents > mb.b3 AS BIGINT)
+                   + CAST(m.monetary_cents > mb.b4 AS BIGINT) AS m_score
+          FROM m, rb, fb, mb
+        )
+        SELECT user_id, recency_days, frequency, monetary_cents,
+               r_score, f_score, m_score,
+               CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+                   AS segment
+        FROM sc
+    """,
+    # HITS: one exact-integer mutual-reinforcement round
+    "hits_hosts_docs": """
+        WITH e0 AS MATERIALIZED (
+          SELECT DISTINCT u, v FROM (
+            SELECT (doc_id % 97) AS u,
+                   ((doc_id % 97) + 1 + ((doc_id * 1) % 96)) % 97 AS v
+            FROM documents
+            UNION ALL
+            SELECT (doc_id % 97),
+                   ((doc_id % 97) + 1 + ((doc_id * 2) % 96)) % 97
+            FROM documents
+            UNION ALL
+            SELECT (doc_id % 97),
+                   ((doc_id % 97) + 1 + ((doc_id * 3) % 96)) % 97
+            FROM documents
+          )
+        ),
+        a1 AS MATERIALIZED (
+          SELECT v AS node, COUNT(*) AS c FROM e0 GROUP BY 1
+        ),
+        h1 AS MATERIALIZED (
+          SELECT e0.u AS node, SUM(a1.c) AS s
+          FROM e0 JOIN a1 ON e0.v = a1.node GROUP BY 1
+        ),
+        a2 AS (
+          SELECT e0.v AS node, SUM(h1.s) AS s
+          FROM e0 JOIN h1 ON e0.u = h1.node GROUP BY 1
+        )
+        SELECT CAST(COALESCE(h1.node, a2.node) AS BIGINT) AS node,
+               CAST(COALESCE(h1.s, 0) AS BIGINT) AS hub,
+               CAST(COALESCE(a2.s, 0) AS BIGINT) AS auth
+        FROM h1 FULL JOIN a2 ON h1.node = a2.node
+    """,
     # --- eighth wave (round 5) ---
     # OHLC bars: window first/last over (ts, tie) order + grouped
     # min/max — every column exact cents

@@ -6891,6 +6891,204 @@ def changepoint_users_events(sf_dir: str):
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Ninth wave (round 5): cell compaction, RFM segmentation, PR-curve
+# model eval, HITS hubs/authorities
+# ---------------------------------------------------------------------------
+
+
+def compact_cells_events(sf_dir: str):
+    """Hierarchical cell-set compaction (the H3 ``compact`` op on the
+    quad grid): the distinct res-4 event tiles, with every COMPLETE
+    4-sibling group replaced by its parent down to res 2 — the
+    covering-set shrink step that makes broadcast polygon covers 4-70x
+    smaller at identical geometry.  Per level only the promoted parent
+    set (shrinks 4x/level) materializes; kept cells never leave their
+    blocks (stages/raster.py ``compact_cells``)."""
+    from geodata_ray.stages.raster import compact_cells
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def tiles(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy()
+        return pa.table(
+            {
+                "cell": pa.array(
+                    qcell.latlng_to_cell(
+                        _derive_lat_np(ids), _derive_lon_np(ids), 4
+                    )
+                )
+            }
+        )
+
+    return compact_cells(
+        ds.map_batches(tiles, batch_format="pyarrow"), min_res=2
+    )
+
+
+def rfm_segments_users(sf_dir: str):
+    """RFM segmentation: per user recency (days since last event,
+    relative to the corpus max day), frequency (event count), monetary
+    (exact cents sum), each scored 1-5 by the measure's own EXACT
+    quintile boundaries (ceil-rank quantile_disc — no float
+    percentile), segment = r*100 + f*10 + m.  NOTE r_score 5 = most
+    STALE (scores are plain quintile buckets on all three measures).
+    One keyed exchange builds the bounded user table (materialized
+    once); boundaries broadcast; no per-row shuffle after that."""
+    from geodata_ray.stages.relational import exact_int_quantiles
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": pc.divide(ts_us, 86_400_000_000),
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(
+                            pc.cast(batch["value"], pa.float64()), 100.0
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    per_user = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        [
+            ("day", "max", "last_day"),
+            ("day", "count", "frequency"),
+            ("cents", "sum", "monetary_cents"),
+        ],
+    ).materialize()  # bounded by user cardinality; reused 5x below
+
+    from ray.data.aggregate import Max
+
+    maxday = int(per_user.aggregate(Max("last_day"))["max(last_day)"])
+
+    def measures(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "recency_days": pc.subtract(
+                    pa.scalar(maxday, pa.int64()), batch["last_day"]
+                ),
+                "frequency": batch["frequency"],
+                "monetary_cents": batch["monetary_cents"],
+            }
+        )
+
+    m = per_user.map_batches(measures, batch_format="pyarrow")
+    qs = (0.2, 0.4, 0.6, 0.8)
+    bounds = {
+        col: np.asarray(exact_int_quantiles(m, col, qs), dtype=np.int64)
+        for col in ("recency_days", "frequency", "monetary_cents")
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        out = {c: batch[c] for c in batch.column_names}
+        sc = {}
+        for col, short in (
+            ("recency_days", "r"),
+            ("frequency", "f"),
+            ("monetary_cents", "m"),
+        ):
+            v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            sc[short] = (
+                1 + (v[:, None] > bounds[col][None, :]).sum(axis=1)
+            ).astype(np.int64)
+            out[f"{short}_score"] = pa.array(sc[short])
+        out["segment"] = pa.array(
+            sc["r"] * 100 + sc["f"] * 10 + sc["m"]
+        )
+        return pa.table(out)
+
+    return m.map_batches(score, batch_format="pyarrow")
+
+
+_PR_THRESHOLDS = (-10000, 0, 5000, 10000, 15000, 20000, 30000, 40000,
+                  50000)
+
+
+def pr_curve_docs(sf_dir: str):
+    """Model-eval precision/recall curve points: confusion counts
+    (tp/fp/fn/tn) of the hashed-linear quality classifier against the
+    ``lang == 'en'`` ground truth at 9 fixed score thresholds — the
+    threshold-sweep evaluation every filtering-model deployment runs
+    before picking its operating point.  One corpus scan emits 9
+    partial rows per batch (vectorized outer compare); the only
+    exchange groups 9 keys."""
+    from geodata_ray.stages.textstats import classifier_score_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    th = np.asarray(_PR_THRESHOLDS, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        scored = classifier_score_batch(batch)  # preserves row order
+        score = scored["score"].to_numpy(zero_copy_only=False)
+        pos = pc.equal(batch["lang"], "en").to_numpy(
+            zero_copy_only=False
+        )
+        pred = score[None, :] >= th[:, None]  # (9, n)
+        tp = (pred & pos[None, :]).sum(axis=1)
+        fp = (pred & ~pos[None, :]).sum(axis=1)
+        fn = (~pred & pos[None, :]).sum(axis=1)
+        tn = (~pred & ~pos[None, :]).sum(axis=1)
+        return pa.table(
+            {
+                "threshold": pa.array(th),
+                "tp": pa.array(tp.astype(np.int64)),
+                "fp": pa.array(fp.astype(np.int64)),
+                "fn": pa.array(fn.astype(np.int64)),
+                "tn": pa.array(tn.astype(np.int64)),
+            }
+        )
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["threshold"],
+        [
+            ("tp", "sum", "tp"),
+            ("fp", "sum", "fp"),
+            ("fn", "sum", "fn"),
+            ("tn", "sum", "tn"),
+        ],
+    )
+
+
+def hits_hosts_docs(sf_dir: str):
+    """HITS hubs-and-authorities over the same deterministic host link
+    graph as ``pagerank_hosts_docs`` — one unnormalized
+    mutual-reinforcement round in exact integers (hub = sum of
+    in-degree over out-neighbors, auth = sum of hub over in-neighbors;
+    normalization only rescales, so dropping it preserves the ranking
+    AND bit-exactness).  Edges stream three times with zero shuffle;
+    bounded score maps broadcast between passes
+    (stages/graphcc.py ``hits_scores``)."""
+    from geodata_ray.stages.graphcc import hits_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        u = ids % 97
+        us, vs = [], []
+        for j in (1, 2, 3):
+            us.append(u)
+            vs.append((u + 1 + (ids * j) % 96) % 97)
+        return pa.table(
+            {"u": pa.array(np.concatenate(us)),
+             "v": pa.array(np.concatenate(vs))}
+        )
+
+    return hits_scores(ds.map_batches(edges, batch_format="pyarrow"))
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -7001,6 +7199,10 @@ RAY_QUERIES = {
     "winnowing_docs": winnowing_docs,
     "k_core_hosts": k_core_hosts,
     "changepoint_users_events": changepoint_users_events,
+    "compact_cells_events": compact_cells_events,
+    "rfm_segments_users": rfm_segments_users,
+    "pr_curve_docs": pr_curve_docs,
+    "hits_hosts_docs": hits_hosts_docs,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,

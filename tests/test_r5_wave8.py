@@ -237,3 +237,73 @@ def test_gapfill_hourly_counts():
         gapfill_hourly_counts(
             rd.from_arrow(far), max_spine_rows=1000
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_cells_vs_bruteforce():
+    import ray.data as rd
+
+    from geodata_ray.cellmath import qcell
+    from geodata_ray.stages.raster import compact_cells
+
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-85, 85, 4000)
+    lon = rng.uniform(-180, 180, 4000)
+    cells = qcell.latlng_to_cell(lat, lon, 4)
+    t = pa.table({"cell": pa.array(cells)})
+    got = np.sort(
+        compact_cells(rd.from_arrow(t).repartition(5), min_res=2)
+        .to_pandas()["cell"]
+        .to_numpy()
+    )
+
+    # brute force peel
+    cur = set(map(int, np.unique(cells)))
+    final = set()
+    for _ in range(2):  # res 4 -> 2
+        from collections import Counter
+
+        pc_ = Counter(int(qcell.cell_to_parent(np.int64(c))) for c in cur)
+        full = {p for p, n in pc_.items() if n == 4}
+        final |= {
+            c for c in cur
+            if int(qcell.cell_to_parent(np.int64(c))) not in full
+        }
+        cur = full
+    final |= cur
+    assert list(got) == sorted(final)
+    # compaction must actually promote something at this density
+    assert len(final) < len(set(map(int, cells)))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hits_scores_vs_bruteforce():
+    import ray.data as rd
+
+    from geodata_ray.stages.graphcc import hits_scores
+
+    rng = np.random.default_rng(9)
+    u = rng.integers(0, 40, 500).astype(np.int64)
+    v = rng.integers(0, 40, 500).astype(np.int64)
+    t = pa.table({"u": pa.array(u), "v": pa.array(v)})
+    got = (
+        hits_scores(rd.from_arrow(t).repartition(4))
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+
+    E = sorted(set(zip(u.tolist(), v.tolist())))
+    indeg = {}
+    for a, b in E:
+        indeg[b] = indeg.get(b, 0) + 1
+    hub = {}
+    for a, b in E:
+        hub[a] = hub.get(a, 0) + indeg[b]
+    auth = {}
+    for a, b in E:
+        if a in hub:
+            auth[b] = auth.get(b, 0) + hub[a]
+    nodes = sorted(set(hub) | set(auth))
+    assert got["node"].tolist() == nodes
+    assert got["hub"].tolist() == [hub.get(x, 0) for x in nodes]
+    assert got["auth"].tolist() == [auth.get(x, 0) for x in nodes]
