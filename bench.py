@@ -280,6 +280,11 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "rfm_segments_users",
         "pr_curve_docs",
         "hits_hosts_docs",
+        # tenth wave (round 5)
+        "winnowing_match_pairs",
+        "ab_test_events",
+        "source_entropy_docs",
+        "open_orders_daily",
     )
     for name in query_names:
         t0 = time.perf_counter()

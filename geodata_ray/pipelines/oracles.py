@@ -3111,6 +3111,85 @@ FROM lab CROSS JOIN t GROUP BY 1
 """
 
 
+
+
+def _winnowing_pairs_sql(min_shared: int = 3, max_df: int = 50) -> str:
+    """MOSS match-join oracle: the winnowing replay as a materialized
+    subquery, the paper's max-df stopword cut on hot fingerprints,
+    then a fingerprint-equality self join + pair count."""
+    return f"""
+WITH sel AS MATERIALIZED ({_winnowing_sql()}),
+d0 AS (SELECT DISTINCT doc_id, fp FROM sel),
+hot AS (SELECT fp FROM d0 GROUP BY 1 HAVING COUNT(*) > {max_df}),
+d AS (SELECT * FROM d0 WHERE fp NOT IN (SELECT fp FROM hot))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+"""
+
+
+_QLOG2_CTE = """
+it AS (
+  SELECT c, CAST(length(bin(c)) - 1 AS BIGINT) AS msb,
+         CAST((CAST(c AS HUGEINT) * 1073741824)
+              // (CAST(CAST(1 AS BIGINT) << CAST(length(bin(c)) - 1 AS INT)
+                       AS HUGEINT)) AS HUGEINT) AS m,
+         CAST(0 AS BIGINT) AS frac, 0 AS k
+  FROM vals
+  UNION ALL
+  SELECT c, msb,
+         CASE WHEN (m * m) // 1073741824 >= 2147483648
+              THEN ((m * m) // 1073741824) // 2
+              ELSE (m * m) // 1073741824 END,
+         frac * 2 + CASE WHEN (m * m) // 1073741824 >= 2147483648
+                         THEN 1 ELSE 0 END,
+         k + 1
+  FROM it WHERE k < 16
+),
+q AS (SELECT c, msb * 65536 + frac AS qlog2 FROM it WHERE k = 16)
+"""
+
+
+def _source_entropy_sql() -> str:
+    """Per-source byte entropy oracle: codepoint unnest (== bytes on
+    the ASCII-filtered docs), grouped counts, the shared fixed-point
+    qlog2 recursive CTE, exact integer fold."""
+    return f"""
+WITH RECURSIVE a AS (
+  SELECT source, text FROM documents
+  WHERE text IS NOT NULL
+    AND octet_length(encode(text)) = length(text)
+),
+ch AS (
+  SELECT source, ascii(substr(text, gs.i, 1)) AS byte
+  FROM a CROSS JOIN LATERAL (
+    SELECT UNNEST(generate_series(1, length(text))) AS i
+  ) gs
+),
+cnt AS (
+  SELECT source, CAST(byte AS BIGINT) AS byte,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ch GROUP BY 1, 2
+),
+tot AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS total FROM cnt GROUP BY 1
+),
+vals AS (
+  SELECT DISTINCT n AS c FROM cnt
+  UNION SELECT DISTINCT total FROM tot
+),
+{_QLOG2_CTE}
+SELECT cnt.source, tot.total AS n_bytes,
+       CAST(SUM(cnt.n * (qt.qlog2 - qc.qlog2)) AS BIGINT) AS entropy_q
+FROM cnt
+JOIN tot USING (source)
+JOIN q qc ON qc.c = cnt.n
+JOIN q qt ON qt.c = tot.total
+GROUP BY 1, 2
+"""
+
+
 _ORACLE_SQL_STATIC = {
     "q1_pricing_summary": Q1_SQL,
     "tiles_r7_events": TILES_R7_SQL,
@@ -4703,6 +4782,58 @@ _ORACLE_SQL_STATIC = {
     """,
 
 
+
+    # --- tenth wave (round 5) ---
+    "winnowing_match_pairs": _winnowing_pairs_sql(min_shared=8, max_df=20),
+    "source_entropy_docs": _source_entropy_sql(),
+    # A/B readout: FILTERed exact moments per arm + cross-multiplied
+    # mean-difference numerator
+    "ab_test_events": """
+        WITH c AS (
+          SELECT event_type, user_id % 2 AS variant,
+                 CAST(ROUND(CAST(value AS DOUBLE) * 100.0) AS BIGINT)
+                     AS cents
+          FROM events
+        ),
+        g AS (
+          SELECT event_type,
+                 CAST(COUNT(*) FILTER (variant = 0) AS BIGINT)
+                     AS n_control,
+                 CAST(COALESCE(SUM(cents) FILTER (variant = 0), 0)
+                     AS BIGINT) AS sum_control,
+                 CAST(COALESCE(SUM(cents * cents) FILTER (variant = 0),
+                     0) AS BIGINT) AS ss_control,
+                 CAST(COUNT(*) FILTER (variant = 1) AS BIGINT)
+                     AS n_treat,
+                 CAST(COALESCE(SUM(cents) FILTER (variant = 1), 0)
+                     AS BIGINT) AS sum_treat,
+                 CAST(COALESCE(SUM(cents * cents) FILTER (variant = 1),
+                     0) AS BIGINT) AS ss_treat
+          FROM c GROUP BY 1
+        )
+        SELECT *,
+               CAST(sum_treat * n_control - sum_control * n_treat
+                    AS BIGINT) AS mean_diff_num
+        FROM g
+    """,
+    # interval stabbing via difference array + running sum
+    "open_orders_daily": """
+        WITH d AS (
+          SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                 1 AS delta
+          FROM orders
+          UNION ALL
+          SELECT epoch_us(o_orderdate) // 86400000000 + 30, -1
+          FROM orders
+        ),
+        g AS (SELECT day, SUM(delta) AS net FROM d GROUP BY 1)
+        SELECT CAST(day AS BIGINT) AS day,
+               CAST(SUM(net) OVER (
+                 ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS open_orders
+        FROM g
+    """,
     # --- ninth wave (round 5) ---
     "compact_cells_events": _compact_cells_sql(),
     "pr_curve_docs": _pr_curve_sql(),

@@ -7089,6 +7089,164 @@ def hits_hosts_docs(sf_dir: str):
     return hits_scores(ds.map_batches(edges, batch_format="pyarrow"))
 
 
+
+# ---------------------------------------------------------------------------
+# Tenth wave (round 5): MOSS match join, A/B readout, byte entropy,
+# interval-stabbing concurrency
+# ---------------------------------------------------------------------------
+
+
+def winnowing_match_pairs(sf_dir: str):
+    """MOSS-style local-overlap pairs: documents sharing >= 8 winnowing
+    fingerprints (k=8, w=4 over the 200-char prefix, hot fingerprints
+    in > 20 docs dropped as stopwords per the paper) — the match join
+    the winnowing paper builds.  Fingerprint buckets fan out pairs
+    vectorized with the max-df cut bounding expansion BY CONSTRUCTION
+    (stages/textstats.py ``winnowing_pair_candidates``)."""
+    from geodata_ray.stages.textstats import (
+        winnowing_fingerprints,
+        winnowing_pair_candidates,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    fps = ds.map_batches(winnowing_fingerprints, batch_format="pyarrow")
+    return winnowing_pair_candidates(fps, min_shared=8, max_df=20)
+
+
+def ab_test_events(sf_dir: str):
+    """A/B experiment readout: users split by ``user_id % 2`` into
+    control (0) and treatment (1); per event_type the EXACT integer
+    moment triple (n, sum cents, sum cents^2) for each arm plus the
+    cross-multiplied mean-difference numerator ``s1*n0 - s0*n1``
+    (its SIGN is the float-free verdict on which arm's mean is
+    higher).  One pre-combined grouped exchange; the per-type fold
+    merges two bounded rows."""
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        )
+        cv = c.to_numpy(zero_copy_only=False)
+        if cv.size and int(np.abs(cv).max()) > 3_037_000_499:
+            raise ValueError(
+                "ab_test_events: |cents| exceeds isqrt(int64 max); "
+                "cents^2 would wrap"
+            )
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "variant": pc.cast(
+                    pc.bit_wise_and(batch["user_id"], 1), pa.int64()
+                ),
+                "cents": c,
+                "cents2": pa.array(cv * cv),
+            }
+        )
+
+    arms = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "variant"],
+        [
+            ("cents", "count", "n"),
+            ("cents", "sum", "s"),
+            ("cents2", "sum", "ss"),
+        ],
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        v = g["variant"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        s = g["s"].to_numpy(zero_copy_only=False)
+        ss = g["ss"].to_numpy(zero_copy_only=False)
+        row = {"event_type": g["event_type"].take(pa.array([0]))}
+        vals = {0: (0, 0, 0), 1: (0, 0, 0)}
+        for i in range(v.size):
+            vals[int(v[i])] = (int(n[i]), int(s[i]), int(ss[i]))
+        (n0, s0, ss0), (n1, s1, ss1) = vals[0], vals[1]
+        for name, val in (
+            ("n_control", n0), ("sum_control", s0), ("ss_control", ss0),
+            ("n_treat", n1), ("sum_treat", s1), ("ss_treat", ss1),
+            ("mean_diff_num", s1 * n0 - s0 * n1),
+        ):
+            row[name] = pa.array([val], pa.int64())
+        return pa.table(row)
+
+    return arms.groupby("event_type").map_groups(
+        fold, batch_format="pyarrow"
+    )
+
+
+def source_entropy_docs(sf_dir: str):
+    """Per-source byte-distribution Shannon entropy in fixed-point
+    qlog2 units — the compressibility / machine-generated-text
+    detector, exact-integer end to end (stages/textstats.py
+    ``source_byte_entropy``; same qlog2 domain as the LM and PMI
+    operators, same recursive-CTE replay in the oracle).  ASCII docs
+    only, by the LM kernel's byte-vs-codepoint contract."""
+    from geodata_ray.stages.textstats import source_byte_entropy
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    return source_byte_entropy(ds)
+
+
+def open_orders_daily(sf_dir: str):
+    """Interval-stabbing concurrency count: how many orders are OPEN
+    on each day a change happens, with an order open for 30 days from
+    its order date — the difference-array technique (+1 at start, -1
+    at end, running sum), which turns interval overlap counting into
+    one bounded grouped sum + a prefix scan over the tiny day table.
+    Emits only CHANGE days (the count is constant between them)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        day = pc.divide(
+            batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+            86_400_000_000,
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": pa.array(np.concatenate([day, day + 30])),
+                "delta": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(day.size, np.int64),
+                            -np.ones(day.size, np.int64),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    net = grouped_aggregate(
+        ds.map_batches(deltas, batch_format="pyarrow"),
+        ["day"],
+        [("delta", "sum", "net")],
+    )
+
+    def scan(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        return pa.table(
+            {
+                "day": t["day"],
+                "open_orders": pa.array(
+                    np.cumsum(
+                        t["net"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    # the day table is bounded by the calendar span (one row per
+    # distinct change day), so the prefix scan runs in a single block
+    return net.repartition(1).map_batches(
+        scan, batch_format="pyarrow", batch_size=None
+    )
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -7203,6 +7361,10 @@ RAY_QUERIES = {
     "rfm_segments_users": rfm_segments_users,
     "pr_curve_docs": pr_curve_docs,
     "hits_hosts_docs": hits_hosts_docs,
+    "winnowing_match_pairs": winnowing_match_pairs,
+    "ab_test_events": ab_test_events,
+    "source_entropy_docs": source_entropy_docs,
+    "open_orders_daily": open_orders_daily,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,

@@ -1339,3 +1339,161 @@ def winnowing_fingerprints(
             "fp": pa.array(allh[sel].astype(np.int64)),
         }
     )
+
+
+def winnowing_pair_candidates(
+    fps,
+    *,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    min_shared: int = 3,
+    max_df: int = 50,
+):
+    """MOSS-style match join over winnowing fingerprints: documents
+    sharing at least ``min_shared`` selected fingerprints — the
+    plagiarism / local-overlap detector the winnowing paper builds
+    (any shared substring of length >= w+k-1 guarantees a shared
+    fingerprint, so overlap pairs are NEVER missed among the kept
+    fingerprints).
+
+    ``max_df`` is the paper's own scalability rule: fingerprints
+    appearing in MORE than ``max_df`` documents are dropped like
+    stopwords (boilerplate k-grams carry no match signal and would
+    expand quadratically) — so the per-bucket pair fan-out is bounded
+    by ``max_df^2`` BY CONSTRUCTION, not by hoping the data is clean.
+    The identical cut is mirrored in the SQL oracle.
+
+    Shape: dedup to distinct (doc, fp) (one pre-combined exchange),
+    group by fingerprint, emit per-bucket pairs vectorized (triu
+    indices), count shared per pair in a second pre-combined
+    exchange."""
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    distinct = grouped_aggregate(
+        fps.select_columns([id_col, fp_col]),
+        [id_col, fp_col],
+        [(fp_col, "count", "__n")],
+    )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = np.sort(
+            g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        m = ids.size
+        if m > max_df or m < 2:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                }
+            )
+        a, b = np.triu_indices(m, k=1)
+        return pa.table(
+            {"id_a": pa.array(ids[a]), "id_b": pa.array(ids[b])}
+        )
+
+    cand = distinct.groupby(fp_col).map_groups(
+        pairs, batch_format="pyarrow"
+    )
+    counted = grouped_aggregate(
+        cand, ["id_a", "id_b"], [("id_a", "count", "shared_fps")]
+    )
+    return counted.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["shared_fps"], min_shared)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def source_byte_entropy(
+    ds,
+    *,
+    key_col: str = "source",
+    text_col: str = "text",
+    count_bound: int = 1 << 40,
+):
+    """Per-source Shannon entropy of the BYTE distribution in
+    fixed-point qlog2 units (``stages/lm.py`` domain): ``H_q = sum_b
+    c_b * (qlog2(N) - qlog2(c_b))`` — the compressibility /
+    gibberish-detection statistic, exact-integer end to end so the
+    oracle replays it bit-for-bit.  Only ASCII docs participate (the
+    LM kernel's byte-vs-codepoint contract, enforced here by filter
+    rather than assumed).
+
+    Shape: per batch one ``frombuffer`` + ``bincount`` per present
+    source (vectorized over bytes); the (source, byte) partials — at
+    most 256 rows per source — pre-combine in one exchange; the final
+    per-source fold is over <= 256 rows.  ``count_bound`` guards the
+    int64 product."""
+    from geodata_ray.stages.lm import qlog2_fixed
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = batch[key_col]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        keys_out, bytes_out, counts_out = [], [], []
+        enc = key.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        for ki, kv in enumerate(enc.dictionary.to_pylist()):
+            rows = np.flatnonzero(codes == ki)
+            blob = "".join(
+                t for t in (text[int(r)].as_py() for r in rows)
+                if t is not None and t.isascii()
+            )
+            if not blob:
+                continue
+            cnt = np.bincount(
+                np.frombuffer(blob.encode("ascii"), dtype=np.uint8),
+                minlength=256,
+            )
+            nz = np.flatnonzero(cnt)
+            keys_out.extend([kv] * nz.size)
+            bytes_out.append(nz.astype(np.int64))
+            counts_out.append(cnt[nz].astype(np.int64))
+        if not keys_out:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.string()),
+                    "byte": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                key_col: pa.array(keys_out, pa.string()),
+                "byte": pa.array(np.concatenate(bytes_out)),
+                "n": pa.array(np.concatenate(counts_out)),
+            }
+        )
+
+    counts = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key_col, "byte"],
+        [("n", "sum", "n")],
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        c = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(c.sum())
+        if total > count_bound or total < 1:
+            raise ValueError(
+                "source_byte_entropy: byte count outside the exact-"
+                "int64 budget"
+            )
+        qn = int(qlog2_fixed(np.uint64(total)))
+        qc = qlog2_fixed(c.astype(np.uint64)).astype(np.int64)
+        h = int((c * (qn - qc)).sum())
+        return pa.table(
+            {
+                key_col: g[key_col].take(pa.array([0])),
+                "n_bytes": pa.array([total], pa.int64()),
+                "entropy_q": pa.array([h], pa.int64()),
+            }
+        )
+
+    return counts.groupby(key_col).map_groups(fold, batch_format="pyarrow")

@@ -307,3 +307,90 @@ def test_hits_scores_vs_bruteforce():
     assert got["node"].tolist() == nodes
     assert got["hub"].tolist() == [hub.get(x, 0) for x in nodes]
     assert got["auth"].tolist() == [auth.get(x, 0) for x in nodes]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winnowing_pairs_vs_bruteforce():
+    import collections
+    import itertools
+
+    import ray.data as rd
+
+    from geodata_ray.stages.textstats import (
+        winnowing_fingerprints,
+        winnowing_pair_candidates,
+    )
+
+    rng = np.random.default_rng(21)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = []
+    for i in range(60):
+        if i % 3 == 0:
+            texts.append(base + f" tail{i}")  # planted overlap family
+        else:
+            texts.append(
+                "".join(rng.choice(list("abcdefg "), size=80))
+            )
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(60, dtype=np.int64)),
+         "text": pa.array(texts, pa.string())}
+    )
+    fps = rd.from_arrow(t).repartition(4).map_batches(
+        winnowing_fingerprints, batch_format="pyarrow"
+    )
+    got = (
+        winnowing_pair_candidates(fps, min_shared=3, max_df=25)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+
+    # brute force over the stage's own fingerprints
+    f = winnowing_fingerprints(t).to_pandas()
+    by_doc = {
+        d: set(g["fp"]) for d, g in f.groupby("doc_id")
+    }
+    df_count = collections.Counter()
+    for d, s in by_doc.items():
+        for fp in s:
+            df_count[fp] += 1
+    kept = {fp for fp, n in df_count.items() if n <= 25}
+    want = []
+    for a, b in itertools.combinations(sorted(by_doc), 2):
+        shared = len((by_doc[a] & by_doc[b]) & kept)
+        if shared >= 3:
+            want.append((a, b, shared))
+    got_pairs = list(map(tuple, got.to_numpy()))
+    assert got_pairs == want
+    assert len(want) > 0  # the planted family must match
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_byte_entropy_vs_bruteforce():
+    import collections
+
+    import ray.data as rd
+
+    from geodata_ray.stages.lm import qlog2_fixed
+    from geodata_ray.stages.textstats import source_byte_entropy
+
+    texts = ["aabbcc", "aaaa", "zzzzyy", "mixed text here", None, "x"]
+    srcs = ["s1", "s1", "s2", "s2", "s2", "s3"]
+    t = pa.table(
+        {"source": pa.array(srcs, pa.string()),
+         "text": pa.array(texts, pa.string())}
+    )
+    got = (
+        source_byte_entropy(rd.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("source")
+    )
+    for s in ("s1", "s2", "s3"):
+        blob = "".join(x for x, ss in zip(texts, srcs)
+                       if ss == s and x is not None)
+        cnt = collections.Counter(blob.encode("ascii"))
+        total = sum(cnt.values())
+        qn = int(qlog2_fixed(np.uint64(total)))
+        h = sum(c * (qn - int(qlog2_fixed(np.uint64(c))))
+                for c in cnt.values())
+        assert int(got.loc[s, "n_bytes"]) == total
+        assert int(got.loc[s, "entropy_q"]) == h
