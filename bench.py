@@ -285,6 +285,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "ab_test_events",
         "source_entropy_docs",
         "open_orders_daily",
+        # eleventh wave (round 5)
+        "maxsim_retrieval_embeddings",
+        "sq8_quantize_embeddings",
     )
     for name in query_names:
         t0 = time.perf_counter()

@@ -4783,6 +4783,56 @@ _ORACLE_SQL_STATIC = {
 
 
 
+
+    # --- eleventh wave (round 5) ---
+    # MaxSim late-interaction retrieval on 2^20-scaled integer dots
+    "maxsim_retrieval_embeddings": """
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, vec_id // 8 AS doc, g.i,
+                 CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1048576)
+                      AS BIGINT) AS v
+          FROM embeddings CROSS JOIN LATERAL (
+            SELECT UNNEST(generate_series(1, 64)) AS i
+          ) g
+        ),
+        qv AS (SELECT vec_id AS qt, i, v FROM e WHERE vec_id < 4),
+        dots AS (
+          SELECT e.doc, e.vec_id, qv.qt, SUM(e.v * qv.v) AS dot
+          FROM e JOIN qv USING (i) GROUP BY 1, 2, 3
+        ),
+        mx AS (SELECT doc, qt, MAX(dot) AS m FROM dots GROUP BY 1, 2)
+        SELECT CAST(doc AS BIGINT) AS doc,
+               CAST(SUM(m) AS BIGINT) AS maxsim
+        FROM mx GROUP BY 1
+    """,
+    # SQ8 audit: per-dim integer min/max, code + reconstruction replay
+    "sq8_quantize_embeddings": """
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, g.i AS dim,
+                 CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1048576)
+                      AS BIGINT) AS v
+          FROM embeddings CROSS JOIN LATERAL (
+            SELECT UNNEST(generate_series(1, 64)) AS i
+          ) g
+        ),
+        s AS (
+          SELECT dim, MIN(v) AS lo,
+                 GREATEST(MAX(v) - MIN(v), 1) AS rng
+          FROM e GROUP BY 1
+        ),
+        q AS (
+          SELECT e.vec_id, e.dim,
+                 (e.v - s.lo) * 255 // s.rng AS code,
+                 ABS(e.v - (s.lo + ((e.v - s.lo) * 255 // s.rng)
+                            * s.rng // 255)) AS err
+          FROM e JOIN s USING (dim)
+        )
+        SELECT vec_id,
+               CAST(SUM(code * dim) AS BIGINT) AS code_checksum,
+               CAST(MAX(err) AS BIGINT) AS max_err,
+               CAST(SUM(err) AS BIGINT) AS sum_err
+        FROM q GROUP BY 1
+    """,
     # --- tenth wave (round 5) ---
     "winnowing_match_pairs": _winnowing_pairs_sql(min_shared=8, max_df=20),
     "source_entropy_docs": _source_entropy_sql(),

@@ -6134,12 +6134,25 @@ def q4_priority_exists(sf_dir: str):
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
 
     lk = grouped_aggregate(
-        li, ["l_orderkey"], [("l_shipdate", "max", "max_ship")]
-    )
-    j = native_join(
-        orders, lk, on="o_orderkey", right_on="l_orderkey",
-        num_partitions=16,
-    )
+        li, ["l_orderkey"], [("l_shipdate", "max", "max_ship")],
+        coalesce=0,  # orderkey is high-cardinality: partials are not
+        # small, so the coalesce repartition only adds an exchange
+    ).materialize()  # one row per DISTINCT order; count + pull reuse it
+    # bound-switched join (the repo's standard pattern): the per-order
+    # max-ship table is one row per DISTINCT order — at gate/bench
+    # scales a few MB, so broadcast beats a two-sided hash exchange by
+    # ~5x; past the bound fall back to the native hash join
+    n_keys = lk.count()
+    if n_keys <= 5_000_000:
+        lk_tbl = pa.Table.from_pandas(
+            lk.to_pandas(), preserve_index=False
+        ).rename_columns(["o_orderkey", "max_ship"])
+        j = broadcast_join(orders, lk_tbl, ["o_orderkey"])
+    else:
+        j = native_join(
+            orders, lk, on="o_orderkey", right_on="l_orderkey",
+            num_partitions=16,
+        )
 
     def qual(batch: pa.Table) -> pa.Table:
         od = (
@@ -7247,6 +7260,133 @@ def open_orders_daily(sf_dir: str):
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Eleventh wave (round 5): late-interaction retrieval, scalar
+# quantization audit
+# ---------------------------------------------------------------------------
+
+
+def maxsim_retrieval_embeddings(sf_dir: str):
+    """ColBERT-style late-interaction retrieval (MaxSim): treat each
+    run of 8 consecutive vec_ids as one multi-vector document and the
+    4 vectors with vec_id < 4 as the query tokens; score(doc) =
+    sum over query tokens of the MAX dot product against the doc's
+    token vectors.  All dots run on 2^20-scaled INTEGER embeddings
+    (float32 -> float64 -> FLOOR is bit-identical in numpy and SQL;
+    ROUND is not — float32 products land on exact .5 ties
+    constantly, and numpy rounds half-even where SQL rounds
+    half-away,
+    and integer dots make max/sum order-free), so the scores
+    hash-match exactly — no float ranking anywhere.
+
+    Shape: the 4x64 quantized query broadcasts; per batch one int64
+    matmul + per-(doc, token) partial max; two bounded exchanges
+    (grouped max, then the per-doc sum of 4 maxes)."""
+    import pyarrow.parquet as pq
+
+    from geodata_ray.stages.dedup import _as_matrix
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qt = t.filter(pc.less(t["vec_id"], 4))
+    Q = np.floor(
+        _as_matrix(qt["embedding"]).astype(np.float64) * 1048576.0
+    ).astype(np.int64)  # (4, 64)
+    qids = qt["vec_id"].to_numpy().astype(np.int64)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def dots(batch: pa.Table) -> pa.Table:
+        X = np.floor(
+            _as_matrix(batch["embedding"]).astype(np.float64) * 1048576.0
+        ).astype(np.int64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        d = X @ Q.T  # (n, 4) exact int64
+        doc = ids // 8
+        n = ids.size
+        return pa.table(
+            {
+                "doc": pa.array(np.repeat(doc, Q.shape[0])),
+                "qt": pa.array(np.tile(qids, n)),
+                "dot": pa.array(d.ravel()),
+            }
+        )
+
+    per_token = grouped_aggregate(
+        ds.map_batches(dots, batch_format="pyarrow"),
+        ["doc", "qt"],
+        [("dot", "max", "m")],
+    )
+    return grouped_aggregate(
+        per_token, ["doc"], [("m", "sum", "maxsim")]
+    )
+
+
+def sq8_quantize_embeddings(sf_dir: str):
+    """Scalar int8 quantization audit (the SQ8 compression every
+    vector store applies before ANN): per-dimension global min/max ->
+    8-bit code ``(x - min) * 255 // (max - min)`` -> integer
+    reconstruction -> per-vector code checksum + max/total absolute
+    reconstruction error.  Everything runs on 2^20-scaled integer
+    embeddings, so codes and errors are exact and hash-match.
+
+    Shape: pass 1 pre-combines per-dim min/max (64 keys); the 64x2
+    stat table broadcasts; pass 2 quantizes per batch with zero
+    shuffle."""
+    from geodata_ray.stages.dedup import _as_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def dim_partial(batch: pa.Table) -> pa.Table:
+        X = np.floor(
+            _as_matrix(batch["embedding"]).astype(np.float64) * 1048576.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(X.shape[1], dtype=np.int64)),
+                "lo": pa.array(X.min(axis=0)),
+                "hi": pa.array(X.max(axis=0)),
+            }
+        )
+
+    stats = (
+        grouped_aggregate(
+            ds.map_batches(dim_partial, batch_format="pyarrow"),
+            ["dim"],
+            [("lo", "min", "lo"), ("hi", "max", "hi")],
+        )
+        .to_pandas()
+        .sort_values("dim", ignore_index=True)
+    )
+    lo = stats["lo"].to_numpy().astype(np.int64)
+    rng = np.maximum(
+        stats["hi"].to_numpy().astype(np.int64) - lo, 1
+    )
+    weights = np.arange(1, lo.size + 1, dtype=np.int64)
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        X = np.floor(
+            _as_matrix(batch["embedding"]).astype(np.float64) * 1048576.0
+        ).astype(np.int64)
+        code = (X - lo[None, :]) * 255 // rng[None, :]
+        recon = lo[None, :] + code * rng[None, :] // 255
+        err = np.abs(X - recon)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "code_checksum": pa.array(
+                    (code * weights[None, :]).sum(axis=1)
+                ),
+                "max_err": pa.array(err.max(axis=1)),
+                "sum_err": pa.array(err.sum(axis=1)),
+            }
+        )
+
+    return ds.map_batches(quantize, batch_format="pyarrow")
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -7365,6 +7505,8 @@ RAY_QUERIES = {
     "ab_test_events": ab_test_events,
     "source_entropy_docs": source_entropy_docs,
     "open_orders_daily": open_orders_daily,
+    "maxsim_retrieval_embeddings": maxsim_retrieval_embeddings,
+    "sq8_quantize_embeddings": sq8_quantize_embeddings,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,

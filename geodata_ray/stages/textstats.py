@@ -1364,9 +1364,12 @@ def winnowing_pair_candidates(
     The identical cut is mirrored in the SQL oracle.
 
     Shape: dedup to distinct (doc, fp) (one pre-combined exchange),
-    group by fingerprint, emit per-bucket pairs vectorized (triu
-    indices), count shared per pair in a second pre-combined
-    exchange."""
+    hash fingerprints into 64 COARSE buckets (grouping 200k+ tiny
+    per-fp groups individually is pure per-group overhead — measured
+    12 s at sf0.1), then ONE vectorized multi-segment pair expansion
+    per bucket: segment boundaries + an arithmetic (a, b) decode of
+    each segment-local pair index, no per-fingerprint Python.  Shared
+    counts merge in a second pre-combined exchange."""
     from geodata_ray.stages.relational import grouped_aggregate
 
     distinct = grouped_aggregate(
@@ -1375,25 +1378,62 @@ def winnowing_pair_candidates(
         [(fp_col, "count", "__n")],
     )
 
-    def pairs(g: pa.Table) -> pa.Table:
-        ids = np.sort(
-            g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    def tag(batch: pa.Table) -> pa.Table:
+        f = batch[fp_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                fp_col: batch[fp_col],
+                "__b": pa.array(
+                    (f.view(np.uint64) >> np.uint64(58)).astype(
+                        np.int64
+                    )
+                ),
+            }
         )
-        m = ids.size
-        if m > max_df or m < 2:
+
+    def pairs(g: pa.Table) -> pa.Table:
+        f = g[fp_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, f))
+        f, ids = f[order], ids[order]
+        n = f.size
+        new = np.ones(n, dtype=bool)
+        new[1:] = f[1:] != f[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        keep = (lens >= 2) & (lens <= max_df)  # max-df stopword cut
+        starts, lens = starts[keep], lens[keep]
+        if not starts.size:
             return pa.table(
                 {
                     "id_a": pa.array([], pa.int64()),
                     "id_b": pa.array([], pa.int64()),
                 }
             )
-        a, b = np.triu_indices(m, k=1)
+        p = lens * (lens - 1) // 2  # pairs per segment
+        seg = np.repeat(np.arange(starts.size), p)
+        off = np.concatenate([[0], np.cumsum(p)[:-1]])
+        loc = np.arange(int(p.sum()), dtype=np.int64) - off[seg]
+        # decode segment-local pair index -> (a < b): b is the largest
+        # integer with b*(b-1)/2 <= loc (exact: loc < 2e4 << 2^53)
+        b = ((1.0 + np.sqrt(1.0 + 8.0 * loc)) // 2).astype(np.int64)
+        a = loc - b * (b - 1) // 2
+        base = starts[seg]
         return pa.table(
-            {"id_a": pa.array(ids[a]), "id_b": pa.array(ids[b])}
+            {
+                "id_a": pa.array(ids[base + a]),
+                "id_b": pa.array(ids[base + b]),
+            }
         )
 
-    cand = distinct.groupby(fp_col).map_groups(
-        pairs, batch_format="pyarrow"
+    cand = (
+        distinct.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(
+            lambda g: pairs(g.drop_columns(["__b"])),
+            batch_format="pyarrow",
+        )
     )
     counted = grouped_aggregate(
         cand, ["id_a", "id_b"], [("id_a", "count", "shared_fps")]

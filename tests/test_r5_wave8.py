@@ -394,3 +394,53 @@ def test_source_byte_entropy_vs_bruteforce():
                 for c in cnt.values())
         assert int(got.loc[s, "n_bytes"]) == total
         assert int(got.loc[s, "entropy_q"]) == h
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_maxsim_and_sq8_vs_bruteforce():
+    import ray.data as rd
+
+    from geodata_ray.pipelines.queries import (
+        maxsim_retrieval_embeddings,
+        sq8_quantize_embeddings,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    X = np.floor(
+        np.array(t["embedding"].to_pylist(), dtype=np.float32)
+        .astype(np.float64) * 1048576.0
+    ).astype(np.int64)
+    ids = t["vec_id"].to_numpy()
+
+    # maxsim brute force
+    got = (
+        maxsim_retrieval_embeddings(sf)
+        .to_pandas()
+        .sort_values("doc", ignore_index=True)
+    )
+    Q = X[ids < 4]
+    docs = ids // 8
+    for d in np.unique(docs):
+        D = X[docs == d]
+        want = sum(int((D @ q).max()) for q in Q)
+        assert int(got.loc[got.doc == d, "maxsim"].iloc[0]) == want
+
+    # sq8 brute force
+    got2 = (
+        sq8_quantize_embeddings(sf)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    lo = X.min(axis=0)
+    rng = np.maximum(X.max(axis=0) - lo, 1)
+    code = (X - lo[None, :]) * 255 // rng[None, :]
+    assert (code >= 0).all() and (code <= 255).all()
+    recon = lo[None, :] + code * rng[None, :] // 255
+    err = np.abs(X - recon)
+    w = np.arange(1, X.shape[1] + 1)
+    assert got2["code_checksum"].tolist() == (code * w).sum(axis=1).tolist()
+    assert got2["max_err"].tolist() == err.max(axis=1).tolist()
+    assert got2["sum_err"].tolist() == err.sum(axis=1).tolist()
