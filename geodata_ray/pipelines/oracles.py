@@ -4784,6 +4784,69 @@ _ORACLE_SQL_STATIC = {
 
 
 
+
+    # --- twelfth wave (round 5) ---
+    # axis-aligned box rasterization: corner row/col ranges (the same
+    # floor arithmetic as cell_sql_expr), generate_series fan-out
+    "box_cover_cells_nations": f"""
+        WITH b AS (
+          SELECT n_nationkey,
+                 LEAST(GREATEST(
+                     {_derive_lat_sql('CAST(n_nationkey AS BIGINT)')},
+                     -80.0), 80.0) AS lat_c,
+                 LEAST(GREATEST(
+                     {_derive_lon_sql('CAST(n_nationkey AS BIGINT)')},
+                     -170.0), 170.0) AS lon_c,
+                 CAST(2 + n_nationkey % 4 AS DOUBLE) AS hh,
+                 CAST(3 + n_nationkey % 5 AS DOUBLE) AS hw
+          FROM nation
+        ),
+        r AS (
+          SELECT n_nationkey,
+                 LEAST(GREATEST(CAST(FLOOR((lat_c - hh + 90.0) / 180.0
+                     * 128) AS BIGINT), 0), 127) AS row0,
+                 LEAST(GREATEST(CAST(FLOOR((lat_c + hh + 90.0) / 180.0
+                     * 128) AS BIGINT), 0), 127) AS row1,
+                 LEAST(GREATEST(CAST(FLOOR((lon_c - hw + 180.0) / 360.0
+                     * 256) AS BIGINT), 0), 255) AS col0,
+                 LEAST(GREATEST(CAST(FLOOR((lon_c + hw + 180.0) / 360.0
+                     * 256) AS BIGINT), 0), 255) AS col1
+          FROM b
+        )
+        SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+               CAST(5 * 288230376151711744 + gr.rr * 536870912 + gc.cc
+                    AS BIGINT) AS cell
+        FROM r
+        CROSS JOIN LATERAL (
+          SELECT UNNEST(generate_series(row0, row1)) AS rr
+        ) gr
+        CROSS JOIN LATERAL (
+          SELECT UNNEST(generate_series(col0, col1)) AS cc
+        ) gc
+    """,
+    # k-anonymity: quasi-identifier group sizes below k=5
+    "k_anonymity_events": """
+        SELECT event_type,
+               CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT)
+                   AS hour_of_day,
+               CAST(CAST(ROUND(CAST(value AS DOUBLE) * 100.0) AS BIGINT)
+                    // 1000 AS BIGINT) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1, 2, 3
+        HAVING COUNT(*) < 5
+    """,
+    # k-fold split audit: splitmix fold + stratification counts
+    "kfold_split_docs": f"""
+        WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+        {_sql_splitmix_stages(
+            "kf", {"s": "CAST(doc_id AS HUGEINT)"}, "d"
+        )}
+        SELECT CAST(h_s % 5 AS BIGINT) AS fold, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM kf6 GROUP BY 1, 2
+    """,
     # --- eleventh wave (round 5) ---
     # MaxSim late-interaction retrieval on 2^20-scaled integer dots
     "maxsim_retrieval_embeddings": """

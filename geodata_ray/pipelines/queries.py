@@ -7387,6 +7387,139 @@ def sq8_quantize_embeddings(sf_dir: str):
     return ds.map_batches(quantize, batch_format="pyarrow")
 
 
+
+# ---------------------------------------------------------------------------
+# Twelfth wave (round 5): box rasterization with an oracle, k-anonymity
+# audit, k-fold split audit
+# ---------------------------------------------------------------------------
+
+
+def box_cover_cells_nations(sf_dir: str):
+    """Vector -> raster cover with a full SQL oracle: one axis-aligned
+    box per nation (deterministically derived), rasterized to EVERY
+    res-5 cell it intersects — for an axis-aligned box the cover is
+    exactly the row/col index ranges of its corners, so the same floor
+    arithmetic runs in numpy and SQL and the general
+    ``polygon_cover_cells`` path (golden-tested geometry) gains an
+    oracle-audited sibling.  Zero shuffle; output bounded by
+    boxes x cover size."""
+    ds = _read(sf_dir, "nation", columns=["n_nationkey"])
+
+    def cover(batch: pa.Table) -> pa.Table:
+        nk = batch["n_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        lat_c = np.clip(_derive_lat_np(nk), -80.0, 80.0)
+        lon_c = np.clip(_derive_lon_np(nk), -170.0, 170.0)
+        hh = (2 + nk % 4).astype(np.float64)
+        hw = (3 + nk % 5).astype(np.float64)
+        nlat, nlon = 128.0, 256.0  # res 5 grid
+        row0 = np.floor((lat_c - hh + 90.0) / 180.0 * nlat).astype(
+            np.int64
+        )
+        row1 = np.floor((lat_c + hh + 90.0) / 180.0 * nlat).astype(
+            np.int64
+        )
+        col0 = np.floor((lon_c - hw + 180.0) / 360.0 * nlon).astype(
+            np.int64
+        )
+        col1 = np.floor((lon_c + hw + 180.0) / 360.0 * nlon).astype(
+            np.int64
+        )
+        row0, row1 = np.clip(row0, 0, 127), np.clip(row1, 0, 127)
+        col0, col1 = np.clip(col0, 0, 255), np.clip(col1, 0, 255)
+        nr, nc = row1 - row0 + 1, col1 - col0 + 1
+        per_box = nr * nc
+        box = np.repeat(np.arange(nk.size), per_box)
+        local = (
+            np.arange(int(per_box.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate([[0], np.cumsum(per_box)[:-1]]),
+                        per_box)
+        )
+        r = row0[box] + local // nc[box]
+        c = col0[box] + local % nc[box]
+        cell = (
+            (np.int64(5) << np.int64(58)) | (r << np.int64(29)) | c
+        )
+        return pa.table(
+            {
+                "nationkey": pa.array(nk[box]),
+                "cell": pa.array(cell),
+            }
+        )
+
+    return ds.map_batches(cover, batch_format="pyarrow")
+
+
+def k_anonymity_events(sf_dir: str):
+    """k-anonymity audit (k=5): quasi-identifier groups — (event_type,
+    hour-of-day, value band of 10 currency units) — small enough to
+    re-identify a user, reported with their sizes.  The structural
+    privacy check that complements content-level PII redaction.  One
+    pre-combined grouped exchange; the violation filter is a
+    vectorized post-map."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def qid(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        hod = (
+            ts_us.to_numpy(zero_copy_only=False) // 3_600_000_000
+        ) % 24
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour_of_day": pa.array(hod.astype(np.int64)),
+                "band": pa.array(
+                    np.floor_divide(cents, 1000).astype(np.int64)
+                ),
+            }
+        )
+
+    groups = grouped_aggregate(
+        ds.map_batches(qid, batch_format="pyarrow"),
+        ["event_type", "hour_of_day", "band"],
+        [("band", "count", "n")],
+    )
+    return groups.map_batches(
+        lambda t: t.filter(pc.less(t["n"], 5)), batch_format="pyarrow"
+    )
+
+
+def kfold_split_docs(sf_dir: str):
+    """Deterministic k-fold split audit: fold = splitmix64(doc_id) % 5,
+    reported as per-(fold, lang) doc counts + total chars — the
+    stratification check a training pipeline runs before trusting a
+    hash split.  Zero-shuffle fold assignment (pure hash of the id);
+    one bounded grouped exchange."""
+    from geodata_ray.sources.synth import splitmix64
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "n_chars"])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        f = (splitmix64(ids.astype(np.uint64))
+             % np.uint64(5)).astype(np.int64)
+        return pa.table(
+            {
+                "fold": pa.array(f),
+                "lang": batch["lang"],
+                "n_chars": batch["n_chars"],
+            }
+        )
+
+    return grouped_aggregate(
+        ds.map_batches(fold, batch_format="pyarrow"),
+        ["fold", "lang"],
+        [("n_chars", "count", "n_docs"), ("n_chars", "sum", "total_chars")],
+    )
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -7507,6 +7640,9 @@ RAY_QUERIES = {
     "open_orders_daily": open_orders_daily,
     "maxsim_retrieval_embeddings": maxsim_retrieval_embeddings,
     "sq8_quantize_embeddings": sq8_quantize_embeddings,
+    "box_cover_cells_nations": box_cover_cells_nations,
+    "k_anonymity_events": k_anonymity_events,
+    "kfold_split_docs": kfold_split_docs,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,

@@ -1268,75 +1268,111 @@ def winnowing_fingerprints(
     than ``k + w - 1`` prefix chars emit nothing (no full window).
 
     Shape: zero shuffle — embarrassingly parallel per batch.  Fully
-    vectorized: all docs' k-gram hashes concatenate into ONE array
-    with max-uint64 sentinel padding between docs, a single
-    ``sliding_window_view`` argmin (reversed input, so ties pick the
-    rightmost) selects every window's winner, and a packed
-    ``np.unique`` dedups — no per-position Python loop."""
+    vectorized WITH NO PER-DOC PYTHON: the batch's prefixes live in
+    one contiguous Arrow byte buffer, so k-gram packing, hashing,
+    window argmin (reversed, so ties pick the rightmost) and the
+    same-doc window filter all run as single numpy passes over that
+    buffer, using the Arrow offsets to mask grams and windows that
+    would cross a document boundary (cross-doc hash slots are set to
+    max-uint64, which never wins an argmin)."""
     if k != 8:
         raise ValueError("winnowing k-gram packer is fixed at k=8 bytes")
     ids = batch[id_col].to_numpy(zero_copy_only=False)
-    texts = pc.utf8_slice_codeunits(
+    sliced = pc.utf8_slice_codeunits(
         pc.utf8_lower(batch[text_col]), 0, prefix_len
-    ).to_pylist()
+    )
+    if isinstance(sliced, pa.ChunkedArray):
+        sliced = sliced.combine_chunks()
+    sliced = sliced.fill_null("")
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "fp": pa.array([], pa.int64()),
+        }
+    )
+    n_docs = len(sliced)
+    if n_docs == 0:
+        return empty
+    # contiguous utf-8 buffer + per-doc offsets (zero-copy)
+    buf_off = np.frombuffer(sliced.buffers()[1], dtype=np.int32).astype(
+        np.int64
+    )[sliced.offset:sliced.offset + n_docs + 1]
+    data_buf = sliced.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.zeros(0, np.uint8)
+    )
+    total = int(buf_off[-1])
+    if total < k:
+        return empty
+    doc_len = np.diff(buf_off)  # BYTE lengths
 
-    powers = np.uint64(1) << (np.arange(k, dtype=np.uint64) * np.uint64(8))
-    sent = np.full(w - 1, np.iinfo(np.uint64).max, dtype=np.uint64)
-    hash_blocks: list[np.ndarray] = []
-    row_blocks: list[np.ndarray] = []
-    for row, t in enumerate(texts):
-        if t is None or len(t) < k + w - 1 or not t.isascii():
-            continue
-        b = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
-        grams = np.lib.stride_tricks.sliding_window_view(b, k).astype(
-            np.uint64
-        )
-        hash_blocks.append(sent)
-        row_blocks.append(np.full(w - 1, -1, dtype=np.int64))
-        hash_blocks.append(splitmix64(grams @ powers))
-        row_blocks.append(np.full(grams.shape[0], row, dtype=np.int64))
-    if not hash_blocks:
-        return pa.table(
-            {
-                id_col: pa.array([], pa.int64()),
-                "pos": pa.array([], pa.int64()),
-                "fp": pa.array([], pa.int64()),
-            }
-        )
+    # per-doc eligibility: >= k+w-1 CHARS and pure ASCII.  For ASCII
+    # docs bytes == chars; a doc with multi-byte chars is skipped by
+    # the ascii test before the byte/char distinction can matter.
+    if doc_len.size and doc_len.max() > 0:
+        seg_max = np.zeros(n_docs, dtype=np.uint8)
+        nz = doc_len > 0
+        starts_nz = buf_off[:-1][nz]
+        seg_max[nz] = np.maximum.reduceat(data[:total], starts_nz)[
+            : int(nz.sum())
+        ]
+    else:
+        seg_max = np.zeros(n_docs, dtype=np.uint8)
+    eligible = (doc_len >= k + w - 1) & (seg_max < 128)
 
-    allh = np.concatenate(hash_blocks)
-    rows = np.concatenate(row_blocks)
-    # position of each hash within its doc (0-based): reset at the
-    # first real hash after each sentinel run
-    real = rows >= 0
-    idx = np.arange(allh.size, dtype=np.int64)
-    block_start = np.zeros(allh.size, dtype=np.int64)
-    is_first = real & np.r_[True, ~real[:-1]]
-    block_start[is_first] = idx[is_first]
-    block_start = np.maximum.accumulate(block_start)
-    pos0 = idx - block_start  # valid only where real
+    # k-gram hashes over the WHOLE buffer in one pass; positions whose
+    # gram crosses a doc boundary (or belongs to an ineligible doc)
+    # become max-uint64 sentinels in place.  Packing is k shifted ORs
+    # over the byte buffer — NOT an (N, k) window matrix, which would
+    # be a 64x memory blowup and turns the stage bandwidth-bound at
+    # high parallelism (measured: 44 s vs 34 s at 32 CPUs on 6M pages)
+    n_g = total - k + 1
+    d64 = data[:total].astype(np.uint64)
+    packed = np.zeros(n_g, dtype=np.uint64)
+    for j in range(k):
+        packed |= d64[j:j + n_g] << np.uint64(8 * j)
+    h = splitmix64(packed)  # (total - k + 1,)
 
-    # every length-w window: winner = rightmost min.  The paper's
-    # windows are the FULL in-doc ones, so keep a window only when its
-    # start and end rows agree and are real — the sentinel runs (row
-    # -1, value max-uint64) exist purely so one sliding pass covers
-    # every doc without windows bleeding across doc boundaries.
-    win = np.lib.stride_tricks.sliding_window_view(allh, w)
+    gpos = np.arange(total - k + 1, dtype=np.int64)
+    gdoc = np.searchsorted(buf_off, gpos, side="right") - 1
+    # a sliced view can have buf_off[0] > 0: bytes before the first
+    # row belong to rows outside this batch — mask them (gdoc would
+    # be -1 there and wrap)
+    head_ok = gdoc >= 0
+    gdoc = np.maximum(gdoc, 0)
+    in_doc = gpos + k <= buf_off[gdoc + 1]
+    ok = head_ok & in_doc & eligible[gdoc]
+    h[~ok] = np.iinfo(np.uint64).max
+
+    if h.size < w:
+        return empty
+    # window phase: rightmost-min per w-window, windows fully inside
+    # one doc (start gram and end gram same doc AND both real)
+    win = np.lib.stride_tricks.sliding_window_view(h, w)
     jrev = win[:, ::-1].argmin(axis=1)
     winner = np.arange(win.shape[0], dtype=np.int64) + (w - 1 - jrev)
-    full = (rows[w - 1:] >= 0) & (rows[: allh.size - w + 1]
-                                  == rows[w - 1:])
+    full = (
+        ok[w - 1:]
+        & ok[: h.size - w + 1]
+        & (gdoc[w - 1:] == gdoc[: h.size - w + 1])
+    )
     winner = winner[full]
+    if winner.size == 0:
+        return empty
 
-    sel_rows = rows[winner]
+    sel_rows = gdoc[winner]
     packed_key = sel_rows * np.int64(2**32) + winner
     uniq = np.unique(packed_key)
     sel = (uniq % np.int64(2**32)).astype(np.int64)
+    sel_doc = (uniq // np.int64(2**32)).astype(np.int64)
     return pa.table(
         {
-            id_col: pa.array(ids[rows[sel]].astype(np.int64)),
-            "pos": pa.array(pos0[sel] + 1),
-            "fp": pa.array(allh[sel].astype(np.int64)),
+            id_col: pa.array(ids[sel_doc].astype(np.int64)),
+            "pos": pa.array(sel - buf_off[sel_doc] + 1),
+            "fp": pa.array(h[sel].astype(np.int64)),
         }
     )
 

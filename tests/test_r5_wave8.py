@@ -444,3 +444,84 @@ def test_maxsim_and_sq8_vs_bruteforce():
     assert got2["code_checksum"].tolist() == (code * w).sum(axis=1).tolist()
     assert got2["max_err"].tolist() == err.max(axis=1).tolist()
     assert got2["sum_err"].tolist() == err.sum(axis=1).tolist()
+
+
+def test_winnowing_sliced_view_offsets():
+    """A sliced Arrow batch (non-zero value offsets) must fingerprint
+    identically to the same rows in a fresh array."""
+    from geodata_ray.stages.textstats import winnowing_fingerprints
+
+    texts = ["the quick brown fox jumps over it " * 3 for _ in range(10)]
+    texts = [t + f"tail{i}" for i, t in enumerate(texts)]
+    full = pa.table(
+        {"doc_id": pa.array(np.arange(10, dtype=np.int64)),
+         "text": pa.array(texts, pa.string())}
+    )
+    view = full.slice(4, 5)  # sliced buffers, offset > 0
+    fresh = pa.table(
+        {"doc_id": pa.array(np.arange(4, 9, dtype=np.int64)),
+         "text": pa.array(texts[4:9], pa.string())}
+    )
+    a = winnowing_fingerprints(view).to_pandas()
+    b = winnowing_fingerprints(fresh).to_pandas()
+    cols = ["doc_id", "pos", "fp"]
+    assert sorted(map(tuple, a[cols].to_numpy())) == \
+        sorted(map(tuple, b[cols].to_numpy()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_box_cover_cells_vs_bruteforce():
+    from geodata_ray.cellmath import qcell
+    from geodata_ray.pipelines.queries import (
+        _derive_lat_np,
+        _derive_lon_np,
+        box_cover_cells_nations,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        box_cover_cells_nations(sf)
+        .to_pandas()
+        .sort_values(["nationkey", "cell"], ignore_index=True)
+    )
+    import pyarrow.parquet as pq
+
+    nk = pq.read_table(f"{sf}/nation.parquet")["n_nationkey"] \
+        .to_numpy().astype(np.int64)
+    want = []
+    for n in nk:
+        lat_c = min(max(float(_derive_lat_np(np.array([n]))[0]), -80.0),
+                    80.0)
+        lon_c = min(max(float(_derive_lon_np(np.array([n]))[0]), -170.0),
+                    170.0)
+        hh, hw = 2 + n % 4, 3 + n % 5
+        r0 = max(0, min(127, int(np.floor((lat_c - hh + 90) / 180 * 128))))
+        r1 = max(0, min(127, int(np.floor((lat_c + hh + 90) / 180 * 128))))
+        c0 = max(0, min(255, int(np.floor((lon_c - hw + 180) / 360 * 256))))
+        c1 = max(0, min(255, int(np.floor((lon_c + hw + 180) / 360 * 256))))
+        for r in range(r0, r1 + 1):
+            for c in range(c0, c1 + 1):
+                want.append((int(n), (5 << 58) | (r << 29) | c))
+    want.sort()
+    assert list(map(tuple, got.to_numpy())) == want
+    # every cell must decode back to res 5 and contain its box row
+    res = qcell.cell_resolution(got["cell"].to_numpy())
+    assert (res == 5).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_k_anonymity_and_kfold():
+    from geodata_ray.pipelines.queries import (
+        k_anonymity_events,
+        kfold_split_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    viol = k_anonymity_events(sf).to_pandas()
+    assert (viol["n"] < 5).all()
+    folds = kfold_split_docs(sf).to_pandas()
+    assert set(folds["fold"].unique()) <= {0, 1, 2, 3, 4}
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert int(folds["n_docs"].sum()) == n_docs
