@@ -4829,7 +4829,11 @@ _ORACLE_SQL_STATIC = {
         SELECT event_type,
                CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT)
                    AS hour_of_day,
-               CAST(CAST(ROUND(CAST(value AS DOUBLE) * 100.0) AS BIGINT)
+               -- FLOOR division (numpy floor_divide semantics):
+               -- DuckDB // truncates toward zero, so shift negatives
+               CAST((CAST(ROUND(CAST(value AS DOUBLE) * 100.0) AS BIGINT)
+                     - CASE WHEN ROUND(CAST(value AS DOUBLE) * 100.0) < 0
+                            THEN 999 ELSE 0 END)
                     // 1000 AS BIGINT) AS band,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM events

@@ -2910,6 +2910,24 @@ def csv_roundtrip_docs(sf_dir: str):
     return _format_roundtrip(sf_dir, "csv")
 
 
+def _host_edges_map(batch: pa.Table) -> pa.Table:
+    """THE deterministic 97-node host link graph (3 out-links per doc,
+    modular-arithmetic targets) — single definition shared by
+    ``pagerank_hosts_docs``, ``k_core_hosts`` and ``hits_hosts_docs``
+    so the engine and the three oracles can never diverge on the
+    graph."""
+    ids = batch["doc_id"].to_numpy()
+    u = ids % 97
+    us, vs = [], []
+    for j in (1, 2, 3):
+        us.append(u)
+        vs.append((u + 1 + (ids * j) % 96) % 97)
+    return pa.table(
+        {"u": pa.array(np.concatenate(us)),
+         "v": pa.array(np.concatenate(vs))}
+    )
+
+
 def pagerank_hosts_docs(sf_dir: str):
     """PageRank over a deterministic 97-node host link graph derived
     from documents (3 out-links per doc, modular-arithmetic targets,
@@ -2920,21 +2938,8 @@ def pagerank_hosts_docs(sf_dir: str):
     from geodata_ray.stages.graphcc import distinct_edges_packed, pagerank
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
-
-    def edges(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy()
-        u = ids % 97
-        us, vs = [], []
-        for j in (1, 2, 3):
-            us.append(u)
-            vs.append((u + 1 + (ids * j) % 96) % 97)
-        return pa.table(
-            {"u": pa.array(np.concatenate(us)),
-             "v": pa.array(np.concatenate(vs))}
-        )
-
     e = distinct_edges_packed(
-        ds.map_batches(edges, batch_format="pyarrow")
+        ds.map_batches(_host_edges_map, batch_format="pyarrow")
     )
     return pagerank(e, iters=5)
 
@@ -6849,21 +6854,8 @@ def k_core_hosts(sf_dir: str):
     from geodata_ray.stages.graphcc import k_core
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
-
-    def edges(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy()
-        u = ids % 97
-        us, vs = [], []
-        for j in (1, 2, 3):
-            us.append(u)
-            vs.append((u + 1 + (ids * j) % 96) % 97)
-        return pa.table(
-            {"u": pa.array(np.concatenate(us)),
-             "v": pa.array(np.concatenate(vs))}
-        )
-
     return k_core(
-        ds.map_batches(edges, batch_format="pyarrow"),
+        ds.map_batches(_host_edges_map, batch_format="pyarrow"),
         k=21,
         max_rounds=12,
     )
@@ -7086,20 +7078,9 @@ def hits_hosts_docs(sf_dir: str):
     from geodata_ray.stages.graphcc import hits_scores
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
-
-    def edges(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy()
-        u = ids % 97
-        us, vs = [], []
-        for j in (1, 2, 3):
-            us.append(u)
-            vs.append((u + 1 + (ids * j) % 96) % 97)
-        return pa.table(
-            {"u": pa.array(np.concatenate(us)),
-             "v": pa.array(np.concatenate(vs))}
-        )
-
-    return hits_scores(ds.map_batches(edges, batch_format="pyarrow"))
+    return hits_scores(
+        ds.map_batches(_host_edges_map, batch_format="pyarrow")
+    )
 
 
 
@@ -7287,10 +7268,12 @@ def maxsim_retrieval_embeddings(sf_dir: str):
 
     from geodata_ray.stages.dedup import _as_matrix
 
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 4)],  # prune at the read: the query
+        # side is 4 rows, never the whole vector table
     )
-    qt = t.filter(pc.less(t["vec_id"], 4))
     Q = np.floor(
         _as_matrix(qt["embedding"]).astype(np.float64) * 1048576.0
     ).astype(np.int64)  # (4, 64)
@@ -7299,6 +7282,8 @@ def maxsim_retrieval_embeddings(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def dots(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc": pa.array([], pa.int64()), "qt": pa.array([], pa.int64()), "dot": pa.array([], pa.int64())})
         X = np.floor(
             _as_matrix(batch["embedding"]).astype(np.float64) * 1048576.0
         ).astype(np.int64)
@@ -7340,6 +7325,8 @@ def sq8_quantize_embeddings(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def dim_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"dim": pa.array([], pa.int64()), "lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())})
         X = np.floor(
             _as_matrix(batch["embedding"]).astype(np.float64) * 1048576.0
         ).astype(np.int64)
@@ -7367,6 +7354,8 @@ def sq8_quantize_embeddings(sf_dir: str):
     weights = np.arange(1, lo.size + 1, dtype=np.int64)
 
     def quantize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()), "code_checksum": pa.array([], pa.int64()), "max_err": pa.array([], pa.int64()), "sum_err": pa.array([], pa.int64())})
         X = np.floor(
             _as_matrix(batch["embedding"]).astype(np.float64) * 1048576.0
         ).astype(np.int64)

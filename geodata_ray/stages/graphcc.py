@@ -1147,8 +1147,13 @@ def hits_scores(edges, *, src: str = "u", dst: str = "v",
             f"hits_scores: node set {len(a1)} exceeds "
             f"node_bound={node_bound}; use the join path"
         )
+    # sort explicitly before the searchsorted lookups: Ray's groupby
+    # happening to emit key-sorted blocks is an implementation detail,
+    # not a contract (k_core/sssp/pagerank all sort too)
     a1_nodes = a1["node"].to_numpy().astype(np.int64)
     a1_vals = a1["sum(x)"].to_numpy().astype(np.int64)
+    o = np.argsort(a1_nodes)
+    a1_nodes, a1_vals = a1_nodes[o], a1_vals[o]
 
     def gather_sum_fn(nodes_ref, vals_ref, key_in, key_out):
         def fn(batch: pa.Table) -> pa.Table:
@@ -1182,6 +1187,8 @@ def hits_scores(edges, *, src: str = "u", dst: str = "v",
     ).groupby("node").sum("x").to_pandas()
     h_nodes = h1["node"].to_numpy().astype(np.int64)
     h_vals = h1["sum(x)"].to_numpy().astype(np.int64)
+    o = np.argsort(h_nodes)
+    h_nodes, h_vals = h_nodes[o], h_vals[o]
 
     hn_ref, hv_ref = ray.put(h_nodes), ray.put(h_vals)
     a2 = e.map_batches(

@@ -780,7 +780,10 @@ def compact_cells(ds, *, cell_col: str = "cell", min_res: int):
     def strip(batch: pa.Table) -> pa.Table:
         return pa.table({"cell": batch[cell_col]})
 
-    cur = distinct.map_batches(strip, batch_format="pyarrow")
+    # materialize once: the distinct exchange is the expensive part
+    # and is otherwise re-executed by take(1), the level-1 parent
+    # count, AND the final union
+    cur = distinct.map_batches(strip, batch_format="pyarrow").materialize()
     kept: list = []
     # resolution of the input set (uniform by contract — mixed-res
     # inputs would need per-res striping, same loop per stripe)

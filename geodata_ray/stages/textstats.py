@@ -1294,10 +1294,18 @@ def winnowing_fingerprints(
     n_docs = len(sliced)
     if n_docs == 0:
         return empty
-    # contiguous utf-8 buffer + per-doc offsets (zero-copy)
-    buf_off = np.frombuffer(sliced.buffers()[1], dtype=np.int32).astype(
+    # contiguous utf-8 buffer + per-doc offsets (zero-copy).  Arrow
+    # promotes big string blocks to large_string (64-bit offsets) —
+    # reading those as int32 would silently shred every offset, so
+    # branch on the physical type
+    off_dtype = (
         np.int64
-    )[sliced.offset:sliced.offset + n_docs + 1]
+        if pa.types.is_large_string(sliced.type)
+        else np.int32
+    )
+    buf_off = np.frombuffer(
+        sliced.buffers()[1], dtype=off_dtype
+    ).astype(np.int64)[sliced.offset:sliced.offset + n_docs + 1]
     data_buf = sliced.buffers()[2]
     data = (
         np.frombuffer(data_buf, dtype=np.uint8)
@@ -1506,44 +1514,73 @@ def source_byte_entropy(
     from geodata_ray.stages.relational import grouped_aggregate
 
     def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.string()),
+                "byte": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
         key = batch[key_col]
         if isinstance(key, pa.ChunkedArray):
             key = key.combine_chunks()
         text = batch[text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        keys_out, bytes_out, counts_out = [], [], []
+        text = text.fill_null("")
         enc = key.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False)
-        for ki, kv in enumerate(enc.dictionary.to_pylist()):
-            rows = np.flatnonzero(codes == ki)
-            blob = "".join(
-                t for t in (text[int(r)].as_py() for r in rows)
-                if t is not None and t.isascii()
-            )
-            if not blob:
-                continue
-            cnt = np.bincount(
-                np.frombuffer(blob.encode("ascii"), dtype=np.uint8),
-                minlength=256,
-            )
-            nz = np.flatnonzero(cnt)
-            keys_out.extend([kv] * nz.size)
-            bytes_out.append(nz.astype(np.int64))
-            counts_out.append(cnt[nz].astype(np.int64))
-        if not keys_out:
-            return pa.table(
-                {
-                    key_col: pa.array([], pa.string()),
-                    "byte": pa.array([], pa.int64()),
-                    "n": pa.array([], pa.int64()),
-                }
-            )
+        codes = (
+            enc.indices.fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        dictionary = enc.dictionary.to_pylist()
+
+        # contiguous byte buffer + offsets (the winnowing technique:
+        # no per-row Python, no string copies)
+        n_rows = len(text)
+        off_dtype = (
+            np.int64 if pa.types.is_large_string(text.type) else np.int32
+        )
+        buf_off = np.frombuffer(
+            text.buffers()[1], dtype=off_dtype
+        ).astype(np.int64)[text.offset:text.offset + n_rows + 1]
+        data_buf = text.buffers()[2]
+        data = (
+            np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None
+            else np.zeros(0, np.uint8)
+        )
+        doc_len = np.diff(buf_off)
+        # per-row ASCII test via segment max (the LM byte contract)
+        seg_max = np.zeros(n_rows, dtype=np.uint8)
+        nz = doc_len > 0
+        if nz.any():
+            seg_max[nz] = np.maximum.reduceat(
+                data[buf_off[0]:buf_off[-1]],
+                (buf_off[:-1] - buf_off[0])[nz],
+            )[: int(nz.sum())]
+        keep = (seg_max < 128) & (codes >= 0)
+        if not keep.any():
+            return empty
+        sel = np.repeat(keep, doc_len)
+        bytes_sel = data[buf_off[0]:buf_off[-1]][sel]
+        if bytes_sel.size == 0:
+            return empty
+        codes_sel = np.repeat(codes, doc_len)[sel]
+        composite = codes_sel * 256 + bytes_sel
+        cnt = np.bincount(composite, minlength=len(dictionary) * 256)
+        nz_c = np.flatnonzero(cnt)
         return pa.table(
             {
-                key_col: pa.array(keys_out, pa.string()),
-                "byte": pa.array(np.concatenate(bytes_out)),
-                "n": pa.array(np.concatenate(counts_out)),
+                key_col: pa.array(
+                    [dictionary[int(c) // 256] for c in nz_c],
+                    pa.string(),
+                ),
+                "byte": pa.array((nz_c % 256).astype(np.int64)),
+                "n": pa.array(cnt[nz_c].astype(np.int64)),
             }
         )
 

@@ -525,3 +525,121 @@ def test_k_anonymity_and_kfold():
 
     n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
     assert int(folds["n_docs"].sum()) == n_docs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_wave8_queries_vs_pandas_bruteforce():
+    """Independent pandas recomputation (no DuckDB, no shared SQL) for
+    the wave-8/9/10 queries whose only other check is the oracle gate."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from geodata_ray.pipelines.queries import (
+        ab_test_events,
+        late_shipment_priority,
+        open_orders_daily,
+        pr_curve_docs,
+        q18_large_orders,
+        q22_idle_customers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = pq.read_table(f"{sf}/lineitem.parquet").to_pandas()
+    od = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+    cu = pq.read_table(f"{sf}/customer.parquet").to_pandas()
+    ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+    dc = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+
+    # --- late_shipment_priority
+    got = late_shipment_priority(sf).to_pandas().set_index("l_returnflag")
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    late = (j.l_shipdate - j.o_orderdate).dt.days > 90
+    high = j.o_orderpriority.isin(["1-URGENT", "2-HIGH"])
+    for rf, g in j.assign(late=late, high=high).groupby("l_returnflag"):
+        assert int(got.loc[rf, "high_late_count"]) == int(
+            (g.late & g.high).sum()
+        )
+        assert int(got.loc[rf, "low_late_count"]) == int(
+            (g.late & ~g.high).sum()
+        )
+        assert int(got.loc[rf, "n_lines"]) == len(g)
+
+    # --- q18_large_orders
+    got = q18_large_orders(sf).to_pandas().sort_values(
+        "o_orderkey", ignore_index=True
+    )
+    qty = li.assign(q=li.l_quantity.round().astype(int)).groupby(
+        "l_orderkey"
+    )["q"].sum()
+    big = qty[qty > 200]
+    want = od[od.o_orderkey.isin(big.index)].merge(
+        cu, left_on="o_custkey", right_on="c_custkey"
+    ).sort_values("o_orderkey", ignore_index=True)
+    assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    assert got["c_name"].tolist() == want["c_name"].tolist()
+    assert got["sum_qty"].tolist() == [
+        int(big[k]) for k in want["o_orderkey"]
+    ]
+
+    # --- q22_idle_customers
+    got = q22_idle_customers(sf).to_pandas().set_index("nationkey")
+    cents = (cu.c_acctbal * 100).round().astype(int)
+    pos = cu.assign(cents=cents)[cents > 0]
+    s, n = int(pos.cents.sum()), len(pos)
+    rich = pos[pos.cents * n > s]
+    recent = set(
+        od[od.o_orderdate >= pd.Timestamp("1999-01-01")].o_custkey
+    )
+    idle = rich[~rich.c_custkey.isin(recent)]
+    want = idle.groupby(idle.c_nationkey.astype(int)).agg(
+        n_customers=("cents", "size"), total_cents=("cents", "sum")
+    )
+    assert sorted(got.index) == sorted(want.index)
+    for k in want.index:
+        assert int(got.loc[k, "n_customers"]) == int(
+            want.loc[k, "n_customers"]
+        )
+        assert int(got.loc[k, "total_cents"]) == int(
+            want.loc[k, "total_cents"]
+        )
+
+    # --- ab_test_events
+    got = ab_test_events(sf).to_pandas().set_index("event_type")
+    ec = ev.assign(
+        cents=(ev.value * 100).round().astype(int),
+        variant=(ev.user_id % 2).astype(int),
+    )
+    for et, g in ec.groupby("event_type"):
+        a, b = g[g.variant == 0], g[g.variant == 1]
+        r = got.loc[et]
+        assert int(r.n_control) == len(a)
+        assert int(r.sum_treat) == int(b.cents.sum())
+        assert int(r.ss_control) == int((a.cents ** 2).sum())
+        assert int(r.mean_diff_num) == int(
+            b.cents.sum() * len(a) - a.cents.sum() * len(b)
+        )
+
+    # --- open_orders_daily
+    got = open_orders_daily(sf).to_pandas().set_index("day")
+    day = (
+        od.o_orderdate.astype("datetime64[us]").astype("int64")
+        // 86_400_000_000
+    ).astype(int)
+    deltas = pd.concat(
+        [
+            pd.Series(1, index=day),
+            pd.Series(-1, index=day + 30),
+        ]
+    ).groupby(level=0).sum().sort_index()
+    run = deltas.cumsum()
+    assert got["open_orders"].to_dict() == run.to_dict()
+
+    # --- pr_curve_docs (counts must tile: tp+fp+fn+tn == corpus)
+    got = pr_curve_docs(sf).to_pandas()
+    n_docs = len(dc)
+    assert ((got.tp + got.fp + got.fn + got.tn) == n_docs).all()
+    n_en = int((dc.lang == "en").sum())
+    assert ((got.tp + got.fn) == n_en).all()
+    # monotone: higher threshold -> fewer predicted positive
+    g = got.sort_values("threshold")
+    assert ((g.tp + g.fp).diff().dropna() <= 0).all()
