@@ -324,6 +324,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "box_cover_cells_nations",
         "k_anonymity_events",
         "kfold_split_docs",
+        # thirteenth wave (round 5)
+        "reorder_depth_events",
+        "ann_recall_embeddings",
     )
     for name in query_names:
         t0 = time.perf_counter()

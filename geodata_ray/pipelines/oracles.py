@@ -3113,6 +3113,26 @@ FROM lab CROSS JOIN t GROUP BY 1
 
 
 
+def _ann_recall_sql() -> str:
+    """ANN recall@5 oracle: the exact and IVF top-k replays as
+    materialized subqueries, intersected per query."""
+    return f"""
+WITH ex AS MATERIALIZED ({ANN_TOPK_SQL}),
+iv AS MATERIALIZED ({_ivf_sql()}),
+hits AS (
+  SELECT ex.query_id,
+         CAST(COUNT(iv.neighbor_id) AS BIGINT) AS n_hits
+  FROM ex LEFT JOIN iv
+    ON ex.query_id = iv.query_id
+   AND ex.neighbor_id = iv.neighbor_id
+  GROUP BY 1
+)
+SELECT query_id, n_hits,
+       CAST(n_hits * 10000 // 5 AS BIGINT) AS recall_bp
+FROM hits
+"""
+
+
 def _winnowing_pairs_sql(min_shared: int = 3, max_df: int = 50) -> str:
     """MOSS match-join oracle: the winnowing replay as a materialized
     subquery, the paper's max-df stopword cut on hot fingerprints,
@@ -4785,6 +4805,24 @@ _ORACLE_SQL_STATIC = {
 
 
 
+
+    # --- thirteenth wave (round 5) ---
+    # stream-disorder: arrival rank minus event-time rank, max per key
+    "reorder_depth_events": """
+        WITH r AS (
+          SELECT user_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY event_id) AS ra,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS rt
+          FROM events
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(MAX(ra - rt) AS BIGINT) AS max_reorder_depth,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM r GROUP BY 1
+    """,
     # --- twelfth wave (round 5) ---
     # axis-aligned box rasterization: corner row/col ranges (the same
     # floor arithmetic as cell_sql_expr), generate_series fan-out
@@ -5330,5 +5368,6 @@ def __getattr__(name: str):
             v["kmeans_embeddings"] = __getattr__("KMEANS_SQL")
             v["ivf_topk_embeddings"] = __getattr__("IVF_SQL")
             v["semdedup_embeddings"] = _semdedup_sql()
+            v["ann_recall_embeddings"] = _ann_recall_sql()
         _LAZY[name] = v
     return v

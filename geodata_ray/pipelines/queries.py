@@ -7509,6 +7509,124 @@ def kfold_split_docs(sf_dir: str):
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Thirteenth wave (round 5): stream-disorder measurement, ANN recall
+# audit
+# ---------------------------------------------------------------------------
+
+
+def reorder_depth_events(sf_dir: str):
+    """Stream-disorder measurement: per user, the maximum REORDER
+    DEPTH — how many positions an event arrived ahead of its
+    event-time rank (arrival order proxied by event_id, the ingest
+    sequence) — the statistic that sizes a streaming reorder buffer /
+    watermark lateness budget before deploying an event-time pipeline.
+    One keyed-bucket exchange; per key two lexsort rank passes, all
+    vectorized."""
+    from geodata_ray.stages.windows import _tag_bucket
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(
+                    pa.int64()
+                ),
+                "event_id": batch["event_id"],
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        if u.size == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "max_reorder_depth": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        # arrival ranks: sort by (user, event_id)
+        oa = np.lexsort((eid, u))
+        # event-time ranks: sort by (user, ts, event_id)
+        ot = np.lexsort((eid, ts, u))
+        n = u.size
+        ra = np.empty(n, dtype=np.int64)
+        rt = np.empty(n, dtype=np.int64)
+        ra[oa] = np.arange(n)
+        rt[ot] = np.arange(n)
+        # per-key local ranks: subtract each key's segment start (the
+        # same segment base in both orders, keys identical)
+        ua = u[oa]
+        new = np.ones(n, dtype=bool)
+        new[1:] = ua[1:] != ua[:-1]
+        starts = np.flatnonzero(new)
+        seg_base = np.zeros(n, dtype=np.int64)
+        seg_base[oa] = np.repeat(
+            starts, np.diff(np.append(starts, n))
+        )
+        depth = (ra - seg_base) - (rt - seg_base)
+        order = np.argsort(u, kind="stable")
+        us, ds_ = u[order], depth[order]
+        kstart = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        return pa.table(
+            {
+                "user_id": pa.array(us[kstart].astype(np.int64)),
+                "max_reorder_depth": pa.array(
+                    np.maximum.reduceat(ds_, kstart).astype(np.int64)
+                ),
+                "n": pa.array(
+                    np.diff(np.append(kstart, us.size)).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        _tag_bucket(
+            ds.map_batches(prep, batch_format="pyarrow"), "user_id", 32
+        )
+        .groupby("__b")
+        .map_groups(
+            lambda g: per_bucket(g.drop_columns(["__b"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def ann_recall_embeddings(sf_dir: str):
+    """ANN quality audit: recall@5 of the IVF-pruned index against the
+    exact brute-force top-5 for the same 5 queries — the acceptance
+    check every vector-store deployment runs before trusting an
+    approximate index.  Both sides are existing audited operators; the
+    intersection runs driver-side over the two BOUNDED top-k tables
+    (Q x k rows each, the same bounded-fusion shape as RRF)."""
+    exact = ann_topk_embeddings(sf_dir).to_pandas()
+    approx = ivf_topk_embeddings(sf_dir).to_pandas()
+    import pandas as pd
+
+    ex = exact.groupby("query_id")["neighbor_id"].apply(set)
+    ap = approx.groupby("query_id")["neighbor_id"].apply(set)
+    qids = sorted(ex.index)
+    hits = [len(ex[q] & ap.get(q, set())) for q in qids]
+    out = pa.table(
+        {
+            "query_id": pa.array(np.asarray(qids, dtype=np.int64)),
+            "n_hits": pa.array(np.asarray(hits, dtype=np.int64)),
+            "recall_bp": pa.array(
+                (np.asarray(hits, dtype=np.int64) * 10000) // 5
+            ),
+        }
+    )
+    import ray.data as rd
+
+    return rd.from_arrow(out)
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -7632,6 +7750,8 @@ RAY_QUERIES = {
     "box_cover_cells_nations": box_cover_cells_nations,
     "k_anonymity_events": k_anonymity_events,
     "kfold_split_docs": kfold_split_docs,
+    "reorder_depth_events": reorder_depth_events,
+    "ann_recall_embeddings": ann_recall_embeddings,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,

@@ -643,3 +643,39 @@ def test_wave8_queries_vs_pandas_bruteforce():
     # monotone: higher threshold -> fewer predicted positive
     g = got.sort_values("threshold")
     assert ((g.tp + g.fp).diff().dropna() <= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_reorder_depth_vs_bruteforce():
+    import ray.data as rd
+
+    from geodata_ray.stages.windows import _tag_bucket  # noqa: F401
+    from geodata_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        Q.reorder_depth_events(sf).to_pandas().set_index("user_id")
+    )
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["user_id", "ts", "event_id"]).to_pandas()
+    ev["ts_us"] = ev.ts.astype("datetime64[us]").astype("int64")
+    for uid, g in ev.groupby("user_id"):
+        ra = g.sort_values("event_id").reset_index()
+        ra["ra"] = np.arange(len(ra))
+        rt = g.sort_values(["ts_us", "event_id"]).reset_index()
+        rt["rt"] = np.arange(len(rt))
+        m = ra.set_index("event_id")["ra"] - rt.set_index("event_id")["rt"]
+        assert int(got.loc[uid, "max_reorder_depth"]) == int(m.max())
+        assert int(got.loc[uid, "n"]) == len(g)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_recall_bounds():
+    from geodata_ray.pipelines import queries as Q
+
+    got = Q.ann_recall_embeddings("/root/testdata/sf0.001").to_pandas()
+    assert len(got) == 5
+    assert ((got.n_hits >= 0) & (got.n_hits <= 5)).all()
+    assert (got.recall_bp == got.n_hits * 2000).all()
