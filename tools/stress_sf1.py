@@ -707,6 +707,154 @@ def main() -> None:
 
     timed("trailing_window_10m", trailing_10m)
 
+    # --- round 5: winnowing fingerprints + MOSS match join over 50k
+    # docs.  Amplification PERTURBS each copy's text head ("v<i> "
+    # prefix) instead of replicating it byte-identical: MOSS runs
+    # AFTER exact dedup in any real pipeline, so the realistic 10x is
+    # more UNIQUE documents, not replicas.  (Replica amplification was
+    # measured too: every fingerprint's df multiplies by the copy
+    # count, the gate's max_df=20 cut drops everything -> 0 pairs;
+    # with max_df raised to 200 the candidate volume is verify-bound
+    # at 252 s / 89,715 pairs, no OOM — the documented worst-case
+    # dup-density wall, same shape as setsim's.)  NOTE the varied-
+    # text run yields 0 pairs at the gate knobs: the synthetic corpus
+    # draws from a ~20-word vocabulary, so at 50k docs EVERY 8-gram
+    # hash exceeds max_df=20 and the stopword cut (correctly) flags
+    # the whole fingerprint space as boilerplate — real web text has
+    # orders more k-gram diversity.  The row is therefore a pure
+    # THROUGHPUT wall (fingerprint + dedup + bucketed expansion over
+    # 50k docs). ---
+    def winnow_pairs_50k():
+        from geodata_ray.stages.textstats import (
+            winnowing_fingerprints,
+            winnowing_pair_candidates,
+        )
+
+        def amp_vary(batch: pa.Table) -> pa.Table:
+            copies = []
+            for i in range(AMP):
+                pre = pa.array(
+                    [f"v{i} "] * batch.num_rows, pa.string()
+                )
+                t = batch.set_column(
+                    batch.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    pc.add(batch["doc_id"], i * 10_000_000),
+                )
+                t = t.set_column(
+                    t.schema.get_field_index("text"),
+                    "text",
+                    pc.binary_join_element_wise(pre, batch["text"], ""),
+                )
+                copies.append(t)
+            return pa.concat_tables(copies)
+
+        docs = rd.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(amp_vary, batch_format="pyarrow")
+        fps = docs.map_batches(
+            winnowing_fingerprints, batch_format="pyarrow"
+        )
+        return winnowing_pair_candidates(
+            fps, min_shared=8, max_df=20
+        ).count()
+
+    timed("winnowing_pairs_50k", winnow_pairs_50k)
+
+    # --- round 5: k-core on a 100k-node graph (1000x the gate) ---
+    def k_core_100k():
+        from geodata_ray.stages.graphcc import k_core
+
+        n_nodes = 100_000
+
+        def edges(batch: pa.Table) -> pa.Table:
+            ids = batch["id"].to_numpy()
+            u = ids % n_nodes
+            us, vs = [], []
+            for j in (1, 2, 3):
+                us.append(u)
+                vs.append((u + 1 + (ids * j) % (n_nodes - 1)) % n_nodes)
+            return pa.table(
+                {"u": pa.array(np.concatenate(us)),
+                 "v": pa.array(np.concatenate(vs))}
+            )
+
+        e = rd.range(500_000).map_batches(
+            lambda b: edges(b.rename_columns(["id"])),
+            batch_format="pyarrow",
+        )
+        return k_core(e, k=12, max_rounds=12).count()
+
+    timed("k_core_100k", k_core_100k)
+
+    # --- round 5: cell compaction from res 7 over 10M derived points
+    # (dense res-7 occupancy makes multi-level promotion real) ---
+    def compact_10m():
+        from geodata_ray.cellmath import qcell
+        from geodata_ray.pipelines.queries import (
+            _derive_lat_np,
+            _derive_lon_np,
+        )
+        from geodata_ray.stages.raster import compact_cells
+
+        ev = amplify(
+            rd.read_parquet(
+                f"{SF_DIR}/events.parquet", columns=["event_id"]
+            ),
+            AMP * 10,
+            {"event_id": 10_000_000},
+        )
+
+        def tiles(batch: pa.Table) -> pa.Table:
+            ids = batch["event_id"].to_numpy()
+            return pa.table(
+                {"cell": pa.array(qcell.latlng_to_cell(
+                    _derive_lat_np(ids), _derive_lon_np(ids), 7))}
+            )
+
+        return compact_cells(
+            ev.map_batches(tiles, batch_format="pyarrow"), min_res=4
+        ).count()
+
+    timed("compact_cells_10m", compact_10m)
+
+    # --- round 5: CUSUM change points over 10M events (100x users) ---
+    def cusum_10m():
+        from geodata_ray.stages.windows import cusum_changepoint
+
+        ev = amplify(
+            rd.read_parquet(
+                f"{SF_DIR}/events.parquet",
+                columns=["user_id", "event_id", "ts", "value"],
+            ),
+            AMP * 10,
+            {"user_id": 1_000_000, "event_id": 10_000_000},
+        )
+
+        def prep(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "user_id": batch["user_id"],
+                    "ts": batch["ts"].cast(pa.timestamp("us")).cast(
+                        pa.int64()
+                    ),
+                    "event_id": batch["event_id"],
+                    "cents": pc.cast(
+                        pc.round(pc.multiply(
+                            pc.cast(batch["value"], pa.float64()), 100.0
+                        )),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return cusum_changepoint(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            min_n=8, num_buckets=64,
+        ).count()
+
+    timed("cusum_10m", cusum_10m)
+
     print(json.dumps({
         "metric": "sf1 stress walls (10x gate scale)",
         "unit": "sec",
