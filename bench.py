@@ -327,6 +327,11 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         # thirteenth wave (round 5)
         "reorder_depth_events",
         "ann_recall_embeddings",
+        # fourteenth wave (round 5)
+        "avg_neighbor_degree_hosts",
+        "peak_rate_events",
+        "revenue_share_lineitem",
+        "vocab_growth_docs",
     )
     for name in query_names:
         t0 = time.perf_counter()

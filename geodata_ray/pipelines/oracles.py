@@ -4806,6 +4806,82 @@ _ORACLE_SQL_STATIC = {
 
 
 
+
+    # --- fourteenth wave (round 5) ---
+    # average neighbor degree as an exact (sum, count) ratio pair
+    "avg_neighbor_degree_hosts": """
+        WITH e0 AS MATERIALIZED (
+          SELECT DISTINCT u, v FROM (
+            SELECT (doc_id % 97) AS u,
+                   ((doc_id % 97) + 1 + ((doc_id * 1) % 96)) % 97 AS v
+            FROM documents
+            UNION ALL
+            SELECT (doc_id % 97),
+                   ((doc_id % 97) + 1 + ((doc_id * 2) % 96)) % 97
+            FROM documents
+            UNION ALL
+            SELECT (doc_id % 97),
+                   ((doc_id % 97) + 1 + ((doc_id * 3) % 96)) % 97
+            FROM documents
+          )
+        ),
+        d AS (SELECT u AS node, COUNT(*) AS deg FROM e0 GROUP BY 1)
+        SELECT CAST(e0.u AS BIGINT) AS node,
+               CAST(SUM(COALESCE(dv.deg, 0)) AS BIGINT) AS nbr_deg_sum,
+               CAST(COUNT(*) AS BIGINT) AS out_degree
+        FROM e0 LEFT JOIN d dv ON e0.v = dv.node
+        GROUP BY 1
+    """,
+    # peak 1-hour rate: max over the trailing-window counts
+    "peak_rate_events": """
+        WITH w AS (
+          SELECT user_id,
+                 COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                   AND CURRENT ROW) AS n_trailing
+          FROM events
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(MAX(n_trailing) AS BIGINT) AS peak_1h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM w GROUP BY 1
+    """,
+    # ratio-to-report in exact basis points
+    "revenue_share_lineitem": """
+        WITH g AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(ROUND(SUM(l_extendedprice * (1 - l_discount))
+                      * 100) AS BIGINT) AS revenue_cents,
+                 CAST(COUNT(*) AS BIGINT) AS n_lines
+          FROM lineitem GROUP BY 1, 2
+        ),
+        t AS (SELECT SUM(revenue_cents) AS total FROM g)
+        SELECT g.*,
+               CAST(g.revenue_cents * 10000 // t.total AS BIGINT)
+                   AS share_bp
+        FROM g, t
+    """,
+    # Heaps-law vocabulary growth: new distinct BIGRAMS per id decile
+    "vocab_growth_docs": """
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(lower(COALESCE(text, '')), ' ') AS ws
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, ws[g.i] || ' ' || ws[g.i + 1] AS term
+          FROM toks CROSS JOIN LATERAL (
+            SELECT UNNEST(generate_series(1, len(ws) - 1)) AS i
+          ) g
+        ),
+        f AS (SELECT term, MIN(doc_id) AS first_doc FROM bg GROUP BY 1),
+        m AS (SELECT MAX(doc_id) AS max_id FROM documents)
+        SELECT CAST(first_doc * 10 // (m.max_id + 1) AS BIGINT)
+                   AS decile,
+               CAST(COUNT(*) AS BIGINT) AS new_terms
+        FROM f, m GROUP BY 1
+    """,
     # --- thirteenth wave (round 5) ---
     # stream-disorder: arrival rank minus event-time rank, max per key
     "reorder_depth_events": """

@@ -7627,6 +7627,178 @@ def ann_recall_embeddings(sf_dir: str):
     return rd.from_arrow(out)
 
 
+
+# ---------------------------------------------------------------------------
+# Fourteenth wave (round 5): graph statistics, burst detection,
+# ratio-to-report, vocabulary growth
+# ---------------------------------------------------------------------------
+
+
+def avg_neighbor_degree_hosts(sf_dir: str):
+    """Average-neighbor-degree per host (the assortativity ingredient)
+    over the shared 97-node link graph, as an EXACT integer ratio pair
+    ``(sum of out-neighbors' out-degrees, out-degree)`` — no float
+    mean, so the result hash-matches.  Degrees are a bounded map
+    broadcast; edges stream twice with zero shuffle."""
+    import ray
+    from geodata_ray.stages.graphcc import distinct_edges_packed
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    e = distinct_edges_packed(
+        ds.map_batches(_host_edges_map, batch_format="pyarrow")
+    )
+
+    def outdeg_partial(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        uu, cc = np.unique(u, return_counts=True)
+        return pa.table({"node": pa.array(uu.astype(np.int64)),
+                         "d": pa.array(cc.astype(np.int64))})
+
+    deg = e.map_batches(outdeg_partial, batch_format="pyarrow")         .groupby("node").sum("d").to_pandas()  # bounded by node count
+    nodes = deg["node"].to_numpy().astype(np.int64)
+    vals = deg["sum(d)"].to_numpy().astype(np.int64)
+    o = np.argsort(nodes)
+    nodes, vals = nodes[o], vals[o]
+    nref, vref = ray.put(nodes), ray.put(vals)
+
+    def gather(batch: pa.Table) -> pa.Table:
+        nd, vv = ray.get(nref), ray.get(vref)
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(nd, v)
+        pos = np.minimum(pos, max(nd.size - 1, 0))
+        hit = (nd[pos] == v) if nd.size else np.zeros(v.size, bool)
+        nbr = np.where(hit, vv[pos], 0)
+        return pa.table(
+            {"node": pa.array(u.astype(np.int64)),
+             "nbr_deg": pa.array(nbr.astype(np.int64))}
+        )
+
+    return grouped_aggregate(
+        e.map_batches(gather, batch_format="pyarrow"),
+        ["node"],
+        [("nbr_deg", "sum", "nbr_deg_sum"),
+         ("nbr_deg", "count", "out_degree")],
+    )
+
+
+def peak_rate_events(sf_dir: str):
+    """Burst detection readout: each user's PEAK 1-hour event rate —
+    the max over rows of the trailing-window count (RANGE 1 HOUR
+    PRECEDING semantics) — what a rate limiter or anomaly monitor
+    alerts on.  Reuses the shared trailing-window kernel with the key
+    carried through, then one bounded grouped max."""
+    from geodata_ray.stages.windows import trailing_window_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    per_row = trailing_window_counts(
+        ds, key_col="user_id", ts_col="ts", tie_col="event_id",
+        window_us=3_600_000_000, keep_key=True,
+    )
+    return grouped_aggregate(
+        per_row.select_columns(["user_id", "n_trailing"]),
+        ["user_id"],
+        [("n_trailing", "max", "peak_1h"),
+         ("n_trailing", "count", "n")],
+    )
+
+
+def revenue_share_lineitem(sf_dir: str):
+    """Ratio-to-report: each (returnflag, linestatus) group's share of
+    total revenue in EXACT basis points — ``share_bp = s * 10000 //
+    total`` with both operands exact cents, so no float division ever
+    happens.  One pre-combined grouped exchange; the total is the sum
+    of the bounded group sums (broadcast scalar)."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus",
+                        "l_extendedprice", "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "rev": pa.array(price * (1.0 - disc)),
+            }
+        )
+
+    # money convention (module header): float SUM then ONE round —
+    # the true group total is a 2-decimal value, accumulated float
+    # error ~1e-9 << 0.5, so the rounded cents are engine-independent
+    groups = _scale_to_int(
+        grouped_aggregate(
+            li.map_batches(rev, batch_format="pyarrow"),
+            ["l_returnflag", "l_linestatus"],
+            [("rev", "sum", "revenue_cents"), ("rev", "count", "n_lines")],
+        ),
+        {"revenue_cents": 100},
+    ).materialize()  # bounded: one row per (flag, status)
+
+    from ray.data.aggregate import Sum
+
+    total = int(
+        groups.aggregate(Sum("revenue_cents"))["sum(revenue_cents)"]
+    )
+
+    def share(batch: pa.Table) -> pa.Table:
+        s = batch["revenue_cents"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "share_bp", pa.array((s * 10000 // total).astype(np.int64))
+        )
+
+    return groups.map_batches(share, batch_format="pyarrow")
+
+
+def vocab_growth_docs(sf_dir: str):
+    """Vocabulary growth curve (Heaps-law audit): the corpus in 10
+    doc-id deciles, reporting how many NEW distinct BIGRAMS each
+    decile introduces — the saturation check before sizing a tokenizer
+    vocab (bigrams, not unigrams: the synthetic vocabulary saturates
+    unigrams in decile 0, which would make the curve a single row).
+    Bigram -> min doc_id is one pre-combined exchange; the decile
+    bucketing is integer arithmetic against the broadcast max id."""
+    from geodata_ray.stages.textstats import _ngram_window_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bi(batch: pa.Table) -> pa.Table:
+        ids, grams = _ngram_window_batch(
+            batch, id_col="doc_id", text_col="text", n=2
+        )
+        return pa.table(
+            {"doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+             "term": grams}
+        )
+
+    first = grouped_aggregate(
+        ds.map_batches(bi, batch_format="pyarrow"),
+        ["term"],
+        [("doc_id", "min", "first_doc")],
+    )
+
+    import pyarrow.parquet as pq
+
+    max_id = int(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        ["doc_id"].to_numpy().max()
+    )
+
+    def decile(batch: pa.Table) -> pa.Table:
+        f = batch["first_doc"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"decile": pa.array((f * 10 // (max_id + 1)).astype(
+                np.int64))}
+        )
+
+    return grouped_aggregate(
+        first.map_batches(decile, batch_format="pyarrow"),
+        ["decile"],
+        [("decile", "count", "new_terms")],
+    )
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -7752,6 +7924,10 @@ RAY_QUERIES = {
     "kfold_split_docs": kfold_split_docs,
     "reorder_depth_events": reorder_depth_events,
     "ann_recall_embeddings": ann_recall_embeddings,
+    "avg_neighbor_degree_hosts": avg_neighbor_degree_hosts,
+    "peak_rate_events": peak_rate_events,
+    "revenue_share_lineitem": revenue_share_lineitem,
+    "vocab_growth_docs": vocab_growth_docs,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,

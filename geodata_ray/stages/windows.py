@@ -419,6 +419,7 @@ def trailing_window_counts(
     tie_col: str = "event_id",
     window_us: int = 3_600_000_000,
     num_buckets: int = 32,
+    keep_key: bool = False,
 ):
     """Per-ROW trailing-window count: for every row, how many of the
     same key's rows fall in the preceding ``window_us`` INCLUDING the
@@ -454,9 +455,10 @@ def trailing_window_counts(
             hi = np.searchsorted(seg, seg, side="right")
             lo = np.searchsorted(seg, seg - window_us, side="left")
             n[s:z] = hi - lo
-        return pa.table(
-            {tie_col: pa.array(e), "n_trailing": pa.array(n)}
-        )
+        cols = {tie_col: pa.array(e), "n_trailing": pa.array(n)}
+        if keep_key:
+            cols[key_col] = pa.array(u)
+        return pa.table(cols)
 
     bucketed = _tag_bucket(
         ds.map_batches(to_us, batch_format="pyarrow"),

@@ -679,3 +679,67 @@ def test_ann_recall_bounds():
     assert len(got) == 5
     assert ((got.n_hits >= 0) & (got.n_hits <= 5)).all()
     assert (got.recall_bp == got.n_hits * 2000).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_wave14_vs_pandas_bruteforce():
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from geodata_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+
+    # avg neighbor degree: brute force the shared host graph
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+    ids = docs["doc_id"].to_numpy().astype(np.int64)
+    E = set()
+    for j in (1, 2, 3):
+        u = ids % 97
+        v = (u + 1 + (ids * j) % 96) % 97
+        E |= set(zip(u.tolist(), v.tolist()))
+    deg = collections.Counter(a for a, _ in E)
+    got = (
+        Q.avg_neighbor_degree_hosts(sf).to_pandas().set_index("node")
+    )
+    for node in deg:
+        nbrs = [b for a, b in E if a == node]
+        assert int(got.loc[node, "out_degree"]) == len(nbrs)
+        assert int(got.loc[node, "nbr_deg_sum"]) == sum(
+            deg.get(b, 0) for b in nbrs
+        )
+
+    # peak rate: brute force trailing window max
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["user_id", "event_id", "ts"]).to_pandas()
+    ev["us"] = ev.ts.astype("datetime64[us]").astype("int64")
+    got2 = Q.peak_rate_events(sf).to_pandas().set_index("user_id")
+    for uid, g in ev.groupby("user_id"):
+        ts = np.sort(g.us.to_numpy())
+        hi = np.searchsorted(ts, ts, side="right")
+        lo = np.searchsorted(ts, ts - 3_600_000_000, side="left")
+        assert int(got2.loc[uid, "peak_1h"]) == int((hi - lo).max())
+        assert int(got2.loc[uid, "n"]) == len(g)
+
+    # revenue share: shares sum to <= 10000 and reconstruct
+    got3 = Q.revenue_share_lineitem(sf).to_pandas()
+    total = int(got3.revenue_cents.sum())
+    assert (got3.share_bp == got3.revenue_cents * 10000 // total).all()
+    assert 10000 - len(got3) < int(got3.share_bp.sum()) <= 10000
+
+    # vocab growth: totals match distinct bigram count
+    got4 = Q.vocab_growth_docs(sf).to_pandas()
+    txt = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas()
+    bigrams = {}
+    for _, r in txt.iterrows():
+        ws = (r.text or "").lower().split(" ")
+        for a, b in zip(ws, ws[1:]):
+            key = f"{a} {b}"
+            bigrams[key] = min(bigrams.get(key, 10**18), r.doc_id)
+    mx = int(txt.doc_id.max())
+    want = collections.Counter(
+        fd * 10 // (mx + 1) for fd in bigrams.values()
+    )
+    assert got4.set_index("decile")["new_terms"].to_dict() == dict(want)
