@@ -7560,17 +7560,10 @@ def reorder_depth_events(sf_dir: str):
         rt = np.empty(n, dtype=np.int64)
         ra[oa] = np.arange(n)
         rt[ot] = np.arange(n)
-        # per-key local ranks: subtract each key's segment start (the
-        # same segment base in both orders, keys identical)
-        ua = u[oa]
-        new = np.ones(n, dtype=bool)
-        new[1:] = ua[1:] != ua[:-1]
-        starts = np.flatnonzero(new)
-        seg_base = np.zeros(n, dtype=np.int64)
-        seg_base[oa] = np.repeat(
-            starts, np.diff(np.append(starts, n))
-        )
-        depth = (ra - seg_base) - (rt - seg_base)
+        # both lexsorts share the primary key, so each key's segment
+        # base is identical in the two orders and cancels: the global
+        # rank difference IS the per-key reorder depth
+        depth = ra - rt
         order = np.argsort(u, kind="stable")
         us, ds_ = u[order], depth[order]
         kstart = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
@@ -7662,13 +7655,12 @@ def avg_neighbor_degree_hosts(sf_dir: str):
     nref, vref = ray.put(nodes), ray.put(vals)
 
     def gather(batch: pa.Table) -> pa.Table:
+        from geodata_ray.stages.graphcc import sorted_map_lookup
+
         nd, vv = ray.get(nref), ray.get(vref)
         u = batch["u"].to_numpy(zero_copy_only=False)
         v = batch["v"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(nd, v)
-        pos = np.minimum(pos, max(nd.size - 1, 0))
-        hit = (nd[pos] == v) if nd.size else np.zeros(v.size, bool)
-        nbr = np.where(hit, vv[pos], 0)
+        nbr = sorted_map_lookup(nd, vv, v, default=0)
         return pa.table(
             {"node": pa.array(u.astype(np.int64)),
              "nbr_deg": pa.array(nbr.astype(np.int64))}
@@ -7780,9 +7772,14 @@ def vocab_growth_docs(sf_dir: str):
 
     import pyarrow.parquet as pq
 
-    max_id = int(
-        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-        ["doc_id"].to_numpy().max()
+    # scalar max from row-group statistics — zero data read (the
+    # whole-column driver read is the waste class review finding #4
+    # fixed for maxsim)
+    md = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+    idx = md.schema.names.index("doc_id")
+    max_id = max(
+        md.row_group(i).column(idx).statistics.max
+        for i in range(md.num_row_groups)
     )
 
     def decile(batch: pa.Table) -> pa.Table:

@@ -1114,6 +1114,21 @@ def k_core(edges, *, k: int, src: str = "u", dst: str = "v",
     return final.map_batches(project, batch_format="pyarrow")
 
 
+def sorted_map_lookup(nodes: np.ndarray, vals: np.ndarray,
+                      keys: np.ndarray, default: int = 0) -> np.ndarray:
+    """Vectorized lookup of ``keys`` in the SORTED (nodes -> vals) map
+    (the broadcast score/degree-table idiom shared by ``hits_scores``,
+    ``sssp`` and the neighbor-degree query): misses fill ``default``.
+    Callers MUST pass ``nodes`` sorted — the groupby outputs feeding
+    this are argsorted first, never trusted to arrive ordered."""
+    pos = np.searchsorted(nodes, keys)
+    pos = np.minimum(pos, max(nodes.size - 1, 0))
+    hit = (nodes[pos] == keys) if nodes.size else np.zeros(
+        keys.size, bool
+    )
+    return np.where(hit, vals[pos] if nodes.size else default, default)
+
+
 def hits_scores(edges, *, src: str = "u", dst: str = "v",
                 node_bound: int = 5_000_000):
     """HITS hubs-and-authorities (Kleinberg), ONE unnormalized
@@ -1161,12 +1176,11 @@ def hits_scores(edges, *, src: str = "u", dst: str = "v",
             vv = ray.get(vals_ref)
             kin = batch[key_in].to_numpy(zero_copy_only=False)
             kout = batch[key_out].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(nd, kin)
-            pos = np.minimum(pos, max(nd.size - 1, 0))
-            hit = (nd[pos] == kin) if nd.size else np.zeros(
-                kin.size, bool
-            )
-            ko, val = kout[hit], vv[pos[hit]]
+            val = sorted_map_lookup(nd, vv, kin, default=0)
+            # contributions only from known-score sources (default-0
+            # rows add nothing but would create spurious zero groups)
+            hit = val != 0
+            ko, val = kout[hit], val[hit]
             order = np.argsort(ko, kind="stable")
             ko, val = ko[order], val[order]
             starts = np.flatnonzero(np.r_[True, ko[1:] != ko[:-1]])
