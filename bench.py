@@ -332,6 +332,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "peak_rate_events",
         "revenue_share_lineitem",
         "vocab_growth_docs",
+        # fifteenth wave (round 5)
+        "dau_mau_daily_events",
     )
     for name in query_names:
         t0 = time.perf_counter()

@@ -4807,6 +4807,29 @@ _ORACLE_SQL_STATIC = {
 
 
 
+
+    # --- fifteenth wave (round 5) ---
+    # DAU + trailing-30d MAU: per-day band join with DISTINCT (the
+    # engine side restates it as interval stabbing — no windowed
+    # COUNT DISTINCT exists in either engine)
+    "dau_mau_daily_events": """
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(ts) // 86400000000 AS day
+          FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM ud),
+        dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+                FROM ud GROUP BY 1),
+        mau AS (
+          SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+          FROM days d JOIN ud u
+            ON u.day BETWEEN d.day - 29 AND d.day
+          GROUP BY 1
+        )
+        SELECT CAST(d.day AS BIGINT) AS day, dau.dau, mau.mau
+        FROM days d JOIN dau USING (day) JOIN mau USING (day)
+    """,
     # --- fourteenth wave (round 5) ---
     # average neighbor degree as an exact (sum, count) ratio pair
     "avg_neighbor_degree_hosts": """

@@ -7796,6 +7796,102 @@ def vocab_growth_docs(sf_dir: str):
     )
 
 
+
+def dau_mau_daily_events(sf_dir: str):
+    """Engagement metrics: per active day, DAU (distinct users) and
+    trailing-30-day MAU — the stickiness pair (DAU/MAU is the ratio;
+    both sides exact ints so the report hash-matches).  The windowed
+    COUNT DISTINCT every SQL engine struggles with is restated as
+    interval stabbing: a user covers day d iff d falls in the union of
+    their [active_day, active_day+29] intervals, so per-user merged
+    intervals become +1/-1 deltas and MAU(d) is one running sum — two
+    pre-combined exchanges plus a bounded day-table scan, NO per-day
+    distinct pass."""
+    import ray.data as rd
+
+    from geodata_ray.stages.windows import _tag_bucket
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": pc.divide(ts_us, 86_400_000_000),
+            }
+        )
+
+    ud = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id", "day"],
+        [("day", "count", "__n")],
+    )
+
+    dau = grouped_aggregate(
+        ud.select_columns(["day"]), ["day"], [("day", "count", "dau")]
+    )
+
+    def deltas(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        d = g["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        n = u.size
+        if n == 0:
+            return pa.table(
+                {"day": pa.array([], pa.int64()),
+                 "delta": pa.array([], pa.int64())}
+            )
+        # merge each user's [day, day+29] intervals in one pass: a new
+        # merged run starts at a user boundary or a gap > 29 days
+        new = np.ones(n, dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (d[1:] > d[:-1] + 29)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n) - 1
+        s = d[starts]
+        e = d[ends] + 29
+        return pa.table(
+            {
+                "day": pa.array(np.concatenate([s, e + 1])),
+                "delta": pa.array(
+                    np.concatenate(
+                        [np.ones(s.size, np.int64),
+                         -np.ones(s.size, np.int64)]
+                    )
+                ),
+            }
+        )
+
+    net = grouped_aggregate(
+        _tag_bucket(ud.select_columns(["user_id", "day"]), "user_id", 32)
+        .groupby("__b")
+        .map_groups(
+            lambda g: deltas(g.drop_columns(["__b"])),
+            batch_format="pyarrow",
+        ),
+        ["day"],
+        [("delta", "sum", "net")],
+    ).to_pandas()  # bounded: one row per coverage change day
+
+    net = net.sort_values("day", ignore_index=True)
+    tl_days = net["day"].to_numpy().astype(np.int64)
+    tl_mau = np.cumsum(net["net"].to_numpy()).astype(np.int64)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        d = batch["day"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(tl_days, d, side="right") - 1
+        return pa.table(
+            {
+                "day": batch["day"],
+                "dau": batch["dau"],
+                "mau": pa.array(tl_mau[pos]),
+            }
+        )
+
+    return dau.map_batches(attach, batch_format="pyarrow")
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -7925,6 +8021,7 @@ RAY_QUERIES = {
     "peak_rate_events": peak_rate_events,
     "revenue_share_lineitem": revenue_share_lineitem,
     "vocab_growth_docs": vocab_growth_docs,
+    "dau_mau_daily_events": dau_mau_daily_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,

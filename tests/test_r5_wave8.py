@@ -743,3 +743,44 @@ def test_wave14_vs_pandas_bruteforce():
         fd * 10 // (mx + 1) for fd in bigrams.values()
     )
     assert got4.set_index("decile")["new_terms"].to_dict() == dict(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dau_mau_vs_bruteforce():
+    import pyarrow.parquet as pq
+
+    from geodata_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    got = Q.dau_mau_daily_events(sf).to_pandas().set_index("day")
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["day"] = ev.ts.astype("datetime64[us]").astype("int64") \
+        // 86_400_000_000
+    ud = ev[["user_id", "day"]].drop_duplicates()
+    for d in sorted(ud.day.unique()):
+        dau = ud[ud.day == d].user_id.nunique()
+        mau = ud[(ud.day >= d - 29) & (ud.day <= d)].user_id.nunique()
+        assert int(got.loc[d, "dau"]) == dau
+        assert int(got.loc[d, "mau"]) == mau
+    # planted gap case: one user active on days 0 and 100 only
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "user_id": pa.array([7, 7], pa.int64()),
+            "ts": pa.array(
+                np.array(["2024-01-01", "2024-04-10"],
+                         dtype="datetime64[us]")
+            ),
+        }
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        import pyarrow.parquet as pqw
+
+        pqw.write_table(t, os.path.join(td, "events.parquet"))
+        g2 = Q.dau_mau_daily_events(td).to_pandas().set_index("day")
+        assert (g2["dau"] == 1).all() and (g2["mau"] == 1).all()
+        assert len(g2) == 2
