@@ -334,6 +334,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "vocab_growth_docs",
         # fifteenth wave (round 5)
         "dau_mau_daily_events",
+        # sixteenth wave (round 5)
+        "activity_gini_users",
+        "geo_mean_values_events",
     )
     for name in query_names:
         t0 = time.perf_counter()

@@ -4808,6 +4808,42 @@ _ORACLE_SQL_STATIC = {
 
 
 
+
+    # --- sixteenth wave (round 5) ---
+    # Gini numerator/denominator in exact ints over sorted counts
+    "activity_gini_users": """
+        WITH c AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1
+        ),
+        r AS (
+          SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i,
+                 COUNT(*) OVER () AS n, SUM(x) OVER () AS total
+          FROM c
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+               CAST(MAX(total) AS BIGINT) AS total_events,
+               CAST(SUM((2 * i - n - 1) * x) AS BIGINT) AS gini_num,
+               CAST(MAX(n) * MAX(total) AS BIGINT) AS gini_den
+        FROM r
+    """,
+    # per-type geometric-mean state: grouped qlog2 sums
+    "geo_mean_values_events": f"""
+        WITH RECURSIVE c0 AS (
+          SELECT event_type,
+                 CAST(ROUND(CAST(value AS DOUBLE) * 100.0) AS BIGINT)
+                     AS cents
+          FROM events
+        ),
+        pos AS (SELECT * FROM c0 WHERE cents > 0),
+        vals AS (SELECT DISTINCT cents AS c FROM pos),
+        {_QLOG2_CTE}
+        SELECT pos.event_type,
+               CAST(SUM(q.qlog2) AS BIGINT) AS qlog_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_pos
+        FROM pos JOIN q ON q.c = pos.cents
+        GROUP BY 1
+    """,
     # --- fifteenth wave (round 5) ---
     # DAU + trailing-30d MAU: per-day band join with DISTINCT (the
     # engine side restates it as interval stabbing — no windowed

@@ -7892,6 +7892,78 @@ def dau_mau_daily_events(sf_dir: str):
     return dau.map_batches(attach, batch_format="pyarrow")
 
 
+
+def activity_gini_users(sf_dir: str):
+    """Activity concentration (Gini) over per-user event counts as an
+    EXACT integer ratio: with counts sorted ascending (ties by
+    user_id), ``gini_num = sum_i (2i - n - 1) * x_i`` and ``gini_den =
+    n * total`` — the crawl-hotspot / load-skew report with no float
+    division anywhere.  One pre-combined count exchange; the sorted
+    fold runs over the bounded user table."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    counts = grouped_aggregate(
+        ds, ["user_id"], [("user_id", "count", "n_events")]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        x = t["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((u, x))
+        x = x[order]
+        n = x.size
+        i = np.arange(1, n + 1, dtype=np.int64)
+        num = int(((2 * i - n - 1) * x).sum())
+        return pa.table(
+            {
+                "n_users": pa.array([n], pa.int64()),
+                "total_events": pa.array([int(x.sum())], pa.int64()),
+                "gini_num": pa.array([num], pa.int64()),
+                "gini_den": pa.array([n * int(x.sum())], pa.int64()),
+            }
+        )
+
+    # the per-user count table is bounded; the fold is one block
+    return counts.repartition(1).map_batches(
+        fold, batch_format="pyarrow", batch_size=None
+    )
+
+
+def geo_mean_values_events(sf_dir: str):
+    """Per-type GEOMETRIC mean of positive cents in the fixed-point
+    qlog2 domain: ``(sum of qlog2(cents), count)`` per event_type —
+    the multiplicative-aggregation primitive (rate compounding,
+    log-normal summaries), exact-integer so it hash-matches; the
+    fixed-point geometric mean itself is ``2^(sum/count/2^16)``
+    driver-side.  One pre-combined exchange."""
+    from geodata_ray.stages.lm import qlog2_fixed
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        keep = c > 0  # log of non-positive undefined; drop like SQL
+        q = qlog2_fixed(c[keep].astype(np.uint64)).astype(np.int64)
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return pa.table(
+            {
+                "event_type": et.filter(pa.array(keep)),
+                "qlog": pa.array(q),
+            }
+        )
+
+    return grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"],
+        [("qlog", "sum", "qlog_sum"), ("qlog", "count", "n_pos")],
+    )
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -8022,6 +8094,8 @@ RAY_QUERIES = {
     "revenue_share_lineitem": revenue_share_lineitem,
     "vocab_growth_docs": vocab_growth_docs,
     "dau_mau_daily_events": dau_mau_daily_events,
+    "activity_gini_users": activity_gini_users,
+    "geo_mean_values_events": geo_mean_values_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,

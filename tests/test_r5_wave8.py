@@ -784,3 +784,37 @@ def test_dau_mau_vs_bruteforce():
         g2 = Q.dau_mau_daily_events(td).to_pandas().set_index("day")
         assert (g2["dau"] == 1).all() and (g2["mau"] == 1).all()
         assert len(g2) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gini_and_geo_mean_vs_bruteforce():
+    import pyarrow.parquet as pq
+
+    from geodata_ray.pipelines import queries as Q
+    from geodata_ray.stages.lm import qlog2_fixed
+
+    sf = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["user_id", "event_type", "value"]
+                       ).to_pandas()
+
+    g = Q.activity_gini_users(sf).to_pandas().iloc[0]
+    counts = ev.groupby("user_id").size().reset_index(name="x")
+    counts = counts.sort_values(["x", "user_id"], ignore_index=True)
+    x = counts["x"].to_numpy().astype(np.int64)
+    n = x.size
+    i = np.arange(1, n + 1)
+    assert int(g.n_users) == n
+    assert int(g.total_events) == int(x.sum())
+    assert int(g.gini_num) == int(((2 * i - n - 1) * x).sum())
+    assert int(g.gini_den) == n * int(x.sum())
+    # Gini in [0, 1): numerator below denominator, non-negative
+    assert 0 <= int(g.gini_num) < int(g.gini_den)
+
+    gm = Q.geo_mean_values_events(sf).to_pandas().set_index("event_type")
+    cents = (ev.value * 100).round().astype(int)
+    for et, grp in ev.assign(c=cents).groupby("event_type"):
+        pos = grp.c[grp.c > 0].to_numpy().astype(np.uint64)
+        want = int(qlog2_fixed(pos).astype(np.int64).sum())
+        assert int(gm.loc[et, "qlog_sum"]) == want
+        assert int(gm.loc[et, "n_pos"]) == len(pos)
