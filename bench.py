@@ -337,6 +337,20 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         # sixteenth wave (round 5)
         "activity_gini_users",
         "geo_mean_values_events",
+        # seventeenth wave (round 5): TPC-H completion
+        "q7_nation_volume",
+        "q9_profit_by_nation_year",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q19_or_predicates_revenue",
+        "q2_min_cost_supplier",
+        "q8_market_share",
+        "q11_important_parts",
+        "q13_order_count_distribution",
+        "q16_supplier_part_counts",
+        "q20_qty_semijoin",
+        "q21_sole_late_supplier",
     )
     for name in query_names:
         t0 = time.perf_counter()

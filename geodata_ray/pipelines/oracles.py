@@ -20,6 +20,7 @@ import numpy as np
 from geodata_ray.cellmath import qcell
 from geodata_ray.pipelines.fixtures import fixture_path as _fxp
 from geodata_ray.pipelines.queries import (
+    REV_MICRO_SQL,
     _GEO_A,
     _GEO_B,
     _GEO_M,
@@ -3701,6 +3702,228 @@ _ORACLE_SQL_STATIC = {
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY 1
+    """,
+    # TPC-H Q7-shaped cross-nation volume (exact integer micro-units;
+    # every different nation pair so the result is non-empty at all SFs)
+    "q7_nation_volume": f"""
+        WITH l AS (
+          SELECT l_orderkey, l_suppkey,
+                 {REV_MICRO_SQL} AS rev_micro,
+                 CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01'
+        )
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               l_year,
+               CAST(SUM(rev_micro) AS BIGINT) AS revenue_micro
+        FROM l
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        WHERE ns.n_name <> nc.n_name
+        GROUP BY 1, 2, 3
+    """,
+    # TPC-H Q9-shaped profit by supplier nation x order year
+    "q9_profit_by_nation_year": f"""
+        SELECT n_name AS supp_nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM({REV_MICRO_SQL}) AS BIGINT) AS profit_micro
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_name LIKE 'red %'
+        GROUP BY 1, 2
+    """,
+    # TPC-H Q14-shaped promo share (exact integer num/denominator)
+    "q14_promo_revenue": f"""
+        SELECT CAST(0 AS BIGINT) AS grp,
+               CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN {REV_MICRO_SQL} ELSE 0 END)
+                    AS BIGINT) AS promo_rev_micro,
+               CAST(SUM({REV_MICRO_SQL}) AS BIGINT) AS total_rev_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    # TPC-H Q15-shaped top supplier(s) by quarterly revenue
+    "q15_top_supplier": f"""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(SUM({REV_MICRO_SQL}) AS BIGINT)
+                     AS total_revenue_micro
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, total_revenue_micro
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue_micro = (SELECT MAX(total_revenue_micro)
+                                     FROM rev)
+    """,
+    # TPC-H Q17-shaped small-quantity revenue (exact integer
+    # decorrelated threshold: qty < 0.2*avg  <=>  5*qty*cnt < sum)
+    "q17_small_quantity_revenue": """
+        WITH lf AS (
+          SELECT l_partkey,
+                 CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+                 CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100.0)
+                      AS BIGINT) AS cents
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#3'
+        ),
+        ag AS (
+          SELECT l_partkey AS pk, SUM(qty) AS sum_qty,
+                 COUNT(*) AS cnt
+          FROM lf GROUP BY 1
+        )
+        SELECT CAST(0 AS BIGINT) AS grp,
+               CAST(SUM(cents) AS BIGINT) AS total_price_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lf JOIN ag ON l_partkey = pk
+        WHERE 5 * qty * cnt < sum_qty
+    """,
+    # TPC-H Q2-shaped correlated-min supplier per part
+    "q2_min_cost_supplier": """
+        WITH eu AS (
+          SELECT s_suppkey, s_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        ),
+        cost AS (
+          SELECT l_partkey, l_suppkey,
+                 MIN(CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100.0)
+                          AS BIGINT)) AS cost_cents
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN eu   ON l_suppkey = s_suppkey
+          WHERE p_size = 15 AND p_type = 'STANDARD'
+          GROUP BY 1, 2
+        ),
+        best AS (
+          SELECT l_partkey AS bpk, MIN(cost_cents) AS min_cost_cents
+          FROM cost GROUP BY 1
+        )
+        SELECT s_name, l_partkey AS p_partkey,
+               cost_cents AS min_cost_cents
+        FROM cost
+        JOIN best ON l_partkey = bpk AND cost_cents = best.min_cost_cents
+        JOIN eu   ON l_suppkey = s_suppkey
+    """,
+    # TPC-H Q8-shaped market share (exact integer num/denominator)
+    "q8_market_share": f"""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                             THEN {REV_MICRO_SQL} ELSE 0 END)
+                    AS BIGINT) AS nation_rev_micro,
+               CAST(SUM({REV_MICRO_SQL}) AS BIGINT) AS total_rev_micro
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN region   ON nc.n_regionkey = r_regionkey
+        WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+    # TPC-H Q11-shaped HAVING against a global scalar (exact integer)
+    "q11_important_parts": f"""
+        WITH v AS (
+          SELECT l_partkey AS p_partkey,
+                 CAST(SUM({REV_MICRO_SQL}) AS BIGINT) AS value_micro
+          FROM lineitem GROUP BY 1
+        )
+        SELECT p_partkey, value_micro FROM v
+        WHERE value_micro * 10000 > (SELECT SUM(value_micro) FROM v)
+    """,
+    # TPC-H Q13-shaped order-count distribution (zero customers kept)
+    "q13_order_count_distribution": """
+        WITH pc AS (
+          SELECT c_custkey, COUNT(o_custkey) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+                          AND o_orderpriority <> '5-LOW'
+          GROUP BY 1
+        )
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM pc GROUP BY 1
+    """,
+    # TPC-H Q16-shaped distinct-supplier counts by part attributes
+    "q16_supplier_part_counts": """
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+              WHERE l_suppkey % 7 <> 0) pairs
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        GROUP BY 1, 2, 3
+    """,
+    # TPC-H Q20-shaped nested semi-join with HAVING
+    "q20_qty_semijoin": """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'small %'
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 50
+        )
+    """,
+    # TPC-H Q21-shaped sole-late-supplier wait counts
+    "q21_sole_late_supplier": """
+        WITH lo AS (
+          SELECT l_orderkey, l_suppkey,
+                 MAX(CASE WHEN l_shipdate > o_orderdate
+                                            + INTERVAL 60 DAY
+                          THEN 1 ELSE 0 END) AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+          GROUP BY 1, 2
+        ),
+        og AS (
+          SELECT l_orderkey AS ok, COUNT(*) AS n_supp,
+                 SUM(late) AS n_late
+          FROM lo GROUP BY 1
+        )
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM lo
+        JOIN og ON l_orderkey = ok
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+        GROUP BY 1
+    """,
+    # TPC-H Q19-shaped disjunctive-predicate revenue, by brand branch
+    "q19_or_predicates_revenue": f"""
+        SELECT p_brand,
+               CAST(SUM({REV_MICRO_SQL}) AS BIGINT) AS revenue_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1'
+               AND l_quantity BETWEEN 1 AND 11
+               AND p_size BETWEEN 1 AND 5)
+           OR (p_brand = 'Brand#2'
+               AND l_quantity BETWEEN 10 AND 20
+               AND p_size BETWEEN 1 AND 10)
+           OR (p_brand = 'Brand#3'
+               AND l_quantity BETWEEN 20 AND 30
+               AND p_size BETWEEN 1 AND 15)
         GROUP BY 1
     """,
     # reciprocal (mutual) directed edges on the derived host graph

@@ -86,6 +86,35 @@ def _scale_to_int(ds, spec: dict[str, int]):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _rev_micro_np(t: pa.Table) -> np.ndarray:
+    """Exact integer revenue ``price_cents * (10000 - discount_bp)``
+    in 10^-6 currency units (the q10 convention, shared by the TPC-H
+    completion wave): both factors are integral by data contract, so
+    the product is an exact int64 that hash-matches DuckDB's
+    ``CAST(ROUND(x*100) AS BIGINT) * (10000 - CAST(ROUND(d*10000) AS
+    BIGINT))``."""
+    cents = pc.cast(
+        pc.round(pc.multiply(pc.cast(t["l_extendedprice"], pa.float64()),
+                             100.0)),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+    bp = pc.cast(
+        pc.round(pc.multiply(pc.cast(t["l_discount"], pa.float64()),
+                             10000.0)),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+    return cents * (10000 - bp)
+
+
+# SQL fragment mirroring _rev_micro_np (kept next to it so the pair
+# stays in sync; oracles.py imports it)
+REV_MICRO_SQL = (
+    "CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100.0) AS BIGINT)"
+    " * (10000 - CAST(ROUND(CAST(l_discount AS DOUBLE) * 10000.0)"
+    " AS BIGINT))"
+)
+
+
 # ---------------------------------------------------------------------------
 # Q: pricing summary (reference analogue: grouped means/sums A1-A4)
 # ---------------------------------------------------------------------------
@@ -6211,21 +6240,7 @@ def q10_returned_revenue(sf_dir: str):
 
     def ret(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.equal(batch["l_returnflag"], "R"))
-        cents = pc.cast(
-            pc.round(
-                pc.multiply(pc.cast(t["l_extendedprice"], pa.float64()),
-                            100.0)
-            ),
-            pa.int64(),
-        ).to_numpy(zero_copy_only=False)
-        bp = pc.cast(
-            pc.round(
-                pc.multiply(pc.cast(t["l_discount"], pa.float64()),
-                            10000.0)
-            ),
-            pa.int64(),
-        ).to_numpy(zero_copy_only=False)
-        rev = cents * (10000 - bp)  # 10^-6 currency units, exact int64
+        rev = _rev_micro_np(t)  # 10^-6 currency units, exact int64
         return pa.table(
             {"l_orderkey": t["l_orderkey"], "rev_micro": pa.array(rev)}
         )
@@ -7964,6 +7979,768 @@ def geo_mean_values_events(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Seventeenth wave: TPC-H completion (the remaining Q-shapes, adapted
+# to the driver schema: no partsupp table, no commit/receipt dates).
+# Every money aggregate is exact integer micro-units via _rev_micro_np.
+# ---------------------------------------------------------------------------
+
+
+def _nation_name_map(sf_dir: str) -> pa.Table:
+    """(n_nationkey, n_name) as an Arrow table — tiny by contract
+    (25 rows at every TPC-H scale)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+
+
+def _supplier_nation(sf_dir: str) -> pa.Table:
+    """(s_suppkey, supp_nation) via an in-Arrow join — supplier is the
+    classic small dimension side (10k rows/SF), broadcast not shuffled."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    j = sup.join(_nation_name_map(sf_dir), keys=["s_nationkey"],
+                 right_keys=["n_nationkey"])
+    return pa.table(
+        {"l_suppkey": j["s_suppkey"], "supp_nation": j["n_name"]}
+    )
+
+
+def q7_nation_volume(sf_dir: str):
+    """TPC-H Q7-shaped cross-nation shipping volume: revenue between
+    every DIFFERENT (supplier nation, customer nation) pair, by ship
+    year 1996-1997.  All nation pairs (not TPC-H's two) so the result
+    is non-empty at every scale factor — the tiny sf0.001 fixture has
+    no suppliers in some nations, and an all-empty side would leave
+    Ray's hash-shuffle join with schema-less partitions.  Plan:
+    supplier->nation and customer->nation are broadcast dimension
+    joins; the one big-big exchange is lineitem x orders on orderkey;
+    the output domain is bounded by nations^2 x years."""
+    from geodata_ray.stages.relational import native_join
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"))
+
+    def lprep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                    pc.less(batch["l_shipdate"], hi))
+        t = batch.filter(m)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+            "rev_micro": pa.array(_rev_micro_np(t)),
+        })
+
+    lif = broadcast_join(
+        li.map_batches(lprep, batch_format="pyarrow"),
+        _supplier_nation(sf_dir), ["l_suppkey"],
+    )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nat = _nation_name_map(sf_dir).rename_columns(
+        ["c_nationkey", "cust_nation"])
+    cj = broadcast_join(cust, nat, ["c_nationkey"]).select_columns(
+        ["c_custkey", "cust_nation"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    oj = native_join(orders, cj, on="o_custkey", right_on="c_custkey",
+                     num_partitions=8)
+
+    j = native_join(
+        lif.select_columns(["l_orderkey", "supp_nation", "l_year",
+                            "rev_micro"]),
+        oj.select_columns(["o_orderkey", "cust_nation"]),
+        on="l_orderkey", right_on="o_orderkey", num_partitions=8,
+    )
+
+    def cross(batch: pa.Table) -> pa.Table:
+        m = pc.not_equal(batch["supp_nation"], batch["cust_nation"])
+        return batch.filter(m)
+
+    return grouped_aggregate(
+        j.map_batches(cross, batch_format="pyarrow"),
+        ["supp_nation", "cust_nation", "l_year"],
+        [("rev_micro", "sum", "revenue_micro")],
+    )
+
+
+def q9_profit_by_nation_year(sf_dir: str):
+    """TPC-H Q9-shaped product-line profit (lite: no partsupp table, so
+    profit = discounted revenue): parts named 'red %' -> revenue by
+    supplier nation x ORDER year.  Part filter is a broadcast
+    semi-join on partkey (name-filtered subset, small fraction of a
+    dimension table); supplier->nation broadcast; the only big-big
+    exchange is lineitem x orders on orderkey."""
+    from geodata_ray.stages.relational import native_join, semi_join
+
+    import pyarrow.parquet as pq
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    red = part.filter(
+        pc.starts_with(part["p_name"], "red "))["p_partkey"]
+    red_ref = ray.put(red.combine_chunks())
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    lif = semi_join(li, red_ref, "l_partkey")
+
+    def lprep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_suppkey": batch["l_suppkey"],
+            "rev_micro": pa.array(_rev_micro_np(batch)),
+        })
+
+    lif = broadcast_join(
+        lif.map_batches(lprep, batch_format="pyarrow"),
+        _supplier_nation(sf_dir), ["l_suppkey"],
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def oyear(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_year": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+        })
+
+    j = native_join(
+        lif.select_columns(["l_orderkey", "supp_nation", "rev_micro"]),
+        orders.map_batches(oyear, batch_format="pyarrow"),
+        on="l_orderkey", right_on="o_orderkey", num_partitions=8,
+    )
+    return grouped_aggregate(
+        j.select_columns(["supp_nation", "o_year", "rev_micro"]),
+        ["supp_nation", "o_year"],
+        [("rev_micro", "sum", "profit_micro")],
+    )
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14-shaped promo-share: for one ship month, conditional
+    revenue (p_type = 'PROMO') vs total — the CASE-WHEN aggregate
+    shape, exposed as exact integer numerator/denominator instead of
+    the float ratio.  Part's (partkey -> is_promo) is a broadcast
+    bitmap; one scan, constant-key pre-combined aggregate."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    promo = pa.table({
+        "l_partkey": part["p_partkey"],
+        "is_promo": pc.cast(pc.equal(part["p_type"], "PROMO"),
+                            pa.int64()),
+    })
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+    lo = pa.scalar(np.datetime64("1996-09-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-10-01", "us"))
+
+    def lprep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                    pc.less(batch["l_shipdate"], hi))
+        t = batch.filter(m)
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "rev_micro": pa.array(_rev_micro_np(t)),
+        })
+
+    j = broadcast_join(
+        li.map_batches(lprep, batch_format="pyarrow"), promo,
+        ["l_partkey"],
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        rev = batch["rev_micro"].to_numpy(zero_copy_only=False)
+        isp = batch["is_promo"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "grp": pa.array(np.zeros(len(batch), np.int64)),
+            "promo_rev": pa.array(rev * isp),
+            "rev_micro": batch["rev_micro"],
+        })
+
+    return grouped_aggregate(
+        j.map_batches(flag, batch_format="pyarrow"),
+        ["grp"],
+        [("promo_rev", "sum", "promo_rev_micro"),
+         ("rev_micro", "sum", "total_rev_micro"),
+         ("rev_micro", "count", "n_lines")],
+    )
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15-shaped top supplier: revenue per supplier over one
+    quarter, return the supplier(s) achieving the GLOBAL max — the
+    view + correlated-max shape.  The per-supplier aggregate is
+    dimension-sized; the global max is computed distributed
+    (Dataset.max, no driver pull of the aggregate), then an
+    equality filter selects the winners."""
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-04-01", "us"))
+
+    def lprep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                    pc.less(batch["l_shipdate"], hi))
+        t = batch.filter(m)
+        return pa.table({
+            "l_suppkey": t["l_suppkey"],
+            "rev_micro": pa.array(_rev_micro_np(t)),
+        })
+
+    agg = grouped_aggregate(
+        li.map_batches(lprep, batch_format="pyarrow"),
+        ["l_suppkey"],
+        [("rev_micro", "sum", "total_revenue_micro")],
+    ).materialize()  # dimension-sized; reused by max + filter
+    best = agg.max("total_revenue_micro")
+    win = agg.filter(
+        lambda r: r["total_revenue_micro"] == best
+    )
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]) \
+        .rename_columns(["l_suppkey", "s_name"])
+    out = broadcast_join(win, sup, ["l_suppkey"])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_suppkey": batch["l_suppkey"],
+            "s_name": batch["s_name"],
+            "total_revenue_micro": batch["total_revenue_micro"],
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17-shaped small-quantity revenue: lines of Brand#3 parts
+    whose quantity is below 20% of that part's average quantity —
+    the correlated scalar-subquery shape, decorrelated into a
+    per-part aggregate joined back.  The threshold compare is exact
+    integer algebra: qty < 0.2 * (sum/cnt)  <=>  5*qty*cnt < sum
+    (quantities are integral by data contract).  Output: total
+    extended price (cents) + line count, one row."""
+    from geodata_ray.stages.relational import semi_join
+
+    import pyarrow.parquet as pq
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    keys = part.filter(
+        pc.equal(part["p_brand"], "Brand#3"))["p_partkey"].combine_chunks()
+    keys_ref = ray.put(keys)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    lif = semi_join(li, keys_ref, "l_partkey")
+
+    def iq(batch: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(batch["l_quantity"]), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(
+                pc.cast(batch["l_extendedprice"], pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        return pa.table({
+            "l_partkey": batch["l_partkey"], "qty": q, "cents": cents,
+        })
+
+    lif = lif.map_batches(iq, batch_format="pyarrow").materialize()
+    # per-part aggregate: brand-filtered dimension-sized (one row per
+    # distinct Brand#3 part), safe to broadcast back
+    agg = grouped_aggregate(
+        lif, ["l_partkey"],
+        [("qty", "sum", "sum_qty"), ("qty", "count", "cnt")],
+    )
+    agg_tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    j = broadcast_join(lif, agg_tbl, ["l_partkey"])
+
+    def qual(batch: pa.Table) -> pa.Table:
+        q = batch["qty"].to_numpy(zero_copy_only=False)
+        s = batch["sum_qty"].to_numpy(zero_copy_only=False)
+        c = batch["cnt"].to_numpy(zero_copy_only=False)
+        keep = 5 * q * c < s
+        t = batch.filter(pa.array(keep))
+        return pa.table({
+            "grp": pa.array(np.zeros(len(t), np.int64)),
+            "cents": t["cents"],
+        })
+
+    return grouped_aggregate(
+        j.map_batches(qual, batch_format="pyarrow"),
+        ["grp"],
+        [("cents", "sum", "total_price_cents"),
+         ("cents", "count", "n_lines")],
+    )
+
+
+def q19_or_predicates_revenue(sf_dir: str):
+    """TPC-H Q19-shaped disjunctive-predicate revenue: three OR'd
+    (brand, size range, quantity range) branches evaluated in ONE
+    lineitem scan against a broadcast part attribute table, grouped
+    by the matching brand — the multi-branch pushdown shape."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+    ).rename_columns(["l_partkey", "p_brand", "p_size"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+    j = broadcast_join(li, part, ["l_partkey"])
+
+    def branches(batch: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(batch["l_quantity"]),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        sz = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        br = batch["p_brand"].to_numpy(zero_copy_only=False)
+        m1 = (br == "Brand#1") & (q >= 1) & (q <= 11) & (sz >= 1) & (sz <= 5)
+        m2 = (br == "Brand#2") & (q >= 10) & (q <= 20) & (sz >= 1) & (sz <= 10)
+        m3 = (br == "Brand#3") & (q >= 20) & (q <= 30) & (sz >= 1) & (sz <= 15)
+        keep = m1 | m2 | m3
+        t = batch.filter(pa.array(keep))
+        return pa.table({
+            "p_brand": t["p_brand"],
+            "rev_micro": pa.array(_rev_micro_np(t)),
+        })
+
+    return grouped_aggregate(
+        j.map_batches(branches, batch_format="pyarrow"),
+        ["p_brand"],
+        [("rev_micro", "sum", "revenue_micro"),
+         ("rev_micro", "count", "n_lines")],
+    )
+
+
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2-shaped correlated-min: for each STANDARD size-15 part,
+    the EUROPE supplier(s) offering the minimum observed unit cost
+    (min line price in cents stands in for ps_supplycost; no partsupp
+    table in the driver schema).  Decorrelated: per-(part,supplier)
+    min -> per-part min -> equality join back, all on the
+    dimension-sized filtered subsets (broadcast, no big exchange
+    beyond the pre-pruned lineitem scan)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from geodata_ray.stages.relational import semi_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_size", "p_type"])
+    pk = part.filter(
+        pc.and_(pc.equal(part["p_size"], 15),
+                pc.equal(part["p_type"], "STANDARD"))
+    )["p_partkey"].combine_chunks()
+
+    sup = _supplier_nation(sf_dir)  # (l_suppkey, supp_nation)
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_name", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    eu_nations = nat.join(reg, keys=["n_regionkey"],
+                          right_keys=["r_regionkey"])
+    eu_nations = eu_nations.filter(
+        pc.equal(eu_nations["r_name"], "EUROPE"))["n_name"]
+    eu_sup = sup.filter(pc.is_in(sup["supp_nation"],
+                                 value_set=eu_nations.combine_chunks()))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    lif = semi_join(li, ray.put(pk), "l_partkey")
+    lif = broadcast_join(lif, eu_sup.select(["l_suppkey"]), ["l_suppkey"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(
+                pc.cast(batch["l_extendedprice"], pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        return pa.table({"l_partkey": batch["l_partkey"],
+                         "l_suppkey": batch["l_suppkey"], "cents": c})
+
+    cost = grouped_aggregate(
+        lif.map_batches(cents, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"],
+        [("cents", "min", "cost_cents")],
+    ).materialize()  # filtered-dimension-sized; reused twice
+    best = grouped_aggregate(
+        cost, ["l_partkey"], [("cost_cents", "min", "min_cost_cents")]
+    )
+    best_tbl = pa.Table.from_pandas(best.to_pandas(),
+                                    preserve_index=False)
+    j = broadcast_join(cost, best_tbl, ["l_partkey"])
+    sup_names = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).rename_columns(["l_suppkey", "s_name"])
+    j = broadcast_join(j, sup_names, ["l_suppkey"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["cost_cents"],
+                                  batch["min_cost_cents"]))
+        return pa.table({
+            "s_name": t["s_name"],
+            "p_partkey": t["l_partkey"],
+            "min_cost_cents": t["min_cost_cents"],
+        })
+
+    return j.map_batches(pick, batch_format="pyarrow")
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8-shaped market share: among PROMO-part sales to AMERICA
+    customers in 1996-1997, NATION_3 suppliers' revenue vs total, per
+    order year — the conditional-aggregate-ratio shape exposed as
+    exact integer numerator/denominator columns."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from geodata_ray.stages.relational import native_join, semi_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    promo = part.filter(
+        pc.equal(part["p_type"], "PROMO"))["p_partkey"].combine_chunks()
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+    lif = semi_join(li, ray.put(promo), "l_partkey")
+    lif = broadcast_join(
+        lif, _supplier_nation(sf_dir), ["l_suppkey"])
+
+    def lprep(batch: pa.Table) -> pa.Table:
+        rev = _rev_micro_np(batch)
+        isn = pc.equal(batch["supp_nation"], "NATION_3")
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "rev_micro": pa.array(rev),
+            "nation_rev": pa.array(
+                rev * isn.to_numpy(zero_copy_only=False).astype(np.int64)),
+        })
+
+    lif = lif.map_batches(lprep, batch_format="pyarrow")
+
+    # AMERICA customers (region filter via the tiny nation/region join)
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    amn = nat.join(reg, keys=["n_regionkey"], right_keys=["r_regionkey"])
+    amn = pa.table({
+        "c_nationkey": amn.filter(
+            pc.equal(amn["r_name"], "AMERICA"))["n_nationkey"]
+    })
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cam = broadcast_join(cust, amn, ["c_nationkey"]).select_columns(
+        ["c_custkey"])
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                              "o_orderdate"])
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"))
+
+    def oprep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(batch["o_orderdate"], lo),
+                    pc.less(batch["o_orderdate"], hi))
+        t = batch.filter(m)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+        })
+
+    of = native_join(
+        orders.map_batches(oprep, batch_format="pyarrow"), cam,
+        on="o_custkey", right_on="c_custkey", num_partitions=8,
+    )
+    # Materialize between the two hash joins: each JoinOperator spawns
+    # num_partitions aggregator actors, and running both concurrently
+    # starves/deadlocks a cluster smaller than their sum (observed hang
+    # at num_cpus=4).  The barrier serializes them; the materialized
+    # side is the 2-year AMERICA order slice (3 int64 columns, ~6% of
+    # orders), which the object store holds/spills fine at scale.
+    of = of.select_columns(["o_orderkey", "o_year"]).materialize()
+    j = native_join(
+        lif, of,
+        on="l_orderkey", right_on="o_orderkey", num_partitions=8,
+    )
+    return grouped_aggregate(
+        j.select_columns(["o_year", "rev_micro", "nation_rev"]),
+        ["o_year"],
+        [("nation_rev", "sum", "nation_rev_micro"),
+         ("rev_micro", "sum", "total_rev_micro")],
+    )
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11-shaped HAVING-against-global-scalar: parts whose total
+    lineitem value exceeds 1/10000 of the GLOBAL total value.  The
+    per-part aggregate is one pre-combined exchange (coalesce=0 for
+    the high-cardinality key); the global scalar is a distributed
+    Dataset.sum over that aggregate (never over raw lines twice); the
+    compare is exact integer (part_total * 10000 > global_total)."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def lprep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": batch["l_partkey"],
+            "rev_micro": pa.array(_rev_micro_np(batch)),
+        })
+
+    agg = grouped_aggregate(
+        li.map_batches(lprep, batch_format="pyarrow"),
+        ["l_partkey"], [("rev_micro", "sum", "value_micro")],
+        coalesce=0,
+    ).materialize()  # part-dimension-sized; reused by sum + filter
+    total = int(agg.sum("value_micro"))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch["value_micro"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(v * 10000 > total))
+        return pa.table({"p_partkey": t["l_partkey"],
+                         "value_micro": t["value_micro"]})
+
+    return agg.map_batches(keep, batch_format="pyarrow")
+
+
+def q13_order_count_distribution(sf_dir: str):
+    """TPC-H Q13-shaped customer order-count distribution: orders per
+    customer (priority-filtered), INCLUDING zero-order customers via a
+    left-outer join, then the count-of-counts histogram — two grouped
+    exchanges, the second over the tiny (c_count) domain."""
+    from geodata_ray.stages.relational import native_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"])
+
+    def of(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.not_equal(batch["o_orderpriority"], "5-LOW"))
+        return t.select(["o_custkey"])
+
+    per_cust = grouped_aggregate(
+        orders.map_batches(of, batch_format="pyarrow"),
+        ["o_custkey"], [("o_custkey", "count", "c_count")],
+        coalesce=0,
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    j = native_join(cust, per_cust, on="c_custkey", right_on="o_custkey",
+                    join_type="left_outer", num_partitions=8)
+
+    def fill(batch: pa.Table) -> pa.Table:
+        c = pc.fill_null(batch["c_count"], 0)
+        return pa.table({"c_count": pc.cast(c, pa.int64())})
+
+    return grouped_aggregate(
+        j.map_batches(fill, batch_format="pyarrow"),
+        ["c_count"], [("c_count", "count", "custdist")],
+    )
+
+
+def q16_supplier_part_counts(sf_dir: str):
+    """TPC-H Q16-shaped supplier counts by part attribute: COUNT
+    DISTINCT suppliers per (brand, type, size) over the observed
+    lineitem (part, supplier) pairs, excluding Brand#1 / PROMO /
+    off-list sizes and a supplier blocklist (suppkey % 7 == 0 stands
+    in for the complaints predicate).  Two distinct passes: pair
+    distinct on the composite key, then attribute-level distinct —
+    both pre-combined in map_batches before the exchange."""
+    import pyarrow.parquet as pq
+
+    sizes = pa.array([1, 4, 9, 16, 25, 36, 49], pa.int32())
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    part = part.filter(pc.and_(
+        pc.and_(pc.not_equal(part["p_brand"], "Brand#1"),
+                pc.not_equal(part["p_type"], "PROMO")),
+        pc.is_in(part["p_size"], value_set=sizes),
+    )).rename_columns(["l_partkey", "p_brand", "p_type", "p_size"])
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def sf(batch: pa.Table) -> pa.Table:
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(sk % 7 != 0))
+        # in-batch pair dedup shrinks the exchange
+        return t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+
+    pairs = grouped_aggregate(
+        li.map_batches(sf, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"], [("l_partkey", "count", "_n")],
+        coalesce=0,
+    )
+    j = broadcast_join(pairs, part, ["l_partkey"])
+    attr_supp = grouped_aggregate(
+        j.select_columns(["p_brand", "p_type", "p_size", "l_suppkey"]),
+        ["p_brand", "p_type", "p_size", "l_suppkey"],
+        [("l_suppkey", "count", "_n")],
+    )
+    return grouped_aggregate(
+        attr_supp.select_columns(["p_brand", "p_type", "p_size"]),
+        ["p_brand", "p_type", "p_size"],
+        [("p_brand", "count", "supplier_cnt")],
+    )
+
+
+def q20_qty_semijoin(sf_dir: str):
+    """TPC-H Q20-shaped nested semi-join: suppliers who shipped more
+    than 50 total units of some 'small %' part during 1996 — the
+    HAVING-qualified IN-subquery shape.  The inner aggregate runs per
+    (supplier, part) with in-batch partials; the outer is a distinct
+    projection joined to the broadcast supplier dimension."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from geodata_ray.stages.relational import semi_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    pk = part.filter(pc.starts_with(part["p_name"], "small "))[
+        "p_partkey"].combine_chunks()
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity",
+                        "l_shipdate"])
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def lprep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                    pc.less(batch["l_shipdate"], hi))
+        t = batch.filter(m)
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "l_suppkey": t["l_suppkey"],
+            "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+        })
+
+    lif = semi_join(li.map_batches(lprep, batch_format="pyarrow"),
+                    ray.put(pk), "l_partkey")
+    ps = grouped_aggregate(
+        lif, ["l_suppkey", "l_partkey"], [("qty", "sum", "sum_qty")],
+    )
+
+    def qual(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["sum_qty"], 50))
+        return t.select(["l_suppkey"]).group_by(["l_suppkey"]).aggregate([])
+
+    supp = grouped_aggregate(
+        ps.map_batches(qual, batch_format="pyarrow"),
+        ["l_suppkey"], [("l_suppkey", "count", "_n")],
+    )
+    sup_names = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).rename_columns(["l_suppkey", "s_name"])
+    out = broadcast_join(supp, sup_names, ["l_suppkey"])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({"s_suppkey": batch["l_suppkey"],
+                         "s_name": batch["s_name"]})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+def q21_sole_late_supplier(sf_dir: str):
+    """TPC-H Q21-shaped EXISTS + NOT-EXISTS: per supplier, the number
+    of finished ('F') multi-supplier orders where THEY were the only
+    late shipper (ship > order date + 60 days stands in for
+    receipt > commit).  Decorrelated into two grouped aggregates on
+    the same keyed exchange: per-(order,supplier) late flag, then
+    per-order supplier/late counts, joined back on orderkey."""
+    from geodata_ray.stages.relational import native_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderstatus", "o_orderdate"])
+
+    def of(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["o_orderstatus"], "F"))
+        return t.select(["o_orderkey", "o_orderdate"])
+
+    off = orders.map_batches(of, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    j = native_join(li, off, on="l_orderkey", right_on="o_orderkey",
+                    num_partitions=8)
+
+    def late(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        od = batch["o_orderdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        isl = (sd > od + np.int64(60) * 86_400_000_000).astype(np.int64)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_suppkey": batch["l_suppkey"],
+            "late": pa.array(isl),
+        })
+
+    lo = grouped_aggregate(
+        j.map_batches(late, batch_format="pyarrow"),
+        ["l_orderkey", "l_suppkey"], [("late", "max", "late")],
+        coalesce=0,
+    ).materialize()  # reused: order-level rollup + join back
+    og = grouped_aggregate(
+        lo, ["l_orderkey"],
+        [("late", "count", "n_supp"), ("late", "sum", "n_late")],
+        coalesce=0,
+    )
+    jj = native_join(lo, og.rename_columns({"l_orderkey": "ok"}),
+                     on="l_orderkey", right_on="ok", num_partitions=8)
+
+    def qual(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(batch["late"], 1),
+            pc.and_(pc.greater_equal(batch["n_supp"], 2),
+                    pc.equal(batch["n_late"], 1)),
+        )
+        return batch.filter(m).select(["l_suppkey"])
+
+    per_supp = grouped_aggregate(
+        jj.map_batches(qual, batch_format="pyarrow"),
+        ["l_suppkey"], [("l_suppkey", "count", "numwait")],
+    )
+    import pyarrow.parquet as pq
+
+    sup_names = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).rename_columns(["l_suppkey", "s_name"])
+    out = broadcast_join(per_supp, sup_names, ["l_suppkey"])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({"s_name": batch["s_name"],
+                         "numwait": batch["numwait"]})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -8096,6 +8873,19 @@ RAY_QUERIES = {
     "dau_mau_daily_events": dau_mau_daily_events,
     "activity_gini_users": activity_gini_users,
     "geo_mean_values_events": geo_mean_values_events,
+    "q7_nation_volume": q7_nation_volume,
+    "q9_profit_by_nation_year": q9_profit_by_nation_year,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_or_predicates_revenue": q19_or_predicates_revenue,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q8_market_share": q8_market_share,
+    "q11_important_parts": q11_important_parts,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_qty_semijoin": q20_qty_semijoin,
+    "q21_sole_late_supplier": q21_sole_late_supplier,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
