@@ -351,6 +351,13 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "q16_supplier_part_counts",
         "q20_qty_semijoin",
         "q21_sole_late_supplier",
+        # eighteenth wave (round 5)
+        "q6_forecast_revenue",
+        "q12_late_lines_priority",
+        "near_dup_clusters_docs",
+        "association_rules_events",
+        "hll_merge_types_events",
+        "ntile_value_users",
     )
     for name in query_names:
         t0 = time.perf_counter()

@@ -125,12 +125,12 @@ WHERE c_custkey NOT IN
 LANG_SQL = "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"
 
 
-def _jaccard_pairs_sql(threshold: str) -> str:
-    """All-pairs exact 3-gram shingle Jaccard over the mutation corpus
-    — shared by the MinHash near-dup oracle (0.5) and the prefix-filter
-    set-similarity join oracle (0.7)."""
-    return f"""
-WITH corpus AS (
+def _jaccard_pairs_cte(threshold: str) -> str:
+    """CTE body (``corpus``, ``sh``, ``pairs``) computing the all-pairs
+    exact 3-gram shingle Jaccard pairs over the mutation corpus —
+    reused standalone by ``_jaccard_pairs_sql`` and composed under
+    WITH RECURSIVE by the near-dup clusters oracle."""
+    return f"""corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id < {_NDUP_LIMIT}
   UNION ALL
   SELECT doc_id + {_MUT_OFFSET}, text || '{_MUT_SUFFIX}' FROM documents
@@ -144,11 +144,22 @@ sh AS (
                   string_split(text, ' ')[i+1] || ' ' ||
                   string_split(text, ' ')[i+2])) AS s
   FROM corpus
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.s, b.s))::DOUBLE
-      / len(list_distinct(a.s || b.s)) >= {threshold}
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        / len(list_distinct(a.s || b.s)) >= {threshold}
+)"""
+
+
+def _jaccard_pairs_sql(threshold: str) -> str:
+    """All-pairs exact 3-gram shingle Jaccard over the mutation corpus
+    — shared by the MinHash near-dup oracle (0.5) and the prefix-filter
+    set-similarity join oracle (0.7)."""
+    return f"""
+WITH {_jaccard_pairs_cte(threshold)}
+SELECT id_a, id_b FROM pairs
 """
 
 
@@ -1441,6 +1452,62 @@ rk AS (SELECT register,
                    ELSE bit_count((w & -w) - 1) + 1 END AS rank
        FROM r)
 SELECT register, CAST(MAX(rank) AS BIGINT) AS max_rank
+FROM rk GROUP BY register
+"""
+
+
+def _near_dup_clusters_sql() -> str:
+    """Near-dup cluster sizes: the exact Jaccard pair CTEs composed
+    under WITH RECURSIVE with a reachability closure — each node's
+    cluster id is the MIN node reachable from it (bounded: the gate
+    corpus yields a few hundred pairs, so the closure is tiny)."""
+    return f"""
+WITH RECURSIVE {_jaccard_pairs_cte("0.5")},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r
+),
+root AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM root GROUP BY 1
+"""
+
+
+def _hll_merge_sql() -> str:
+    """Two-audience HLL register state + union merge: the same
+    unrolled splitmix64 + trailing-zero rank as ``_hll_sql``, with
+    event_type carried through and pivoted by conditional MAX (absent
+    registers coalesce to rank 0, the estimator's zero-register
+    convention)."""
+    sm = _sql_splitmix_stages("hm", {"u": "uid"}, "d0")
+    return f"""
+WITH d0 AS (
+  SELECT DISTINCT event_type, CAST(user_id AS HUGEINT) AS uid
+  FROM events WHERE event_type IN ('view', 'click')
+),
+{sm},
+r AS (SELECT event_type,
+             CAST(h_u // 4503599627370496 AS BIGINT) AS register,
+             CAST(h_u % 4503599627370496 AS BIGINT) AS w FROM hm6),
+rk AS (SELECT event_type, register,
+              CASE WHEN w = 0 THEN 53
+                   ELSE bit_count((w & -w) - 1) + 1 END AS rank
+       FROM r)
+SELECT register,
+       CAST(COALESCE(MAX(CASE WHEN event_type = 'view'
+                              THEN rank END), 0) AS BIGINT)
+           AS rank_view,
+       CAST(COALESCE(MAX(CASE WHEN event_type = 'click'
+                              THEN rank END), 0) AS BIGINT)
+           AS rank_click,
+       CAST(MAX(rank) AS BIGINT) AS rank_union
 FROM rk GROUP BY register
 """
 
@@ -3909,6 +3976,71 @@ _ORACLE_SQL_STATIC = {
         WHERE late = 1 AND n_supp >= 2 AND n_late = 1
         GROUP BY 1
     """,
+    # TPC-H Q6-shaped forecast revenue (exact basis-point filter)
+    "q6_forecast_revenue": """
+        SELECT CAST(0 AS BIGINT) AS grp,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * CAST(ROUND(l_discount * 10000) AS BIGINT))
+                    AS BIGINT) AS revenue_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND CAST(ROUND(l_discount * 10000) AS BIGINT)
+              BETWEEN 500 AND 700
+          AND l_quantity < 24
+    """,
+    # TPC-H Q12-shaped late-line priority counts by return flag
+    # (lateness = ship > orderdate + 60 days, the q21 convention)
+    "q12_late_lines_priority": """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN
+                                  ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN
+                                  ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY 1
+    """,
+    # association rules: exact integer support/confidence/lift
+    # components per unordered event-type pair
+    "association_rules_events": """
+        WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+        p AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_ab
+          FROM d a JOIN d b ON a.user_id = b.user_id
+                           AND a.event_type < b.event_type
+          GROUP BY 1, 2
+        ),
+        t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+              FROM d GROUP BY 1),
+        u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM d)
+        SELECT type_a, type_b, n_ab,
+               ta.n_t AS n_a, tb.n_t AS n_b, u.n_users
+        FROM p
+        JOIN t ta ON ta.event_type = type_a
+        JOIN t tb ON tb.event_type = type_b
+        CROSS JOIN u
+    """,
+    # NTILE(4) quartiles over per-user total value cents
+    # (deterministic tiebreak: ORDER BY cents, user_id)
+    "ntile_value_users": """
+        WITH agg AS (
+          SELECT user_id,
+                 CAST(ROUND(SUM(value) * 100) AS BIGINT) AS cents
+          FROM events GROUP BY 1
+        )
+        SELECT user_id, cents,
+               CAST(NTILE(4) OVER (ORDER BY cents, user_id)
+                    AS BIGINT) AS tile
+        FROM agg
+    """,
     # TPC-H Q19-shaped disjunctive-predicate revenue, by brand branch
     "q19_or_predicates_revenue": f"""
         SELECT p_brand,
@@ -4769,6 +4901,8 @@ _ORACLE_SQL_STATIC = {
     # round 4: HLL sketch state (the float estimate is golden-tested;
     # the mergeable register table hash-matches exactly)
     "hll_registers_events": _hll_sql(),
+    "near_dup_clusters_docs": _near_dup_clusters_sql(),
+    "hll_merge_types_events": _hll_merge_sql(),
     "partition_checksums_events": _checksum_sql(),
     "daily_hll_users": _hll_keyed_sql(),
     "lm_surprisal_docs": _lm_surprisal_sql(),

@@ -8741,6 +8741,321 @@ def q21_sole_late_supplier(sf_dir: str):
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# Eighteenth wave: the last two TPC-H shapes (Q6/Q12 — the full 22 are
+# now covered) + dedup-cluster / rules / sketch-merge / NTILE
+# compositions over the engine's existing stages.
+# ---------------------------------------------------------------------------
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6-shaped forecast revenue change: one scan, tight row
+    filter (ship year 1996, discount 5-7% as exact basis points,
+    quantity < 24), global ``SUM(price * discount)`` as exact integer
+    10^-6 units.  The cheapest TPC-H shape: no join, constant-key
+    pre-combined aggregate (one partial row per block)."""
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_quantity", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def lprep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                    pc.less(batch["l_shipdate"], hi)),
+            pc.less(batch["l_quantity"], 24.0),
+        )
+        t = batch.filter(m)
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(t["l_extendedprice"],
+                                         pa.float64()), 100.0)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        bp = pc.cast(
+            pc.round(pc.multiply(pc.cast(t["l_discount"], pa.float64()),
+                                 10000.0)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        keep = (bp >= 500) & (bp <= 700)
+        rev = cents[keep] * bp[keep]
+        return pa.table({
+            "grp": pa.array(np.zeros(rev.size, np.int64)),
+            "rev": pa.array(rev),
+        })
+
+    return grouped_aggregate(
+        li.map_batches(lprep, batch_format="pyarrow"),
+        ["grp"],
+        [("rev", "sum", "revenue_micro"), ("rev", "count", "n_lines")],
+    )
+
+
+def q12_late_lines_priority(sf_dir: str):
+    """TPC-H Q12-shaped shipping-mode priority audit, adapted to the
+    driver schema (no l_shipmode / commit / receipt dates):
+    ``l_returnflag`` stands in for the mode and a line is LATE when it
+    ships more than 60 days after its order date (the q21 lateness
+    convention).  Per flag, count late lines on high-priority
+    (1-URGENT / 2-HIGH) vs lower-priority orders.  One orderkey
+    exchange (native hash join); the priority flag is computed
+    order-side so only three narrow columns ship."""
+    from geodata_ray.stages.relational import native_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"])
+
+    def oprep(batch: pa.Table) -> pa.Table:
+        pr = batch["o_orderpriority"]
+        high = pc.or_(pc.equal(pr, "1-URGENT"), pc.equal(pr, "2-HIGH"))
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_us": pc.cast(batch["o_orderdate"], pa.int64()),
+            "is_high": pc.cast(high, pa.int64()),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    def lprep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_returnflag": batch["l_returnflag"],
+            "s_us": pc.cast(batch["l_shipdate"], pa.int64()),
+        })
+
+    j = native_join(
+        li.map_batches(lprep, batch_format="pyarrow"),
+        orders.map_batches(oprep, batch_format="pyarrow"),
+        on="l_orderkey", right_on="o_orderkey", num_partitions=8,
+    )
+    late_us = 60 * 86_400_000_000  # 60 days in microseconds
+
+    def late(batch: pa.Table) -> pa.Table:
+        m = pc.greater(pc.subtract(batch["s_us"], batch["o_us"]),
+                       late_us)
+        t = batch.filter(m)
+        hi = t["is_high"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "high": pa.array(hi),
+            "low": pa.array(1 - hi),
+        })
+
+    return grouped_aggregate(
+        j.map_batches(late, batch_format="pyarrow"),
+        ["l_returnflag"],
+        [("high", "sum", "high_line_count"),
+         ("low", "sum", "low_line_count")],
+    )
+
+
+def near_dup_clusters_docs(sf_dir: str):
+    """Near-duplicate CLUSTERS: the MinHash-LSH verified pair stream
+    (the ``near_dup_pairs`` operator — banded, never all-pairs) fed
+    into distributed connected components (striped union-find), then
+    one tiny keyed count: (cluster_id = min doc id, cluster_size) per
+    multi-document cluster.  The canonical corpus-dedup composition —
+    the pair count bounds both the exchange and the oracle's recursive
+    closure."""
+    from geodata_ray.stages.graphcc import connected_components
+
+    pairs = near_dup_pairs(sf_dir)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return grouped_aggregate(
+        comp, ["cluster_id"], [("node", "count", "cluster_size")]
+    )
+
+
+def association_rules_events(sf_dir: str):
+    """Association rules over per-user event-type baskets: for every
+    unordered type pair, the exact integer components of support /
+    confidence / lift — ``n_ab`` (users with both), ``n_a`` / ``n_b``
+    (users with each), ``n_users`` (total) — ratios stay with the
+    caller so every value hash-matches.  Plan: one distinct
+    (user, type) exchange, types mapped to BITS (domain discovered
+    first, guarded <= 20), per-user mask = sum of distinct bits (= OR),
+    then a <= 2^|types|-row mask histogram; pair counts are an exact
+    popcount convolution over that tiny histogram — no user-level
+    self-join anywhere."""
+    import ray.data as rd
+
+    d = grouped_aggregate(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        ["user_id", "event_type"],
+        [("event_type", "count", "__n")],
+    ).drop_columns(["__n"])
+
+    types_tbl = grouped_aggregate(
+        d, ["event_type"], [("event_type", "count", "__n")]
+    ).drop_columns(["__n"]).take_all()  # domain-bounded (checked below)
+    types = sorted(r["event_type"] for r in types_tbl)
+    if len(types) > 20:
+        raise ValueError(
+            f"association_rules: {len(types)} types exceeds the "
+            "bitmask bound (2^20 histogram) — shard the type domain"
+        )
+    bit_of = {t: 1 << i for i, t in enumerate(types)}
+
+    def to_bits(batch: pa.Table) -> pa.Table:
+        tv = batch["event_type"].to_pylist()
+        return pa.table({
+            "user_id": batch["user_id"],
+            "bit": pa.array([bit_of[t] for t in tv], pa.int64()),
+        })
+
+    masks = grouped_aggregate(
+        d.map_batches(to_bits, batch_format="pyarrow"),
+        ["user_id"], [("bit", "sum", "mask")],  # bits distinct => sum == OR
+    )
+    hist = grouped_aggregate(
+        masks, ["mask"], [("mask", "count", "n")]
+    ).take_all()  # <= 2^|types| rows by construction
+    hm = np.array([r["mask"] for r in hist], dtype=np.int64)
+    hn = np.array([r["n"] for r in hist], dtype=np.int64)
+    n_users = int(hn.sum())
+    per_type = {
+        t: int(hn[(hm & b) != 0].sum()) for t, b in bit_of.items()
+    }
+    rows = {"type_a": [], "type_b": [], "n_ab": [], "n_a": [],
+            "n_b": [], "n_users": []}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            both = int(hn[((hm & bit_of[a]) != 0)
+                          & ((hm & bit_of[b]) != 0)].sum())
+            if both == 0:
+                continue
+            rows["type_a"].append(a)
+            rows["type_b"].append(b)
+            rows["n_ab"].append(both)
+            rows["n_a"].append(per_type[a])
+            rows["n_b"].append(per_type[b])
+            rows["n_users"].append(n_users)
+    return rd.from_arrow(pa.table({
+        "type_a": pa.array(rows["type_a"], pa.string()),
+        "type_b": pa.array(rows["type_b"], pa.string()),
+        "n_ab": pa.array(rows["n_ab"], pa.int64()),
+        "n_a": pa.array(rows["n_a"], pa.int64()),
+        "n_b": pa.array(rows["n_b"], pa.int64()),
+        "n_users": pa.array(rows["n_users"], pa.int64()),
+    }))
+
+
+def hll_merge_types_events(sf_dir: str):
+    """HLL sketch MERGE: per-register max ranks for two event-type
+    audiences ('view', 'click') side by side, plus their union merge
+    (elementwise max) — the mergeability property that makes HLL the
+    scale path for distinct-users-across-segments, shown as exact
+    integer register state.  Absent registers report rank 0, matching
+    the estimator's zero-register convention."""
+    from geodata_ray.stages.sketch import hll_register_table
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    ev = ev.map_batches(
+        lambda b: b.filter(
+            pc.or_(pc.equal(b["event_type"], "view"),
+                   pc.equal(b["event_type"], "click"))
+        ),
+        batch_format="pyarrow",
+    )
+    keyed = hll_register_table(ev, "user_id", keys=["event_type"])
+
+    def split(batch: pa.Table) -> pa.Table:
+        isv = pc.cast(pc.equal(batch["event_type"], "view"),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        r = batch["max_rank"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "register": batch["register"],
+            "rv": pa.array(r * isv),
+            "rc": pa.array(r * (1 - isv)),
+        })
+
+    merged = grouped_aggregate(
+        keyed.map_batches(split, batch_format="pyarrow"),
+        ["register"],
+        [("rv", "max", "rank_view"), ("rc", "max", "rank_click")],
+    )
+
+    def union(batch: pa.Table) -> pa.Table:
+        rv = batch["rank_view"].to_numpy(zero_copy_only=False)
+        rc = batch["rank_click"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "register": batch["register"],
+            "rank_view": batch["rank_view"],
+            "rank_click": batch["rank_click"],
+            "rank_union": pa.array(np.maximum(rv, rc)),
+        })
+
+    return merged.map_batches(union, batch_format="pyarrow")
+
+
+def ntile_value_users(sf_dir: str):
+    """NTILE(4) quartile assignment over per-user total value: the
+    deterministic-tiebreak global-rank shape.  Per-user cents is one
+    keyed exchange; the global 0-based rank comes from the distributed
+    prefix-sum scan over the single int64 order key
+    ``cents * 2^32 + user_id`` (both factors bound-checked); the tile
+    is then pure arithmetic on (rank, n) replicating SQL NTILE's
+    first-(n mod 4)-buckets-get-one-extra sizing."""
+    from geodata_ray.stages.packing import global_prefix_sum
+
+    ev = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        )
+        return pa.table({"user_id": batch["user_id"], "cents": cents})
+
+    agg = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"], [("cents", "sum", "cents")],
+    )
+
+    def okey(batch: pa.Table) -> pa.Table:
+        c = batch["cents"].to_numpy(zero_copy_only=False)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        if c.size and (int(np.abs(c).max()) >= 2**31
+                       or int(u.max()) >= 2**32 or int(u.min()) < 0):
+            raise OverflowError(
+                "ntile order key needs |cents| < 2^31 and user_id in "
+                "[0, 2^32) — widen the key packing for this domain"
+            )
+        return pa.table({
+            "user_id": batch["user_id"],
+            "cents": batch["cents"],
+            "__ok": pa.array(c * 4294967296 + u),
+            "__one": pa.array(np.ones(c.size, np.int64)),
+        })
+
+    ranked = global_prefix_sum(
+        agg.map_batches(okey, batch_format="pyarrow"),
+        order_col="__ok", value_col="__one", out_col="__rank",
+    )
+    n = agg.count()  # dimension-sized (one row per user)
+    k, m = divmod(n, 4)
+
+    def tile(batch: pa.Table) -> pa.Table:
+        r = batch["__rank"].to_numpy(zero_copy_only=False)
+        if k == 0:  # fewer users than tiles: one per bucket in order
+            t = r + 1
+        else:
+            big = m * (k + 1)
+            t = np.where(r < big, r // (k + 1), m + (r - big) // k) + 1
+        return pa.table({
+            "user_id": batch["user_id"],
+            "cents": batch["cents"],
+            "tile": pa.array(t.astype(np.int64)),
+        })
+
+    return ranked.map_batches(tile, batch_format="pyarrow")
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -8886,6 +9201,14 @@ RAY_QUERIES = {
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q20_qty_semijoin": q20_qty_semijoin,
     "q21_sole_late_supplier": q21_sole_late_supplier,
+    # eighteenth wave (round 5): TPC-H Q6/Q12 (22/22 shapes complete)
+    # + dedup-cluster / rules / sketch-merge / NTILE compositions
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q12_late_lines_priority": q12_late_lines_priority,
+    "near_dup_clusters_docs": near_dup_clusters_docs,
+    "association_rules_events": association_rules_events,
+    "hll_merge_types_events": hll_merge_types_events,
+    "ntile_value_users": ntile_value_users,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
