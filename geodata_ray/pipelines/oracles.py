@@ -3914,7 +3914,8 @@ _ORACLE_SQL_STATIC = {
           FROM lineitem GROUP BY 1
         )
         SELECT p_partkey, value_micro FROM v
-        WHERE value_micro * 10000 > (SELECT SUM(value_micro) FROM v)
+        WHERE value_micro > (SELECT (3 * SUM(value_micro))
+                                    // (2 * COUNT(*)) FROM v)
     """,
     # TPC-H Q13-shaped order-count distribution (zero customers kept)
     "q13_order_count_distribution": """

@@ -8499,12 +8499,19 @@ def q8_market_share(sf_dir: str):
 
 
 def q11_important_parts(sf_dir: str):
-    """TPC-H Q11-shaped HAVING-against-global-scalar: parts whose total
-    lineitem value exceeds 1/10000 of the GLOBAL total value.  The
-    per-part aggregate is one pre-combined exchange (coalesce=0 for
-    the high-cardinality key); the global scalar is a distributed
+    """TPC-H Q11-shaped HAVING-against-global-scalar: parts whose
+    total lineitem value exceeds 1.5x THE AVERAGE part value — the
+    scale-invariant form of Q11's fraction (TPC-H itself scales the
+    fraction by 1/SF so the output stays non-degenerate as the part
+    count grows; a fixed 1/10000 kept everything at sf0.01 and
+    nothing at sf0.1, and the uniform generator tops out at ~1.8x
+    avg, so 1.5x selects a real tail at every SF).  The per-part
+    aggregate is one pre-combined exchange (coalesce=0 for the
+    high-cardinality key); the global scalar is a distributed
     Dataset.sum over that aggregate (never over raw lines twice); the
-    compare is exact integer (part_total * 10000 > global_total)."""
+    compare is exact: ``v > (3 * total) // (2 * n_parts)`` (integers;
+    the floor form is equivalent to ``2 * v * n_parts > 3 * total``
+    and never overflows int64, unlike the product)."""
     li = _read(sf_dir, "lineitem",
                columns=["l_partkey", "l_extendedprice", "l_discount"])
 
@@ -8520,10 +8527,11 @@ def q11_important_parts(sf_dir: str):
         coalesce=0,
     ).materialize()  # part-dimension-sized; reused by sum + filter
     total = int(agg.sum("value_micro"))
+    thr = (3 * total) // (2 * agg.count())  # exact in Python ints
 
     def keep(batch: pa.Table) -> pa.Table:
         v = batch["value_micro"].to_numpy(zero_copy_only=False)
-        t = batch.filter(pa.array(v * 10000 > total))
+        t = batch.filter(pa.array(v > thr))
         return pa.table({"p_partkey": t["l_partkey"],
                          "value_micro": t["value_micro"]})
 

@@ -238,7 +238,8 @@ def test_q11_important_parts_vs_pandas():
     li = li.assign(rev=_rev_micro(li))
     v = li.groupby("l_partkey")["rev"].sum()
     total = int(v.sum())
-    exp = v[v * 10000 > total]
+    exp = v[v > (3 * total) // (2 * len(v))]  # > 1.5x avg part value
+    assert len(exp) > 0  # scale-invariant threshold stays non-empty
     got = q11_important_parts(SF_DIR).to_pandas()
     assert len(got) == len(exp)
     for r in got.itertuples():
