@@ -358,6 +358,13 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "association_rules_events",
         "hll_merge_types_events",
         "ntile_value_users",
+        # nineteenth wave (round 5)
+        "kmv_sketch_events",
+        "weighted_median_lineitem",
+        "range_partition_plan_events",
+        "class_balance_docs",
+        "interarrival_median_users",
+        "string_agg_daily_types_events",
     )
     for name in query_names:
         t0 = time.perf_counter()

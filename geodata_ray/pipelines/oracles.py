@@ -1512,6 +1512,27 @@ FROM rk GROUP BY register
 """
 
 
+def _kmv_sql(k: int = 64) -> str:
+    """KMV bottom-k sketch state: unrolled splitmix64 of the distinct
+    user ids, converted to the SIGNED int64 bit view (the engine's
+    hash-column convention), ranked ascending, lowest k kept."""
+    sm = _sql_splitmix_stages("kv", {"u": "uid"}, "d0")
+    return f"""
+WITH d0 AS (SELECT DISTINCT CAST(user_id AS HUGEINT) AS uid
+            FROM events),
+{sm},
+s AS (
+  SELECT CAST(CASE WHEN h_u >= 9223372036854775808
+                   THEN h_u - 18446744073709551616
+                   ELSE h_u END AS BIGINT) AS hash_i64
+  FROM kv6
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY hash_i64) AS BIGINT) AS rank,
+       hash_i64
+FROM s ORDER BY hash_i64 LIMIT {k}
+"""
+
+
 def _hll_keyed_sql() -> str:
     """Keyed (per-day) HLL register table — the same unrolled splitmix
     + trailing-zero rank as ``_hll_sql``, grouped by day as well."""
@@ -4042,6 +4063,111 @@ _ORACLE_SQL_STATIC = {
                     AS BIGINT) AS tile
         FROM agg
     """,
+    # weighted median unit price over the (cents -> quantity) histogram
+    "weighted_median_lineitem": """
+        WITH h AS (
+          SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+                 CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT))
+                      AS BIGINT) AS w
+          FROM lineitem GROUP BY 1
+        ),
+        c AS (
+          SELECT cents, w,
+                 SUM(w) OVER (ORDER BY cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cw
+          FROM h
+        ),
+        t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM h)
+        SELECT CAST(0 AS BIGINT) AS grp,
+               CAST(MIN(cents) AS BIGINT) AS median_cents,
+               CAST(MIN(tw) AS BIGINT) AS total_weight
+        FROM c, t WHERE cw * 2 >= tw
+    """,
+    # 16-way equi-depth partition plan + realized partition audit
+    "range_partition_plan_events": """
+        WITH o AS (
+          SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        r AS (
+          SELECT cents,
+                 ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM o
+        ),
+        b AS (
+          SELECT q.i, r.cents AS bv
+          FROM r JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),
+                              (9),(10),(11),(12),(13),(14),(15))
+                      q(i)
+            ON r.rn = CAST(ceil(q.i * r.n / 16.0) AS BIGINT)
+        ),
+        p AS (
+          SELECT o.cents,
+                 (SELECT COUNT(*) FROM b WHERE b.bv < o.cents)
+                     AS partition_id
+          FROM o
+        )
+        SELECT partition_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(cents) AS BIGINT) AS min_cents,
+               CAST(MAX(cents) AS BIGINT) AS max_cents
+        FROM p GROUP BY 1
+    """,
+    # deterministic class balancing: copies to reach the majority size
+    "class_balance_docs": """
+        WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents
+                   GROUP BY 1),
+        m AS (SELECT MAX(cnt) AS target FROM c),
+        r AS (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY doc_id) - 1 AS rk
+          FROM documents
+        )
+        SELECT r.doc_id, r.lang,
+               CAST(m.target // c.cnt
+                    + CASE WHEN r.rk < m.target % c.cnt
+                           THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        FROM r JOIN c ON r.lang = c.lang CROSS JOIN m
+    """,
+    # per-user median inter-arrival gap (ceil-rank quantile_disc)
+    "interarrival_median_users": """
+        WITH o AS (
+          SELECT user_id,
+                 LAG(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS pts,
+                 ts
+          FROM events
+        ),
+        d AS (
+          SELECT user_id,
+                 CAST(epoch_us(ts) - epoch_us(pts) AS BIGINT) AS gap_us
+          FROM o WHERE pts IS NOT NULL
+        ),
+        r AS (
+          SELECT user_id, gap_us,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY gap_us) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n
+          FROM d
+        )
+        SELECT user_id, CAST(50 AS BIGINT) AS q_pct, gap_us
+        FROM r WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+    """,
+    # STRING_AGG of the sorted distinct per-day event types
+    "string_agg_daily_types_events": """
+        WITH d AS (SELECT DISTINCT
+                     CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+                     event_type
+                   FROM events)
+        SELECT day,
+               STRING_AGG(event_type, ',' ORDER BY event_type)
+                   AS types_csv,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM d GROUP BY day
+    """,
     # TPC-H Q19-shaped disjunctive-predicate revenue, by brand branch
     "q19_or_predicates_revenue": f"""
         SELECT p_brand,
@@ -4904,6 +5030,7 @@ _ORACLE_SQL_STATIC = {
     "hll_registers_events": _hll_sql(),
     "near_dup_clusters_docs": _near_dup_clusters_sql(),
     "hll_merge_types_events": _hll_merge_sql(),
+    "kmv_sketch_events": _kmv_sql(),
     "partition_checksums_events": _checksum_sql(),
     "daily_hll_users": _hll_keyed_sql(),
     "lm_surprisal_docs": _lm_surprisal_sql(),

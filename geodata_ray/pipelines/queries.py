@@ -9064,6 +9064,285 @@ def ntile_value_users(sf_dir: str):
     return ranked.map_batches(tile, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# Nineteenth wave: KMV sketch, weighted median, range-partition
+# planner, class balancing, inter-arrival medians, string aggregation.
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch_events(sf_dir: str):
+    """KMV (k-minimum-values) distinct sketch over events.user_id:
+    the k=64 smallest splitmix64 hashes of the distinct ids — the
+    third mergeable cardinality sketch next to HLL (union = bottom-k
+    of the concatenation).  Order and storage use the SIGNED int64 bit
+    view of the hash (the engine's hash-column convention, same as
+    ``global_shuffle``) — statistically identical for a uniform hash
+    and bit-exact in SQL.  Distinct ids are one pre-combined exchange;
+    the bottom-k is a sort + limit over the hashed dimension table;
+    the final 64-row state is ranked driver-side (bounded by k)."""
+    import ray.data as rd
+
+    from geodata_ray.sources.synth import splitmix64
+
+    k = 64
+    d = grouped_aggregate(
+        _read(sf_dir, "events", columns=["user_id"]),
+        ["user_id"], [("user_id", "count", "__n")],
+    ).drop_columns(["__n"])
+
+    def h(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        hv = splitmix64(u.view(np.uint64)).view(np.int64)
+        return pa.table({"hash_i64": pa.array(hv)})
+
+    bottom = (
+        d.map_batches(h, batch_format="pyarrow")
+        .sort("hash_i64")
+        .limit(k)
+        .take_all()  # <= k rows by construction
+    )
+    hv = np.sort(np.array([r["hash_i64"] for r in bottom],
+                          dtype=np.int64))
+    return rd.from_arrow(pa.table({
+        "rank": pa.array(np.arange(1, hv.size + 1, dtype=np.int64)),
+        "hash_i64": pa.array(hv),
+    }))
+
+
+def weighted_median_lineitem(sf_dir: str):
+    """Weighted median unit price: the smallest price (cents) whose
+    cumulative quantity weight reaches half the total — computed over
+    the bounded (cents -> total-quantity) histogram, never the raw
+    rows: one keyed exchange builds the histogram, the distributed
+    prefix-sum scan ranks it, and exactly one row satisfies
+    ``2 * cum_exclusive < W <= 2 * cum_inclusive``."""
+    from geodata_ray.stages.packing import global_prefix_sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_extendedprice", "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["l_extendedprice"],
+                                         pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        qty = pc.cast(pc.round(pc.cast(batch["l_quantity"],
+                                       pa.float64())), pa.int64())
+        return pa.table({"cents": cents, "w": qty})
+
+    hist = grouped_aggregate(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["cents"], [("w", "sum", "w")],
+    ).materialize()  # histogram-sized; reused by sum + scan
+    total_w = int(hist.sum("w"))
+    ranked = global_prefix_sum(hist, order_col="cents", value_col="w",
+                               out_col="cw")
+
+    def pick(batch: pa.Table) -> pa.Table:
+        cw = batch["cw"].to_numpy(zero_copy_only=False)  # exclusive
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        m = (2 * cw < total_w) & (2 * (cw + w) >= total_w)
+        t = batch.filter(pa.array(m))
+        return pa.table({
+            "grp": pa.array(np.zeros(len(t), np.int64)),
+            "median_cents": t["cents"],
+            "total_weight": pa.array(
+                np.full(len(t), total_w, np.int64)),
+        })
+
+    return ranked.map_batches(pick, batch_format="pyarrow")
+
+
+def range_partition_plan_events(sf_dir: str):
+    """Range-partition planning — the equi-depth boundary computation
+    every distributed sort runs before it shuffles: 15 exact
+    quantile_disc cut points over value cents (bounded histogram, one
+    exchange), broadcast back, every row assigned partition
+    ``#(bounds < v)`` by vectorized searchsorted, then per-partition
+    size + min/max audit (the realized skew report).  Two scans: plan
+    and apply — the honest shape of sample-free exact planning."""
+    P = 16
+    from geodata_ray.stages.relational import exact_int_quantiles
+
+    ev = _read(sf_dir, "events", columns=["value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        )
+        return pa.table({"cents": c})
+
+    cds = ev.map_batches(cents, batch_format="pyarrow")
+    bounds = np.array(
+        exact_int_quantiles(cds, "cents",
+                            [i / P for i in range(1, P)]),
+        dtype=np.int64,
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch["cents"].to_numpy(zero_copy_only=False)
+        pid = np.searchsorted(bounds, v, side="left")  # = #(bounds < v)
+        return pa.table({
+            "partition_id": pa.array(pid.astype(np.int64)),
+            "cents": batch["cents"],
+        })
+
+    return grouped_aggregate(
+        cds.map_batches(assign, batch_format="pyarrow"),
+        ["partition_id"],
+        [("cents", "count", "n_rows"),
+         ("cents", "min", "min_cents"),
+         ("cents", "max", "max_cents")],
+    )
+
+
+def class_balance_docs(sf_dir: str):
+    """Deterministic class balancing (training-data upsampling): per
+    language, the replication count that brings every class exactly to
+    the majority-class size — docs ranked within their class get
+    ``target // cnt`` copies plus one for the first ``target % cnt``.
+    Emitted as (doc_id, lang, n_copies) metadata, not replicated rows.
+    Class counts are a tiny broadcast; the within-class rank is the
+    distributed prefix-sum over the packed (class, doc_id) key minus
+    the class offset — no per-class sort jobs."""
+    from geodata_ray.stages.packing import global_prefix_sum
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    counts = grouped_aggregate(
+        docs, ["lang"], [("lang", "count", "cnt")]
+    ).take_all()  # class-domain-sized
+    if len(counts) > 10_000:
+        raise ValueError("class_balance: class domain too large for "
+                         "the broadcast plan — shard the class map")
+    langs = sorted(r["lang"] for r in counts)
+    cnt_of = {r["lang"]: int(r["cnt"]) for r in counts}
+    target = max(cnt_of.values())
+    idx_of = {l: i for i, l in enumerate(langs)}
+    # exclusive offset of each class in (class, doc_id) order
+    off_of = {}
+    acc = 0
+    for l in langs:
+        off_of[l] = acc
+        acc += cnt_of[l]
+
+    def okey(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        li = np.array([idx_of[x] for x in batch["lang"].to_pylist()],
+                      dtype=np.int64)
+        if ids.size and (int(ids.max()) >= 2**44 or int(ids.min()) < 0):
+            raise OverflowError(
+                "class_balance order key needs doc_id in [0, 2^44)")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "__ok": pa.array(li * 2**44 + ids),
+            "__one": pa.array(np.ones(ids.size, np.int64)),
+        })
+
+    ranked = global_prefix_sum(
+        docs.map_batches(okey, batch_format="pyarrow"),
+        order_col="__ok", value_col="__one", out_col="__rank",
+    )
+    base_a = np.array([target // cnt_of[l] for l in langs], np.int64)
+    rem_a = np.array([target % cnt_of[l] for l in langs], np.int64)
+    off_a = np.array([off_of[l] for l in langs], np.int64)
+
+    def copies(batch: pa.Table) -> pa.Table:
+        li = np.array([idx_of[x] for x in batch["lang"].to_pylist()],
+                      dtype=np.int64)
+        rk = batch["__rank"].to_numpy(zero_copy_only=False) - off_a[li]
+        n = base_a[li] + (rk < rem_a[li])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "n_copies": pa.array(n.astype(np.int64)),
+        })
+
+    return ranked.map_batches(copies, batch_format="pyarrow")
+
+
+def interarrival_median_users(sf_dir: str):
+    """Per-user median inter-arrival gap (microseconds): consecutive
+    event gaps within each user's (ts, event_id)-ordered stream, then
+    the exact per-user quantile_disc median via the keyed bounded
+    histogram.  The gap derivation is the trajectory_stats shape —
+    users hash into bounded buckets, ONE Arrow sort per bucket, numpy
+    diff with key-boundary zeroing — never a per-user Ray group."""
+    from geodata_ray.stages.relational import grouped_exact_quantiles
+    from geodata_ray.stages.windows import _tag_bucket
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("user_id", "ascending"),
+                       ("ts_us", "ascending"),
+                       ("event_id", "ascending")])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        if len(u) < 2:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "gap_us": pa.array([], pa.int64())})
+        same = u[1:] == u[:-1]
+        return pa.table({
+            "user_id": pa.array(u[1:][same]),
+            "gap_us": pa.array(np.diff(ts)[same]),
+        })
+
+    gaps = (
+        _tag_bucket(ev.map_batches(prep, batch_format="pyarrow"),
+                    "user_id", 32)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return grouped_exact_quantiles(gaps, "user_id", "gap_us",
+                                   [(50, 0.5)])
+
+
+def string_agg_daily_types_events(sf_dir: str):
+    """Collect-list / STRING_AGG: per day, the comma-joined SORTED
+    distinct event types plus their count — the list-materializing
+    aggregate (the only one here whose output column is built, not
+    computed).  One distinct (day, type) exchange; per-day assembly is
+    a map_groups over the tiny per-day type sets."""
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.floor_temporal(batch["ts"], unit="day"),
+            "event_type": batch["event_type"],
+        })
+
+    d = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["day", "event_type"],
+        [("event_type", "count", "__n")],
+    ).drop_columns(["__n"])
+
+    def per_day(g: pa.Table) -> pa.Table:
+        types = sorted(g["event_type"].to_pylist())
+        return pa.table({
+            "day": g["day"].slice(0, 1),
+            "types_csv": pa.array([",".join(types)], pa.string()),
+            "n_types": pa.array([len(types)], pa.int64()),
+        })
+
+    return d.groupby("day").map_groups(per_day,
+                                       batch_format="pyarrow")
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -9217,6 +9496,13 @@ RAY_QUERIES = {
     "association_rules_events": association_rules_events,
     "hll_merge_types_events": hll_merge_types_events,
     "ntile_value_users": ntile_value_users,
+    # nineteenth wave (round 5)
+    "kmv_sketch_events": kmv_sketch_events,
+    "weighted_median_lineitem": weighted_median_lineitem,
+    "range_partition_plan_events": range_partition_plan_events,
+    "class_balance_docs": class_balance_docs,
+    "interarrival_median_users": interarrival_median_users,
+    "string_agg_daily_types_events": string_agg_daily_types_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
