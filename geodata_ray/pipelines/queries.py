@@ -86,13 +86,11 @@ def _scale_to_int(ds, spec: dict[str, int]):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def _rev_micro_np(t: pa.Table) -> np.ndarray:
-    """Exact integer revenue ``price_cents * (10000 - discount_bp)``
-    in 10^-6 currency units (the q10 convention, shared by the TPC-H
-    completion wave): both factors are integral by data contract, so
-    the product is an exact int64 that hash-matches DuckDB's
-    ``CAST(ROUND(x*100) AS BIGINT) * (10000 - CAST(ROUND(d*10000) AS
-    BIGINT))``."""
+def _cents_bp_np(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Exact integer (price cents, discount basis points) of a
+    lineitem batch — the ONE place the money quantization convention
+    lives (both true values are integral by data contract, so the
+    rounded int64s are engine-independent)."""
     cents = pc.cast(
         pc.round(pc.multiply(pc.cast(t["l_extendedprice"], pa.float64()),
                              100.0)),
@@ -103,6 +101,17 @@ def _rev_micro_np(t: pa.Table) -> np.ndarray:
                              10000.0)),
         pa.int64(),
     ).to_numpy(zero_copy_only=False)
+    return cents, bp
+
+
+def _rev_micro_np(t: pa.Table) -> np.ndarray:
+    """Exact integer revenue ``price_cents * (10000 - discount_bp)``
+    in 10^-6 currency units (the q10 convention, shared by the TPC-H
+    completion wave): both factors are integral by data contract, so
+    the product is an exact int64 that hash-matches DuckDB's
+    ``CAST(ROUND(x*100) AS BIGINT) * (10000 - CAST(ROUND(d*10000) AS
+    BIGINT))``."""
+    cents, bp = _cents_bp_np(t)
     return cents * (10000 - bp)
 
 
@@ -8055,11 +8064,16 @@ def q7_nation_volume(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     oj = native_join(orders, cj, on="o_custkey", right_on="c_custkey",
                      num_partitions=8)
+    # Barrier between the two hash joins (the q8 lesson): concurrent
+    # JoinOperator aggregator pools can starve/deadlock clusters
+    # smaller than their sum; the materialized side is two narrow
+    # columns of orders.
+    oj = oj.select_columns(["o_orderkey", "cust_nation"]).materialize()
 
     j = native_join(
         lif.select_columns(["l_orderkey", "supp_nation", "l_year",
                             "rev_micro"]),
-        oj.select_columns(["o_orderkey", "cust_nation"]),
+        oj,
         on="l_orderkey", right_on="o_orderkey", num_partitions=8,
     )
 
@@ -8777,16 +8791,7 @@ def q6_forecast_revenue(sf_dir: str):
             pc.less(batch["l_quantity"], 24.0),
         )
         t = batch.filter(m)
-        cents = pc.cast(
-            pc.round(pc.multiply(pc.cast(t["l_extendedprice"],
-                                         pa.float64()), 100.0)),
-            pa.int64(),
-        ).to_numpy(zero_copy_only=False)
-        bp = pc.cast(
-            pc.round(pc.multiply(pc.cast(t["l_discount"], pa.float64()),
-                                 10000.0)),
-            pa.int64(),
-        ).to_numpy(zero_copy_only=False)
+        cents, bp = _cents_bp_np(t)
         keep = (bp >= 500) & (bp <= 700)
         rev = cents[keep] * bp[keep]
         return pa.table({
@@ -8908,11 +8913,16 @@ def association_rules_events(sf_dir: str):
         )
     bit_of = {t: 1 << i for i, t in enumerate(types)}
 
+    type_arr = pa.array(types, pa.string())
+    bit_lut = np.array([bit_of[t] for t in types], dtype=np.int64)
+
     def to_bits(batch: pa.Table) -> pa.Table:
-        tv = batch["event_type"].to_pylist()
+        idx = pc.index_in(batch["event_type"],
+                          value_set=type_arr).to_numpy(
+            zero_copy_only=False)
         return pa.table({
             "user_id": batch["user_id"],
-            "bit": pa.array([bit_of[t] for t in tv], pa.int64()),
+            "bit": pa.array(bit_lut[idx]),
         })
 
     masks = grouped_aggregate(
@@ -9023,7 +9033,7 @@ def ntile_value_users(sf_dir: str):
     agg = grouped_aggregate(
         ev.map_batches(prep, batch_format="pyarrow"),
         ["user_id"], [("cents", "sum", "cents")],
-    )
+    ).materialize()  # dimension-sized; reused by rank scan + count
 
     def okey(batch: pa.Table) -> pa.Table:
         c = batch["cents"].to_numpy(zero_copy_only=False)
@@ -9222,7 +9232,6 @@ def class_balance_docs(sf_dir: str):
     langs = sorted(r["lang"] for r in counts)
     cnt_of = {r["lang"]: int(r["cnt"]) for r in counts}
     target = max(cnt_of.values())
-    idx_of = {l: i for i, l in enumerate(langs)}
     # exclusive offset of each class in (class, doc_id) order
     off_of = {}
     acc = 0
@@ -9230,10 +9239,12 @@ def class_balance_docs(sf_dir: str):
         off_of[l] = acc
         acc += cnt_of[l]
 
+    lang_arr = pa.array(langs, pa.string())
+
     def okey(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        li = np.array([idx_of[x] for x in batch["lang"].to_pylist()],
-                      dtype=np.int64)
+        li = pc.index_in(batch["lang"], value_set=lang_arr).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         if ids.size and (int(ids.max()) >= 2**44 or int(ids.min()) < 0):
             raise OverflowError(
                 "class_balance order key needs doc_id in [0, 2^44)")
@@ -9253,8 +9264,8 @@ def class_balance_docs(sf_dir: str):
     off_a = np.array([off_of[l] for l in langs], np.int64)
 
     def copies(batch: pa.Table) -> pa.Table:
-        li = np.array([idx_of[x] for x in batch["lang"].to_pylist()],
-                      dtype=np.int64)
+        li = pc.index_in(batch["lang"], value_set=lang_arr).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         rk = batch["__rank"].to_numpy(zero_copy_only=False) - off_a[li]
         n = base_a[li] + (rk < rem_a[li])
         return pa.table({
@@ -9268,12 +9279,12 @@ def class_balance_docs(sf_dir: str):
 
 def interarrival_median_users(sf_dir: str):
     """Per-user median inter-arrival gap (microseconds): consecutive
-    event gaps within each user's (ts, event_id)-ordered stream, then
-    the exact per-user quantile_disc median via the keyed bounded
-    histogram.  The gap derivation is the trajectory_stats shape —
-    users hash into bounded buckets, ONE Arrow sort per bucket, numpy
-    diff with key-boundary zeroing — never a per-user Ray group."""
-    from geodata_ray.stages.relational import grouped_exact_quantiles
+    event gaps within each user's (ts, event_id)-ordered stream, and
+    the exact per-user quantile_disc median — both computed INSIDE the
+    bucketed group pass (users hash into bounded buckets, ONE Arrow
+    sort per bucket, numpy diff + segment ceil-rank picks) — never a
+    per-user Ray group, and no second exchange: all rows of a user
+    land in one bucket, so the per-user median is bucket-local."""
     from geodata_ray.stages.windows import _tag_bucket
 
     ev = _read(sf_dir, "events",
@@ -9287,28 +9298,41 @@ def interarrival_median_users(sf_dir: str):
         })
 
     def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "q_pct": pa.array([], pa.int64()),
+                          "gap_us": pa.array([], pa.int64())})
         t = g.sort_by([("user_id", "ascending"),
                        ("ts_us", "ascending"),
                        ("event_id", "ascending")])
         u = t["user_id"].to_numpy(zero_copy_only=False)
         ts = t["ts_us"].to_numpy(zero_copy_only=False)
         if len(u) < 2:
-            return pa.table({"user_id": pa.array([], pa.int64()),
-                             "gap_us": pa.array([], pa.int64())})
+            return empty
         same = u[1:] == u[:-1]
+        gu = u[1:][same]
+        gv = np.diff(ts)[same]
+        if gu.size == 0:
+            return empty
+        # per-user ceil-rank median: sort gaps within user segments,
+        # pick element at offset ceil(n/2)-1 of each segment
+        order = np.lexsort((gv, gu))
+        gu, gv = gu[order], gv[order]
+        starts = np.flatnonzero(np.r_[True, gu[1:] != gu[:-1]])
+        ends = np.r_[starts[1:], gu.size]
+        n = ends - starts
+        med_idx = starts + (n + 1) // 2 - 1  # ceil(n/2), 0-based
         return pa.table({
-            "user_id": pa.array(u[1:][same]),
-            "gap_us": pa.array(np.diff(ts)[same]),
+            "user_id": pa.array(gu[starts]),
+            "q_pct": pa.array(np.full(starts.size, 50, np.int64)),
+            "gap_us": pa.array(gv[med_idx]),
         })
 
-    gaps = (
+    return (
         _tag_bucket(ev.map_batches(prep, batch_format="pyarrow"),
                     "user_id", 32)
         .groupby("__b")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
-    return grouped_exact_quantiles(gaps, "user_id", "gap_us",
-                                   [(50, 0.5)])
 
 
 def string_agg_daily_types_events(sf_dir: str):
