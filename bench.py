@@ -365,6 +365,13 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "class_balance_docs",
         "interarrival_median_users",
         "string_agg_daily_types_events",
+        # twentieth wave (round 5)
+        "hilbert_rank_events",
+        "pseudonymize_users_events",
+        "selfjoin_size_lineitem",
+        "audience_overlap_types_events",
+        "zipf_state_docs",
+        "grouped_mode_cents_events",
     )
     for name in query_names:
         t0 = time.perf_counter()

@@ -1533,6 +1533,111 @@ FROM s ORDER BY hash_i64 LIMIT {k}
 """
 
 
+def _hilbert_sql(order: int = 15) -> str:
+    """Hilbert xy2d replayed as an unrolled CTE chain: one stage per
+    bit (constant s per stage), each applying the flip+rotate and
+    accumulating ``d`` — pure int64 ops, bit-identical to the numpy
+    loop in ``queries.hilbert_xy2d``."""
+    stages = []
+    prev = "q0"
+    for k in range(order):
+        s = 1 << (order - 1 - k)
+        cur = f"hb{k}"
+        stages.append(f"""{cur} AS (
+  SELECT event_id,
+         CASE WHEN (y & {s}) > 0 THEN x
+              WHEN (x & {s}) > 0 THEN {s} - 1 - y
+              ELSE y END AS x,
+         CASE WHEN (y & {s}) > 0 THEN y
+              WHEN (x & {s}) > 0 THEN {s} - 1 - x
+              ELSE x END AS y,
+         d + {s * s} * xor(
+             3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
+             CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) AS d
+  FROM {prev}
+)""")
+        prev = cur
+    chain = ",\n".join(stages)
+    return f"""
+WITH q0 AS (
+  SELECT event_id,
+         CAST(FLOOR(({_derive_lon_sql('event_id')} + 180.0)
+                    / 360.0 * 32768.0) AS BIGINT) AS x,
+         CAST(FLOOR(({_derive_lat_sql('event_id')} + 90.0)
+                    / 180.0 * 32768.0) AS BIGINT) AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM events
+),
+{chain}
+SELECT event_id, CAST(d AS BIGINT) AS hkey FROM {prev}
+"""
+
+
+def _pseudonymize_sql(seed: int) -> str:
+    """Signed int64 view of splitmix64(user_id + seed) per event."""
+    sm = _sql_splitmix_stages("ps", {"t": "x0v"}, "d0")
+    return f"""
+WITH d0 AS (
+  SELECT event_id,
+         (CAST(user_id AS HUGEINT) + {seed}) % {_U64_M} AS x0v
+  FROM events
+),
+{sm}
+SELECT event_id,
+       CAST(CASE WHEN h_t >= 9223372036854775808
+                 THEN h_t - 18446744073709551616
+                 ELSE h_t END AS BIGINT) AS user_token
+FROM ps6
+"""
+
+
+def _zipf_sql() -> str:
+    """Top-100 term rank/frequency state with fixed-point qlog2 of
+    both — the same deterministic integer-log recursion as the TF-IDF
+    / PMI oracles (16 square-and-truncate rounds)."""
+    return """
+WITH RECURSIVE tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+top AS (
+  SELECT term, n,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT)
+             AS rank
+  FROM tc ORDER BY n DESC, term LIMIT 100
+),
+-- explicit DISTINCT over UNION ALL: under WITH RECURSIVE, DuckDB 1.0
+-- gives a plain UNION between CTE branches recursive-union semantics
+-- and fails to dedup values appearing in both branches
+vals AS (SELECT DISTINCT c FROM (
+           SELECT n AS c FROM top
+           UNION ALL SELECT rank FROM top)),
+it AS (
+  SELECT c, CAST(length(bin(c)) - 1 AS BIGINT) AS msb,
+         CAST((CAST(c AS HUGEINT) * 1073741824)
+              // (CAST(CAST(1 AS BIGINT)
+                       << CAST(length(bin(c)) - 1 AS INT)
+                       AS HUGEINT)) AS HUGEINT) AS m,
+         CAST(0 AS BIGINT) AS frac, 0 AS k
+  FROM vals
+  UNION ALL
+  SELECT c, msb,
+         CASE WHEN (m * m) // 1073741824 >= 2147483648
+              THEN ((m * m) // 1073741824) // 2
+              ELSE (m * m) // 1073741824 END,
+         frac * 2 + CASE WHEN (m * m) // 1073741824 >= 2147483648
+                         THEN 1 ELSE 0 END,
+         k + 1
+  FROM it WHERE k < 16
+),
+q AS (SELECT c, msb * 65536 + frac AS qlog2 FROM it WHERE k = 16)
+SELECT top.rank, top.term, top.n,
+       CAST(qr.qlog2 AS BIGINT) AS qlog2_rank_fp,
+       CAST(qn.qlog2 AS BIGINT) AS qlog2_n_fp
+FROM top JOIN q qr ON qr.c = top.rank JOIN q qn ON qn.c = top.n
+"""
+
+
 def _hll_keyed_sql() -> str:
     """Keyed (per-day) HLL register table — the same unrolled splitmix
     + trailing-zero rank as ``_hll_sql``, grouped by day as well."""
@@ -1827,7 +1932,8 @@ nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
 avgt AS (
   SELECT CAST(100 * SUM(dl) // COUNT(*) AS BIGINT) AS avg100 FROM dlt
 ),
-vals AS (SELECT DISTINCT df AS c FROM dfc UNION SELECT n FROM nn),
+vals AS (SELECT DISTINCT c FROM (
+  SELECT df AS c FROM dfc UNION ALL SELECT n FROM nn)),
 it AS (
   SELECT c, CAST(length(bin(c)) - 1 AS BIGINT) AS msb,
          CAST((CAST(c AS HUGEINT) * 1073741824)
@@ -1883,7 +1989,8 @@ tf AS (
 ),
 dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
 nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-vals AS (SELECT DISTINCT df AS c FROM dfc UNION SELECT n FROM nn),
+vals AS (SELECT DISTINCT c FROM (
+  SELECT df AS c FROM dfc UNION ALL SELECT n FROM nn)),
 it AS (
   SELECT c, CAST(length(bin(c)) - 1 AS BIGINT) AS msb,
          CAST((CAST(c AS HUGEINT) * 1073741824)
@@ -2106,7 +2213,8 @@ pairs AS (
 cnt AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c
         FROM pairs GROUP BY pair),
 tot AS (SELECT CAST(SUM(c) AS BIGINT) AS c FROM cnt),
-vals AS (SELECT DISTINCT c FROM cnt UNION SELECT c FROM tot),
+vals AS (SELECT DISTINCT c FROM (
+  SELECT c FROM cnt UNION ALL SELECT c FROM tot)),
 it AS (
   SELECT c, CAST(length(bin(c)) - 1 AS BIGINT) AS msb,
          CAST((CAST(c AS HUGEINT) * 1073741824)
@@ -3285,8 +3393,8 @@ tot AS (
   SELECT source, CAST(SUM(n) AS BIGINT) AS total FROM cnt GROUP BY 1
 ),
 vals AS (
-  SELECT DISTINCT n AS c FROM cnt
-  UNION SELECT DISTINCT total FROM tot
+  SELECT DISTINCT c FROM (
+    SELECT n AS c FROM cnt UNION ALL SELECT total FROM tot)
 ),
 {_QLOG2_CTE}
 SELECT cnt.source, tot.total AS n_bytes,
@@ -4671,8 +4779,8 @@ _ORACLE_SQL_STATIC = {
           JOIN cu cuy ON cuy.term = bg.y
         ),
         vals AS (
-          SELECT DISTINCT ca AS c FROM j
-          UNION SELECT DISTINCT cb FROM j
+          SELECT DISTINCT c FROM (
+            SELECT ca AS c FROM j UNION ALL SELECT cb FROM j)
         ),
         it AS (
           SELECT c, CAST(length(bin(c)) - 1 AS BIGINT) AS msb,
@@ -5031,6 +5139,54 @@ _ORACLE_SQL_STATIC = {
     "near_dup_clusters_docs": _near_dup_clusters_sql(),
     "hll_merge_types_events": _hll_merge_sql(),
     "kmv_sketch_events": _kmv_sql(),
+    "hilbert_rank_events": _hilbert_sql(),
+    "pseudonymize_users_events": _pseudonymize_sql(20260819),
+    "zipf_state_docs": _zipf_sql(),
+    # F2 self-join size + skew indicators on l_partkey
+    "selfjoin_size_lineitem": """
+        WITH c AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM lineitem GROUP BY 1)
+        SELECT CAST(0 AS BIGINT) AS grp,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS f2_selfjoin_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        FROM c
+    """,
+    # exact audience set algebra for the (view, click) user sets
+    "audience_overlap_types_events": """
+        WITH d AS (
+          SELECT user_id,
+                 MAX(CASE WHEN event_type = 'view'
+                          THEN 1 ELSE 0 END) AS hv,
+                 MAX(CASE WHEN event_type = 'click'
+                          THEN 1 ELSE 0 END) AS hc
+          FROM events WHERE event_type IN ('view', 'click')
+          GROUP BY 1
+        )
+        SELECT CAST(0 AS BIGINT) AS grp,
+               CAST(SUM(hv) AS BIGINT) AS n_view,
+               CAST(SUM(hc) AS BIGINT) AS n_click,
+               CAST(SUM(hv * hc) AS BIGINT) AS n_both,
+               CAST(COUNT(*) AS BIGINT) AS n_union
+        FROM d
+    """,
+    # MODE() per type with the defined (count DESC, cents ASC) tie
+    "grouped_mode_cents_events": """
+        WITH c AS (
+          SELECT event_type,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT event_type, cents, n,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY n DESC, cents) AS rk
+          FROM c
+        )
+        SELECT event_type, cents AS mode_cents, n AS mode_n
+        FROM r WHERE rk = 1
+    """,
     "partition_checksums_events": _checksum_sql(),
     "daily_hll_users": _hll_keyed_sql(),
     "lm_surprisal_docs": _lm_surprisal_sql(),

@@ -9367,6 +9367,247 @@ def string_agg_daily_types_events(sf_dir: str):
                                        batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# Twentieth wave: Hilbert layout, pseudonymization, self-join-size /
+# F2 skew audit, exact audience overlap, Zipf state, grouped mode.
+# ---------------------------------------------------------------------------
+
+
+def hilbert_xy2d(x: np.ndarray, y: np.ndarray,
+                 order: int = 15) -> np.ndarray:
+    """Vectorized Hilbert-curve index of 2-D integer coords (the
+    classic xy2d bit loop, ``order`` rounds of flip+rotate) — the
+    locality-preserving alternative to the Morton/Z layout
+    (``cellmath.morton_interleave2``): no diagonal jumps, better range
+    clustering for storage layout.  Pure int64 ops, so the DuckDB
+    oracle unrolls the same loop stage-by-stage and matches exactly."""
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        xf = np.where(flip, s - 1 - x, x)
+        yf = np.where(flip, s - 1 - y, y)
+        x, y = np.where(swap, yf, xf), np.where(swap, xf, yf)
+        s >>= 1
+    return d
+
+
+def hilbert_rank_events(sf_dir: str):
+    """Hilbert space-filling-curve storage key per event (15-bit
+    quantized derived lat/lon -> 30-bit curve position) — the
+    clustered-write layout that beats Z-order on range-query locality.
+    Stateless vectorized map, zero shuffle; the oracle replays the
+    xy2d loop as an unrolled 15-stage CTE chain."""
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy()
+        lat = _derive_lat_np(ids)
+        lon = _derive_lon_np(ids)
+        qy = np.floor((lat + 90.0) / 180.0 * 32768.0).astype(np.int64)
+        qx = np.floor((lon + 180.0) / 360.0 * 32768.0).astype(np.int64)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "hkey": pa.array(hilbert_xy2d(qx, qy, 15)),
+        })
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+_PSEUDO_SEED = 20260819
+
+
+def pseudonymize_users_events(sf_dir: str):
+    """Deterministic pseudonymization (the GDPR-pipeline tokenizer):
+    user ids replaced by the signed int64 view of
+    ``splitmix64(user_id + seed)`` — consistent across every table
+    touching the id, keyless to reverse without the seed, and
+    collision-free (splitmix64 is a bijection on u64).  Stateless
+    vectorized map, zero shuffle."""
+    from geodata_ray.sources.synth import splitmix64
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def tok(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        t = splitmix64(
+            (u + _PSEUDO_SEED).view(np.uint64)
+        ).view(np.int64)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_token": pa.array(t),
+        })
+
+    return ds.map_batches(tok, batch_format="pyarrow")
+
+
+def selfjoin_size_lineitem(sf_dir: str):
+    """Self-join-size / skew audit on l_partkey: the exact second
+    frequency moment ``F2 = sum(cnt^2)`` (= the row count of the
+    partkey self-join), key count, and max key frequency — the three
+    numbers a planner needs before scheduling a join or flagging salt-
+    worthy keys.  One pre-combined keyed exchange builds the counts;
+    F2/max fold in a constant-key second pass over the bounded key
+    table."""
+    li = _read(sf_dir, "lineitem", columns=["l_partkey"])
+    counts = grouped_aggregate(
+        li, ["l_partkey"], [("l_partkey", "count", "cnt")],
+        coalesce=0,
+    )
+
+    def sq(batch: pa.Table) -> pa.Table:
+        c = batch["cnt"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "grp": pa.array(np.zeros(c.size, np.int64)),
+            "c2": pa.array(c * c),
+            "cnt": batch["cnt"],
+        })
+
+    return grouped_aggregate(
+        counts.map_batches(sq, batch_format="pyarrow"),
+        ["grp"],
+        [("c2", "sum", "f2_selfjoin_rows"),
+         ("cnt", "count", "n_keys"),
+         ("cnt", "max", "max_cnt")],
+    )
+
+
+def audience_overlap_types_events(sf_dir: str):
+    """EXACT audience overlap of the 'view' and 'click' user sets:
+    |A|, |B|, |A and B|, |A or B| as one row — the exact companion of
+    ``hll_merge_types_events`` (same shape the sketch estimates), and
+    the inputs to Jaccard/overlap coefficients.  One distinct
+    (user, flag) exchange; the set algebra folds over per-user flag
+    sums."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        isv = pc.equal(batch["event_type"], "view")
+        isc = pc.equal(batch["event_type"], "click")
+        t = batch.filter(pc.or_(isv, isc))
+        v = pc.cast(pc.equal(t["event_type"], "view"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "v": pa.array(v),
+            "c": pa.array(1 - v),
+        })
+
+    per_user = grouped_aggregate(
+        ev.map_batches(flags, batch_format="pyarrow"),
+        ["user_id"], [("v", "max", "has_v"), ("c", "max", "has_c")],
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        hv = batch["has_v"].to_numpy(zero_copy_only=False)
+        hc = batch["has_c"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "grp": pa.array(np.zeros(hv.size, np.int64)),
+            "v": pa.array(hv),
+            "c": pa.array(hc),
+            "b": pa.array(hv & hc),
+            "u": pa.array(np.ones(hv.size, np.int64)),
+        })
+
+    return grouped_aggregate(
+        per_user.map_batches(fold, batch_format="pyarrow"),
+        ["grp"],
+        [("v", "sum", "n_view"), ("c", "sum", "n_click"),
+         ("b", "sum", "n_both"), ("u", "sum", "n_union")],
+    )
+
+
+def zipf_state_docs(sf_dir: str):
+    """Zipf (rank-frequency) diagnostic state of the corpus: the top
+    100 terms by exact count (ties broken by term), each with its
+    rank, count, and the fixed-point ``qlog2`` of both — the integer
+    regression inputs for a power-law fit (slope ~ -1 for Zipfian
+    text), hash-exact because qlog2 is the engine's deterministic
+    integer log (stages/lm.py).  Term counts are one pre-combined
+    exchange; the top-100 is sort+limit over the vocabulary table."""
+    from geodata_ray.stages.lm import qlog2_fixed
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def terms(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.utf8_lower(batch["text"].combine_chunks()
+                          if isinstance(batch["text"], pa.ChunkedArray)
+                          else batch["text"]), " ")
+        flat = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks).flatten()
+        t = pa.table({"term": flat})
+        out = t.group_by(["term"]).aggregate([([], "count_all")])
+        ncol = next(c for c in out.column_names if c != "term")
+        return pa.table({"term": out["term"], "n": out[ncol]})
+
+    vocab = grouped_aggregate(
+        ds.map_batches(terms, batch_format="pyarrow"),
+        ["term"], [("n", "sum", "n")],
+    )
+    top = vocab.sort(["n", "term"],
+                     descending=[True, False]).limit(100).take_all()
+    terms_l = [r["term"] for r in top]
+    ns = np.array([r["n"] for r in top], dtype=np.int64)
+    ranks = np.arange(1, ns.size + 1, dtype=np.int64)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "rank": pa.array(ranks),
+        "term": pa.array(terms_l, pa.string()),
+        "n": pa.array(ns),
+        "qlog2_rank_fp": pa.array(qlog2_fixed(ranks).astype(np.int64)),
+        "qlog2_n_fp": pa.array(qlog2_fixed(ns).astype(np.int64)),
+    }))
+
+
+def grouped_mode_cents_events(sf_dir: str):
+    """MODE() per group with a DEFINED tie-break: per event type, the
+    most frequent exact-cents value (ties -> smallest value) and its
+    count — SQL's mode() leaves ties unspecified, so the oracle uses
+    the explicit rank window instead.  (type, cents) counts are one
+    pre-combined exchange; the per-type argmax is vectorized over the
+    bounded type domain."""
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        )
+        return pa.table({"event_type": batch["event_type"],
+                         "cents": c})
+
+    counts = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "cents"], [("cents", "count", "n")],
+    )
+
+    def argmax(g: pa.Table) -> pa.Table:
+        n = g["n"].to_numpy(zero_copy_only=False)
+        c = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, -n))  # max count, then smallest cents
+        i = order[0]
+        return pa.table({
+            "event_type": g["event_type"].slice(i, 1),
+            "mode_cents": pa.array([int(c[i])], pa.int64()),
+            "mode_n": pa.array([int(n[i])], pa.int64()),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        argmax, batch_format="pyarrow"
+    )
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -9527,6 +9768,13 @@ RAY_QUERIES = {
     "class_balance_docs": class_balance_docs,
     "interarrival_median_users": interarrival_median_users,
     "string_agg_daily_types_events": string_agg_daily_types_events,
+    # twentieth wave (round 5)
+    "hilbert_rank_events": hilbert_rank_events,
+    "pseudonymize_users_events": pseudonymize_users_events,
+    "selfjoin_size_lineitem": selfjoin_size_lineitem,
+    "audience_overlap_types_events": audience_overlap_types_events,
+    "zipf_state_docs": zipf_state_docs,
+    "grouped_mode_cents_events": grouped_mode_cents_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
