@@ -372,6 +372,13 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "audience_overlap_types_events",
         "zipf_state_docs",
         "grouped_mode_cents_events",
+        # twenty-first wave (round 5)
+        "dbscan_labels_events",
+        "phrase_query_docs",
+        "merkle_tree_events",
+        "label_centroids_embeddings",
+        "forward_fill_user_values",
+        "load_profile_events",
     )
     for name in query_names:
         t0 = time.perf_counter()

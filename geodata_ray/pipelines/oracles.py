@@ -1638,6 +1638,114 @@ FROM top JOIN q qr ON qr.c = top.rank JOIN q qn ON qn.c = top.n
 """
 
 
+def _dbscan_sql() -> str:
+    """DBSCAN (eps=32, minPts=5) replayed in SQL: the radius-join band
+    self-join (both directions), degree counts, core set, reachability
+    closure over core-core edges for cluster ids (min core id —
+    components are small at gate scale by parameter choice), border =
+    min adjacent core label, everything else noise."""
+    sm = _sql_splitmix_stages(
+        "db",
+        {
+            "x": "CAST(event_id AS HUGEINT)",
+            "y": _sql_xor_u64(
+                "CAST(event_id AS HUGEINT)",
+                str(0xD1B54A32D192ED03) + "::HUGEINT",
+            ),
+        },
+        "c0",
+    )
+    return f"""
+WITH RECURSIVE c0 AS (SELECT event_id FROM events),
+{sm},
+p AS (
+  SELECT event_id AS id,
+         CAST(h_x % 4096 AS BIGINT) AS qx,
+         CAST(h_y % 4096 AS BIGINT) AS qy
+  FROM db6
+),
+e0 AS (
+  SELECT a.id AS u, b.id AS v
+  FROM p a JOIN p b
+    ON a.id <> b.id
+   AND b.qx BETWEEN a.qx - 32 AND a.qx + 32
+   AND b.qy BETWEEN a.qy - 32 AND a.qy + 32
+   AND (a.qx - b.qx) * (a.qx - b.qx)
+     + (a.qy - b.qy) * (a.qy - b.qy) <= 1024
+),
+deg AS (SELECT u AS id, COUNT(*) AS d FROM e0 GROUP BY 1),
+core AS (SELECT id FROM deg WHERE d + 1 >= 5),
+ce AS (SELECT u, v FROM e0
+       WHERE u IN (SELECT id FROM core)
+         AND v IN (SELECT id FROM core)),
+nodes AS (SELECT DISTINCT u AS id FROM ce),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN ce e ON e.u = reach.r
+),
+ccm AS (SELECT id, MIN(r) AS l FROM reach GROUP BY id),
+core_label AS (
+  SELECT core.id, COALESCE(ccm.l, core.id) AS label
+  FROM core LEFT JOIN ccm ON ccm.id = core.id
+),
+border AS (
+  SELECT e0.u AS id, MIN(cl.label) AS label
+  FROM e0 JOIN core_label cl ON cl.id = e0.v
+  WHERE e0.u NOT IN (SELECT id FROM core)
+  GROUP BY 1
+)
+SELECT e.event_id,
+       CAST(CASE WHEN cl.id IS NOT NULL THEN 0
+                 WHEN b.id IS NOT NULL THEN 1
+                 ELSE 2 END AS BIGINT) AS role,
+       CAST(COALESCE(cl.label, b.label, -1) AS BIGINT) AS label
+FROM events e
+LEFT JOIN core_label cl ON cl.id = e.event_id
+LEFT JOIN border b ON b.id = e.event_id
+"""
+
+
+def _merkle_sql(levels: int = 6) -> str:
+    """Merkle tree replay: leaf = SUM of splitmix64(id * 2^20 + cents)
+    mod 2^64 per (event_id %% 64) bucket (series-joined so empty
+    buckets are zero), parent = splitmix64(left + 3 * right) — each
+    level's hash is one more unrolled splitmix chain."""
+    leaf_expr = ("((CAST(event_id AS HUGEINT) * 1048576"
+                 " + CAST(ROUND(value * 100) AS HUGEINT))"
+                 f" % {_U64_M} + {_U64_M}) % {_U64_M}")
+    sm0 = _sql_splitmix_stages("mk", {"h": leaf_expr}, "c0")
+    parts = [f"""c0 AS (SELECT event_id, value FROM events),
+{sm0},
+lraw AS (
+  SELECT CAST(event_id % 64 AS BIGINT) AS idx,
+         CAST(SUM(h_h) % {_U64_M} AS HUGEINT) AS h
+  FROM mk6 GROUP BY 1
+),
+lv0 AS (
+  SELECT g.idx, COALESCE(lraw.h, 0::HUGEINT) AS h
+  FROM (SELECT UNNEST(generate_series(0, 63)) AS idx) g
+  LEFT JOIN lraw ON lraw.idx = g.idx
+)"""]
+    for L in range(1, levels + 1):
+        pair = (f"pl{L} AS (SELECT l.idx // 2 AS idx,"
+                f" (l.h + 3 * r.h) % {_U64_M} AS x0v"
+                f" FROM lv{L - 1} l JOIN lv{L - 1} r"
+                f" ON r.idx = l.idx + 1 AND l.idx % 2 = 0)")
+        smL = _sql_splitmix_stages(f"m{L}x", {"v": "x0v"}, f"pl{L}")
+        parts.append(f"{pair},\n{smL},\n"
+                     f"lv{L} AS (SELECT idx, h_v AS h FROM m{L}x6)")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({L} AS BIGINT) AS level, CAST(idx AS BIGINT)"
+        f" AS idx,"
+        f" CAST(CASE WHEN h >= 9223372036854775808"
+        f" THEN h - 18446744073709551616 ELSE h END AS BIGINT)"
+        f" AS hash_i64 FROM lv{L}"
+        for L in range(levels + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + unions
+
+
 def _hll_keyed_sql() -> str:
     """Keyed (per-day) HLL register table — the same unrolled splitmix
     + trailing-zero rank as ``_hll_sql``, grouped by day as well."""
@@ -5140,6 +5248,86 @@ _ORACLE_SQL_STATIC = {
     "hll_merge_types_events": _hll_merge_sql(),
     "kmv_sketch_events": _kmv_sql(),
     "hilbert_rank_events": _hilbert_sql(),
+    "dbscan_labels_events": _dbscan_sql(),
+    "merkle_tree_events": _merkle_sql(),
+    # positional phrase retrieval ('hash join', lower+space tokens)
+    "phrase_query_docs": """
+        WITH sp AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS s
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(range(1, len(s)),
+                          i -> s[i] = 'hash' AND s[i+1] = 'join'))
+                      AS BIGINT) AS n_hits
+          FROM sp
+        )
+        SELECT doc_id, n_hits FROM h WHERE n_hits > 0
+    """,
+    # per-(label, dim) exact integer centroid state
+    "label_centroids_embeddings": """
+        WITH e AS (
+          SELECT label, g.i AS dim,
+                 CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1048576)
+                      AS BIGINT) AS v
+          FROM embeddings CROSS JOIN LATERAL (
+            SELECT UNNEST(generate_series(1, 64)) AS i
+          ) g
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(dim AS BIGINT) AS dim,
+               CAST(SUM(v) AS BIGINT) AS sum_q,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM e GROUP BY 1, 2
+    """,
+    # LOCF forward fill over each user's daily last value
+    "forward_fill_user_values": """
+        WITH o AS (
+          SELECT user_id,
+                 CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id, DATE_TRUNC('day', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ),
+        pd AS (SELECT user_id, day, cents FROM o WHERE rn = 1),
+        b AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+              FROM pd GROUP BY 1),
+        spine AS (
+          SELECT user_id,
+                 UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+          FROM b
+        ),
+        f AS (
+          SELECT s.user_id, s.day, p.cents
+          FROM spine s LEFT JOIN pd p
+            ON p.user_id = s.user_id AND p.day = s.day
+        )
+        SELECT user_id,
+               CAST(epoch_us(day) AS BIGINT) AS day_us,
+               CAST(LAST_VALUE(cents IGNORE NULLS) OVER (
+                      PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cents,
+               CAST(CASE WHEN f.cents IS NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS filled
+        FROM f
+    """,
+    # seasonal (dow x hour) load profile with flat-baseline deviation
+    "load_profile_events": """
+        WITH c AS (
+          SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+                 CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        t AS (SELECT SUM(n) AS total FROM c)
+        SELECT dow, hour, n,
+               CAST(n * 168 - t.total AS BIGINT) AS dev_x168
+        FROM c, t
+    """,
     "pseudonymize_users_events": _pseudonymize_sql(20260819),
     "zipf_state_docs": _zipf_sql(),
     # F2 self-join size + skew indicators on l_partkey

@@ -5957,12 +5957,18 @@ def radius_join_events(sf_dir: str):
     resolution — documented partitioning assumption.  Coordinates and
     the distance test are pure int64, so the oracle is a band-predicate
     self-join over the identical derived grid."""
+    return _radius_pairs(sf_dir, R=64)
+
+
+def _radius_pairs(sf_dir: str, *, R: int, GRID: int = 4096):
+    """(id_a, id_b, d2) pairs of events within integer L2 distance
+    ``R`` on the splitmix-derived GRIDxGRID lattice — the cell-hash +
+    3x3-probe join shared by ``radius_join_events`` (R=64) and the
+    DBSCAN labeling (eps=32)."""
     from geodata_ray.stages.relational import shuffle_join
 
     from geodata_ray.sources.synth import splitmix64
 
-    R = 64
-    GRID = 4096
     ds = _read(sf_dir, "events", columns=["event_id"])
 
     def points(batch: pa.Table) -> pa.Table:
@@ -8811,10 +8817,12 @@ def q12_late_lines_priority(sf_dir: str):
     driver schema (no l_shipmode / commit / receipt dates):
     ``l_returnflag`` stands in for the mode and a line is LATE when it
     ships more than 60 days after its order date (the q21 lateness
-    convention).  Per flag, count late lines on high-priority
-    (1-URGENT / 2-HIGH) vs lower-priority orders.  One orderkey
-    exchange (native hash join); the priority flag is computed
-    order-side so only three narrow columns ship."""
+    convention; the sibling ``late_shipment_priority`` audits the same
+    join at the 90-day band — kept separately so the canonical Q-shape
+    registry stays 22/22).  Per flag, count late lines on
+    high-priority (1-URGENT / 2-HIGH) vs lower-priority orders.  One
+    orderkey exchange (native hash join); the priority flag is
+    computed order-side so only three narrow columns ship."""
     from geodata_ray.stages.relational import native_join
 
     orders = _read(sf_dir, "orders",
@@ -9368,6 +9376,430 @@ def string_agg_daily_types_events(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Twenty-first wave: DBSCAN labels, phrase retrieval, Merkle tree,
+# label centroids, LOCF forward-fill, seasonal load profile.
+# ---------------------------------------------------------------------------
+
+
+def dbscan_labels_events(sf_dir: str):
+    """DBSCAN (eps=32, minPts=5) over the splitmix event lattice with
+    a DETERMINISTIC border rule: core points (>= minPts-1 neighbors)
+    cluster by connected components of the core-core adjacency
+    (cluster id = min core id; isolated cores are singleton clusters);
+    border points (non-core with a core neighbor) join the MINIMUM
+    adjacent core cluster (textbook DBSCAN leaves this order-
+    dependent); everything else is noise (label -1).  Plan: the
+    fixed-radius pair join (cell hash + 3x3 probes, one exchange),
+    symmetric degree count, striped union-find over core edges, two
+    keyed label joins — every stage key-partitioned by point id."""
+    import ray.data as rd
+
+    from geodata_ray.stages.graphcc import connected_components
+    from geodata_ray.stages.relational import shuffle_join
+
+    MINPTS = 5
+
+    def _typed(ds, **cols):
+        """Union a zero-row typed block so the schema survives even
+        when every real block is empty (Ray passes empty blocks
+        through map operators without calling the UDF, losing the
+        declared schema — the sf0.001 no-core case)."""
+        return ds.union(rd.from_arrow(pa.table(
+            {k: pa.array([], t) for k, t in cols.items()}
+        )))
+
+    pairs = _radius_pairs(sf_dir, R=32).select_columns(
+        ["id_a", "id_b"]).materialize()
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id": pa.array(np.concatenate([a, b])),
+            "nbr": pa.array(np.concatenate([b, a])),
+        })
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+    deg = grouped_aggregate(
+        edges, ["id"], [("nbr", "count", "deg")]
+    )
+
+    def coreflag(batch: pa.Table) -> pa.Table:
+        d = batch["deg"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id": batch["id"],
+            "is_core": pa.array((d + 1 >= MINPTS).astype(np.int64)),
+        })
+
+    flags = deg.map_batches(coreflag, batch_format="pyarrow") \
+        .materialize()
+
+    # core-core edges -> components (cluster id = min core id)
+    fe = shuffle_join(edges, flags, ["id"]).materialize()
+
+    def rn(batch: pa.Table) -> pa.Table:  # re-key on the neighbor side
+        return pa.table({"id": batch["nbr"],
+                         "src": batch["id"],
+                         "src_core": batch["is_core"]})
+
+    fe2 = shuffle_join(
+        fe.map_batches(rn, batch_format="pyarrow"), flags, ["id"]
+    ).materialize()  # (id=nbr, src, src_core, is_core=nbr_core)
+
+    def ce(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(batch["src_core"], 1),
+                    pc.equal(batch["is_core"], 1))
+        t = batch.filter(m)
+        return pa.table({"id_a": t["src"], "id_b": t["id"]})
+
+    core_edges = fe2.map_batches(ce, batch_format="pyarrow")
+    cc = connected_components(core_edges, src="id_a", dst="id_b")
+
+    # core labels: component id where connected, own id when isolated
+    cores = _typed(flags.map_batches(
+        lambda b: b.filter(pc.equal(b["is_core"], 1)).select(["id"]),
+        batch_format="pyarrow",
+    ), id=pa.int64())
+    cl = shuffle_join(cores, _typed(cc.map_batches(
+        lambda b: pa.table({"id": b["node"],
+                            "cluster_id": b["cluster_id"]}),
+        batch_format="pyarrow",
+    ), id=pa.int64(), cluster_id=pa.int64()), ["id"], how="left")
+
+    def corelabel(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": batch["id"],
+            "label": pc.cast(
+                pc.coalesce(batch["cluster_id"], batch["id"]),
+                pa.int64()),
+        })
+
+    core_label = _typed(
+        cl.map_batches(corelabel, batch_format="pyarrow"),
+        id=pa.int64(), label=pa.int64(),
+    ).materialize()
+
+    # border: non-core point adjacent to a core -> min core label
+    def nc_edges(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(b["src_core"], 0),
+                    pc.equal(b["is_core"], 1))
+        t = b.filter(m)
+        return pa.table({"nc": t["src"], "id": t["id"]})
+
+    nb = shuffle_join(
+        fe2.map_batches(nc_edges, batch_format="pyarrow"),
+        core_label, ["id"],
+    )
+    border = grouped_aggregate(
+        nb.map_batches(
+            lambda b: pa.table({"id": b["nc"], "label": b["label"]}),
+            batch_format="pyarrow",
+        ),
+        ["id"], [("label", "min", "label")],
+    )
+
+    # assemble: every event id gets (role, label)
+    ids = _read(sf_dir, "events", columns=["event_id"])
+    lab = shuffle_join(
+        ids.map_batches(
+            lambda b: pa.table({"id": b["event_id"]}),
+            batch_format="pyarrow",
+        ),
+        _typed(core_label.map_batches(
+            lambda b: pa.table({"id": b["id"], "core_lbl": b["label"]}),
+            batch_format="pyarrow",
+        ), id=pa.int64(), core_lbl=pa.int64()),
+        ["id"], how="left",
+    ).materialize()
+    lab = shuffle_join(
+        lab,
+        _typed(border.map_batches(
+            lambda b: pa.table({"id": b["id"], "bord_lbl": b["label"]}),
+            batch_format="pyarrow",
+        ), id=pa.int64(), bord_lbl=pa.int64()),
+        ["id"], how="left",
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        core_v = batch["core_lbl"]
+        bord_v = batch["bord_lbl"]
+        if isinstance(core_v, pa.ChunkedArray):
+            core_v = core_v.combine_chunks()
+        if isinstance(bord_v, pa.ChunkedArray):
+            bord_v = bord_v.combine_chunks()
+        cn = pc.is_valid(core_v).to_numpy(zero_copy_only=False)
+        bn = pc.is_valid(bord_v).to_numpy(zero_copy_only=False)
+        role = np.where(cn, 0, np.where(bn, 1, 2)).astype(np.int64)
+        label = pc.cast(
+            pc.coalesce(core_v, bord_v, pa.scalar(-1, pa.int64())),
+            pa.int64(),
+        )
+        return pa.table({
+            "event_id": batch["id"],
+            "role": pa.array(role),
+            "label": label,
+        })
+
+    return lab.map_batches(final, batch_format="pyarrow")
+
+
+def phrase_query_docs(sf_dir: str):
+    """Positional phrase retrieval: documents containing the exact
+    adjacent-token phrase 'hash join' (lower + single-space tokenizer,
+    the corpus convention), with the occurrence count — the capability
+    a doc-level inverted index cannot answer.  Vectorized over the
+    flattened token buffer with list-offset boundary guards; zero
+    shuffle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    W1, W2 = "hash", "join"
+
+    def hits(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(pc.utf8_lower(text), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        off = np.asarray(toks.offsets)
+        e1 = pc.equal(flat, W1).to_numpy(zero_copy_only=False)
+        e2 = pc.equal(flat, W2).to_numpy(zero_copy_only=False)
+        # adjacent match at flat position i: tok[i]==W1 and
+        # tok[i+1]==W2, where i and i+1 belong to the same doc
+        adj = np.zeros(len(e1), dtype=bool)
+        if len(e1) > 1:
+            adj[:-1] = e1[:-1] & e2[1:]
+        # zero the last slot of every doc (i+1 crosses the boundary)
+        last = off[1:] - 1
+        adj[last[(last >= 0) & (last < adj.size)]] &= False
+        per_doc = np.add.reduceat(
+            adj.astype(np.int64), off[:-1]
+        ) if len(off) > 1 else np.zeros(0, np.int64)
+        per_doc = np.where(np.diff(off) == 0, 0, per_doc)
+        keep = per_doc > 0
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()).filter(
+                pa.array(keep)),
+            "n_hits": pa.array(per_doc[keep]),
+        })
+
+    return ds.map_batches(hits, batch_format="pyarrow")
+
+
+_MERKLE_LEVELS = 6  # 64 leaf buckets -> root
+
+
+def merkle_tree_events(sf_dir: str):
+    """Merkle verification tree over events: 64 leaf checksums
+    (bucket = event_id % 64; leaf = SUM of splitmix64(id * 2^20 +
+    cents) mod 2^64 — commutative, so block order never matters),
+    parents = splitmix64(left + 3 * right) up to the root.  The
+    anti-entropy primitive: two replicas diff by walking O(log n)
+    hashes instead of re-scanning (extends the flat
+    ``partition_checksums_events``).  One bounded keyed exchange for
+    the leaves; the tree folds driver-side over 127 rows."""
+    import ray.data as rd
+
+    from geodata_ray.sources.synth import splitmix64
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def leaf(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = splitmix64((ids * (1 << 20) + cents).view(np.uint64))
+            # per-batch partial sums WRAP mod 2^64 (uint64 add)
+            acc = np.zeros(64, dtype=np.uint64)
+            np.add.at(acc, ids % 64, h)
+        return pa.table({
+            "bucket": pa.array(np.arange(64, dtype=np.int64)),
+            "partial": pa.array(acc.view(np.int64)),
+        })
+
+    # per-batch partials are 64 rows each; fold the bounded partial
+    # table driver-side in uint64 so the sum wraps mod 2^64 exactly
+    # (Ray's Sum aggregate promotes to Python ints and cannot wrap)
+    parts = ds.map_batches(leaf, batch_format="pyarrow").take_all()
+    lv = np.zeros(64, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in parts:
+            lv[int(r["bucket"])] += np.int64(r["partial"]).view(
+                np.uint64)
+    lv = lv.view(np.int64)
+    out_level, out_idx, out_hash = [], [], []
+    cur = lv.view(np.uint64)
+    out_level += [0] * 64
+    out_idx += list(range(64))
+    out_hash += cur.view(np.int64).tolist()
+    from geodata_ray.sources.synth import splitmix64 as sm
+
+    for level in range(1, _MERKLE_LEVELS + 1):
+        with np.errstate(over="ignore"):
+            cur = sm(cur[0::2] + np.uint64(3) * cur[1::2])
+        out_level += [level] * cur.size
+        out_idx += list(range(cur.size))
+        out_hash += cur.view(np.int64).tolist()
+    return rd.from_arrow(pa.table({
+        "level": pa.array(out_level, pa.int64()),
+        "idx": pa.array(out_idx, pa.int64()),
+        "hash_i64": pa.array(out_hash, pa.int64()),
+    }))
+
+
+def label_centroids_embeddings(sf_dir: str):
+    """Per-label embedding centroid state (the supervised prototype /
+    nearest-class-mean primitive): per (label, dimension), the exact
+    integer sum of FLOOR(x * 2^20) quantized components plus the class
+    count — the caller divides for the float centroid; the state
+    hash-matches.  Per-batch dense (label x dim) partial sums pre-
+    combine before the one bounded exchange (|labels| x 64 rows)."""
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        dim = flat.size // max(len(batch), 1) if len(batch) else 0
+        if len(batch) == 0 or dim == 0:
+            return pa.table({
+                "label": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "sum_q": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        q = np.floor(flat * 1048576.0).astype(np.int64).reshape(
+            len(batch), dim)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        acc = np.zeros((ulab.size, dim), dtype=np.int64)
+        np.add.at(acc, inv, q)
+        cnt = np.bincount(inv, minlength=ulab.size).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ulab, dim)),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1), ulab.size)),
+            "sum_q": pa.array(acc.ravel()),
+            "n": pa.array(np.repeat(cnt, dim)),
+        })
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"],
+        [("sum_q", "sum", "sum_q"), ("n", "sum", "n")],
+    )
+
+
+def forward_fill_user_values(sf_dir: str):
+    """LOCF imputation (forward fill): per user, the daily LAST
+    observed value (ties by event_id) densified over the user's
+    [first, last] active-day span, missing days carrying the previous
+    observation with ``filled = 1``.  The data-cleaning primitive for
+    per-entity daily series.  One (user, day) keyed exchange for the
+    daily lasts; the fill runs in the bucketed per-user pass
+    (vectorized searchsorted from each spine day to its observation);
+    span width is bounded by the data's own day range."""
+    from geodata_ray.stages.windows import _tag_bucket
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        )
+        day = pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                      pa.int64())  # us since epoch, day-aligned
+        return pa.table({
+            "user_id": batch["user_id"],
+            "day_us": day,
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+            "cents": cents,
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("user_id", "ascending"),
+                       ("day_us", "ascending"),
+                       ("ts_us", "ascending"),
+                       ("event_id", "ascending")])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d = t["day_us"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        DAY = 86_400_000_000
+        out_u, out_d, out_c, out_f = [], [], [], []
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], u.size]
+        for s, e in zip(starts, ends):
+            dd, cc = d[s:e], c[s:e]
+            # last per day: the final row of each equal-day run
+            last = np.r_[dd[1:] != dd[:-1], True]
+            dd, cc = dd[last], cc[last]
+            spine = np.arange(dd[0], dd[-1] + DAY, DAY)
+            pos = np.searchsorted(dd, spine, side="right") - 1
+            out_u.append(np.full(spine.size, u[s]))
+            out_d.append(spine)
+            out_c.append(cc[pos])
+            out_f.append((~np.isin(spine, dd)).astype(np.int64))
+        return pa.table({
+            "user_id": pa.array(np.concatenate(out_u)),
+            "day_us": pa.array(np.concatenate(out_d)),
+            "cents": pa.array(np.concatenate(out_c)),
+            "filled": pa.array(np.concatenate(out_f)),
+        })
+
+    return (
+        _tag_bucket(ev.map_batches(prep, batch_format="pyarrow"),
+                    "user_id", 32)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def load_profile_events(sf_dir: str):
+    """Seasonal load profile: exact event counts per (day-of-week,
+    hour-of-day) cell plus the integer deviation ``n * 168 - total``
+    (positive = hotter than a flat profile) — the capacity-planning /
+    anomaly-baseline aggregate.  One bounded (168-row) exchange; the
+    total folds from the same table."""
+    ev = _read(sf_dir, "events", columns=["ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        # ISO day of week 1-7 (DuckDB isodow), hour 0-23
+        dow = pc.cast(
+            pc.day_of_week(batch["ts"], count_from_zero=False),
+            pa.int64())
+        hr = pc.cast(pc.hour(batch["ts"]), pa.int64())
+        return pa.table({"dow": dow, "hour": hr})
+
+    cells = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["dow", "hour"], [("hour", "count", "n")],
+    ).materialize()  # <= 168 rows
+    total = int(cells.sum("n"))
+
+    def dev(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "dow": batch["dow"],
+            "hour": batch["hour"],
+            "n": batch["n"],
+            "dev_x168": pa.array(n * 168 - total),
+        })
+
+    return cells.map_batches(dev, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Twentieth wave: Hilbert layout, pseudonymization, self-join-size /
 # F2 skew audit, exact audience overlap, Zipf state, grouped mode.
 # ---------------------------------------------------------------------------
@@ -9775,6 +10207,13 @@ RAY_QUERIES = {
     "audience_overlap_types_events": audience_overlap_types_events,
     "zipf_state_docs": zipf_state_docs,
     "grouped_mode_cents_events": grouped_mode_cents_events,
+    # twenty-first wave (round 5)
+    "dbscan_labels_events": dbscan_labels_events,
+    "phrase_query_docs": phrase_query_docs,
+    "merkle_tree_events": merkle_tree_events,
+    "label_centroids_embeddings": label_centroids_embeddings,
+    "forward_fill_user_values": forward_fill_user_values,
+    "load_profile_events": load_profile_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,

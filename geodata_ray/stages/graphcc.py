@@ -86,10 +86,20 @@ def connected_components(
         mode = "local" if n_edges <= LOCAL_EDGE_BOUND else "distributed"
 
     if mode == "local":
-        t = pa.Table.from_pandas(
-            edges.select_columns([src, dst]).to_pandas(),
-            preserve_index=False,
-        )
+        import ray
+
+        # gather non-empty Arrow blocks directly: Ray passes empty
+        # blocks through map operators WITHOUT calling the UDF, so an
+        # edge stream can contain zero-column empty bundles that break
+        # select_columns / to_pandas on the concatenated result
+        tabs = [
+            t.select([src, dst])
+            for t in ray.get(edges.to_arrow_refs())
+            if t.num_rows
+        ]
+        t = (pa.concat_tables(tabs) if tabs
+             else pa.table({src: pa.array([], pa.int64()),
+                            dst: pa.array([], pa.int64())}))
         a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
         if a.size == 0:
