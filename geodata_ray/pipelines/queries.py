@@ -9388,14 +9388,23 @@ def dbscan_labels_events(sf_dir: str):
     (cluster id = min core id; isolated cores are singleton clusters);
     border points (non-core with a core neighbor) join the MINIMUM
     adjacent core cluster (textbook DBSCAN leaves this order-
-    dependent); everything else is noise (label -1).  Plan: the
-    fixed-radius pair join (cell hash + 3x3 probes, one exchange),
-    symmetric degree count, striped union-find over core edges, two
-    keyed label joins — every stage key-partitioned by point id."""
+    dependent); everything else is noise (label -1).
+
+    Plan (message-passing, every exchange ~5 s of single-node floor,
+    so rounds are fused aggressively): the fixed-radius pair join
+    (cell hash + 3x3 probes) feeds TWO bucketed group rounds — round 1
+    computes each sender's degree/coreness and messages it to every
+    neighbor; round 2 re-derives the receiver's coreness from its
+    incoming message count and emits core-core edges, border
+    candidates, and core flags in ONE pass.  Components run in the
+    striped union-find; core and border labels union into one table
+    for a single left join back onto the id spine.  41 s -> this
+    shape at sf0.1 (see BASELINE.md)."""
     import ray.data as rd
 
     from geodata_ray.stages.graphcc import connected_components
     from geodata_ray.stages.relational import shuffle_join
+    from geodata_ray.stages.windows import _tag_bucket
 
     MINPTS = 5
 
@@ -9409,7 +9418,7 @@ def dbscan_labels_events(sf_dir: str):
         )))
 
     pairs = _radius_pairs(sf_dir, R=32).select_columns(
-        ["id_a", "id_b"]).materialize()
+        ["id_a", "id_b"])
 
     def sym(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_numpy(zero_copy_only=False)
@@ -9419,75 +9428,95 @@ def dbscan_labels_events(sf_dir: str):
             "nbr": pa.array(np.concatenate([b, a])),
         })
 
-    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
-    deg = grouped_aggregate(
-        edges, ["id"], [("nbr", "count", "deg")]
+    def round1(g: pa.Table) -> pa.Table:
+        # per sender: degree -> coreness, messaged to every neighbor
+        t = g.sort_by([("id", "ascending")])
+        u = t["id"].to_numpy(zero_copy_only=False)
+        nb = t["nbr"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        deg = np.diff(np.r_[starts, u.size])
+        core = (deg + 1 >= MINPTS).astype(np.int64)
+        return pa.table({
+            "dst": pa.array(nb),
+            "src": pa.array(u),
+            "src_core": pa.array(np.repeat(core, deg)),
+        })
+
+    msgs = (
+        _tag_bucket(
+            pairs.map_batches(sym, batch_format="pyarrow"), "id", 64)
+        .groupby("__b")
+        .map_groups(round1, batch_format="pyarrow")
     )
 
-    def coreflag(batch: pa.Table) -> pa.Table:
-        d = batch["deg"].to_numpy(zero_copy_only=False)
+    def round2(g: pa.Table) -> pa.Table:
+        # receiver coreness = incoming message count (== degree);
+        # emit kind=0 core-core edges, kind=1 border candidates,
+        # kind=2 core flags — one pass, no extra exchange
+        t = g.sort_by([("dst", "ascending")])
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        s = t["src"].to_numpy(zero_copy_only=False)
+        sc = t["src_core"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        deg = np.diff(np.r_[starts, d.size])
+        my_core = np.repeat((deg + 1 >= MINPTS), deg)
+        ce = my_core & (sc == 1)
+        bc = (~my_core) & (sc == 1)
+        core_ids = d[starts][(deg + 1 >= MINPTS)]
         return pa.table({
-            "id": batch["id"],
-            "is_core": pa.array((d + 1 >= MINPTS).astype(np.int64)),
+            "kind": pa.array(np.concatenate([
+                np.zeros(int(ce.sum()), np.int64),
+                np.ones(int(bc.sum()), np.int64),
+                np.full(core_ids.size, 2, np.int64),
+            ])),
+            "a": pa.array(np.concatenate(
+                [d[ce], d[bc], core_ids])),
+            "b": pa.array(np.concatenate(
+                [s[ce], s[bc], core_ids])),
         })
 
-    flags = deg.map_batches(coreflag, batch_format="pyarrow") \
-        .materialize()
+    tagged = (
+        _tag_bucket(msgs, "dst", 64)
+        .groupby("__b")
+        .map_groups(round2, batch_format="pyarrow")
+        .materialize()  # reused three ways below
+    )
 
-    # core-core edges -> components (cluster id = min core id)
-    fe = shuffle_join(edges, flags, ["id"]).materialize()
+    def pick(kind):
+        return tagged.map_batches(
+            lambda b, k=kind: b.filter(pc.equal(b["kind"], k)).select(
+                ["a", "b"]),
+            batch_format="pyarrow",
+        )
 
-    def rn(batch: pa.Table) -> pa.Table:  # re-key on the neighbor side
-        return pa.table({"id": batch["nbr"],
-                         "src": batch["id"],
-                         "src_core": batch["is_core"]})
-
-    fe2 = shuffle_join(
-        fe.map_batches(rn, batch_format="pyarrow"), flags, ["id"]
-    ).materialize()  # (id=nbr, src, src_core, is_core=nbr_core)
-
-    def ce(batch: pa.Table) -> pa.Table:
-        m = pc.and_(pc.equal(batch["src_core"], 1),
-                    pc.equal(batch["is_core"], 1))
-        t = batch.filter(m)
-        return pa.table({"id_a": t["src"], "id_b": t["id"]})
-
-    core_edges = fe2.map_batches(ce, batch_format="pyarrow")
-    cc = connected_components(core_edges, src="id_a", dst="id_b")
+    cc = connected_components(pick(0), src="a", dst="b")
 
     # core labels: component id where connected, own id when isolated
-    cores = _typed(flags.map_batches(
-        lambda b: b.filter(pc.equal(b["is_core"], 1)).select(["id"]),
+    cl = shuffle_join(
+        _typed(pick(2).map_batches(
+            lambda b: pa.table({"id": b["a"]}),
+            batch_format="pyarrow"), id=pa.int64()),
+        _typed(cc.map_batches(
+            lambda b: pa.table({"id": b["node"],
+                                "cluster_id": b["cluster_id"]}),
+            batch_format="pyarrow",
+        ), id=pa.int64(), cluster_id=pa.int64()),
+        ["id"], how="left",
+    )
+    core_label = _typed(cl.map_batches(
+        lambda b: pa.table({
+            "id": b["id"],
+            "label": pc.cast(pc.coalesce(b["cluster_id"], b["id"]),
+                             pa.int64()),
+        }),
         batch_format="pyarrow",
-    ), id=pa.int64())
-    cl = shuffle_join(cores, _typed(cc.map_batches(
-        lambda b: pa.table({"id": b["node"],
-                            "cluster_id": b["cluster_id"]}),
-        batch_format="pyarrow",
-    ), id=pa.int64(), cluster_id=pa.int64()), ["id"], how="left")
-
-    def corelabel(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "id": batch["id"],
-            "label": pc.cast(
-                pc.coalesce(batch["cluster_id"], batch["id"]),
-                pa.int64()),
-        })
-
-    core_label = _typed(
-        cl.map_batches(corelabel, batch_format="pyarrow"),
-        id=pa.int64(), label=pa.int64(),
-    ).materialize()
+    ), id=pa.int64(), label=pa.int64()).materialize()
 
     # border: non-core point adjacent to a core -> min core label
-    def nc_edges(b: pa.Table) -> pa.Table:
-        m = pc.and_(pc.equal(b["src_core"], 0),
-                    pc.equal(b["is_core"], 1))
-        t = b.filter(m)
-        return pa.table({"nc": t["src"], "id": t["id"]})
-
     nb = shuffle_join(
-        fe2.map_batches(nc_edges, batch_format="pyarrow"),
+        _typed(pick(1).map_batches(
+            lambda b: pa.table({"nc": b["a"], "id": b["b"]}),
+            batch_format="pyarrow"), nc=pa.int64(), id=pa.int64()),
         core_label, ["id"],
     )
     border = grouped_aggregate(
@@ -9498,46 +9527,43 @@ def dbscan_labels_events(sf_dir: str):
         ["id"], [("label", "min", "label")],
     )
 
-    # assemble: every event id gets (role, label)
+    # one labels table (core ids and border ids are disjoint), one
+    # left join onto the id spine
+    labels = _typed(core_label.map_batches(
+        lambda b: pa.table({"id": b["id"], "label": b["label"],
+                            "role": pa.array(
+                                np.zeros(len(b), np.int64))}),
+        batch_format="pyarrow",
+    ), id=pa.int64(), label=pa.int64(), role=pa.int64()).union(
+        _typed(border.map_batches(
+            lambda b: pa.table({"id": b["id"], "label": b["label"],
+                                "role": pa.array(
+                                    np.ones(len(b), np.int64))}),
+            batch_format="pyarrow",
+        ), id=pa.int64(), label=pa.int64(), role=pa.int64())
+    )
     ids = _read(sf_dir, "events", columns=["event_id"])
     lab = shuffle_join(
         ids.map_batches(
             lambda b: pa.table({"id": b["event_id"]}),
             batch_format="pyarrow",
         ),
-        _typed(core_label.map_batches(
-            lambda b: pa.table({"id": b["id"], "core_lbl": b["label"]}),
-            batch_format="pyarrow",
-        ), id=pa.int64(), core_lbl=pa.int64()),
-        ["id"], how="left",
-    ).materialize()
-    lab = shuffle_join(
-        lab,
-        _typed(border.map_batches(
-            lambda b: pa.table({"id": b["id"], "bord_lbl": b["label"]}),
-            batch_format="pyarrow",
-        ), id=pa.int64(), bord_lbl=pa.int64()),
-        ["id"], how="left",
+        labels, ["id"], how="left",
     )
 
     def final(batch: pa.Table) -> pa.Table:
-        core_v = batch["core_lbl"]
-        bord_v = batch["bord_lbl"]
-        if isinstance(core_v, pa.ChunkedArray):
-            core_v = core_v.combine_chunks()
-        if isinstance(bord_v, pa.ChunkedArray):
-            bord_v = bord_v.combine_chunks()
-        cn = pc.is_valid(core_v).to_numpy(zero_copy_only=False)
-        bn = pc.is_valid(bord_v).to_numpy(zero_copy_only=False)
-        role = np.where(cn, 0, np.where(bn, 1, 2)).astype(np.int64)
-        label = pc.cast(
-            pc.coalesce(core_v, bord_v, pa.scalar(-1, pa.int64())),
-            pa.int64(),
-        )
+        lv = batch["label"]
+        rv = batch["role"]
+        if isinstance(lv, pa.ChunkedArray):
+            lv = lv.combine_chunks()
+        if isinstance(rv, pa.ChunkedArray):
+            rv = rv.combine_chunks()
         return pa.table({
             "event_id": batch["id"],
-            "role": pa.array(role),
-            "label": label,
+            "role": pc.cast(
+                pc.coalesce(rv, pa.scalar(2, pa.int64())), pa.int64()),
+            "label": pc.cast(
+                pc.coalesce(lv, pa.scalar(-1, pa.int64())), pa.int64()),
         })
 
     return lab.map_batches(final, batch_format="pyarrow")
