@@ -372,6 +372,12 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "audience_overlap_types_events",
         "zipf_state_docs",
         "grouped_mode_cents_events",
+        # twenty-second wave (round 5)
+        "bloom_partition_index_events",
+        "rank_normalize_embeddings",
+        "fold_leakage_audit_docs",
+        "twap_user_values",
+        "bounce_rate_daily_events",
         # twenty-first wave (round 5)
         "dbscan_labels_events",
         "phrase_query_docs",

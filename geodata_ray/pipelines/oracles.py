@@ -1746,6 +1746,79 @@ lv0 AS (
     return "WITH " + ",\n".join(parts) + "\n" + unions
 
 
+def _fold_leakage_sql() -> str:
+    """Cross-fold near-duplicate pairs (fold = doc_id %% 5) over the
+    exact Jaccard pair CTEs."""
+    return f"""
+WITH {_jaccard_pairs_cte("0.5")}
+SELECT id_a, id_b,
+       CAST((id_a // 7) % 5 AS BIGINT) AS fold_a,
+       CAST((id_b // 7) % 5 AS BIGINT) AS fold_b
+FROM pairs WHERE (id_a // 7) % 5 <> (id_b // 7) % 5
+"""
+
+
+def _bloom_part_sql(d: int = 4, lw: int = 12, nparts: int = 16) -> str:
+    """Partition-level Bloom index audit: per-partition DISTINCT bit
+    tables (the partitioned-Bloom hashing of ``_bloom_sql``, keyed by
+    ``event_id %% nparts``), probe users' bits via the same chain, hit
+    = all d bits present; exact presence from a filtered distinct."""
+    salt = 0x9E3779B97F4A7C15
+    x0 = {
+        f"j{j}": f"((uid + {j * salt % (1 << 64)}) % {_U64_M})"
+        for j in range(d)
+    }
+    sm = _sql_splitmix_stages("bp", x0, "d0")
+    smq = _sql_splitmix_stages("bq", x0, "q0")
+    div = 1 << (64 - lw)
+    arms = "\nUNION ALL\n".join(
+        f"SELECT part, {j * (1 << lw)} + h_j{j} // {div} AS bit"
+        f" FROM bp6"
+        for j in range(d)
+    )
+    qarms = "\nUNION ALL\n".join(
+        f"SELECT pu, {j * (1 << lw)} + h_j{j} // {div} AS bit"
+        f" FROM bq6"
+        for j in range(d)
+    )
+    probes = ", ".join(f"({p})" for p in (1, 3, 5, 7, 911))
+    return f"""
+WITH d0 AS (
+  SELECT DISTINCT CAST(event_id % {nparts} AS BIGINT) AS part,
+         CAST(user_id AS HUGEINT) AS uid
+  FROM events
+),
+{sm},
+pbits AS (SELECT DISTINCT part, CAST(bit AS BIGINT) AS bit
+          FROM ({arms})),
+q0 AS (SELECT pu, CAST(pu AS HUGEINT) AS uid
+       FROM (VALUES {probes}) p(pu)),
+{smq},
+qbits AS (SELECT pu, CAST(bit AS BIGINT) AS bit FROM ({qarms})),
+grid AS (
+  SELECT q.pu, g.part
+  FROM (SELECT DISTINCT pu FROM q0) q,
+       (SELECT UNNEST(generate_series(0, {nparts - 1})) AS part) g
+),
+pres AS (
+  SELECT DISTINCT CAST(event_id % {nparts} AS BIGINT) AS part, user_id
+  FROM events WHERE user_id IN (1, 3, 5, 7, 911)
+)
+SELECT CAST(grid.pu AS BIGINT) AS probe_user,
+       CAST(grid.part AS BIGINT) AS part,
+       CAST(CASE WHEN (SELECT COUNT(*) FROM qbits
+                       JOIN pbits ON pbits.part = grid.part
+                                 AND pbits.bit = qbits.bit
+                       WHERE qbits.pu = grid.pu) = {d}
+                 THEN 1 ELSE 0 END AS BIGINT) AS bloom_hit,
+       CAST(CASE WHEN EXISTS (SELECT 1 FROM pres
+                              WHERE pres.part = grid.part
+                                AND pres.user_id = grid.pu)
+                 THEN 1 ELSE 0 END AS BIGINT) AS present
+FROM grid
+"""
+
+
 def _hll_keyed_sql() -> str:
     """Keyed (per-day) HLL register table — the same unrolled splitmix
     + trailing-zero rank as ``_hll_sql``, grouped by day as well."""
@@ -5250,6 +5323,73 @@ _ORACLE_SQL_STATIC = {
     "hilbert_rank_events": _hilbert_sql(),
     "dbscan_labels_events": _dbscan_sql(),
     "merkle_tree_events": _merkle_sql(),
+    "bloom_partition_index_events": _bloom_part_sql(),
+    "fold_leakage_audit_docs": _fold_leakage_sql(),
+    # per-dimension rank (quantile) normalization of embeddings
+    "rank_normalize_embeddings": """
+        WITH e AS (
+          SELECT vec_id, g.i AS dim,
+                 CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1048576)
+                      AS BIGINT) AS q
+          FROM embeddings CROSS JOIN LATERAL (
+            SELECT UNNEST(generate_series(1, 64)) AS i
+          ) g
+        )
+        SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY dim
+                                       ORDER BY q, vec_id)
+                    AS BIGINT) AS rank
+        FROM e
+    """,
+    # TWAP state per user (LEAD gaps; deterministic event_id ties)
+    "twap_user_values": """
+        WITH o AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                 LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id) AS nxt
+          FROM events
+        ),
+        a AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN nxt IS NULL THEN 0
+                               ELSE cents * (nxt - ts_us) END)
+                      AS BIGINT) AS twap_num,
+                 CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS span_us,
+                 CAST(COUNT(*) AS BIGINT) AS n_obs
+          FROM o GROUP BY 1
+        )
+        SELECT * FROM a WHERE n_obs >= 2
+    """,
+    # daily bounce-rate state over 30-minute-gap sessions
+    "bounce_rate_daily_events": """
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+          SELECT user_id, ts,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        ),
+        s AS (
+          SELECT user_id, sid, MIN(ts) AS session_start,
+                 COUNT(*) AS n_events
+          FROM sess GROUP BY 1, 2
+        )
+        SELECT CAST(DATE_TRUNC('day', session_start) AS TIMESTAMP)
+                   AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bounces
+        FROM s GROUP BY 1
+    """,
     # positional phrase retrieval ('hash join', lower+space tokens)
     "phrase_query_docs": """
         WITH sp AS (

@@ -9826,6 +9826,263 @@ def load_profile_events(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Twenty-second wave: partitioned bloom index audit, rank
+# normalization, train/eval fold-leakage audit, TWAP, bounce rate.
+# ---------------------------------------------------------------------------
+
+_BLOOM_PROBES = (1, 3, 5, 7, 911)  # 911 is absent from every SF
+
+
+def bloom_partition_index_events(sf_dir: str):
+    """File/partition-level Bloom INDEX audit — the data-skipping
+    structure for point lookups on unsorted columns (zonemaps only
+    prune sorted ones): events partition by ``event_id % 16``, each
+    partition keeps a partitioned-Bloom bit set over its user_ids;
+    probing five fixed users yields, per (probe, partition),
+    ``bloom_hit`` (all d bits set -> partition must be scanned) and
+    ``present`` (exact membership) — hits with present=0 are the
+    measured false-positive cost.  Bit tables are constant-bounded
+    (16 x d x 2^lw); one distinct exchange builds them."""
+    import ray.data as rd
+
+    from geodata_ray.stages.sketch import CMS_D, CMS_LW, cms_cells_batch
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def bits(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        part = (ids % 16).astype(np.int64)
+        depths, cells = cms_cells_batch(u)
+        bit = depths * np.int64(1 << CMS_LW) + cells
+        # cms_cells_batch flattens depth-major ([d0 rows..., d1 rows...])
+        t = pa.table({
+            "part": pa.array(np.tile(part, CMS_D)),
+            "bit": pa.array(bit),
+        })
+        out = t.group_by(["part", "bit"]).aggregate([([], "count_all")])
+        return out.select(["part", "bit"])
+
+    bit_tbl = grouped_aggregate(
+        ds.map_batches(bits, batch_format="pyarrow"),
+        ["part", "bit"], [("bit", "count", "__n")],
+    ).drop_columns(["__n"]).take_all()  # <= 16 * d * 2^lw rows
+    part_bits: dict[int, set] = {}
+    for r in bit_tbl:
+        part_bits.setdefault(int(r["part"]), set()).add(int(r["bit"]))
+
+    # exact presence of the probes (tiny filtered exchange)
+    probes = np.array(_BLOOM_PROBES, dtype=np.int64)
+
+    def pres(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        keep = np.isin(u, probes)
+        return pa.table({
+            "part": pa.array((ids[keep] % 16).astype(np.int64)),
+            "user_id": pa.array(u[keep]),
+        })
+
+    present = grouped_aggregate(
+        ds.map_batches(pres, batch_format="pyarrow"),
+        ["part", "user_id"], [("user_id", "count", "__n")],
+    ).drop_columns(["__n"]).take_all()
+    pset = {(int(r["part"]), int(r["user_id"])) for r in present}
+
+    depths, cells = cms_cells_batch(probes)
+    pbits = (depths * np.int64(1 << CMS_LW) + cells).reshape(
+        CMS_D, probes.size)
+    rows = {"probe_user": [], "part": [], "bloom_hit": [],
+            "present": []}
+    for pi, pu in enumerate(probes):
+        need = {int(pbits[j, pi]) for j in range(CMS_D)}
+        for part in range(16):
+            rows["probe_user"].append(int(pu))
+            rows["part"].append(part)
+            rows["bloom_hit"].append(
+                int(need <= part_bits.get(part, set())))
+            rows["present"].append(int((part, int(pu)) in pset))
+    return rd.from_arrow(pa.table({
+        "probe_user": pa.array(rows["probe_user"], pa.int64()),
+        "part": pa.array(rows["part"], pa.int64()),
+        "bloom_hit": pa.array(rows["bloom_hit"], pa.int64()),
+        "present": pa.array(rows["present"], pa.int64()),
+    }))
+
+
+def rank_normalize_embeddings(sf_dir: str):
+    """Quantile (rank) normalization of the embedding matrix: per
+    dimension, each vector's value replaced by its 1-based rank
+    under the deterministic (quantized value, vec_id) order — the
+    rank-based feature-scaling step that makes dimensions comparable
+    regardless of their marginal distributions.  Explode to
+    (vec_id, dim, q) once, exchange on the 64-dim key, vectorized
+    argsort rank per dimension group."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n = len(batch)
+        if n == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.int64())})
+        dim = flat.size // n
+        q = np.floor(flat * 1048576.0).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(
+                batch["vec_id"].to_numpy(zero_copy_only=False), dim)),
+            "dim": pa.array(np.tile(
+                np.arange(1, dim + 1, dtype=np.int64), n)),
+            "q": pa.array(q),
+        })
+
+    def per_dim(g: pa.Table) -> pa.Table:
+        v = g["vec_id"].to_numpy(zero_copy_only=False)
+        q = g["q"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, q))
+        rank = np.empty(v.size, dtype=np.int64)
+        rank[order] = np.arange(1, v.size + 1)
+        return pa.table({
+            "vec_id": g["vec_id"],
+            "dim": g["dim"],
+            "rank": pa.array(rank),
+        })
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("dim")
+        .map_groups(per_dim, batch_format="pyarrow")
+    )
+
+
+def fold_leakage_audit_docs(sf_dir: str):
+    """Train/eval fold-leakage audit: k-fold assignment
+    (``doc_id %% 5``) crossed with the near-duplicate pair stream —
+    every pair whose endpoints land in DIFFERENT folds is an
+    evaluation leak (a near-copy of a training doc sits in the held-
+    out fold).  The hygiene check every deduplicated-corpus split
+    needs; pair generation is the banded MinHash join, the audit is a
+    stateless filter on it."""
+    pairs = near_dup_pairs(sf_dir)
+
+    def leak(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        # fold = (id // 7) % 5: NOT aligned with the mutation offset,
+        # so planted near-copies really do straddle folds
+        fa, fb = (a // 7) % 5, (b // 7) % 5
+        keep = fa != fb
+        return pa.table({
+            "id_a": pa.array(a[keep]),
+            "id_b": pa.array(b[keep]),
+            "fold_a": pa.array(fa[keep]),
+            "fold_b": pa.array(fb[keep]),
+        })
+
+    return pairs.map_batches(leak, batch_format="pyarrow")
+
+
+def twap_user_values(sf_dir: str):
+    """Time-weighted average price (TWAP) state per user: each
+    observation's value holds until the next one, so
+    ``twap = sum(cents_i * gap_i) / span`` — emitted as the exact
+    integer numerator, span, and observation count (the float ratio is
+    the caller's).  Same bucketed per-user pass as the inter-arrival
+    median (one exchange); products are overflow-guarded."""
+    from geodata_ray.stages.windows import _tag_bucket
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        )
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+            "cents": cents,
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("user_id", "ascending"),
+                       ("ts_us", "ascending"),
+                       ("event_id", "ascending")])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "twap_num": pa.array([], pa.int64()),
+                          "span_us": pa.array([], pa.int64()),
+                          "n_obs": pa.array([], pa.int64())})
+        if u.size < 2:
+            return empty
+        same = u[1:] == u[:-1]
+        gaps = np.where(same, np.diff(ts), 0)
+        if gaps.size and c.size and int(np.abs(c).max()) > 0 \
+                and int(gaps.max()) > (2**62) // max(
+                    int(np.abs(c).max()), 1):
+            raise OverflowError(
+                "twap: cents * gap_us exceeds int64 — rescale")
+        contrib = np.r_[c[:-1] * gaps, np.int64(0)]
+        starts = np.flatnonzero(np.r_[True, ~same])
+        ends = np.r_[starts[1:], u.size]
+        n = ends - starts
+        num = np.add.reduceat(contrib, starts)
+        span = ts[ends - 1] - ts[starts]
+        keep = n >= 2  # single-observation users have no span
+        return pa.table({
+            "user_id": pa.array(u[starts][keep]),
+            "twap_num": pa.array(num[keep]),
+            "span_us": pa.array(span[keep]),
+            "n_obs": pa.array(n[keep].astype(np.int64)),
+        })
+
+    return (
+        _tag_bucket(ev.map_batches(prep, batch_format="pyarrow"),
+                    "user_id", 32)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def bounce_rate_daily_events(sf_dir: str):
+    """Daily bounce rate state (the classic web-analytics KPI): per
+    day of session START, total sessions and single-event (bounce)
+    sessions — composed over the engine's 30-minute-gap
+    sessionization.  Ratios stay with the caller; counts hash-match."""
+    from geodata_ray.stages.windows import session_windows
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    sess = session_windows(ev, key_col="user_id", ts_col="ts",
+                           gap_minutes=30)
+
+    def daily(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["session_start"], unit="day")
+        one = pc.cast(pc.equal(batch["n_events"], 1), pa.int64())
+        return pa.table({
+            "day": day,
+            "n_sessions": pa.array(np.ones(len(batch), np.int64)),
+            "n_bounces": one,
+        })
+
+    return grouped_aggregate(
+        sess.map_batches(daily, batch_format="pyarrow"),
+        ["day"],
+        [("n_sessions", "sum", "n_sessions"),
+         ("n_bounces", "sum", "n_bounces")],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Twentieth wave: Hilbert layout, pseudonymization, self-join-size /
 # F2 skew audit, exact audience overlap, Zipf state, grouped mode.
 # ---------------------------------------------------------------------------
@@ -10240,6 +10497,12 @@ RAY_QUERIES = {
     "label_centroids_embeddings": label_centroids_embeddings,
     "forward_fill_user_values": forward_fill_user_values,
     "load_profile_events": load_profile_events,
+    # twenty-second wave (round 5)
+    "bloom_partition_index_events": bloom_partition_index_events,
+    "rank_normalize_embeddings": rank_normalize_embeddings,
+    "fold_leakage_audit_docs": fold_leakage_audit_docs,
+    "twap_user_values": twap_user_values,
+    "bounce_rate_daily_events": bounce_rate_daily_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,

@@ -81,8 +81,11 @@ def main() -> None:
 
     walls: dict[str, float] = {}
     rows: dict[str, int] = {}
+    only = set(sys.argv[1:])  # case-name filter: run just these
 
     def timed(name, fn):
+        if only and name not in only:
+            return
         t0 = time.perf_counter()
         n = fn()
         walls[name] = round(time.perf_counter() - t0, 2)
@@ -90,16 +93,18 @@ def main() -> None:
         print(f"[stress] {name}: {walls[name]}s ({n} rows)", file=sys.stderr)
 
     # --- flagship at 60M pages (cache generation untimed) ---
-    pages_path = bench._pages_cache(60_000_000)
-    rd.read_parquet(pages_path).count()  # untimed page-cache warm
+    if not only or "flagship_60m_pages" in only:
+        pages_path = bench._pages_cache(60_000_000)
+        rd.read_parquet(pages_path).count()  # untimed page-cache warm
 
-    def flagship60m():
-        pages = rd.read_parquet(pages_path)
-        enriched = enrich_pages(pages)
-        joined = spatial_join(enriched, polygons_table(200), mode="inner")
-        return len(tile_counts(joined, res=7).to_pandas())
+        def flagship60m():
+            pages = rd.read_parquet(pages_path)
+            enriched = enrich_pages(pages)
+            joined = spatial_join(enriched, polygons_table(200),
+                                  mode="inner")
+            return len(tile_counts(joined, res=7).to_pandas())
 
-    timed("flagship_60m_pages", flagship60m)
+        timed("flagship_60m_pages", flagship60m)
 
     # --- q1-style grouped aggregate over 6M lineitem rows ---
     def q1_10x():
@@ -854,6 +859,184 @@ def main() -> None:
         ).count()
 
     timed("cusum_10m", cusum_10m)
+
+    # --- continuation-session additions (waves 17-21) ---
+
+    def _amp_events_path() -> str:
+        """100x events (10M rows, 15k users — the suite's 10m-case
+        convention) cached once as ONE parquet file (query entry
+        points read {dir}/events.parquet) so the wave cases time the
+        OPERATOR, not the amplification."""
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        d = "/tmp/graft_stress_events100x"
+        path = f"{d}/events.parquet"
+        if not _os.path.exists(path):
+            _os.makedirs(d, exist_ok=True)
+            amped = amplify(
+                rd.read_parquet(f"{SF_DIR}/events.parquet"),
+                AMP * 10,
+                {"event_id": 1_000_000, "user_id": 1_000},
+            )
+            writer = None
+            for b in amped.iter_batches(batch_format="pyarrow",
+                                        batch_size=262_144):
+                if writer is None:
+                    writer = pq.ParquetWriter(path, b.schema)
+                writer.write_table(b)
+            writer.close()
+        return d
+
+    def q7_sf1():
+        # two chained hash joins at 60M lineitem x 15M orders
+        from geodata_ray.pipelines.queries import _rev_micro_np
+
+        li = amplify(
+            rd.read_parquet(
+                f"{SF_DIR}/lineitem.parquet",
+                columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                         "l_discount", "l_shipdate"],
+            ),
+            AMP, {"l_orderkey": 10_000_000},
+        )
+        lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+        hi = pa.scalar(np.datetime64("1998-01-01", "us"))
+
+        def lprep(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater_equal(b["l_shipdate"], lo),
+                        pc.less(b["l_shipdate"], hi))
+            t = b.filter(m)
+            return pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "rev_micro": pa.array(_rev_micro_np(t)),
+            })
+
+        orders = amplify(
+            rd.read_parquet(f"{SF_DIR}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey"]),
+            AMP, {"o_orderkey": 10_000_000},
+        )
+        oj = orders.materialize()
+        j = native_join(
+            li.map_batches(lprep, batch_format="pyarrow"),
+            oj, on="l_orderkey", right_on="o_orderkey",
+            num_partitions=32,
+        )
+        out = grouped_aggregate(
+            j.map_batches(
+                lambda b: pa.table({
+                    "k": pc.cast(
+                        pc.bit_wise_and(b["o_custkey"], 255),
+                        pa.int64()),
+                    "rev_micro": b["rev_micro"],
+                }),
+                batch_format="pyarrow",
+            ),
+            ["k"], [("rev_micro", "sum", "rev")],
+        )
+        return out.count()
+
+    timed("q7_join_chain_60m", q7_sf1)
+
+    def weighted_median_60m():
+        from geodata_ray.stages.packing import global_prefix_sum
+
+        li = amplify(
+            rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                            columns=["l_extendedprice", "l_quantity"]),
+            AMP, {},
+        )
+
+        def prep(b: pa.Table) -> pa.Table:
+            cents = pc.cast(pc.round(pc.multiply(
+                pc.cast(b["l_extendedprice"], pa.float64()), 100.0)),
+                pa.int64())
+            w = pc.cast(pc.round(pc.cast(b["l_quantity"],
+                                         pa.float64())), pa.int64())
+            return pa.table({"cents": cents, "w": w})
+
+        hist = grouped_aggregate(
+            li.map_batches(prep, batch_format="pyarrow"),
+            ["cents"], [("w", "sum", "w")],
+        ).materialize()
+        total = int(hist.sum("w"))
+        ranked = global_prefix_sum(hist, order_col="cents",
+                                   value_col="w", out_col="cw")
+
+        def pick(b: pa.Table) -> pa.Table:
+            cw = b["cw"].to_numpy(zero_copy_only=False)
+            w = b["w"].to_numpy(zero_copy_only=False)
+            m = (2 * cw < total) & (2 * (cw + w) >= total)
+            return b.filter(pa.array(m))
+
+        return ranked.map_batches(pick,
+                                  batch_format="pyarrow").count()
+
+    timed("weighted_median_60m", weighted_median_60m)
+
+    def hilbert_10m():
+        from geodata_ray.pipelines.queries import hilbert_xy2d
+
+        ev = rd.read_parquet(f"{_amp_events_path()}/events.parquet",
+                             columns=["event_id"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            ids = b["event_id"].to_numpy()
+            qx = (ids * 2654435761 % 4294967296) % 32768
+            qy = (ids * 2246822519 % 4294967296) % 32768
+            return pa.table({
+                "event_id": b["event_id"],
+                "hkey": pa.array(hilbert_xy2d(
+                    qx.astype(np.int64), qy.astype(np.int64), 15)),
+            })
+
+        return ev.map_batches(prep, batch_format="pyarrow").count()
+
+    timed("hilbert_10m", hilbert_10m)
+
+    def ntile_10m():
+        from geodata_ray.stages.packing import global_prefix_sum
+
+        ev = rd.read_parquet(f"{_amp_events_path()}/events.parquet",
+                             columns=["user_id", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            cents = pc.cast(pc.round(pc.multiply(
+                pc.cast(b["value"], pa.float64()), 100.0)), pa.int64())
+            return pa.table({"user_id": b["user_id"], "cents": cents})
+
+        agg = grouped_aggregate(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["user_id"], [("cents", "sum", "cents")],
+        ).materialize()
+
+        def okey(b: pa.Table) -> pa.Table:
+            c = b["cents"].to_numpy(zero_copy_only=False)
+            u = b["user_id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "user_id": b["user_id"],
+                "__ok": pa.array(c * 4294967296 + u),
+                "__one": pa.array(np.ones(c.size, np.int64)),
+            })
+
+        return global_prefix_sum(
+            agg.map_batches(okey, batch_format="pyarrow"),
+            order_col="__ok", value_col="__one", out_col="__rank",
+        ).count()
+
+    timed("ntile_rank_10m_events", ntile_10m)
+
+    def forward_fill_10m():
+        from geodata_ray.pipelines.queries import (
+            forward_fill_user_values,
+        )
+
+        return forward_fill_user_values(_amp_events_path()).count()
+
+    timed("forward_fill_10m", forward_fill_10m)
 
     print(json.dumps({
         "metric": "sf1 stress walls (10x gate scale)",
