@@ -372,6 +372,11 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "audience_overlap_types_events",
         "zipf_state_docs",
         "grouped_mode_cents_events",
+        # twenty-third wave (round 5)
+        "lang_confusion_docs",
+        "label_outliers_embeddings",
+        "rle_runs_events",
+        "session_duration_quantiles_events",
         # twenty-second wave (round 5)
         "bloom_partition_index_events",
         "rank_normalize_embeddings",

@@ -5244,6 +5244,13 @@ _ORACLE_SQL_STATIC = {
     "q3_shipping_native": Q3_NATIVE_SQL,
     "range_join_orders_events": RANGE_JOIN_SQL,
     "langid_docs": LANGID_SQL,
+    # declared-vs-predicted language confusion matrix
+    "lang_confusion_docs": f"""
+        SELECT d.lang, p.lang_pred,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM ({LANGID_SQL}) p JOIN documents d USING (doc_id)
+        GROUP BY 1, 2
+    """,
     "quality_docs": QUALITY_SQL,
     "tfidf_top_terms_docs": TFIDF_SQL,
     "heavy_hitter_users": (
@@ -5361,6 +5368,78 @@ _ORACLE_SQL_STATIC = {
           FROM o GROUP BY 1
         )
         SELECT * FROM a WHERE n_obs >= 2
+    """,
+    # per-(label, dim) centroid distance outliers, division-free
+    "label_outliers_embeddings": """
+        WITH e AS (
+          SELECT vec_id, label, g.i AS dim,
+                 CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1048576)
+                      AS BIGINT) AS q
+          FROM embeddings CROSS JOIN LATERAL (
+            SELECT UNNEST(generate_series(1, 64)) AS i
+          ) g
+        ),
+        c AS (SELECT label, dim, SUM(q) AS s, COUNT(*) AS n
+              FROM e GROUP BY 1, 2),
+        d AS (
+          SELECT e.vec_id, e.label,
+                 SUM((c.n * e.q - c.s) * (c.n * e.q - c.s)) AS dist2
+          FROM e JOIN c ON c.label = e.label AND c.dim = e.dim
+          GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT label, vec_id, dist2,
+                 ROW_NUMBER() OVER (PARTITION BY label
+                                    ORDER BY dist2 DESC, vec_id) AS rk
+          FROM d
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(rk AS BIGINT) AS rk, vec_id,
+               CAST(dist2 AS BIGINT) AS dist2_scaled
+        FROM r WHERE rk <= 5
+    """,
+    # run-length audit of the global (ts, event_id)-ordered stream
+    "rle_runs_events": """
+        WITH o AS (
+          SELECT event_type,
+                 CASE WHEN LAG(event_type)
+                             OVER (ORDER BY ts, event_id)
+                        IS DISTINCT FROM event_type
+                      THEN 1 ELSE 0 END AS is_start
+          FROM events
+        )
+        SELECT event_type, CAST(SUM(is_start) AS BIGINT) AS n_runs,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM o GROUP BY 1
+    """,
+    # exact quantile_disc of 30-min-gap session durations (seconds)
+    "session_duration_quantiles_events": """
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+          SELECT user_id, ts,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        ),
+        s AS (SELECT user_id, sid, MIN(ts) AS a, MAX(ts) AS b
+              FROM sess GROUP BY 1, 2),
+        d AS (SELECT CAST((epoch_us(b) - epoch_us(a)) // 1000000
+                          AS BIGINT) AS dur_s FROM s),
+        r AS (SELECT dur_s,
+                     ROW_NUMBER() OVER (ORDER BY dur_s) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM d)
+        SELECT CAST(q.q_pct AS BIGINT) AS q_pct, r.dur_s
+        FROM r JOIN (VALUES (50, 0.5), (90, 0.9), (99, 0.99))
+                    q(q_pct, qq)
+          ON r.rn = CAST(ceil(q.qq * r.n) AS BIGINT)
     """,
     # daily bounce-rate state over 30-minute-gap sessions
     "bounce_rate_daily_events": """

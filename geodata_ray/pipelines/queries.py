@@ -9826,6 +9826,231 @@ def load_profile_events(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Twenty-third wave: language confusion matrix, centroid-distance
+# outliers, RLE run-length audit, session-duration quantiles.
+# ---------------------------------------------------------------------------
+
+
+def lang_confusion_docs(sf_dir: str):
+    """Language-ID confusion matrix: declared ``lang`` column crossed
+    with the stopword-profile predictor — the model-eval view of the
+    langid operator (per-class precision/recall numerators fall out of
+    the counts).  One vectorized prediction pass re-attaching the
+    declared label positionally, one bounded (|langs|^2) exchange."""
+    from geodata_ray.stages.textstats import langid_batch
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang"])
+
+    def pred(batch: pa.Table) -> pa.Table:
+        out = langid_batch(batch)  # row-aligned with the input
+        return pa.table({
+            "lang": batch["lang"],
+            "lang_pred": out["lang_pred"],
+        })
+
+    return grouped_aggregate(
+        ds.map_batches(pred, batch_format="pyarrow"),
+        ["lang", "lang_pred"],
+        [("lang_pred", "count", "n_docs")],
+    )
+
+
+def label_outliers_embeddings(sf_dir: str):
+    """Mislabeled-vector candidates: per label, the 5 vectors farthest
+    from their class centroid — with EXACT integer algebra: comparing
+    ``|x - s/n|^2`` across vectors of one class equals comparing
+    ``|n*q_x - s|^2`` (q = FLOOR-2^20 quantization, s = class sum, n =
+    class count), so no division ever happens.  Centroid state is the
+    bounded (label x dim) table broadcast back; top-5 per label is a
+    vectorized argsort over the bounded label domain."""
+    import ray.data as rd
+
+    cent = label_centroids_embeddings(sf_dir).take_all()  # |labels|x64
+    labels = sorted({int(r["label"]) for r in cent})
+    dims = max(int(r["dim"]) for r in cent)
+    S = np.zeros((len(labels), dims), dtype=np.int64)
+    N = np.zeros(len(labels), dtype=np.int64)
+    lidx = {l: i for i, l in enumerate(labels)}
+    for r in cent:
+        S[lidx[int(r["label"])], int(r["dim"]) - 1] = int(r["sum_q"])
+        N[lidx[int(r["label"])]] = int(r["n"])
+
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "label", "embedding"])
+
+    def dist(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "dist2_scaled": pa.array([], pa.int64())})
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        q = np.floor(
+            emb.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64) * 1048576.0
+        ).astype(np.int64).reshape(len(batch), -1)
+        li = np.array([lidx[x] for x in lab], dtype=np.int64)
+        diff = N[li, None] * q - S[li]
+        if diff.size and int(np.abs(diff).max()) > 379_625_062:
+            # sqrt(2^63 / 64): 64 squared terms must fit int64
+            raise OverflowError(
+                "label_outliers: |n*q - s| too large — rescale")
+        d2 = np.einsum("ij,ij->i", diff, diff)
+        return pa.table({
+            "label": pa.array(lab),
+            "vec_id": batch["vec_id"],
+            "dist2_scaled": pa.array(d2),
+        })
+
+    def top5(g: pa.Table) -> pa.Table:
+        d2 = g["dist2_scaled"].to_numpy(zero_copy_only=False)
+        v = g["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -d2))[:5]
+        rk = np.arange(1, order.size + 1, dtype=np.int64)
+        return pa.table({
+            "label": g["label"].take(pa.array(order)),
+            "rk": pa.array(rk),
+            "vec_id": g["vec_id"].take(pa.array(order)),
+            "dist2_scaled": g["dist2_scaled"].take(pa.array(order)),
+        })
+
+    return (
+        ds.map_batches(dist, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(top5, batch_format="pyarrow")
+    )
+
+
+def rle_runs_events(sf_dir: str):
+    """Run-length audit of the event-type stream in global
+    (ts, event_id) order: per type, the number of RUNS (maximal
+    constant stretches) and total rows — the storage/compression
+    diagnostic (RLE ratio = n_rows / n_runs) and the state-transition
+    count.  Distributed shape: range-partitioned sort, per-block
+    vectorized run counting, then a driver-side stitch over the
+    BOUNDED (one per block) boundary records — runs spanning a block
+    boundary are merged by comparing last/first types of adjacent
+    blocks."""
+    import ray.data as rd
+
+    ev = _read(sf_dir, "events",
+               columns=["event_type", "ts", "event_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+        })
+
+    s = ev.map_batches(prep, batch_format="pyarrow").sort(
+        ["ts_us", "event_id"]).materialize()
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_type": pa.array([], pa.string()),
+            "runs": pa.array([], pa.int64()),
+            "rows": pa.array([], pa.int64()),
+            "__first_ts": pa.array([], pa.int64()),
+            "__first_eid": pa.array([], pa.int64()),
+            "__first_type": pa.array([], pa.string()),
+            "__last_type": pa.array([], pa.string()),
+            "__is_boundary": pa.array([], pa.int64()),
+        })
+        if len(batch) == 0:
+            return empty
+        col = batch["event_type"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        de = col.dictionary_encode()
+        idx = de.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        vocab = de.dictionary.to_pylist()
+        starts = np.r_[True, idx[1:] != idx[:-1]]
+        runs = np.bincount(idx[starts], minlength=len(vocab))
+        rows = np.bincount(idx, minlength=len(vocab))
+        n = len(vocab)
+        return pa.table({
+            "event_type": pa.array(vocab + [""], pa.string()),
+            "runs": pa.array(np.r_[runs, 0].astype(np.int64)),
+            "rows": pa.array(np.r_[rows, 0].astype(np.int64)),
+            "__first_ts": pa.array(
+                [0] * n + [int(batch["ts_us"][0].as_py())],
+                pa.int64()),
+            "__first_eid": pa.array(
+                [0] * n + [int(batch["event_id"][0].as_py())],
+                pa.int64()),
+            "__first_type": pa.array(
+                [""] * n + [vocab[idx[0]]], pa.string()),
+            "__last_type": pa.array(
+                [""] * n + [vocab[idx[-1]]], pa.string()),
+            "__is_boundary": pa.array([0] * n + [1], pa.int64()),
+        })
+
+    parts = s.map_batches(per_block, batch_size=None,
+                          batch_format="pyarrow").take_all()
+    agg: dict[str, list] = {}
+    bounds = []
+    for r in parts:
+        if int(r["__is_boundary"]):
+            bounds.append((int(r["__first_ts"]), int(r["__first_eid"]),
+                           r["__first_type"], r["__last_type"]))
+        else:
+            a = agg.setdefault(r["event_type"], [0, 0])
+            a[0] += int(r["runs"])
+            a[1] += int(r["rows"])
+    # stitch: a run continuing across adjacent blocks was counted
+    # once per block — subtract one per same-type adjacency
+    bounds.sort()
+    for cur, prev in zip(bounds[1:], bounds[:-1]):
+        if cur[2] == prev[3]:  # this block starts what prev ended
+            agg[cur[2]][0] -= 1
+    out = sorted(agg)
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(out, pa.string()),
+        "n_runs": pa.array([agg[k][0] for k in out], pa.int64()),
+        "n_rows": pa.array([agg[k][1] for k in out], pa.int64()),
+    }))
+
+
+def session_duration_quantiles_events(sf_dir: str):
+    """Session-duration distribution: exact quantile_disc (p50 / p90 /
+    p99) of the 30-minute-gap session lengths in seconds — quantiles
+    over a DERIVED entity stream, not a raw column.  Session rows are
+    the bounded sessionization output; the quantile walk is the
+    bounded-histogram exact machinery."""
+    import ray.data as rd
+
+    from geodata_ray.stages.relational import exact_int_quantiles
+    from geodata_ray.stages.windows import session_windows
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    sess = session_windows(ev, key_col="user_id", ts_col="ts",
+                           gap_minutes=30)
+
+    def dur(batch: pa.Table) -> pa.Table:
+        d = pc.divide(
+            pc.subtract(pc.cast(batch["session_end"], pa.int64()),
+                        pc.cast(batch["session_start"], pa.int64())),
+            1_000_000,
+        )
+        return pa.table({"dur_s": pc.cast(d, pa.int64())})
+
+    vals = exact_int_quantiles(
+        sess.map_batches(dur, batch_format="pyarrow"), "dur_s",
+        [0.5, 0.9, 0.99],
+    )
+    return rd.from_arrow(pa.table({
+        "q_pct": pa.array([50, 90, 99], pa.int64()),
+        "dur_s": pa.array([int(v) for v in vals], pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
 # Twenty-second wave: partitioned bloom index audit, rank
 # normalization, train/eval fold-leakage audit, TWAP, bounce rate.
 # ---------------------------------------------------------------------------
@@ -10503,6 +10728,12 @@ RAY_QUERIES = {
     "fold_leakage_audit_docs": fold_leakage_audit_docs,
     "twap_user_values": twap_user_values,
     "bounce_rate_daily_events": bounce_rate_daily_events,
+    # twenty-third wave (round 5)
+    "lang_confusion_docs": lang_confusion_docs,
+    "label_outliers_embeddings": label_outliers_embeddings,
+    "rle_runs_events": rle_runs_events,
+    "session_duration_quantiles_events":
+        session_duration_quantiles_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
