@@ -372,6 +372,10 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "audience_overlap_types_events",
         "zipf_state_docs",
         "grouped_mode_cents_events",
+        # twenty-fourth wave (round 5)
+        "ks_test_events",
+        "mmr_rerank_embeddings",
+        "dedup_canonical_docs",
         # twenty-third wave (round 5)
         "lang_confusion_docs",
         "label_outliers_embeddings",

@@ -1746,6 +1746,91 @@ lv0 AS (
     return "WITH " + ",\n".join(parts) + "\n" + unions
 
 
+def _mmr_sql(k: int = 10, topn: int = 20) -> str:
+    """MMR greedy rerank replayed as a LIST-CARRYING recursive CTE:
+    inside a recursive CTE the self-reference only sees the previous
+    iteration, so the selected set rides along as a list column;
+    each step's argmax(rel - max sim to selected) is a correlated
+    order-by/limit over the bounded candidate set."""
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, g.i AS dim,
+         CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1024) AS BIGINT)
+             AS q
+  FROM embeddings CROSS JOIN LATERAL (
+    SELECT UNNEST(generate_series(1, 64)) AS i
+  ) g
+),
+q0 AS (SELECT dim, q FROM e WHERE vec_id = 0),
+rel AS (
+  SELECT e.vec_id AS id, CAST(SUM(e.q * q0.q) AS BIGINT) AS rel
+  FROM e JOIN q0 USING (dim) WHERE e.vec_id <> 0 GROUP BY 1
+),
+cand AS (SELECT id, rel FROM rel ORDER BY rel DESC, id LIMIT {topn}),
+sym AS (
+  SELECT ea.vec_id AS a, eb.vec_id AS b,
+         CAST(SUM(ea.q * eb.q) AS BIGINT) AS s
+  FROM e ea JOIN e eb ON ea.dim = eb.dim AND ea.vec_id <> eb.vec_id
+  WHERE ea.vec_id IN (SELECT id FROM cand)
+    AND eb.vec_id IN (SELECT id FROM cand)
+  GROUP BY 1, 2
+),
+sel(k, picked, chosen) AS (
+  SELECT 1,
+         (SELECT id FROM cand ORDER BY rel DESC, id LIMIT 1),
+         [(SELECT id FROM cand ORDER BY rel DESC, id LIMIT 1)]
+  UNION ALL
+  SELECT k + 1, nxt, list_append(chosen, nxt)
+  FROM (
+    SELECT k, chosen,
+      (SELECT c.id FROM cand c
+       WHERE NOT list_contains(sel.chosen, c.id)
+       ORDER BY c.rel - COALESCE(
+                 (SELECT MAX(sym.s) FROM sym
+                  WHERE sym.a = c.id
+                    AND list_contains(sel.chosen, sym.b)), 0)
+                DESC, c.id
+       LIMIT 1) AS nxt
+    FROM sel
+  ) WHERE k < {k} AND nxt IS NOT NULL
+)
+SELECT CAST(sel.k AS BIGINT) AS k, sel.picked AS vec_id,
+       cand.rel AS rel_q
+FROM sel JOIN cand ON cand.id = sel.picked
+"""
+
+
+def _dedup_canonical_sql() -> str:
+    """Near-dup clusters (reachability closure) joined with member
+    text lengths; representative = (longest, then smallest id)."""
+    return f"""
+WITH RECURSIVE {_jaccard_pairs_cte("0.5")},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r
+),
+root AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+lens AS (SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS n
+         FROM corpus),
+best AS (
+  SELECT root.cluster_id, root.id,
+         ROW_NUMBER() OVER (PARTITION BY root.cluster_id
+                            ORDER BY lens.n DESC, root.id) AS rk
+  FROM root JOIN lens USING (id)
+)
+SELECT root.id AS doc_id, b.id AS canonical_id
+FROM root JOIN (SELECT cluster_id, id FROM best WHERE rk = 1) b
+  USING (cluster_id)
+"""
+
+
 def _fold_leakage_sql() -> str:
     """Cross-fold near-duplicate pairs (fold = doc_id %% 5) over the
     exact Jaccard pair CTEs."""
@@ -5332,6 +5417,35 @@ _ORACLE_SQL_STATIC = {
     "merkle_tree_events": _merkle_sql(),
     "bloom_partition_index_events": _bloom_part_sql(),
     "fold_leakage_audit_docs": _fold_leakage_sql(),
+    "mmr_rerank_embeddings": _mmr_sql(),
+    "dedup_canonical_docs": _dedup_canonical_sql(),
+    # two-sample KS drift statistic, division-free
+    "ks_test_events": """
+        WITH v AS (
+          SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+          FROM events WHERE event_type IN ('view', 'click')
+        ),
+        s AS (
+          SELECT c,
+                 CAST(SUM(CASE WHEN event_type = 'view'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 CAST(SUM(CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS b
+          FROM v GROUP BY 1
+        ),
+        cum AS (
+          SELECT c, SUM(a) OVER (ORDER BY c) AS ca,
+                 SUM(b) OVER (ORDER BY c) AS cb
+          FROM s
+        ),
+        t AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+                     CAST(SUM(b) AS BIGINT) AS nb FROM s)
+        SELECT CAST(0 AS BIGINT) AS grp,
+               CAST(MAX(ABS(ca * t.nb - cb * t.na)) AS BIGINT)
+                   AS ks_scaled,
+               t.na AS n_a, t.nb AS n_b
+        FROM cum, t GROUP BY t.na, t.nb
+    """,
     # per-dimension rank (quantile) normalization of embeddings
     "rank_normalize_embeddings": """
         WITH e AS (

@@ -9826,6 +9826,184 @@ def load_profile_events(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Twenty-fourth wave: KS drift test, MMR diversity rerank, near-dup
+# canonicalization.
+# ---------------------------------------------------------------------------
+
+
+def ks_test_events(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov statistic between the 'view' and
+    'click' value distributions — the distribution-drift detector
+    (train/serve skew, feed corruption) — with DIVISION-FREE exact
+    integers: ``D = max |F_a - F_b|`` becomes
+    ``max |cum_a * n_b - cum_b * n_a|`` over the merged support.  The
+    support histogram is one bounded keyed exchange; the cumulative
+    walk runs over the bounded (distinct cents) table — the exact-
+    quantile machinery's shape."""
+    import ray.data as rd
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        isv = pc.equal(batch["event_type"], "view")
+        isc = pc.equal(batch["event_type"], "click")
+        t = batch.filter(pc.or_(isv, isc))
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(t["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        )
+        a = pc.cast(pc.equal(t["event_type"], "view"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cents": cents,
+            "a": pa.array(a),
+            "b": pa.array(1 - a),
+        })
+
+    hist = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["cents"], [("a", "sum", "a"), ("b", "sum", "b")],
+    ).to_pandas().sort_values("cents", ignore_index=True)
+    # bounded: one row per distinct cents value (the value-domain
+    # histogram), independent of row count — same contract as
+    # exact_int_quantiles
+    ca = hist["a"].to_numpy().cumsum()
+    cb = hist["b"].to_numpy().cumsum()
+    na, nb = int(ca[-1]), int(cb[-1])
+    d = np.abs(ca * nb - cb * na)
+    return rd.from_arrow(pa.table({
+        "grp": pa.array([0], pa.int64()),
+        "ks_scaled": pa.array([int(d.max())], pa.int64()),
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+    }))
+
+
+def mmr_rerank_embeddings(sf_dir: str):
+    """Maximal Marginal Relevance rerank (diversity-aware retrieval):
+    query = vector 0; the top-20 candidates by exact integer dot
+    product (FLOOR-2^10 quantized components) are greedily reranked
+    with lambda = 1/2 — pick k+1 maximizes ``rel - max_sim_to_
+    selected`` (ties by vec_id), which demotes near-duplicates of
+    already-picked results.  Relevance scoring streams distributed;
+    the greedy runs over the BOUNDED 20x20 candidate matrix; the
+    oracle replays the greedy as a list-carrying recursive CTE."""
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    q0 = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    q0 = q0.filter(pc.equal(q0["vec_id"], 0))
+    qv = np.floor(
+        np.array(q0["embedding"].to_pylist()[0], dtype=np.float64)
+        * 1024.0
+    ).astype(np.int64)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def rel(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch["vec_id"], 0))
+        if len(t) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "rel_q": pa.array([], pa.int64())})
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        q = np.floor(
+            emb.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64) * 1024.0
+        ).astype(np.int64).reshape(len(t), -1)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "rel_q": pa.array(q @ qv),
+        })
+
+    top = ds.map_batches(rel, batch_format="pyarrow").sort(
+        ["rel_q", "vec_id"], descending=[True, False]
+    ).limit(20).take_all()
+    cand_ids = np.array([r["vec_id"] for r in top], dtype=np.int64)
+    rels = np.array([r["rel_q"] for r in top], dtype=np.int64)
+
+    # bounded 20x20 sim matrix from the candidates' own vectors
+    ct = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    ct = ct.filter(pc.is_in(ct["vec_id"],
+                            value_set=pa.array(cand_ids)))
+    cv = ct["vec_id"].to_numpy(zero_copy_only=False)
+    cm = np.floor(
+        np.array(ct["embedding"].combine_chunks().to_pylist(),
+                 dtype=np.float64) * 1024.0
+    ).astype(np.int64)
+    pos = {int(v): i for i, v in enumerate(cv)}
+    M = cm[[pos[int(v)] for v in cand_ids]]
+    sims = M @ M.T
+
+    picked, chosen = [], np.zeros(cand_ids.size, dtype=bool)
+    for k in range(min(10, cand_ids.size)):
+        rem = np.flatnonzero(~chosen)
+        if chosen.any():
+            scores = rels[rem] - sims[rem][:, chosen].max(axis=1)
+        else:
+            scores = rels[rem]
+        i = int(rem[np.lexsort((cand_ids[rem], -scores))[0]])
+        chosen[i] = True
+        picked.append((k + 1, int(cand_ids[i]), int(rels[i])))
+    return rd.from_arrow(pa.table({
+        "k": pa.array([p[0] for p in picked], pa.int64()),
+        "vec_id": pa.array([p[1] for p in picked], pa.int64()),
+        "rel_q": pa.array([p[2] for p in picked], pa.int64()),
+    }))
+
+
+def dedup_canonical_docs(sf_dir: str):
+    """Near-duplicate CANONICALIZATION — the end state of corpus
+    dedup: every member of a near-dup cluster maps to its cluster's
+    representative (longest text, ties to the smallest doc_id), so
+    downstream consumers rewrite references instead of just dropping
+    rows.  Pairs are the banded MinHash stream, clusters the striped
+    union-find, the representative one keyed argmax over cluster
+    members joined with their lengths."""
+    from geodata_ray.stages.graphcc import connected_components
+    from geodata_ray.stages.relational import shuffle_join
+
+    import ray.data as rd
+
+    pairs = near_dup_pairs(sf_dir)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+
+    corpus = _ndup_corpus(sf_dir)
+    lens = rd.from_arrow(pa.table({
+        "node": corpus["doc_id"],
+        "n_chars": pc.cast(
+            pc.utf8_length(corpus["text"]), pa.int64()),
+    }))
+    m = shuffle_join(comp, lens, ["node"])
+
+    def best(g: pa.Table) -> pa.Table:
+        n = g["n_chars"].to_numpy(zero_copy_only=False)
+        v = g["node"].to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((v, -n))[0])
+        return pa.table({
+            "cluster_id": g["cluster_id"].slice(0, 1),
+            "canonical_id": pa.array([int(v[i])], pa.int64()),
+        })
+
+    reps = m.groupby("cluster_id").map_groups(
+        best, batch_format="pyarrow")
+    out = shuffle_join(comp, reps, ["cluster_id"])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["node"],
+            "canonical_id": batch["canonical_id"],
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Twenty-third wave: language confusion matrix, centroid-distance
 # outliers, RLE run-length audit, session-duration quantiles.
 # ---------------------------------------------------------------------------
@@ -10734,6 +10912,10 @@ RAY_QUERIES = {
     "rle_runs_events": rle_runs_events,
     "session_duration_quantiles_events":
         session_duration_quantiles_events,
+    # twenty-fourth wave (round 5)
+    "ks_test_events": ks_test_events,
+    "mmr_rerank_embeddings": mmr_rerank_embeddings,
+    "dedup_canonical_docs": dedup_canonical_docs,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
