@@ -376,6 +376,13 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "ks_test_events",
         "mmr_rerank_embeddings",
         "dedup_canonical_docs",
+        # twenty-fifth wave (round 5)
+        "clustering_coeff_hosts",
+        "benford_audit_events",
+        "daily_corr_types_events",
+        "markov_transitions_events",
+        "pq_assign_embeddings",
+        "positional_deletes_events",
         # twenty-third wave (round 5)
         "lang_confusion_docs",
         "label_outliers_embeddings",

@@ -5446,6 +5446,184 @@ _ORACLE_SQL_STATIC = {
                t.na AS n_a, t.nb AS n_b
         FROM cum, t GROUP BY t.na, t.nb
     """,
+    # local clustering coefficient per host (floor-ppm, exact ints)
+    "clustering_coeff_hosts": """
+        WITH raw AS (
+          SELECT doc_id % 97 AS u,
+                 (doc_id % 97 + 1 + (doc_id * j) % 96) % 97 AS v
+          FROM documents CROSS JOIN (VALUES (1), (2), (3)) t(j)
+        ),
+        e AS (
+          SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+          FROM raw WHERE u <> v
+        ),
+        deg AS (
+          SELECT host, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM (SELECT a AS host FROM e UNION ALL SELECT b FROM e)
+          GROUP BY 1
+        ),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e1.b = e2.a
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        tcnt AS (
+          SELECT host, CAST(COUNT(*) AS BIGINT) AS n
+          FROM (
+            SELECT x AS host FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+          ) GROUP BY 1
+        )
+        SELECT d.host, d.deg,
+               CAST(COALESCE(t.n, 0) AS BIGINT) AS n_triangles,
+               CAST(CASE WHEN d.deg >= 2
+                         THEN (2 * COALESCE(t.n, 0) * 1000000)
+                              // (d.deg * (d.deg - 1))
+                         ELSE 0 END AS BIGINT) AS coeff_ppm
+        FROM deg d LEFT JOIN tcnt t USING (host)
+    """,
+    # Benford first-digit audit (hardcoded floor-ppm expectation)
+    "benford_audit_events": """
+        WITH x AS (
+          SELECT ABS(CAST(ROUND(value * 100) AS BIGINT)) AS a
+          FROM events
+          WHERE ABS(CAST(ROUND(value * 100) AS BIGINT)) > 0
+        ),
+        c AS (
+          SELECT CAST(LEFT(CAST(a AS VARCHAR), 1) AS BIGINT) AS digit,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM x GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n) AS t FROM c)
+        SELECT b.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+               CAST(CASE WHEN tot.t > 0
+                         THEN COALESCE(c.n, 0) * 1000000 // tot.t
+                         ELSE 0 END AS BIGINT) AS share_ppm,
+               b.benford_ppm,
+               CAST(CASE WHEN tot.t > 0
+                         THEN COALESCE(c.n, 0) * 1000000 // tot.t
+                         ELSE 0 END - b.benford_ppm AS BIGINT)
+                   AS dev_ppm
+        FROM (VALUES
+                (CAST(1 AS BIGINT), CAST(301029 AS BIGINT)),
+                (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+                (6, 66946), (7, 57991), (8, 51152), (9, 45757)
+             ) b(digit, benford_ppm)
+        LEFT JOIN c ON c.digit = b.digit
+        CROSS JOIN tot
+    """,
+    # Pearson correlation between two daily count series, exact
+    # integer moments + signed squared corr in ppb (no sqrt compared)
+    "daily_corr_types_events": """
+        WITH c AS (
+          SELECT DATE_TRUNC('day', ts) AS day,
+                 CAST(SUM(CASE WHEN event_type = 'view'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM events WHERE event_type IN ('view', 'click')
+          GROUP BY 1
+        ),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM c
+        )
+        SELECT nd AS n_days, sx AS sum_x, sy AS sum_y,
+               CAST(nd * sxy - sx * sy AS BIGINT) AS num,
+               CAST(nd * sxx - sx * sx AS BIGINT) AS den_x,
+               CAST(nd * syy - sy * sy AS BIGINT) AS den_y,
+               CAST(CASE
+                 WHEN nd * sxx - sx * sx = 0
+                      OR nd * syy - sy * sy = 0 THEN 0
+                 ELSE (CASE WHEN nd * sxy - sx * sy < 0
+                            THEN -1 ELSE 1 END)
+                      * ((CAST(nd * sxy - sx * sy AS HUGEINT)
+                          * (nd * sxy - sx * sy) * 1000000000)
+                         // (CAST(nd * sxx - sx * sx AS HUGEINT)
+                             * (nd * syy - sy * sy)))
+               END AS BIGINT) AS corr_sq_ppb
+        FROM m
+    """,
+    # first-order Markov transition matrix over per-user streams
+    "markov_transitions_events": """
+        WITH o AS (
+          SELECT event_type AS from_type,
+                 LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS to_type
+          FROM events
+        ),
+        c AS (
+          SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2
+        ),
+        t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
+        SELECT c.from_type, c.to_type, c.n,
+               CAST(c.n * 1000000 // t.tot AS BIGINT) AS prob_ppm
+        FROM c JOIN t USING (from_type)
+    """,
+    # product-quantization assignment histogram (16 lowest-id
+    # vectors = codebook; FLOOR-2^10 quantized; ties -> lowest code)
+    "pq_assign_embeddings": """
+        WITH q AS (
+          SELECT vec_id, g.i AS dim,
+                 CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1024)
+                      AS BIGINT) AS v
+          FROM embeddings CROSS JOIN LATERAL (
+            SELECT UNNEST(generate_series(1, 64)) AS i
+          ) g
+        ),
+        cbr AS (
+          SELECT vec_id,
+                 ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx
+          FROM embeddings ORDER BY vec_id LIMIT 16
+        ),
+        cbv AS (
+          SELECT cbr.cidx, q.dim, q.v
+          FROM cbr JOIN q ON q.vec_id = cbr.vec_id
+        ),
+        d AS (
+          SELECT q.vec_id, (q.dim - 1) // 8 AS sub, cbv.cidx,
+                 CAST(SUM((q.v - cbv.v) * (q.v - cbv.v)) AS BIGINT)
+                     AS dist
+          FROM q JOIN cbv ON cbv.dim = q.dim
+          GROUP BY 1, 2, 3
+        ),
+        a AS (
+          SELECT vec_id, sub, cidx, dist,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, sub ORDER BY dist, cidx
+                 ) AS rn
+          FROM d
+        )
+        SELECT CAST(sub AS BIGINT) AS subspace,
+               CAST(cidx AS BIGINT) AS code,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dist) AS BIGINT) AS sum_sqdist
+        FROM a WHERE rn = 1 GROUP BY 1, 2
+    """,
+    # merge-on-read positional deletes (1-based pos % 7 == 3 drops)
+    "positional_deletes_events": """
+        WITH p AS (
+          SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY DATE_TRUNC('day', ts)
+                   ORDER BY ts, event_id
+                 ) AS pos
+          FROM events
+        )
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_live,
+               CAST(SUM(cents) AS BIGINT) AS cents_live
+        FROM p WHERE pos % 7 <> 3 GROUP BY 1
+    """,
     # per-dimension rank (quantile) normalization of embeddings
     "rank_normalize_embeddings": """
         WITH e AS (

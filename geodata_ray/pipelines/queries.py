@@ -10726,6 +10726,364 @@ def grouped_mode_cents_events(sf_dir: str):
     )
 
 
+def clustering_coeff_hosts(sf_dir: str):
+    """Per-host LOCAL clustering coefficient over the deterministic
+    97-node host link graph (same edge arithmetic as PageRank /
+    triangles): ``2*tri / (deg*(deg-1))`` as an exact floor-ppm
+    integer plus its exact ingredients — the per-node ratio form of
+    the triangle statistic, the standard web-community density score.
+    ONE canonical distinct-edge pass feeds both the wedge join and the
+    degree count; the two bounded per-vertex aggregates merge in a
+    single grouped SUM (union, not join)."""
+    from geodata_ray.stages.graphcc import clustering_coefficient
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        u = ids % 97
+        us, vs = [], []
+        for j in (1, 2, 3):
+            us.append(u)
+            vs.append((u + 1 + (ids * j) % 96) % 97)
+        return pa.table(
+            {"u": pa.array(np.concatenate(us)),
+             "v": pa.array(np.concatenate(vs))}
+        )
+
+    return clustering_coefficient(
+        ds.map_batches(edges, batch_format="pyarrow"), num_buckets=16
+    )
+
+
+# Benford first-digit expectation, floor(log10(1 + 1/d) * 1e6) —
+# hardcoded as integers so the engine and the SQL oracle share the
+# exact same constants (no cross-engine log10 bit dependence).
+_BENFORD_PPM = (301029, 176091, 124938, 96910, 79181,
+                66946, 57991, 51152, 45757)
+
+
+def benford_audit_events(sf_dir: str):
+    """Benford's-law first-digit audit over the exact event cents (the
+    classic fraud / data-quality screen): observed count and floor-ppm
+    share per leading digit 1-9 next to the hardcoded Benford
+    expectation and the signed deviation.  Per-batch partials are a
+    bounded 9-bin bincount (first digit by exact integer division —
+    no string formatting, no float log); one tiny grouped SUM; the
+    final 9-row share table is finished driver-side."""
+    ev = _read(sf_dir, "events", columns=["value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        x = np.abs(cents)
+        x = x[x > 0]
+        # strip trailing digits by repeated exact division — at most
+        # 19 vectorized passes (int64 magnitude), typically ~5
+        while x.size and int(x.max()) >= 10:
+            big = x >= 10
+            x = np.where(big, x // 10, x)
+        counts = np.bincount(x, minlength=10)[1:10]
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    agg = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["digit"], [("n", "sum", "n")],
+    )
+    rows = {int(r["digit"]): int(r["n"]) for r in agg.take_all()}
+    n = np.array([rows.get(d, 0) for d in range(1, 10)], dtype=np.int64)
+    tot = int(n.sum())
+    share = (n * 1_000_000) // tot if tot else np.zeros(9, np.int64)
+    bppm = np.array(_BENFORD_PPM, dtype=np.int64)
+    return pa.table({
+        "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+        "n": pa.array(n),
+        "share_ppm": pa.array(share.astype(np.int64)),
+        "benford_ppm": pa.array(bppm),
+        "dev_ppm": pa.array(share.astype(np.int64) - bppm),
+    })
+
+
+def daily_corr_types_events(sf_dir: str):
+    """Pearson correlation between the daily count series of two event
+    types (view vs click) — the drift / co-movement check between two
+    metrics.  One bounded (day x 2) pre-combined exchange produces the
+    exact integer daily counts; the five moments and the correlation
+    fold driver-side in PYTHON INTS (unbounded, exact), emitted as the
+    signed squared correlation in parts-per-billion plus every exact
+    ingredient, so no cross-engine sqrt/division bits are compared."""
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+    day_us = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array(["view", "click"]))
+        t = batch.filter(keep)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        d = (ts // day_us) * day_us
+        eq = pc.equal(t["event_type"], "view")
+        if isinstance(eq, pa.ChunkedArray):
+            eq = eq.combine_chunks()
+        vmask = eq.to_numpy(zero_copy_only=False).astype(bool)
+        ud, inv = np.unique(d, return_inverse=True)
+        x = np.bincount(inv[vmask], minlength=ud.size).astype(np.int64)
+        y = np.bincount(inv[~vmask], minlength=ud.size).astype(np.int64)
+        return pa.table({
+            "day_us": pa.array(ud),
+            "x": pa.array(x),
+            "y": pa.array(y),
+        })
+
+    daily = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["day_us"], [("x", "sum", "x"), ("y", "sum", "y")],
+    )
+    xs, ys = [], []
+    for r in daily.take_all():  # bounded by the day count
+        xs.append(int(r["x"]))
+        ys.append(int(r["y"]))
+    nd = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    num = nd * sxy - sx * sy
+    den_x = nd * sxx - sx * sx
+    den_y = nd * syy - sy * sy
+    if den_x and den_y:
+        sgn = -1 if num < 0 else 1
+        corr = sgn * ((num * num * 10**9) // (den_x * den_y))
+    else:
+        corr = 0
+    vals = (nd, sx, sy, num, den_x, den_y, corr)
+    if any(abs(v) > 2**62 for v in vals):
+        raise OverflowError("daily_corr: moment exceeds int64 output")
+    return pa.table({
+        "n_days": pa.array([nd], pa.int64()),
+        "sum_x": pa.array([sx], pa.int64()),
+        "sum_y": pa.array([sy], pa.int64()),
+        "num": pa.array([num], pa.int64()),
+        "den_x": pa.array([den_x], pa.int64()),
+        "den_y": pa.array([den_y], pa.int64()),
+        "corr_sq_ppb": pa.array([corr], pa.int64()),
+    })
+
+
+def markov_transitions_events(sf_dir: str):
+    """First-order Markov transition matrix over each user's
+    time-ordered event-type stream: count and floor-ppm probability
+    per (from_type, to_type) adjacency — the session-behavior model
+    next to the FIRST-occurrence pair support of
+    ``type_sequence_counts``.  Same bucketed per-user pass as TWAP
+    (one exchange); the types^2-bounded count table is finished
+    driver-side."""
+    from geodata_ray.stages.windows import _tag_bucket
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("user_id", "ascending"),
+                       ("ts_us", "ascending"),
+                       ("event_id", "ascending")])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        empty = pa.table({"from_type": pa.array([], pa.string()),
+                          "to_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if u.size < 2:
+            return empty
+        utypes, codes = np.unique(ty, return_inverse=True)
+        k = utypes.size
+        same = u[1:] == u[:-1]
+        pair = codes[:-1][same] * k + codes[1:][same]
+        acc = np.bincount(pair, minlength=k * k)
+        nz = np.flatnonzero(acc)
+        return pa.table({
+            "from_type": pa.array(utypes[nz // k], pa.string()),
+            "to_type": pa.array(utypes[nz % k], pa.string()),
+            "n": pa.array(acc[nz].astype(np.int64)),
+        })
+
+    agg = grouped_aggregate(
+        _tag_bucket(ev.map_batches(prep, batch_format="pyarrow"),
+                    "user_id", 32)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow"),
+        ["from_type", "to_type"], [("n", "sum", "n")],
+    )
+    rows = agg.take_all()  # bounded by types^2
+    tot: dict[str, int] = {}
+    for r in rows:
+        tot[r["from_type"]] = tot.get(r["from_type"], 0) + int(r["n"])
+    rows.sort(key=lambda r: (r["from_type"], r["to_type"]))
+    return pa.table({
+        "from_type": pa.array([r["from_type"] for r in rows],
+                              pa.string()),
+        "to_type": pa.array([r["to_type"] for r in rows], pa.string()),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        "prob_ppm": pa.array(
+            [int(r["n"]) * 1_000_000 // tot[r["from_type"]]
+             for r in rows], pa.int64()),
+    })
+
+
+def pq_assign_embeddings(sf_dir: str):
+    """Product-quantization codebook assignment (the ANN index-build
+    companion to SQ8): each FLOOR-2^10-quantized vector splits into 8
+    subvectors of 8 dims, each assigned to the nearest of 16 centroids
+    (ties to the lowest centroid index) — codebook = the 16 lowest-
+    vec_id vectors, so the whole construction is deterministic and
+    SQL-replayable.  Emits the bounded 8x16 code histogram with the
+    exact integer quantization error.  The codebook comes from a
+    per-block partial bottom-16 (no full sort); assignment streams
+    with the [16][64] codebook broadcast once via ``ray.put``."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def bottom16(batch: pa.Table) -> pa.Table:
+        order = np.argsort(
+            batch["vec_id"].to_numpy(zero_copy_only=False),
+            kind="stable")[:16]
+        return batch.take(pa.array(order.astype(np.int64)))
+
+    parts = [t for t in ray.get(
+        ds.map_batches(bottom16, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    cand = pa.concat_tables(parts)
+    if cand.num_rows < 16:
+        raise ValueError("pq_assign: fewer than 16 vectors for the "
+                         "codebook")
+    order = np.argsort(cand["vec_id"].to_numpy(zero_copy_only=False),
+                       kind="stable")[:16]
+    cand = cand.take(pa.array(order.astype(np.int64)))
+    cb = np.floor(
+        np.array(cand["embedding"].to_pylist(), dtype=np.float64)
+        * 1024.0
+    ).astype(np.int64).reshape(16, 8, 8)
+    cb_ref = ray.put(cb)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "subspace": pa.array([], pa.int64()),
+                "code": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sum_sqdist": pa.array([], pa.int64()),
+            })
+        book = ray.get(cb_ref) if isinstance(cb_ref, ray.ObjectRef) \
+            else cb_ref
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        q = np.floor(
+            emb.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64) * 1024.0
+        ).astype(np.int64).reshape(len(batch), 8, 8)
+        ncnt = np.zeros((8, 16), np.int64)
+        sdist = np.zeros((8, 16), np.int64)
+        for s in range(8):
+            diff = q[:, None, s, :] - book[None, :, s, :]
+            d = np.einsum("ncd,ncd->nc", diff, diff)
+            code = np.argmin(d, axis=1)  # first min = lowest index
+            np.add.at(ncnt[s], code, 1)
+            np.add.at(sdist[s], code, d[np.arange(len(code)), code])
+        sub, code = np.nonzero(ncnt)
+        return pa.table({
+            "subspace": pa.array(sub.astype(np.int64)),
+            "code": pa.array(code.astype(np.int64)),
+            "n": pa.array(ncnt[sub, code]),
+            "sum_sqdist": pa.array(sdist[sub, code]),
+        })
+
+    return grouped_aggregate(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["subspace", "code"],
+        [("n", "sum", "n"), ("sum_sqdist", "sum", "sum_sqdist")],
+    )
+
+
+def positional_deletes_events(sf_dir: str):
+    """Merge-on-read POSITIONAL delete application (the Iceberg/Delta
+    delete-file shape, complementing the KEYED ``merge_upsert``): a
+    delete file addresses rows by (partition, ordinal position within
+    the partition's canonical order), here every position p with
+    ``p % 7 == 3`` (1-based, ordered by ts then event_id within the
+    day partition).  Days hash to buckets, each day ranks entirely
+    inside its group (one exchange), survivors pre-aggregate in
+    place — no second exchange."""
+    from geodata_ray.stages.windows import _tag_bucket
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_id", "value"])
+    day_us = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        )
+        return pa.table({
+            "day_us": pc.multiply(pc.divide(ts, day_us), day_us),
+            "ts_us": ts,
+            "event_id": batch["event_id"],
+            "cents": cents,
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("day_us", "ascending"),
+                       ("ts_us", "ascending"),
+                       ("event_id", "ascending")])
+        d = t["day_us"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        if d.size == 0:
+            return pa.table({
+                "day": pa.array([], pa.timestamp("us")),
+                "n_live": pa.array([], pa.int64()),
+                "cents_live": pa.array([], pa.int64()),
+            })
+        new = np.ones(d.size, dtype=bool)
+        new[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(new)
+        pos = np.arange(d.size) - np.repeat(starts,
+                                            np.diff(np.append(starts,
+                                                              d.size)))
+        live = (pos + 1) % 7 != 3
+        dl = d[live]
+        cl = c[live]
+        udays, inv = np.unique(dl, return_inverse=True)
+        csum = np.zeros(udays.size, np.int64)
+        np.add.at(csum, inv, cl)  # exact int64, no float-weight path
+        return pa.table({
+            "day": pa.array(udays).cast(pa.timestamp("us")),
+            "n_live": pa.array(np.bincount(inv).astype(np.int64)),
+            "cents_live": pa.array(csum),
+        })
+
+    return (
+        _tag_bucket(ev.map_batches(prep, batch_format="pyarrow"),
+                    "day_us", 32)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -10916,6 +11274,13 @@ RAY_QUERIES = {
     "ks_test_events": ks_test_events,
     "mmr_rerank_embeddings": mmr_rerank_embeddings,
     "dedup_canonical_docs": dedup_canonical_docs,
+    # twenty-fifth wave (round 5)
+    "clustering_coeff_hosts": clustering_coeff_hosts,
+    "benford_audit_events": benford_audit_events,
+    "daily_corr_types_events": daily_corr_types_events,
+    "markov_transitions_events": markov_transitions_events,
+    "pq_assign_embeddings": pq_assign_embeddings,
+    "positional_deletes_events": positional_deletes_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,

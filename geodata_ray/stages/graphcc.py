@@ -660,9 +660,15 @@ def triangle_counts(
     ``distinct_edges_packed``'s own one-task bound — host-level
     graphs); a page-level graph swaps it for ``sketch.bloom_bits`` +
     a per-bucket exact re-verify."""
-    import ray
+    ce = _canonical_distinct(edges, src, dst)
+    return _triangles_from_canonical(ce, num_buckets=num_buckets)
 
-    from geodata_ray.stages.relational import shuffle_join
+
+def _canonical_distinct(edges, src: str, dst: str):
+    """Canonicalize an undirected edge list (``a < b``, self-loops
+    dropped) and dedup via :func:`distinct_edges_packed`; materialized
+    so downstream consumers (wedge join + degree count) don't re-run
+    the upstream scan."""
 
     def canon(batch: pa.Table) -> pa.Table:
         u = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -672,9 +678,18 @@ def triangle_counts(
         keep = a != b  # self-loops close no triangle
         return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
 
-    ce = distinct_edges_packed(
+    return distinct_edges_packed(
         edges.map_batches(canon, batch_format="pyarrow"), src="a", dst="b"
     ).materialize()
+
+
+def _triangles_from_canonical(ce, *, num_buckets: int):
+    """Per-vertex triangle counts from a canonical distinct edge
+    Dataset (columns ``a < b``) — the wedge-join core shared by
+    :func:`triangle_counts` and :func:`clustering_coefficient`."""
+    import ray
+
+    from geodata_ray.stages.relational import shuffle_join
 
     edge_tbl = pa.concat_tables(ray.get(ce.to_arrow_refs()))
     packed = (
@@ -714,6 +729,87 @@ def triangle_counts(
     return grouped_aggregate(
         tri_verts, ["host"], [("host", "count", "n_triangles")]
     )
+
+
+def clustering_coefficient(
+    edges,
+    *,
+    src: str = "u",
+    dst: str = "v",
+    num_buckets: int = 32,
+    scale: int = 1_000_000,
+):
+    """Per-vertex LOCAL clustering coefficient over an undirected
+    graph: ``2 * triangles(v) / (deg(v) * (deg(v) - 1))``, emitted as
+    the exact floor-scaled integer ``coeff_ppm`` plus its exact
+    ingredients (deg, n_triangles) — the standard community-density
+    score next to :func:`triangle_counts` (reference parity: the
+    per-node ratio form of the same wedge statistic).
+
+    Plan: ONE canonical distinct-edge pass feeds both the wedge join
+    (triangles) and the degree count; the two bounded per-vertex
+    aggregates merge in a single grouped SUM (tri rows carry deg=0,
+    degree rows carry tri=0 — a union, never a join, so no second
+    exchange and no empty-side join hazard).  Vertices with deg < 2
+    emit coeff_ppm = 0.  All arithmetic is int64; deg*(deg-1) is
+    overflow-guarded."""
+    from geodata_ray.stages.relational import grouped_aggregate
+
+    ce = _canonical_distinct(edges, src, dst)
+    tri = _triangles_from_canonical(ce, num_buckets=num_buckets)
+
+    def tri_side(batch: pa.Table) -> pa.Table:
+        n = batch["n_triangles"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "host": batch["host"],
+            "tri": pa.array(n.astype(np.int64)),
+            "deg": pa.array(np.zeros(len(batch), np.int64)),
+        })
+
+    def deg_side(batch: pa.Table) -> pa.Table:
+        hosts = np.concatenate([
+            batch["a"].to_numpy(zero_copy_only=False),
+            batch["b"].to_numpy(zero_copy_only=False),
+        ]).astype(np.int64)
+        return pa.table({
+            "host": pa.array(hosts),
+            "tri": pa.array(np.zeros(hosts.size, np.int64)),
+            "deg": pa.array(np.ones(hosts.size, np.int64)),
+        })
+
+    merged = grouped_aggregate(
+        tri.map_batches(tri_side, batch_format="pyarrow").union(
+            ce.map_batches(deg_side, batch_format="pyarrow")
+        ),
+        ["host"],
+        [("tri", "sum", "n_triangles"), ("deg", "sum", "deg")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        deg = batch["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tri_n = batch["n_triangles"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        if deg.size and int(deg.max()) > 3_037_000_499:
+            raise OverflowError(
+                "clustering_coefficient: deg*(deg-1) exceeds int64"
+            )
+        if tri_n.size and int(tri_n.max()) > (2**62) // scale:
+            raise OverflowError(
+                "clustering_coefficient: 2*tri*scale exceeds int64"
+            )
+        denom = deg * (deg - 1)
+        coeff = np.zeros(deg.size, np.int64)
+        ok = denom > 0
+        coeff[ok] = (2 * tri_n[ok] * scale) // denom[ok]
+        return pa.table({
+            "host": batch["host"],
+            "deg": pa.array(deg),
+            "n_triangles": pa.array(tri_n),
+            "coeff_ppm": pa.array(coeff),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow")
 
 
 def bfs_levels(edges, seeds, *, src: str = "u", dst: str = "v",
