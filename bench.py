@@ -376,6 +376,13 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "ks_test_events",
         "mmr_rerank_embeddings",
         "dedup_canonical_docs",
+        # twenty-sixth wave (round 5)
+        "subtree_rollup_parts",
+        "eccentricity_hosts",
+        "readability_docs",
+        "feature_hash_collisions_docs",
+        "cohens_kappa_docs",
+        "reservoir_sample_per_type_events",
         # twenty-fifth wave (round 5)
         "clustering_coeff_hosts",
         "benford_audit_events",

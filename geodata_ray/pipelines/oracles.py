@@ -676,6 +676,34 @@ WHERE guard.ok = 1
 """
 
 
+def _feature_hash_sql(n_buckets: int = 64, max_token_len: int = 24) -> str:
+    """Hashing-trick collision-audit oracle: DISTINCT corpus tokens
+    through the SAME per-byte splitmix token-hash unroll as the
+    classifier, bucketed mod ``n_buckets``, then the bucket-load
+    histogram."""
+    stages_sql = _token_hash_stages_sql(max_token_len)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT 0 AS doc_id, tok FROM (
+    SELECT unnest(string_split(lower(COALESCE(text, '')), ' ')) AS tok
+    FROM documents
+  )
+),
+{_token_guard_sql("feature_hash", max_token_len)},
+{stages_sql},
+b AS (
+  SELECT CAST(acc % {n_buckets} AS BIGINT) AS bucket,
+         COUNT(*) AS n_terms
+  FROM t{max_token_len} CROSS JOIN guard
+  WHERE guard.ok = 1
+  GROUP BY 1
+)
+SELECT CAST(n_terms AS BIGINT) AS load,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM b GROUP BY 1
+"""
+
+
 TEMPERATURE_SQL = f"""
 SELECT ts, lat, lon, CAST(temperature AS DOUBLE) - 273.15 AS temperature_c
 FROM {_GRID_PQ}
@@ -5623,6 +5651,119 @@ _ORACLE_SQL_STATIC = {
         SELECT day, CAST(COUNT(*) AS BIGINT) AS n_live,
                CAST(SUM(cents) AS BIGINT) AS cents_live
         FROM p WHERE pos % 7 <> 3 GROUP BY 1
+    """,
+    # hierarchical subtree rollup over the deterministic 8-ary tree
+    "subtree_rollup_parts": """
+        WITH RECURSIVE anc(node, cents) AS (
+          SELECT p_partkey,
+                 CAST(ROUND(p_retailprice * 100) AS BIGINT)
+          FROM part
+          UNION ALL
+          SELECT node // 8, cents FROM anc WHERE node > 0
+        )
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(SUM(cents) AS BIGINT) AS subtree_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_desc
+        FROM anc GROUP BY 1
+    """,
+    # per-host eccentricity via recursive walk enumeration (bounded
+    # 97-node graph: walks dedup on (s, n, d), d <= 96)
+    "eccentricity_hosts": """
+        WITH RECURSIVE raw AS (
+          SELECT doc_id % 97 AS u,
+                 (doc_id % 97 + 1 + (doc_id * j) % 96) % 97 AS v
+          FROM documents CROSS JOIN (VALUES (1), (2), (3)) t(j)
+        ),
+        e AS (
+          SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+          FROM raw WHERE u <> v
+        ),
+        ue AS (
+          SELECT a AS u, b AS v FROM e
+          UNION ALL SELECT b, a FROM e
+        ),
+        nodes AS (SELECT DISTINCT u AS n FROM ue),
+        walk(s, n, d) AS (
+          SELECT n, n, 0 FROM nodes
+          UNION
+          SELECT w.s, ue.v, w.d + 1
+          FROM walk w JOIN ue ON ue.u = w.n
+          WHERE w.d < 96
+        ),
+        md AS (SELECT s, n, MIN(d) AS d FROM walk GROUP BY 1, 2)
+        SELECT s AS host, CAST(MAX(d) AS BIGINT) AS ecc,
+               CAST(COUNT(*) AS BIGINT) AS n_reachable
+        FROM md GROUP BY 1
+    """,
+    # Flesch-style readability with 16-word pseudo-sentences
+    "readability_docs": """
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(LEN(string_split(
+                     lower(COALESCE(text, '')), ' ')) AS BIGINT) AS w,
+                 CAST(LEN(regexp_extract_all(
+                     lower(COALESCE(text, '')), '[aeiou]+'))
+                     AS BIGINT) AS v
+          FROM documents
+        )
+        SELECT doc_id, w AS n_words, v AS n_vowel_groups,
+               CAST((w + 15) // 16 AS BIGINT) AS n_sents,
+               CAST(206835 - (1015 * w) // ((w + 15) // 16)
+                           - (84600 * v) // w AS BIGINT)
+                   AS flesch_milli
+        FROM s
+    """,
+    # Cohen's kappa over the lang-confusion matrix (exact ints)
+    "cohens_kappa_docs": f"""
+        WITH conf AS (
+          SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+          FROM ({LANGID_SQL}) p JOIN documents d USING (doc_id)
+          GROUP BY 1, 2
+        ),
+        tot AS (SELECT SUM(n) AS nn FROM conf),
+        diag AS (SELECT COALESCE(SUM(n), 0) AS ag
+                 FROM conf WHERE lang = lang_pred),
+        rw AS (SELECT lang AS k, SUM(n) AS r FROM conf GROUP BY 1),
+        cl AS (SELECT lang_pred AS k, SUM(n) AS c FROM conf GROUP BY 1),
+        rc AS (SELECT COALESCE(SUM(rw.r * cl.c), 0) AS src
+               FROM rw JOIN cl USING (k))
+        SELECT CAST(nn AS BIGINT) AS n_docs,
+               CAST(ag AS BIGINT) AS n_agree,
+               CAST(src AS BIGINT) AS sum_rc,
+               CAST(CASE WHEN nn * nn - src = 0 THEN 0
+                    ELSE (CASE WHEN nn * ag - src < 0
+                               THEN -1 ELSE 1 END)
+                         * (ABS(nn * ag - src) * 1000000
+                            // (nn * nn - src))
+               END AS BIGINT) AS kappa_ppm
+        FROM tot, diag, rc
+    """,
+    # hashing-trick bucket-load histogram over the distinct vocab
+    "feature_hash_collisions_docs": _feature_hash_sql(),
+    # per-type deterministic hash-priority 10-reservoir
+    "reservoir_sample_per_type_events": f"""
+        WITH c0 AS (
+          SELECT event_id, event_type,
+                 CAST(event_id AS HUGEINT) AS eid
+          FROM events
+        ),
+        {_sql_splitmix_stages("rs", {"k": "eid"}, "c0")},
+        s AS (
+          SELECT event_type, event_id,
+                 CAST(CASE WHEN h_k >= 9223372036854775808
+                           THEN h_k - 18446744073709551616
+                           ELSE h_k END AS BIGINT) AS hash_i64
+          FROM rs6
+        ),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY hash_i64, event_id
+          ) AS rank
+          FROM s
+        )
+        SELECT event_type, CAST(rank AS BIGINT) AS rank,
+               event_id, hash_i64
+        FROM r WHERE rank <= 10
     """,
     # per-dimension rank (quantile) normalization of embeddings
     "rank_normalize_embeddings": """

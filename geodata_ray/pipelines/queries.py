@@ -11084,6 +11084,247 @@ def positional_deletes_events(sf_dir: str):
     )
 
 
+def subtree_rollup_parts(sf_dir: str):
+    """Hierarchical SUBTREE rollup (BOM-explosion / org-chart shape):
+    parts form a deterministic 8-ary tree (parent = key // 8, root 0)
+    and every node reports the exact cents total and descendant count
+    of its whole subtree.  Instead of iterating levels, each row
+    FLAT-MAPS its full ancestor chain (depth = log8(maxkey), ~7 even
+    at 100 TB) and ONE grouped SUM finishes — the recursive CTE
+    collapses to a bounded-depth vectorized expansion + one
+    exchange."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+
+    def anc(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch["p_partkey"], pa.int64()).to_numpy(
+            zero_copy_only=False).copy()
+        cents = pc.cast(
+            pc.round(pc.multiply(
+                pc.cast(batch["p_retailprice"], pa.float64()), 100.0)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        nodes = [k.copy()]
+        vals = [cents]
+        cur, cv = k, cents
+        while cur.size and bool((cur > 0).any()):
+            m = cur > 0
+            cur = cur[m] // 8
+            cv = cv[m]
+            nodes.append(cur)
+            vals.append(cv)
+        return pa.table({
+            "node": pa.array(np.concatenate(nodes)),
+            "cents": pa.array(np.concatenate(vals)),
+        })
+
+    return grouped_aggregate(
+        ds.map_batches(anc, batch_format="pyarrow"),
+        ["node"],
+        [("cents", "sum", "subtree_cents"), ("cents", "count", "n_desc")],
+    )
+
+
+def eccentricity_hosts(sf_dir: str):
+    """All-pairs hop statistics on the deterministic 97-node host link
+    graph (undirected — same edge arithmetic as PageRank / triangles):
+    per-host ECCENTRICITY and reachable-set size, the diameter /
+    radius ingredients for web-graph topology audits.  Edge dedup is
+    distributed; the APSP is a bounded dense boolean matrix-power BFS
+    (documented node bound — a page-scale graph swaps in per-source
+    ``bfs_levels``)."""
+    from geodata_ray.stages.graphcc import eccentricity
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        u = ids % 97
+        us, vs = [], []
+        for j in (1, 2, 3):
+            us.append(u)
+            vs.append((u + 1 + (ids * j) % 96) % 97)
+        return pa.table(
+            {"u": pa.array(np.concatenate(us)),
+             "v": pa.array(np.concatenate(vs))}
+        )
+
+    return eccentricity(ds.map_batches(edges, batch_format="pyarrow"))
+
+
+def readability_docs(sf_dir: str):
+    """Flesch-style readability scoring with exact integer
+    ingredients: words (the engine's shared single-space
+    tokenization), vowel-group count as the classic syllable proxy,
+    and PSEUDO-SENTENCES of 16 words (the gate corpus carries no
+    sentence punctuation — a real corpus swaps in an [.!?]+ run
+    count, same shape).  ``flesch_milli = 206835 - 1015*w/s -
+    84600*v/w`` in floor-milli units — one map_batches, zero shuffle,
+    linear in corpus bytes."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        low = pc.utf8_lower(text.fill_null(""))
+        w = pc.list_value_length(
+            pc.split_pattern(low, " ")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = pc.count_substring_regex(low, "[aeiou]+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        s = (w + 15) // 16
+        flesch = 206_835 - (1015 * w) // s - (84_600 * v) // w
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(w),
+            "n_vowel_groups": pa.array(v),
+            "n_sents": pa.array(s),
+            "flesch_milli": pa.array(flesch),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def feature_hash_collisions_docs(sf_dir: str):
+    """Hashing-trick collision audit (the feature-space health check
+    for hashed bag-of-words models like the quality classifier): the
+    DISTINCT corpus vocabulary hashes into 64 buckets with the
+    engine's shared token hash, and the output is the bucket LOAD
+    HISTOGRAM (how many buckets hold k distinct terms).  Vocabulary is
+    the only corpus-sized exchange (pre-combined per batch); the
+    bucket and histogram aggregates are bounded by 64 and by the max
+    load."""
+    from geodata_ray.stages.dedup import hash_tokens_batch
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat = pc.split_pattern(
+            pc.utf8_lower(text.fill_null("")), " ")
+        flat = (flat.combine_chunks()
+                if isinstance(flat, pa.ChunkedArray) else flat).flatten()
+        uniq = pc.unique(flat)
+        return pa.table({"tok": uniq})
+
+    vocab = grouped_aggregate(
+        ds.map_batches(toks, batch_format="pyarrow"),
+        ["tok"], [("tok", "count", "n_dup")],
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        tok = batch["tok"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        th = hash_tokens_batch(tok)
+        bucket = (th % np.uint64(64)).astype(np.int64)
+        acc = np.bincount(bucket, minlength=64)
+        nz = np.flatnonzero(acc)
+        return pa.table({
+            "bucket": pa.array(nz.astype(np.int64)),
+            "n_terms": pa.array(acc[nz].astype(np.int64)),
+        })
+
+    per_bucket = grouped_aggregate(
+        vocab.map_batches(bucketize, batch_format="pyarrow"),
+        ["bucket"], [("n_terms", "sum", "n_terms")],
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        return pa.table({"load": batch["n_terms"]})
+
+    return grouped_aggregate(
+        per_bucket.map_batches(hist, batch_format="pyarrow"),
+        ["load"], [("load", "count", "n_buckets")],
+    )
+
+
+def cohens_kappa_docs(sf_dir: str):
+    """Cohen's kappa between the declared ``lang`` label and the
+    stopword-profile language-ID prediction — the chance-corrected
+    agreement statistic over the ``lang_confusion_docs`` matrix,
+    folded driver-side from the bounded |langs|^2 counts in PYTHON
+    INTS: ``kappa = (N*agree - sum_k row_k*col_k) / (N^2 - sum_k
+    row_k*col_k)``, emitted as sign-factored floor-ppm plus every
+    exact ingredient (no cross-engine float division)."""
+    conf = lang_confusion_docs(sf_dir).take_all()  # bounded langs^2
+    n_docs = sum(int(r["n_docs"]) for r in conf)
+    n_agree = sum(int(r["n_docs"]) for r in conf
+                  if r["lang"] == r["lang_pred"])
+    row: dict[str, int] = {}
+    col: dict[str, int] = {}
+    for r in conf:
+        row[r["lang"]] = row.get(r["lang"], 0) + int(r["n_docs"])
+        col[r["lang_pred"]] = col.get(r["lang_pred"], 0) + int(r["n_docs"])
+    sum_rc = sum(v * col.get(k, 0) for k, v in row.items())
+    num = n_docs * n_agree - sum_rc
+    den = n_docs * n_docs - sum_rc
+    kappa = 0 if den == 0 else (
+        (-1 if num < 0 else 1) * (abs(num) * 1_000_000 // den)
+    )
+    if any(abs(v) > 2**62 for v in (n_docs, n_agree, sum_rc, kappa)):
+        raise OverflowError("cohens_kappa: count exceeds int64 output")
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_agree": pa.array([n_agree], pa.int64()),
+        "sum_rc": pa.array([sum_rc], pa.int64()),
+        "kappa_ppm": pa.array([kappa], pa.int64()),
+    })
+
+
+def reservoir_sample_per_type_events(sf_dir: str):
+    """Deterministic per-group k-reservoir (uniform k-sample per key
+    at any scale): per event type, the 10 rows with the smallest
+    splitmix64(event_id) — hash-priority sampling, the distributed
+    stand-in for sequential reservoir sampling (same marginal
+    distribution, mergeable, reproducible).  Per-batch partial
+    bottom-10 per type bounds the exchange at 10 x types x blocks;
+    the final per-type rank runs on that tiny stream."""
+    from geodata_ray.sources.synth import splitmix64
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64)).astype(np.int64)
+        ty = batch["event_type"].to_numpy(zero_copy_only=False)
+        # partial bottom-10 per type within the batch
+        order = np.lexsort((ids, h, ty))
+        ty_s = ty[order]
+        new = np.ones(ty_s.size, dtype=bool)
+        new[1:] = ty_s[1:] != ty_s[:-1]
+        grp = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        pos = np.arange(ty_s.size) - starts[grp]
+        keep = order[pos < 10]
+        return pa.table({
+            "event_type": pa.array(ty[keep], pa.string()),
+            "event_id": pa.array(ids[keep]),
+            "hash_i64": pa.array(h[keep]),
+        })
+
+    def finish(g: pa.Table) -> pa.Table:
+        h = g["hash_i64"].to_numpy(zero_copy_only=False)
+        ids = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))[:10]
+        return pa.table({
+            "event_type": g["event_type"].take(
+                pa.array(order.astype(np.int64))),
+            "rank": pa.array(np.arange(1, order.size + 1,
+                                       dtype=np.int64)),
+            "event_id": pa.array(ids[order]),
+            "hash_i64": pa.array(h[order]),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -11281,6 +11522,13 @@ RAY_QUERIES = {
     "markov_transitions_events": markov_transitions_events,
     "pq_assign_embeddings": pq_assign_embeddings,
     "positional_deletes_events": positional_deletes_events,
+    # twenty-sixth wave (round 5)
+    "subtree_rollup_parts": subtree_rollup_parts,
+    "eccentricity_hosts": eccentricity_hosts,
+    "readability_docs": readability_docs,
+    "feature_hash_collisions_docs": feature_hash_collisions_docs,
+    "cohens_kappa_docs": cohens_kappa_docs,
+    "reservoir_sample_per_type_events": reservoir_sample_per_type_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,

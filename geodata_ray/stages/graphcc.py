@@ -812,6 +812,63 @@ def clustering_coefficient(
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def eccentricity(edges, *, src: str = "u", dst: str = "v",
+                 node_bound: int = 8192):
+    """Per-node ECCENTRICITY (max hop distance to any reachable node)
+    over an undirected edge Dataset — the all-pairs-BFS diameter /
+    radius ingredient for bounded entity graphs (host graphs, cluster
+    adjacency).  Edges dedup DISTRIBUTED (the same
+    ``distinct_edges_packed`` one-task bound as ``triangle_counts``);
+    the APSP itself runs on the driver as vectorized boolean
+    matrix-multiply BFS over the BOUNDED node set — ``node_bound``
+    RAISES past the dense n^2 frontier (8192^2 bools = 64 MB); a
+    page-scale graph swaps this for per-source ``bfs_levels`` rounds,
+    output shape unchanged.
+
+    Returns (host, ecc, n_reachable); ecc = 0 for isolated canonical
+    self-nodes never appears (self-loops are dropped), singleton
+    components of one edge have ecc 1.
+    """
+    import ray
+    import ray.data as rd
+
+    ce = _canonical_distinct(edges, src, dst)
+    edge_tbl = pa.concat_tables(ray.get(ce.to_arrow_refs()))
+    a = edge_tbl["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = edge_tbl["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    if nodes.size > node_bound:
+        raise ValueError(
+            f"eccentricity: {nodes.size} nodes exceeds node_bound="
+            f"{node_bound}; use per-source bfs_levels instead"
+        )
+    n = nodes.size
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    adj = np.zeros((n, n), dtype=bool)
+    adj[ia, ib] = True
+    adj[ib, ia] = True
+    reach = np.eye(n, dtype=bool)
+    dist = np.full((n, n), -1, dtype=np.int64)
+    np.fill_diagonal(dist, 0)
+    d = 0
+    while True:
+        d += 1
+        nreach = reach | (reach @ adj)
+        new = nreach & ~reach
+        if not new.any():
+            break
+        dist[new] = d
+        reach = nreach
+    ecc = np.where(dist >= 0, dist, -1).max(axis=1)
+    n_reach = (dist >= 0).sum(axis=1).astype(np.int64)
+    return rd.from_arrow(pa.table({
+        "host": pa.array(nodes),
+        "ecc": pa.array(ecc.astype(np.int64)),
+        "n_reachable": pa.array(n_reach),
+    }))
+
+
 def bfs_levels(edges, seeds, *, src: str = "u", dst: str = "v",
                max_depth: int = 2, node_bound: int = 5_000_000):
     """Multi-source BFS distance labels up to ``max_depth`` over a
