@@ -376,6 +376,13 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "ks_test_events",
         "mmr_rerank_embeddings",
         "dedup_canonical_docs",
+        # twenty-seventh wave (round 5)
+        "theta_intersection_types_events",
+        "l2_norm_audit_embeddings",
+        "term_shift_docs",
+        "session_paths_events",
+        "view_click_pairs_events",
+        "gram_matrix_embeddings",
         # twenty-sixth wave (round 5)
         "subtree_rollup_parts",
         "eccentricity_hosts",

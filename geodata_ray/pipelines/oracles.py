@@ -5740,6 +5740,176 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # KMV theta intersection estimate + exact companion
+    "theta_intersection_types_events": f"""
+        WITH f AS (
+          SELECT user_id,
+                 MAX(CASE WHEN event_type = 'view'
+                          THEN 1 ELSE 0 END) AS in_view,
+                 MAX(CASE WHEN event_type = 'click'
+                          THEN 1 ELSE 0 END) AS in_click
+          FROM events WHERE event_type IN ('view', 'click')
+          GROUP BY 1
+        ),
+        c0 AS (SELECT *, CAST(user_id AS HUGEINT) AS uid FROM f),
+        {_sql_splitmix_stages("ti", {"u": "uid"}, "c0")},
+        s AS (
+          SELECT in_view, in_click,
+                 CAST(CASE WHEN h_u >= 9223372036854775808
+                           THEN h_u - 18446744073709551616
+                           ELSE h_u END AS BIGINT) AS hash_i64
+          FROM ti6
+        ),
+        sk AS (
+          SELECT in_view, in_click,
+                 ROW_NUMBER() OVER (ORDER BY hash_i64) AS rn
+          FROM s
+        ),
+        sketch AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(in_view * in_click) AS BIGINT) AS nb
+          FROM sk WHERE rn <= 64
+        ),
+        ex AS (
+          SELECT CAST(SUM(in_view * in_click) AS BIGINT) AS n_inter,
+                 CAST(COUNT(*) AS BIGINT) AS n_union
+          FROM f
+        )
+        SELECT k, nb AS n_both_sketch,
+               CAST(CASE WHEN k > 0 THEN nb * 1000000 // k
+                         ELSE 0 END AS BIGINT) AS jaccard_est_ppm,
+               n_inter, n_union,
+               CAST(CASE WHEN n_union > 0
+                         THEN n_inter * 1000000 // n_union
+                         ELSE 0 END AS BIGINT) AS jaccard_ppm
+        FROM sketch, ex
+    """,
+    # per-vector exact squared norm + dominant dimension
+    "l2_norm_audit_embeddings": """
+        WITH q AS (
+          SELECT vec_id, g.i AS dim,
+                 CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1024)
+                      AS BIGINT) AS v
+          FROM embeddings CROSS JOIN LATERAL (
+            SELECT UNNEST(generate_series(1, 64)) AS i
+          ) g
+        ),
+        n2 AS (
+          SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS norm2_q
+          FROM q GROUP BY 1
+        ),
+        mx AS (
+          SELECT vec_id, v AS max_q, CAST(dim AS BIGINT) AS max_dim,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY v DESC, dim) AS rn
+          FROM q
+        )
+        SELECT n2.vec_id, n2.norm2_q, mx.max_q, mx.max_dim
+        FROM n2 JOIN mx ON mx.vec_id = n2.vec_id AND mx.rn = 1
+    """,
+    # term-frequency drift between corpus halves, top 20 by |delta|
+    "term_shift_docs": """
+        WITH toks AS (
+          SELECT doc_id % 2 AS half, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split(lower(COALESCE(text, '')), ' '))
+                       AS tok
+            FROM documents
+          )
+        ),
+        c AS (
+          SELECT tok AS term,
+                 CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_b
+          FROM toks GROUP BY 1
+        ),
+        t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM c),
+        d AS (
+          SELECT term, n_a, n_b,
+                 CAST((n_a * 1000000) // t.ta
+                      - (n_b * 1000000) // t.tb AS BIGINT) AS delta_ppm
+          FROM c CROSS JOIN t
+        ),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (
+            ORDER BY ABS(delta_ppm) DESC, term
+          ) AS rn
+          FROM d
+        )
+        SELECT term, n_a, n_b, delta_ppm FROM r WHERE rn <= 20
+    """,
+    # top first-3-type session paths (30-min gap sessionization)
+    "session_paths_events": """
+        WITH marked AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT user_id, ts, event_id, event_type,
+                 SUM(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        ),
+        ranked AS (
+          SELECT user_id, sid, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                    ORDER BY ts, event_id) AS rn
+          FROM sess
+        ),
+        paths AS (
+          SELECT user_id, sid,
+                 STRING_AGG(event_type, '>' ORDER BY rn) AS path
+          FROM ranked WHERE rn <= 3 GROUP BY 1, 2
+        ),
+        pc AS (
+          SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+          FROM paths GROUP BY 1
+        ),
+        top AS (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rn
+          FROM pc
+        )
+        SELECT path, n FROM top WHERE rn <= 20
+    """,
+    # windowed stream-stream self-join: clicks within 5 min after a
+    # view, same user, counted per day of the view
+    "view_click_pairs_events": """
+        WITH v AS (
+          SELECT user_id, epoch_us(ts) AS us, ts FROM events
+          WHERE event_type = 'view'
+        ),
+        c AS (
+          SELECT user_id, epoch_us(ts) AS us FROM events
+          WHERE event_type = 'click'
+        )
+        SELECT CAST(DATE_TRUNC('day', v.ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM v JOIN c ON c.user_id = v.user_id
+                     AND c.us > v.us AND c.us <= v.us + 300000000
+        GROUP BY 1
+    """,
+    # exact integer Gram matrix (upper triangle) of the corpus
+    "gram_matrix_embeddings": """
+        WITH q AS (
+          SELECT vec_id, g.i AS dim,
+                 CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1024)
+                      AS BIGINT) AS v
+          FROM embeddings CROSS JOIN LATERAL (
+            SELECT UNNEST(generate_series(1, 64)) AS i
+          ) g
+        )
+        SELECT CAST(a.dim AS BIGINT) AS i, CAST(b.dim AS BIGINT) AS j,
+               CAST(SUM(a.v * b.v) AS BIGINT) AS s
+        FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.dim >= a.dim
+        GROUP BY 1, 2
+    """,
     # per-type deterministic hash-priority 10-reservoir
     "reservoir_sample_per_type_events": f"""
         WITH c0 AS (

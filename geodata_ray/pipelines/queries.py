@@ -11325,6 +11325,369 @@ def reservoir_sample_per_type_events(sf_dir: str):
     )
 
 
+def theta_intersection_types_events(sf_dir: str):
+    """Theta/KMV SET-INTERSECTION estimate between the view-user and
+    click-user sets, WITH its exact companion (the sketch-accuracy
+    audit pattern of ``ann_recall``): the k=64 smallest splitmix64
+    hashes over the UNION of distinct users carry per-user membership
+    flags, Jaccard_est = |both flags in sketch| / k — next to the
+    exact |A∩B| / |A∪B| from the same bounded per-user flag table.
+    One distinct-user exchange feeds both; the sketch is a per-block
+    partial bottom-64 (no full sort)."""
+    import ray
+
+    from geodata_ray.sources.synth import splitmix64
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array(["view", "click"]))
+        t = batch.filter(keep)
+        eq = pc.equal(t["event_type"], "view")
+        if isinstance(eq, pa.ChunkedArray):
+            eq = eq.combine_chunks()
+        v = eq.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "in_view": pa.array(v),
+            "in_click": pa.array(1 - v),
+        })
+
+    flags = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        [("in_view", "max", "in_view"), ("in_click", "max", "in_click")],
+    ).materialize()  # consumed twice: exact counts + sketch
+
+    def hash_bottom(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        h = splitmix64(u.astype(np.uint64)).astype(np.int64)
+        order = np.argsort(h, kind="stable")[:64]
+        return pa.table({
+            "hash_i64": pa.array(h[order]),
+            "in_view": batch["in_view"].take(
+                pa.array(order.astype(np.int64))),
+            "in_click": batch["in_click"].take(
+                pa.array(order.astype(np.int64))),
+        })
+
+    parts = [t for t in ray.get(
+        flags.map_batches(hash_bottom, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    sk = pa.concat_tables(parts)
+    h = sk["hash_i64"].to_numpy(zero_copy_only=False)
+    order = np.argsort(h, kind="stable")[:64]
+    iv = sk["in_view"].to_numpy(zero_copy_only=False)[order]
+    ic = sk["in_click"].to_numpy(zero_copy_only=False)[order]
+    k = order.size
+    n_both_sketch = int((iv & ic).sum())
+
+    def both_either(batch: pa.Table) -> pa.Table:
+        v = batch["in_view"].to_numpy(zero_copy_only=False)
+        c = batch["in_click"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_inter": pa.array([int((v & c).sum())], pa.int64()),
+            "n_union": pa.array([len(batch)], pa.int64()),
+        })
+
+    ex = grouped_aggregate(
+        flags.map_batches(both_either, batch_format="pyarrow")
+        .map_batches(lambda t: t.append_column(
+            "g", pa.array(np.zeros(len(t), np.int64))),
+            batch_format="pyarrow"),
+        ["g"],
+        [("n_inter", "sum", "n_inter"), ("n_union", "sum", "n_union")],
+    ).take_all()
+    n_inter = int(ex[0]["n_inter"])
+    n_union = int(ex[0]["n_union"])
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n_both_sketch": pa.array([n_both_sketch], pa.int64()),
+        "jaccard_est_ppm": pa.array(
+            [n_both_sketch * 1_000_000 // k if k else 0], pa.int64()),
+        "n_inter": pa.array([n_inter], pa.int64()),
+        "n_union": pa.array([n_union], pa.int64()),
+        "jaccard_ppm": pa.array(
+            [n_inter * 1_000_000 // n_union if n_union else 0],
+            pa.int64()),
+    })
+
+
+def l2_norm_audit_embeddings(sf_dir: str):
+    """Embedding-normalization audit: per vector, the exact integer
+    squared L2 norm of the FLOOR-2^10 quantized components plus the
+    dominant dimension (max component value, ties to the lowest dim,
+    1-based) — the pre-normalize health check (zero vectors, spiky
+    dims) before cosine similarity.  One map_batches, zero shuffle."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def audit(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        q = np.floor(
+            emb.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64) * 1024.0
+        ).astype(np.int64).reshape(len(batch), -1)
+        norm2 = np.einsum("nd,nd->n", q, q)
+        max_dim = np.argmax(q, axis=1)  # first max = lowest dim
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "norm2_q": pa.array(norm2),
+            "max_q": pa.array(q[np.arange(len(q)), max_dim]),
+            "max_dim": pa.array((max_dim + 1).astype(np.int64)),
+        })
+
+    return ds.map_batches(audit, batch_format="pyarrow")
+
+
+def term_shift_docs(sf_dir: str):
+    """Term-frequency DRIFT between two corpus halves (even vs odd
+    doc_id — the between-snapshot / between-source vocabulary shift
+    report): per term, occurrence counts in each half and the exact
+    floor-ppm rate delta; top 20 by |delta|, term ascending.  The
+    vocabulary aggregate is the only corpus-sized exchange; half
+    totals broadcast as two scalars; the top-20 is a per-block
+    partial + bounded final."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(pc.utf8_lower(text.fill_null("")), " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks).flatten()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        half = np.repeat(ids % 2, lens)
+        tok_np = flat.to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(tok_np, return_inverse=True)
+        a = np.bincount(inv[half == 0], minlength=ut.size)
+        b = np.bincount(inv[half == 1], minlength=ut.size)
+        return pa.table({
+            "term": pa.array(ut, pa.string()),
+            "n_a": pa.array(a.astype(np.int64)),
+            "n_b": pa.array(b.astype(np.int64)),
+        })
+
+    vocab = grouped_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["term"], [("n_a", "sum", "n_a"), ("n_b", "sum", "n_b")],
+    ).materialize()  # consumed twice: totals + ranking
+
+    tot = grouped_aggregate(
+        vocab.map_batches(lambda t: pa.table({
+            "g": pa.array(np.zeros(len(t), np.int64)),
+            "n_a": t["n_a"], "n_b": t["n_b"]}), batch_format="pyarrow"),
+        ["g"], [("n_a", "sum", "ta"), ("n_b", "sum", "tb")],
+    ).take_all()
+    ta, tb = int(tot[0]["ta"]), int(tot[0]["tb"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        a = batch["n_a"].to_numpy(zero_copy_only=False)
+        b = batch["n_b"].to_numpy(zero_copy_only=False)
+        if a.size and (int(a.max()) > (2**62) // 1_000_000
+                       or int(b.max()) > (2**62) // 1_000_000):
+            raise OverflowError("term_shift: count * 1e6 exceeds int64")
+        delta = (a * 1_000_000) // ta - (b * 1_000_000) // tb
+        t = batch.append_column("delta_ppm", pa.array(delta))
+        # partial top-20 by |delta| desc, term asc
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, -np.abs(delta)))[:20]
+        return t.take(pa.array(order.astype(np.int64)))
+
+    parts = [t for t in ray.get(
+        vocab.map_batches(shift, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    allp = pa.concat_tables(parts)
+    terms = allp["term"].to_numpy(zero_copy_only=False)
+    delta = allp["delta_ppm"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((terms, -np.abs(delta)))[:20]
+    out = allp.take(pa.array(order.astype(np.int64)))
+    return out.select(["term", "n_a", "n_b", "delta_ppm"])
+
+
+def session_paths_events(sf_dir: str):
+    """Top clickstream PATHS: the first up-to-3 event types of every
+    30-minute-gap session joined as ``a>b>c``, counted corpus-wide —
+    top 20 paths by count (path ascending on ties).  Same bucketed
+    per-user ordered pass as TWAP (one exchange); path counts are
+    bounded by types^3, so the final ranking is tiny."""
+    from geodata_ray.stages.windows import _tag_bucket
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+        })
+
+    gap_us = 30 * 60 * 1_000_000
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("user_id", "ascending"),
+                       ("ts_us", "ascending"),
+                       ("event_id", "ascending")])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        if u.size == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        new = np.ones(u.size, dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], u.size]
+        # vectorized first-3 path build (object-dtype concatenation)
+        path = ty[starts].astype(object)
+        has2 = ends - starts >= 2
+        path[has2] = path[has2] + ">" + ty[starts[has2] + 1]
+        has3 = ends - starts >= 3
+        path[has3] = path[has3] + ">" + ty[starts[has3] + 2]
+        up, cnt = np.unique(path.astype(str), return_counts=True)
+        return pa.table({
+            "path": pa.array(up, pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    agg = grouped_aggregate(
+        _tag_bucket(ev.map_batches(prep, batch_format="pyarrow"),
+                    "user_id", 32)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow"),
+        ["path"], [("n", "sum", "n")],
+    )
+    rows = agg.take_all()  # bounded by types^3 distinct paths
+    rows.sort(key=lambda r: (-int(r["n"]), r["path"]))
+    rows = rows[:20]
+    return pa.table({
+        "path": pa.array([r["path"] for r in rows], pa.string()),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+    })
+
+
+def view_click_pairs_events(sf_dir: str):
+    """Stream-stream WINDOWED self-join (the interval-join streaming
+    primitive): per user, every (view, click) pair with the click
+    STRICTLY after the view and within 5 minutes, counted per day of
+    the view — e.g. impression->action attribution pairs.  The join
+    never materializes pairs: per user-bucket, a sorted two-sided
+    ``searchsorted`` counts matching clicks per view in O(n log n),
+    then one bounded per-day SUM."""
+    from geodata_ray.stages.windows import _tag_bucket
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type"])
+    day_us = 86_400_000_000
+    win_us = 5 * 60 * 1_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array(["view", "click"]))
+        t = batch.filter(keep)
+        eq = pc.equal(t["event_type"], "view")
+        if isinstance(eq, pa.ChunkedArray):
+            eq = eq.combine_chunks()
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "is_view": pa.array(
+                eq.to_numpy(zero_copy_only=False).astype(np.int64)),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("user_id", "ascending"), ("ts_us", "ascending")])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        isv = t["is_view"].to_numpy(zero_copy_only=False).astype(bool)
+        empty = pa.table({"day": pa.array([], pa.timestamp("us")),
+                          "n_pairs": pa.array([], pa.int64())})
+        if u.size == 0:
+            return empty
+        # fully vectorized per-user interval counting: pack (user,
+        # relative ts) into ONE sortable int64 key so two global
+        # searchsorteds count each view's in-window clicks — no
+        # per-user loop.  M > max ts_rel + win keeps users disjoint.
+        t0 = int(ts.min())
+        rel = ts - t0
+        m_span = int(rel.max()) + win_us + 2
+        if int(u.max()) > (2**62) // m_span:
+            raise OverflowError(
+                "view_click_pairs: user*span key exceeds int64 — "
+                "widen the bucket modulus or re-bucket by (user, day)"
+            )
+        key = u * m_span + rel
+        ckey = key[~isv]  # sorted: input is (user, ts)-sorted
+        vkey = key[isv]
+        n = (np.searchsorted(ckey, vkey + win_us, side="right")
+             - np.searchsorted(ckey, vkey, side="right"))
+        keep = n > 0
+        if not keep.any():
+            return empty
+        d = ((ts[isv][keep]) // day_us) * day_us
+        c = n[keep]
+        ud, inv = np.unique(d, return_inverse=True)
+        tot = np.zeros(ud.size, np.int64)
+        np.add.at(tot, inv, c)
+        return pa.table({
+            "day": pa.array(ud).cast(pa.timestamp("us")),
+            "n_pairs": pa.array(tot),
+        })
+
+    return grouped_aggregate(
+        _tag_bucket(ev.map_batches(prep, batch_format="pyarrow"),
+                    "user_id", 32)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow"),
+        ["day"], [("n_pairs", "sum", "n_pairs")],
+    )
+
+
+def gram_matrix_embeddings(sf_dir: str):
+    """Exact integer GRAM / scatter matrix of the quantized embedding
+    corpus (the PCA / whitening ingredient): ``G[i,j] = sum_vec
+    q_i*q_j`` over all vectors (FLOOR-2^10 components), upper triangle
+    only — per-batch ``einsum`` partials (a bounded 64x64 state per
+    block), one bounded grouped SUM.  The corpus never shuffles."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    iu, ju = np.triu_indices(64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "i": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+            })
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        q = np.floor(
+            emb.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64) * 1024.0
+        ).astype(np.int64).reshape(len(batch), -1)
+        g = q.T @ q  # 64x64 int64 — |q|<=2^10 so n<=2^42 rows is safe
+        return pa.table({
+            "i": pa.array((iu + 1).astype(np.int64)),
+            "j": pa.array((ju + 1).astype(np.int64)),
+            "s": pa.array(g[iu, ju]),
+        })
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["i", "j"], [("s", "sum", "s")],
+    )
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -11529,6 +11892,13 @@ RAY_QUERIES = {
     "feature_hash_collisions_docs": feature_hash_collisions_docs,
     "cohens_kappa_docs": cohens_kappa_docs,
     "reservoir_sample_per_type_events": reservoir_sample_per_type_events,
+    # twenty-seventh wave (round 5)
+    "theta_intersection_types_events": theta_intersection_types_events,
+    "l2_norm_audit_embeddings": l2_norm_audit_embeddings,
+    "term_shift_docs": term_shift_docs,
+    "session_paths_events": session_paths_events,
+    "view_click_pairs_events": view_click_pairs_events,
+    "gram_matrix_embeddings": gram_matrix_embeddings,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
