@@ -376,6 +376,13 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "ks_test_events",
         "mmr_rerank_embeddings",
         "dedup_canonical_docs",
+        # twenty-eighth wave (round 5)
+        "new_users_daily_events",
+        "autocorr_daily_events",
+        "edge_support_hosts",
+        "clustering_depth_events",
+        "triplet_mining_embeddings",
+        "conversion_latency_quantiles_events",
         # twenty-seventh wave (round 5)
         "theta_intersection_types_events",
         "l2_norm_audit_embeddings",

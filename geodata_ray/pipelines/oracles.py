@@ -5740,6 +5740,169 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # daily new-user counts + cumulative adoption curve
+    "new_users_daily_events": """
+        WITH f AS (
+          SELECT user_id,
+                 MIN(CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)) AS day
+          FROM events GROUP BY 1
+        ),
+        d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new
+              FROM f GROUP BY 1)
+        SELECT day, n_new,
+               CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT)
+                   AS cum_users
+        FROM d
+    """,
+    # lag-1..7 autocorrelation of the daily count series (exact ints)
+    "autocorr_daily_events": """
+        WITH d AS (
+          SELECT DATE_TRUNC('day', ts) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1
+        ),
+        o AS (SELECT n, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d),
+        lags AS (SELECT k FROM (VALUES (1), (2), (3), (4), (5), (6),
+                                       (7)) t(k)),
+        p AS (
+          SELECT l.k, a.n AS xa, b.n AS xb
+          FROM lags l CROSS JOIN o a
+          JOIN o b ON b.rn = a.rn + l.k
+        ),
+        m AS (
+          SELECT k, CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(xa) AS BIGINT) AS sx,
+                 CAST(SUM(xb) AS BIGINT) AS sy,
+                 CAST(SUM(xa * xb) AS BIGINT) AS sxy,
+                 CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+                 CAST(SUM(xb * xb) AS BIGINT) AS syy
+          FROM p GROUP BY 1
+        )
+        SELECT CAST(k AS BIGINT) AS lag,
+               CAST(m * sxy - sx * sy AS BIGINT) AS num,
+               CAST(m * sxx - sx * sx AS BIGINT) AS den_x,
+               CAST(m * syy - sy * sy AS BIGINT) AS den_y,
+               CAST(CASE
+                 WHEN m * sxx - sx * sx = 0
+                      OR m * syy - sy * sy = 0 THEN 0
+                 ELSE (CASE WHEN m * sxy - sx * sy < 0
+                            THEN -1 ELSE 1 END)
+                      * ((CAST(m * sxy - sx * sy AS HUGEINT)
+                          * (m * sxy - sx * sy) * 1000000000)
+                         // (CAST(m * sxx - sx * sx AS HUGEINT)
+                             * (m * syy - sy * sy)))
+               END AS BIGINT) AS corr_sq_ppb
+        FROM m
+    """,
+    # per-edge triangle support (k-truss ingredient)
+    "edge_support_hosts": """
+        WITH raw AS (
+          SELECT doc_id % 97 AS u,
+                 (doc_id % 97 + 1 + (doc_id * j) % 96) % 97 AS v
+          FROM documents CROSS JOIN (VALUES (1), (2), (3)) t(j)
+        ),
+        e AS (
+          SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+          FROM raw WHERE u <> v
+        ),
+        wedge AS (
+          SELECT e1.a AS x, e1.b AS k, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        credit AS (
+          SELECT x AS a, k AS b FROM wedge
+          UNION ALL SELECT k, z FROM wedge
+          UNION ALL SELECT x, z FROM wedge
+        ),
+        sup AS (
+          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS s
+          FROM credit GROUP BY 1, 2
+        )
+        SELECT e.a, e.b,
+               CAST(COALESCE(sup.s, 0) AS BIGINT) AS support
+        FROM e LEFT JOIN sup USING (a, b)
+    """,
+    # Iceberg-style clustering-depth layout metric
+    "clustering_depth_events": """
+        WITH p AS (
+          SELECT event_id % 16 AS part,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        r AS (SELECT part, MIN(cents) AS lo, MAX(cents) AS hi
+              FROM p GROUP BY 1),
+        d AS (
+          SELECT r1.part, CAST(COUNT(*) AS BIGINT) AS depth
+          FROM r r1 JOIN r r2 ON r2.lo <= r1.lo AND r2.hi >= r1.lo
+          GROUP BY 1
+        )
+        SELECT CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS n_parts,
+               CAST(MAX(depth) AS BIGINT) AS max_depth
+        FROM d
+    """,
+    # hard positive/negative triplet mining over 10 anchors
+    "triplet_mining_embeddings": """
+        WITH q AS (
+          SELECT vec_id, g.i AS dim,
+                 CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1024)
+                      AS BIGINT) AS v
+          FROM embeddings CROSS JOIN LATERAL (
+            SELECT UNNEST(generate_series(1, 64)) AS i
+          ) g
+        ),
+        anch AS (SELECT vec_id, label FROM embeddings
+                 ORDER BY vec_id LIMIT 10),
+        d AS (
+          SELECT a.vec_id AS anchor_id, e.vec_id AS other_id,
+                 CAST(SUM((qa.v - qe.v) * (qa.v - qe.v)) AS BIGINT)
+                     AS dist,
+                 MAX(CASE WHEN e.label = a.label
+                          THEN 1 ELSE 0 END) AS same
+          FROM anch a
+          JOIN embeddings e ON e.vec_id <> a.vec_id
+          JOIN q qa ON qa.vec_id = a.vec_id
+          JOIN q qe ON qe.vec_id = e.vec_id AND qe.dim = qa.dim
+          GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT anchor_id,
+                 MIN(CASE WHEN same = 1 THEN dist END) AS d_pos,
+                 MIN(CASE WHEN same = 0 THEN dist END) AS d_neg
+          FROM d GROUP BY 1
+        )
+        SELECT anchor_id, CAST(d_pos AS BIGINT) AS d_pos,
+               CAST(d_neg AS BIGINT) AS d_neg,
+               CAST(d_neg - d_pos AS BIGINT) AS margin
+        FROM m
+    """,
+    # p50/p90/p99 of first-view -> first-purchase-after latency
+    "conversion_latency_quantiles_events": """
+        WITH vf AS (
+          SELECT user_id, MIN(ts) AS v0 FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ),
+        pf AS (
+          SELECT e.user_id, MIN(e.ts) AS p0
+          FROM events e
+          JOIN vf ON vf.user_id = e.user_id AND e.ts > vf.v0
+          WHERE e.event_type = 'purchase'
+          GROUP BY 1
+        ),
+        d AS (
+          SELECT CAST((epoch_us(p0) - epoch_us(vf.v0)) // 1000000
+                      AS BIGINT) AS lat_s
+          FROM pf JOIN vf USING (user_id)
+        ),
+        r AS (SELECT lat_s, ROW_NUMBER() OVER (ORDER BY lat_s) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM d)
+        SELECT CAST(q.q_pct AS BIGINT) AS q_pct, r.lat_s
+        FROM r JOIN (VALUES (50, 0.5), (90, 0.9), (99, 0.99))
+                    q(q_pct, qq)
+          ON r.rn = CAST(ceil(q.qq * r.n) AS BIGINT)
+    """,
     # KMV theta intersection estimate + exact companion
     "theta_intersection_types_events": f"""
         WITH f AS (

@@ -11688,6 +11688,320 @@ def gram_matrix_embeddings(sf_dir: str):
     )
 
 
+def new_users_daily_events(sf_dir: str):
+    """Adoption curve: per day, the number of NEW users (first-seen
+    that day) and the cumulative user count — the growth-accounting
+    complement of retention/cohort.  One per-user MIN exchange, one
+    bounded per-day count, cumulative folded driver-side over the
+    bounded day table."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    day_us = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64())
+        return pa.table({
+            "user_id": batch["user_id"],
+            "day_us": pc.multiply(pc.divide(ts, day_us), day_us),
+        })
+
+    first = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"], [("day_us", "min", "first_day")],
+    )
+    daily = grouped_aggregate(
+        first.map_batches(
+            lambda t: pa.table({"day_us": t["first_day"]}),
+            batch_format="pyarrow"),
+        ["day_us"], [("day_us", "count", "n_new")],
+    )
+    rows = sorted(daily.take_all(), key=lambda r: int(r["day_us"]))
+    cum, out_c = 0, []
+    for r in rows:
+        cum += int(r["n_new"])
+        out_c.append(cum)
+    return pa.table({
+        "day": pa.array(
+            np.array([int(r["day_us"]) for r in rows], np.int64)
+        ).cast(pa.timestamp("us")),
+        "n_new": pa.array([int(r["n_new"]) for r in rows], pa.int64()),
+        "cum_users": pa.array(out_c, pa.int64()),
+    })
+
+
+def autocorr_daily_events(sf_dir: str):
+    """Lag-1..7 AUTOCORRELATION of the daily event-count series (the
+    seasonality detector feeding the seasonal-anomaly operator):
+    ordinal-lag pairing over the sorted day series, exact integer
+    moments folded driver-side in Python ints, emitted as signed
+    corr^2 in ppb per lag plus the exact ingredients — zero
+    cross-engine float bits."""
+    ev = _read(sf_dir, "events", columns=["ts"])
+    day_us = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = (ts // day_us) * day_us
+        ud, cnt = np.unique(d, return_counts=True)
+        return pa.table({
+            "day_us": pa.array(ud),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    daily = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["day_us"], [("n", "sum", "n")],
+    )
+    rows = sorted(daily.take_all(), key=lambda r: int(r["day_us"]))
+    x = [int(r["n"]) for r in rows]
+    lags, nums, dxs, dys, corrs = [], [], [], [], []
+    for k in range(1, 8):
+        a = x[:-k] if k < len(x) else []
+        b = x[k:]
+        m = len(a)
+        sx, sy = sum(a), sum(b)
+        sxy = sum(p * q for p, q in zip(a, b))
+        sxx = sum(p * p for p in a)
+        syy = sum(q * q for q in b)
+        num = m * sxy - sx * sy
+        den_x = m * sxx - sx * sx
+        den_y = m * syy - sy * sy
+        if den_x and den_y:
+            sgn = -1 if num < 0 else 1
+            corr = sgn * ((num * num * 10**9) // (den_x * den_y))
+        else:
+            corr = 0
+        if any(abs(v) > 2**62 for v in (num, den_x, den_y, corr)):
+            raise OverflowError("autocorr: moment exceeds int64 output")
+        lags.append(k)
+        nums.append(num)
+        dxs.append(den_x)
+        dys.append(den_y)
+        corrs.append(corr)
+    return pa.table({
+        "lag": pa.array(lags, pa.int64()),
+        "num": pa.array(nums, pa.int64()),
+        "den_x": pa.array(dxs, pa.int64()),
+        "den_y": pa.array(dys, pa.int64()),
+        "corr_sq_ppb": pa.array(corrs, pa.int64()),
+    })
+
+
+def edge_support_hosts(sf_dir: str):
+    """Per-EDGE triangle support over the 97-node host graph (the
+    k-truss peeling ingredient — trusses prune edges by support where
+    cores prune vertices by degree): for each canonical undirected
+    edge, how many common neighbors close a triangle through it.
+    Reuses the wedge join; each closed wedge credits its THREE edges;
+    one grouped SUM keyed by the packed edge."""
+    from geodata_ray.stages.graphcc import edge_triangle_support
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        u = ids % 97
+        us, vs = [], []
+        for j in (1, 2, 3):
+            us.append(u)
+            vs.append((u + 1 + (ids * j) % 96) % 97)
+        return pa.table(
+            {"u": pa.array(np.concatenate(us)),
+             "v": pa.array(np.concatenate(vs))}
+        )
+
+    return edge_triangle_support(
+        ds.map_batches(edges, batch_format="pyarrow"), num_buckets=16
+    )
+
+
+def clustering_depth_events(sf_dir: str):
+    """Data-layout CLUSTERING DEPTH (the Iceberg/Delta metric for how
+    well a sort key clusters across files): events partition by
+    ``event_id % 16`` (an unclustered layout), each partition reports
+    its exact [min, max] cents range, and the depth is the maximum
+    number of overlapping ranges at any point — depth == n_parts means
+    every file overlaps every probe and zonemap pruning is useless.
+    One bounded min/max exchange; the 2*16-boundary sweep folds
+    driver-side."""
+    ev = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        )
+        return pa.table({
+            "part": pa.array((ids % 16).astype(np.int64)),
+            "cents": cents,
+        })
+
+    ranges = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["part"],
+        [("cents", "min", "lo"), ("cents", "max", "hi")],
+    ).take_all()  # bounded: 16 partitions
+    los = np.array([int(r["lo"]) for r in ranges], np.int64)
+    his = np.array([int(r["hi"]) for r in ranges], np.int64)
+    # depth at each range start = how many ranges contain that start
+    depth = np.array(
+        [int(((los <= s) & (his >= s)).sum()) for s in los], np.int64
+    )
+    return pa.table({
+        "n_parts": pa.array([len(ranges)], pa.int64()),
+        "max_depth": pa.array([int(depth.max()) if depth.size else 0],
+                              pa.int64()),
+    })
+
+
+def triplet_mining_embeddings(sf_dir: str):
+    """Hard-example TRIPLET mining (metric-learning data prep): for
+    each of the 10 lowest-id anchor vectors, the exact integer squared
+    distance to its nearest SAME-label vector (hardest positive is the
+    farthest — here we report the nearest-positive baseline) and to
+    its nearest OTHER-label vector (hardest negative), plus the
+    margin.  Anchors broadcast once; the corpus streams through one
+    map_batches emitting 10-row partial minima; a bounded grouped MIN
+    finishes."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+
+    def bottom10(batch: pa.Table) -> pa.Table:
+        order = np.argsort(
+            batch["vec_id"].to_numpy(zero_copy_only=False),
+            kind="stable")[:10]
+        return batch.take(pa.array(order.astype(np.int64)))
+
+    parts = [t for t in ray.get(
+        ds.map_batches(bottom10, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    cand = pa.concat_tables(parts)
+    vid0 = cand["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vid0, kind="stable")[:10]
+    a_ids = vid0[order]
+    a_lab = cand["label"].to_numpy(zero_copy_only=False).astype(
+        np.int64)[order]
+    a_q = np.floor(
+        np.array(cand["embedding"].combine_chunks().to_pylist(),
+                 dtype=np.float64) * 1024.0
+    ).astype(np.int64)[order]
+    anchors = ray.put((a_ids, a_lab, a_q))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_, labs_, qa = ray.get(anchors) \
+            if isinstance(anchors, ray.ObjectRef) else anchors
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        q = np.floor(
+            emb.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64) * 1024.0
+        ).astype(np.int64).reshape(len(batch), -1)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        big = np.int64(2**62)
+        out_a, out_p, out_n = [], [], []
+        for i in range(len(ids_)):
+            diff = q - qa[i]
+            d = np.einsum("nd,nd->n", diff, diff)
+            d = np.where(vid == ids_[i], big, d)  # exclude the anchor
+            same = lab == labs_[i]
+            dp = int(d[same].min()) if same.any() else int(big)
+            dn = int(d[~same].min()) if (~same).any() else int(big)
+            out_a.append(int(ids_[i]))
+            out_p.append(dp)
+            out_n.append(dn)
+        return pa.table({
+            "anchor_id": pa.array(out_a, pa.int64()),
+            "d_pos": pa.array(out_p, pa.int64()),
+            "d_neg": pa.array(out_n, pa.int64()),
+        })
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["anchor_id"],
+        [("d_pos", "min", "d_pos"), ("d_neg", "min", "d_neg")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "margin",
+            pc.subtract(batch["d_neg"], batch["d_pos"]),
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def conversion_latency_quantiles_events(sf_dir: str):
+    """Conversion-latency distribution: exact quantile_disc (p50 / p90
+    / p99) of the seconds between each user's FIRST view and their
+    first purchase STRICTLY AFTER it — the funnel's time dimension.
+    One bucketed per-user segment pass derives the latencies; the
+    quantile walk is the bounded-histogram exact machinery."""
+    import ray.data as rd
+
+    from geodata_ray.stages.relational import exact_int_quantiles
+    from geodata_ray.stages.windows import _tag_bucket
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array(["view", "purchase"]))
+        t = batch.filter(keep)
+        eq = pc.equal(t["event_type"], "view")
+        if isinstance(eq, pa.ChunkedArray):
+            eq = eq.combine_chunks()
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "is_view": pa.array(
+                eq.to_numpy(zero_copy_only=False).astype(np.int64)),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("user_id", "ascending"), ("ts_us", "ascending")])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        isv = t["is_view"].to_numpy(zero_copy_only=False).astype(bool)
+        empty = pa.table({"lat_s": pa.array([], pa.int64())})
+        if u.size == 0:
+            return empty
+        new = np.ones(u.size, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(new) - 1
+        nseg = int(seg[-1]) + 1
+        big = np.int64(2**62)
+        vfirst = np.full(nseg, big)
+        np.minimum.at(vfirst, seg[isv], ts[isv])
+        # first purchase strictly after the user's first view
+        pm = ~isv
+        pafter = pm & (ts > vfirst[seg])
+        pfirst = np.full(nseg, big)
+        np.minimum.at(pfirst, seg[pafter], ts[pafter])
+        ok = (vfirst < big) & (pfirst < big)
+        lat = (pfirst[ok] - vfirst[ok]) // 1_000_000
+        return pa.table({"lat_s": pa.array(lat.astype(np.int64))})
+
+    lats = (
+        _tag_bucket(ev.map_batches(prep, batch_format="pyarrow"),
+                    "user_id", 32)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    vals = exact_int_quantiles(lats, "lat_s", [0.5, 0.9, 0.99])
+    return rd.from_arrow(pa.table({
+        "q_pct": pa.array([50, 90, 99], pa.int64()),
+        "lat_s": pa.array([int(v) for v in vals], pa.int64()),
+    }))
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -11899,6 +12213,14 @@ RAY_QUERIES = {
     "session_paths_events": session_paths_events,
     "view_click_pairs_events": view_click_pairs_events,
     "gram_matrix_embeddings": gram_matrix_embeddings,
+    # twenty-eighth wave (round 5)
+    "new_users_daily_events": new_users_daily_events,
+    "autocorr_daily_events": autocorr_daily_events,
+    "edge_support_hosts": edge_support_hosts,
+    "clustering_depth_events": clustering_depth_events,
+    "triplet_mining_embeddings": triplet_mining_embeddings,
+    "conversion_latency_quantiles_events":
+        conversion_latency_quantiles_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,

@@ -731,6 +731,82 @@ def _triangles_from_canonical(ce, *, num_buckets: int):
     )
 
 
+def edge_triangle_support(
+    edges,
+    *,
+    src: str = "u",
+    dst: str = "v",
+    num_buckets: int = 32,
+):
+    """Per-EDGE triangle support over an undirected graph — the
+    k-truss peeling ingredient (an edge's support is the number of
+    triangles through it; a k-truss keeps edges with support >= k-2).
+    Same canonical wedge join as :func:`triangle_counts`; each closed
+    wedge (x < k < z) credits its THREE edges (x,k), (k,z), (x,z),
+    emitted packed and finished by one grouped SUM.  Edges closing no
+    triangle report support 0 (union with the distinct edge list)."""
+    import ray
+
+    from geodata_ray.stages.relational import grouped_aggregate, shuffle_join
+
+    ce = _canonical_distinct(edges, src, dst)
+    edge_tbl = pa.concat_tables(ray.get(ce.to_arrow_refs()))
+    packed = (
+        edge_tbl["a"].to_numpy().astype(np.int64) << np.int64(32)
+    ) | edge_tbl["b"].to_numpy().astype(np.int64)
+    edge_set_ref = ray.put(np.sort(packed))
+
+    left = ce.map_batches(
+        lambda t: pa.table({"x": t["a"], "k": t["b"]}),
+        batch_format="pyarrow",
+    )
+    right = ce.map_batches(
+        lambda t: pa.table({"k": t["a"], "z": t["b"]}),
+        batch_format="pyarrow",
+    )
+    wedges = shuffle_join(left, right, ["k"], num_buckets=num_buckets)
+
+    def close_and_credit(batch: pa.Table) -> pa.Table:
+        es = ray.get(edge_set_ref)
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        z = batch["z"].to_numpy(zero_copy_only=False)
+        key = (x << np.int64(32)) | z
+        pos = np.searchsorted(es, key)
+        ok = (pos < es.size) & (es[np.minimum(pos, es.size - 1)] == key)
+        xk = (x[ok] << np.int64(32)) | k[ok]
+        kz = (k[ok] << np.int64(32)) | z[ok]
+        xz = key[ok]
+        return pa.table({
+            "edge": pa.array(np.concatenate([xk, kz, xz])),
+            "n": pa.array(np.ones(3 * int(ok.sum()), np.int64)),
+        })
+
+    credits = wedges.map_batches(close_and_credit, batch_format="pyarrow")
+    zeros = ce.map_batches(
+        lambda t: pa.table({
+            "edge": pa.array(
+                (t["a"].to_numpy().astype(np.int64) << np.int64(32))
+                | t["b"].to_numpy().astype(np.int64)),
+            "n": pa.array(np.zeros(t.num_rows, np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+    agg = grouped_aggregate(
+        credits.union(zeros), ["edge"], [("n", "sum", "support")]
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        e = batch["edge"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array(e >> np.int64(32)),
+            "b": pa.array(e & np.int64(0xFFFFFFFF)),
+            "support": batch["support"],
+        })
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
 def clustering_coefficient(
     edges,
     *,
