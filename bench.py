@@ -376,6 +376,11 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "ks_test_events",
         "mmr_rerank_embeddings",
         "dedup_canonical_docs",
+        # twenty-ninth wave (round 5)
+        "polygon_area_nations",
+        "pct_cont_types_events",
+        "calibration_bins_docs",
+        "kendall_tau_daily_events",
         # twenty-eighth wave (round 5)
         "new_users_daily_events",
         "autocorr_daily_events",

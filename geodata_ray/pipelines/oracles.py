@@ -5740,6 +5740,107 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # exact-integer shoelace polygon area per nation
+    "polygon_area_nations": """
+        WITH v AS (
+          SELECT n_nationkey, 3 + n_nationkey % 4 AS nv, g.i
+          FROM nation CROSS JOIN LATERAL (
+            SELECT UNNEST(generate_series(0, 5)) AS i
+          ) g
+          WHERE g.i < 3 + n_nationkey % 4
+        ),
+        p AS (
+          SELECT n_nationkey, nv, i,
+                 (n_nationkey * 7 + i * 13) % 100 AS x,
+                 (n_nationkey * 11 + i * 17) % 100 AS y,
+                 (n_nationkey * 7 + ((i + 1) % nv) * 13) % 100 AS xn,
+                 (n_nationkey * 11 + ((i + 1) % nv) * 17) % 100 AS yn
+          FROM v
+        )
+        SELECT n_nationkey, CAST(nv AS BIGINT) AS n_vertices,
+               CAST(SUM(x * yn - xn * y) AS BIGINT) AS area2
+        FROM p GROUP BY 1, 2
+    """,
+    # PERCENTILE_CONT in exact micro-units (builtin NOT used)
+    "pct_cont_types_events": """
+        WITH c AS (
+          SELECT event_type,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        r AS (
+          SELECT event_type, cents,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY cents) - 1 AS idx,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM c
+        ),
+        pos AS (
+          SELECT DISTINCT event_type, n, (n - 1) * 500000 AS posm
+          FROM r
+        )
+        SELECT pos.event_type, CAST(pos.n AS BIGINT) AS n,
+               CAST(lo.cents * 1000000
+                    + (hi.cents - lo.cents) * (posm % 1000000)
+                    AS BIGINT) AS p50_micro
+        FROM pos
+        JOIN r lo ON lo.event_type = pos.event_type
+                 AND lo.idx = posm // 1000000
+        JOIN r hi ON hi.event_type = pos.event_type
+                 AND hi.idx = LEAST(posm // 1000000 + 1, pos.n - 1)
+    """,
+    # classifier calibration / reliability bins
+    "calibration_bins_docs": f"""
+        WITH s AS (
+          SELECT doc_id, score FROM ({_classifier_sql()}) z
+        ),
+        b AS (
+          SELECT GREATEST(-8, LEAST(7,
+                   (score + 1048576) // 256 - 4096)) AS bin,
+                 CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS pos
+          FROM s
+        ),
+        a AS (
+          SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(pos) AS BIGINT) AS n_pos
+          FROM b GROUP BY 1
+        )
+        SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+               CAST(n_pos * 1000000 // n AS BIGINT) AS pos_rate_ppm
+        FROM a
+    """,
+    # Kendall tau-a between the two daily count series (exact ints)
+    "kendall_tau_daily_events": """
+        WITH c AS (
+          SELECT DATE_TRUNC('day', ts) AS day,
+                 CAST(SUM(CASE WHEN event_type = 'view'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM events WHERE event_type IN ('view', 'click')
+          GROUP BY 1
+        ),
+        p AS (
+          SELECT SIGN(a.x - b.x) * SIGN(a.y - b.y) AS s
+          FROM c a JOIN c b ON a.day < b.day
+        ),
+        m AS (
+          SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS conc,
+                 CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS disc
+          FROM p
+        )
+        SELECT n AS n_days, conc AS n_conc, disc AS n_disc,
+               CAST(CASE WHEN n < 2 THEN 0
+                    ELSE (CASE WHEN conc - disc < 0
+                               THEN -1 ELSE 1 END)
+                         * (ABS(conc - disc) * 1000000
+                            // (n * (n - 1) // 2))
+               END AS BIGINT) AS tau_a_ppm
+        FROM m
+    """,
     # daily new-user counts + cumulative adoption curve
     "new_users_daily_events": """
         WITH f AS (

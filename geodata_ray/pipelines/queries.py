@@ -12002,6 +12002,194 @@ def conversion_latency_quantiles_events(sf_dir: str):
     }))
 
 
+def polygon_area_nations(sf_dir: str):
+    """Exact-integer SHOELACE area of one deterministic polygon per
+    nation (the shape-ingest geometry kernel made SQL-auditable —
+    reference parity: the convert-shape area path, here on integer
+    vertex coords so the signed doubled area ``2A = sum(x_i*y_{i+1} -
+    x_{i+1}*y_i)`` is exact in both engines).  Vertices derive from
+    the nation key (3..6 per polygon); one vectorized map over the
+    dimension table, zero shuffle."""
+    ds = _read(sf_dir, "nation", columns=["n_nationkey"])
+
+    def area(batch: pa.Table) -> pa.Table:
+        k = batch["n_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        nv = 3 + (k % 4)
+        out_k, out_n, out_a = [], [], []
+        # nations are a bounded dimension table (25 rows at every SF);
+        # the per-polygon loop is over <= 6 vertices
+        for kk, n in zip(k, nv):
+            i = np.arange(n, dtype=np.int64)
+            x = (kk * 7 + i * 13) % 100
+            y = (kk * 11 + i * 17) % 100
+            xn = np.roll(x, -1)
+            yn = np.roll(y, -1)
+            out_k.append(int(kk))
+            out_n.append(int(n))
+            out_a.append(int((x * yn - xn * y).sum()))
+        return pa.table({
+            "n_nationkey": pa.array(out_k, pa.int64()),
+            "n_vertices": pa.array(out_n, pa.int64()),
+            "area2": pa.array(out_a, pa.int64()),
+        })
+
+    return ds.map_batches(area, batch_format="pyarrow")
+
+
+def pct_cont_types_events(sf_dir: str):
+    """PERCENTILE_CONT (interpolated median) per event type in EXACT
+    MICRO-UNITS: position ``(n-1)*0.5`` splits into ``lo = posm //
+    1e6`` and ``frac_micro = posm % 1e6``, and ``p50_micro = lo_val *
+    1e6 + (hi_val - lo_val) * frac_micro`` — the linear interpolation
+    with zero float bits (both engines replay the same integer math;
+    DuckDB's builtin quantile_cont is NOT used).  One bounded
+    (type, cents) histogram exchange; the rank walk runs per type over
+    the bounded histogram."""
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        )
+        return pa.table({"event_type": batch["event_type"],
+                         "cents": cents})
+
+    hist = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "cents"], [("cents", "count", "cnt")],
+    )
+
+    def walk(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("cents", "ascending")])
+        v = t["cents"].to_numpy(zero_copy_only=False)
+        c = t["cnt"].to_numpy(zero_copy_only=False)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        posm = (n - 1) * 500_000
+        lo_rank = posm // 1_000_000
+        hi_rank = min(lo_rank + 1, n - 1)
+        lo_val = int(v[np.searchsorted(cum, lo_rank + 1)])
+        hi_val = int(v[np.searchsorted(cum, hi_rank + 1)])
+        frac = posm % 1_000_000
+        return pa.table({
+            "event_type": t["event_type"].slice(0, 1),
+            "n": pa.array([n], pa.int64()),
+            "p50_micro": pa.array(
+                [lo_val * 1_000_000 + (hi_val - lo_val) * frac],
+                pa.int64()),
+        })
+
+    return hist.groupby("event_type").map_groups(
+        walk, batch_format="pyarrow"
+    )
+
+
+def calibration_bins_docs(sf_dir: str):
+    """Calibration / reliability bins for the hashed-linear quality
+    classifier (the eval companion to ``pr_curve_docs``): scores bin
+    by FLOOR division into 256-wide buckets clamped to [-8, 7], the
+    deterministic ground truth is ``doc_id % 3 == 0``, and each bin
+    reports count, positives and the exact floor-ppm positive rate.
+    Floor semantics are forced identical in both engines by adding a
+    positive offset before the division (DuckDB ``//`` truncates
+    toward zero; numpy floors)."""
+    from geodata_ray.stages.textstats import classifier_score_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def binned(batch: pa.Table) -> pa.Table:
+        s = classifier_score_batch(batch)
+        score = s["score"].to_numpy(zero_copy_only=False)
+        if score.size and int(np.abs(score).max()) >= 1_048_576:
+            raise OverflowError(
+                "calibration: |score| >= 2^20 breaks the positive-"
+                "offset floor-division trick — raise the offset"
+            )
+        b = np.clip((score + 1_048_576) // 256 - 4096, -8, 7)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = (ids % 3 == 0).astype(np.int64)
+        return pa.table({
+            "bin": pa.array(b.astype(np.int64)),
+            "n": pa.array(np.ones(b.size, np.int64)),
+            "n_pos": pa.array(pos),
+        })
+
+    agg = grouped_aggregate(
+        ds.map_batches(binned, batch_format="pyarrow"),
+        ["bin"], [("n", "sum", "n"), ("n_pos", "sum", "n_pos")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        p = batch["n_pos"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pos_rate_ppm", pa.array((p * 1_000_000) // n))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def kendall_tau_daily_events(sf_dir: str):
+    """Kendall rank correlation (tau-a) between the view and click
+    daily count series — the EXACT-INTEGER rank alternative to the
+    Pearson ``daily_corr`` (no squares, no sqrt: concordant minus
+    discordant pairs over n(n-1)/2).  The daily table is the same
+    bounded pre-combined exchange; the O(days^2) pair scan vectorizes
+    driver-side over the bounded day count (guarded)."""
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+    day_us = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array(["view", "click"]))
+        t = batch.filter(keep)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        d = (ts // day_us) * day_us
+        eq = pc.equal(t["event_type"], "view")
+        if isinstance(eq, pa.ChunkedArray):
+            eq = eq.combine_chunks()
+        vmask = eq.to_numpy(zero_copy_only=False).astype(bool)
+        ud, inv = np.unique(d, return_inverse=True)
+        x = np.bincount(inv[vmask], minlength=ud.size).astype(np.int64)
+        y = np.bincount(inv[~vmask], minlength=ud.size).astype(np.int64)
+        return pa.table({
+            "day_us": pa.array(ud),
+            "x": pa.array(x),
+            "y": pa.array(y),
+        })
+
+    daily = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["day_us"], [("x", "sum", "x"), ("y", "sum", "y")],
+    )
+    rows = sorted(daily.take_all(), key=lambda r: int(r["day_us"]))
+    if len(rows) > 20_000:
+        raise ValueError("kendall_tau: day count exceeds the bounded "
+                         "O(days^2) driver scan — shard the pair scan")
+    x = np.array([int(r["x"]) for r in rows], np.int64)
+    y = np.array([int(r["y"]) for r in rows], np.int64)
+    n = x.size
+    iu, ju = np.triu_indices(n, k=1)
+    sx = np.sign(x[iu] - x[ju])
+    sy = np.sign(y[iu] - y[ju])
+    prod = sx * sy
+    conc = int((prod > 0).sum())
+    disc = int((prod < 0).sum())
+    npairs = n * (n - 1) // 2
+    num = conc - disc
+    tau = 0 if npairs == 0 else (
+        (-1 if num < 0 else 1) * (abs(num) * 1_000_000 // npairs)
+    )
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "n_conc": pa.array([conc], pa.int64()),
+        "n_disc": pa.array([disc], pa.int64()),
+        "tau_a_ppm": pa.array([tau], pa.int64()),
+    })
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -12221,6 +12409,11 @@ RAY_QUERIES = {
     "triplet_mining_embeddings": triplet_mining_embeddings,
     "conversion_latency_quantiles_events":
         conversion_latency_quantiles_events,
+    # twenty-ninth wave (round 5)
+    "polygon_area_nations": polygon_area_nations,
+    "pct_cont_types_events": pct_cont_types_events,
+    "calibration_bins_docs": calibration_bins_docs,
+    "kendall_tau_daily_events": kendall_tau_daily_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
