@@ -376,6 +376,10 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "ks_test_events",
         "mmr_rerank_embeddings",
         "dedup_canonical_docs",
+        # thirtieth wave (round 5)
+        "recency_decay_types_events",
+        "trending_types_daily_events",
+        "mlm_mask_plan_docs",
         # twenty-ninth wave (round 5)
         "polygon_area_nations",
         "pct_cont_types_events",

@@ -5740,6 +5740,69 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # exact 2^-age recency decay via integer right shift
+    "recency_decay_types_events": """
+        WITH mx AS (
+          SELECT MAX(CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)) AS m
+          FROM events
+        ),
+        x AS (
+          SELECT event_type,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                 CAST((epoch_us(mx.m)
+                       - epoch_us(DATE_TRUNC('day', ts)))
+                      // 86400000000 AS BIGINT) AS age
+          FROM events CROSS JOIN mx
+        )
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS raw_cents,
+               CAST(SUM(cents // (CAST(1 AS BIGINT)
+                                  << LEAST(age, 62))) AS BIGINT)
+                   AS decayed_cents
+        FROM x GROUP BY 1
+    """,
+    # per-day type leaderboard rank + movement vs previous day
+    "trending_types_daily_events": """
+        WITH c AS (
+          SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+                 event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT day, event_type, n,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY day ORDER BY n DESC, event_type
+                 ) AS BIGINT) AS rank
+          FROM c
+        )
+        SELECT a.day, a.event_type, a.n, a.rank,
+               CAST(COALESCE(b.rank, 0) AS BIGINT) AS prev_rank,
+               CAST(COALESCE(b.rank, 0) - a.rank AS BIGINT) AS delta
+        FROM r a
+        LEFT JOIN r b ON b.event_type = a.event_type
+                     AND b.day = a.day - INTERVAL 1 DAY
+    """,
+    # deterministic 15% MLM masking plan (positions only, no bytes)
+    "mlm_mask_plan_docs": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(LEN(string_split(
+                     lower(COALESCE(text, '')), ' ')) AS BIGINT) AS n
+          FROM documents
+        ),
+        c0 AS (
+          SELECT doc_id, n,
+                 CAST(doc_id * 1048576 + g.i AS HUGEINT) AS key
+          FROM t CROSS JOIN LATERAL (
+            SELECT UNNEST(generate_series(1, n)) AS i
+          ) g
+        ),
+        {_sql_splitmix_stages("mm", {"k": "key"}, "c0")}
+        SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN h_k % 100 < 15
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+        FROM mm6 GROUP BY 1
+    """,
     # exact-integer shoelace polygon area per nation
     "polygon_area_nations": """
         WITH v AS (

@@ -12165,7 +12165,9 @@ def kendall_tau_daily_events(sf_dir: str):
         ["day_us"], [("x", "sum", "x"), ("y", "sum", "y")],
     )
     rows = sorted(daily.take_all(), key=lambda r: int(r["day_us"]))
-    if len(rows) > 20_000:
+    if len(rows) > 5_000:
+        # 5000 days (~13 years) = 1.2e7 pairs ~ 300 MB of int64
+        # temporaries; past that, shard the pair scan
         raise ValueError("kendall_tau: day count exceeds the bounded "
                          "O(days^2) driver scan — shard the pair scan")
     x = np.array([int(r["x"]) for r in rows], np.int64)
@@ -12188,6 +12190,155 @@ def kendall_tau_daily_events(sf_dir: str):
         "n_disc": pa.array([disc], pa.int64()),
         "tau_a_ppm": pa.array([tau], pa.int64()),
     })
+
+
+def recency_decay_types_events(sf_dir: str):
+    """Time-decayed per-type totals with an EXACT half-life: weight =
+    2^(-age_days) applied as an integer right-shift (``cents >>
+    age``), so the decayed sum is bit-exact in both engines — the
+    freshness-weighted scoring shape (trending content, recency-boosted
+    retrieval) without a single float.  Two passes: a tiny projected
+    MAX fixes the reference day, then one pre-combined grouped SUM."""
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    day_us = 86_400_000_000
+
+    mx = _read(sf_dir, "events", columns=["ts"]).map_batches(
+        lambda t: pa.table({
+            "m": pa.array(
+                [int(pc.max(pc.cast(t["ts"], pa.int64())).as_py()
+                     // day_us * day_us)], pa.int64())}),
+        batch_format="pyarrow",
+    ).max("m")
+    max_day = int(mx)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        age = (max_day - (ts // day_us) * day_us) // day_us
+        dec = cents >> np.minimum(age, 62)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "one": pa.array(np.ones(cents.size, np.int64)),
+            "cents": pa.array(cents),
+            "dec": pa.array(dec),
+        })
+
+    return grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"],
+        [("one", "sum", "n"), ("cents", "sum", "raw_cents"),
+         ("dec", "sum", "decayed_cents")],
+    )
+
+
+def trending_types_daily_events(sf_dir: str):
+    """TRENDING report: per day, each event type's count-rank (count
+    desc, type asc) and its movement vs the PREVIOUS CALENDAR day
+    (prev_rank = 0 when the type did not appear; delta = prev - rank,
+    positive = climbing) — the leaderboard-movement shape.  One
+    bounded (day x type) pre-combined exchange; ranks and deltas fold
+    driver-side over the bounded table."""
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+    day_us = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = (ts // day_us) * day_us
+        t = pa.table({"day_us": pa.array(d),
+                      "event_type": batch["event_type"]})
+        out = t.group_by(["day_us", "event_type"]).aggregate(
+            [([], "count_all")])
+        ncol = next(c for c in out.column_names
+                    if c not in ("day_us", "event_type"))
+        return pa.table({
+            "day_us": out["day_us"],
+            "event_type": out["event_type"],
+            "n": out[ncol],
+        })
+
+    daily = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["day_us", "event_type"], [("n", "sum", "n")],
+    )
+    rows = daily.take_all()  # bounded: days x types
+    by_day: dict[int, list] = {}
+    for r in rows:
+        by_day.setdefault(int(r["day_us"]), []).append(
+            (r["event_type"], int(r["n"])))
+    rank: dict[tuple[int, str], int] = {}
+    for d, items in by_day.items():
+        items.sort(key=lambda kv: (-kv[1], kv[0]))
+        for i, (ty, _n) in enumerate(items, 1):
+            rank[(d, ty)] = i
+    out = {"day": [], "event_type": [], "n": [], "rank": [],
+           "prev_rank": [], "delta": []}
+    for d in sorted(by_day):
+        for ty, n in sorted(by_day[d]):
+            rk = rank[(d, ty)]
+            pv = rank.get((d - day_us, ty), 0)
+            out["day"].append(d)
+            out["event_type"].append(ty)
+            out["n"].append(n)
+            out["rank"].append(rk)
+            out["prev_rank"].append(pv)
+            out["delta"].append(pv - rk)
+    return pa.table({
+        "day": pa.array(np.array(out["day"], np.int64)).cast(
+            pa.timestamp("us")),
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "rank": pa.array(out["rank"], pa.int64()),
+        "prev_rank": pa.array(out["prev_rank"], pa.int64()),
+        "delta": pa.array(out["delta"], pa.int64()),
+    })
+
+
+def mlm_mask_plan_docs(sf_dir: str):
+    """Masked-LM DATA-PREP plan: the deterministic 15% token-masking
+    schedule — token i of doc d is masked iff ``splitmix64(d * 2^20 +
+    i) % 100 < 15`` — reported per doc as (n_tokens, n_masked), fully
+    SQL-replayable (the mask needs only positions, never token bytes,
+    so the exchange is zero and the scan is length-arithmetic only).
+    Guards: doc_id < 2^42 and n_tokens < 2^20 keep the packed key
+    collision-free."""
+    from geodata_ray.sources.synth import splitmix64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plan(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lens = pc.list_value_length(
+            pc.split_pattern(pc.utf8_lower(text.fill_null("")), " ")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if ids.size and (int(ids.max()) >= 2**42
+                         or int(lens.max()) >= 2**20):
+            raise OverflowError("mlm_mask: packed (doc, pos) key "
+                                "exceeds int64")
+        doc_rep = np.repeat(np.arange(ids.size), lens)
+        pos = np.arange(int(lens.sum())) - np.repeat(
+            np.cumsum(lens) - lens, lens)
+        key = (ids[doc_rep] << np.int64(20)) + pos + 1
+        masked = (splitmix64(key.astype(np.uint64))
+                  % np.uint64(100)) < np.uint64(15)
+        nm = np.zeros(ids.size, np.int64)
+        np.add.at(nm, doc_rep, masked.astype(np.int64))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(lens),
+            "n_masked": pa.array(nm),
+        })
+
+    return ds.map_batches(plan, batch_format="pyarrow")
 
 
 RAY_QUERIES = {
@@ -12414,6 +12565,10 @@ RAY_QUERIES = {
     "pct_cont_types_events": pct_cont_types_events,
     "calibration_bins_docs": calibration_bins_docs,
     "kendall_tau_daily_events": kendall_tau_daily_events,
+    # thirtieth wave (round 5)
+    "recency_decay_types_events": recency_decay_types_events,
+    "trending_types_daily_events": trending_types_daily_events,
+    "mlm_mask_plan_docs": mlm_mask_plan_docs,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,

@@ -1038,6 +1038,113 @@ def main() -> None:
 
     timed("forward_fill_10m", forward_fill_10m)
 
+    # --- waves 25-29 (second continuation session) ---
+
+    def view_click_pairs_10m():
+        from geodata_ray.pipelines.queries import view_click_pairs_events
+
+        return view_click_pairs_events(_amp_events_path()).count()
+
+    timed("view_click_pairs_10m", view_click_pairs_10m)
+
+    def markov_transitions_10m():
+        from geodata_ray.pipelines.queries import (
+            markov_transitions_events,
+        )
+
+        return markov_transitions_events(_amp_events_path()).num_rows
+
+    timed("markov_transitions_10m", markov_transitions_10m)
+
+    def positional_deletes_10m():
+        from geodata_ray.pipelines.queries import (
+            positional_deletes_events,
+        )
+
+        return positional_deletes_events(_amp_events_path()).count()
+
+    timed("positional_deletes_10m", positional_deletes_10m)
+
+    def session_paths_10m():
+        from geodata_ray.pipelines.queries import session_paths_events
+
+        return session_paths_events(_amp_events_path()).num_rows
+
+    timed("session_paths_10m", session_paths_10m)
+
+    def conversion_latency_10m():
+        from geodata_ray.pipelines.queries import (
+            conversion_latency_quantiles_events,
+        )
+
+        return conversion_latency_quantiles_events(
+            _amp_events_path()).count()
+
+    timed("conversion_latency_10m", conversion_latency_10m)
+
+    def _amp_embeddings_path() -> str:
+        """100x embeddings (5M vectors x 64 dims) cached once — the
+        Gram-matrix compute-bound stress input."""
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        d = "/tmp/graft_stress_emb100x"
+        path = f"{d}/embeddings.parquet"
+        if not _os.path.exists(path):
+            _os.makedirs(d, exist_ok=True)
+            amped = amplify(
+                rd.read_parquet(f"{SF_DIR}/embeddings.parquet"),
+                AMP * 10,
+                {"vec_id": 1_000_000},
+            )
+            writer = None
+            for b in amped.iter_batches(batch_format="pyarrow",
+                                        batch_size=65_536):
+                if writer is None:
+                    writer = pq.ParquetWriter(path, b.schema)
+                writer.write_table(b)
+            writer.close()
+        return d
+
+    def gram_matrix_5m_vecs():
+        from geodata_ray.pipelines.queries import gram_matrix_embeddings
+
+        return gram_matrix_embeddings(_amp_embeddings_path()).count()
+
+    timed("gram_matrix_5m_vecs", gram_matrix_5m_vecs)
+
+    def _amp_parts_path() -> str:
+        """100x part table (2M keys) for the subtree-rollup tree."""
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        d = "/tmp/graft_stress_part100x"
+        path = f"{d}/part.parquet"
+        if not _os.path.exists(path):
+            _os.makedirs(d, exist_ok=True)
+            amped = amplify(
+                rd.read_parquet(f"{SF_DIR}/part.parquet"),
+                AMP * 10,
+                {"p_partkey": 1_000_000},
+            )
+            writer = None
+            for b in amped.iter_batches(batch_format="pyarrow",
+                                        batch_size=262_144):
+                if writer is None:
+                    writer = pq.ParquetWriter(path, b.schema)
+                writer.write_table(b)
+            writer.close()
+        return d
+
+    def subtree_rollup_2m():
+        from geodata_ray.pipelines.queries import subtree_rollup_parts
+
+        return subtree_rollup_parts(_amp_parts_path()).count()
+
+    timed("subtree_rollup_2m", subtree_rollup_2m)
+
     print(json.dumps({
         "metric": "sf1 stress walls (10x gate scale)",
         "unit": "sec",
