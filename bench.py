@@ -376,6 +376,10 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "ks_test_events",
         "mmr_rerank_embeddings",
         "dedup_canonical_docs",
+        # thirty-first wave (round 5)
+        "user_lifetime_survival_events",
+        "multitouch_attribution_events",
+        "subtree_share_parts",
         # thirtieth wave (round 5)
         "recency_decay_types_events",
         "trending_types_daily_events",

@@ -5740,6 +5740,69 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # user-lifetime survival / churn curve (no censoring)
+    "user_lifetime_survival_events": """
+        WITH s AS (
+          SELECT user_id,
+                 MIN(CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)) AS f,
+                 MAX(CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)) AS l
+          FROM events GROUP BY 1
+        ),
+        d AS (
+          SELECT DISTINCT day FROM (
+            SELECT f AS day FROM s UNION ALL SELECT l FROM s
+          )
+        )
+        SELECT d.day,
+               CAST((SELECT COUNT(*) FROM s
+                     WHERE s.f <= d.day AND s.l >= d.day)
+                    AS BIGINT) AS n_alive,
+               CAST((SELECT COUNT(*) FROM s WHERE s.l = d.day)
+                    AS BIGINT) AS n_churn,
+               CAST(((SELECT COUNT(*) FROM s)
+                     - (SELECT COUNT(*) FROM s WHERE s.l <= d.day))
+                    * 1000000 // (SELECT COUNT(*) FROM s)
+                    AS BIGINT) AS surv_ppm
+        FROM d
+    """,
+    # linear multi-touch attribution (24 h window, floor micro-shares)
+    "multitouch_attribution_events": """
+        WITH e AS (
+          SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+          FROM events
+        ),
+        p AS (SELECT event_id, user_id, us FROM e
+              WHERE event_type = 'purchase'),
+        tou AS (SELECT user_id, us, event_type FROM e
+                WHERE event_type IN ('view', 'click')),
+        j AS (
+          SELECT p.event_id, tou.event_type,
+                 COUNT(*) OVER (PARTITION BY p.event_id) AS k
+          FROM p JOIN tou ON tou.user_id = p.user_id
+                         AND tou.us >= p.us - 86400000000
+                         AND tou.us < p.us
+        )
+        SELECT event_type,
+               CAST(SUM(1000000 // k) AS BIGINT) AS credit_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_touches
+        FROM j GROUP BY 1
+    """,
+    # percent-of-parent share over the 8-ary subtree rollup
+    "subtree_share_parts": """
+        WITH RECURSIVE anc(node, cents) AS (
+          SELECT p_partkey,
+                 CAST(ROUND(p_retailprice * 100) AS BIGINT)
+          FROM part
+          UNION ALL
+          SELECT node // 8, cents FROM anc WHERE node > 0
+        ),
+        roll AS (SELECT node, SUM(cents) AS sc FROM anc GROUP BY 1)
+        SELECT CAST(c.node AS BIGINT) AS node,
+               CAST(c.node // 8 AS BIGINT) AS parent,
+               CAST(c.sc * 1000000 // p.sc AS BIGINT) AS share_ppm
+        FROM roll c JOIN roll p ON p.node = c.node // 8
+        WHERE c.node > 0
+    """,
     # exact 2^-age recency decay via integer right shift
     "recency_decay_types_events": """
         WITH mx AS (

@@ -12341,6 +12341,194 @@ def mlm_mask_plan_docs(sf_dir: str):
     return ds.map_batches(plan, batch_format="pyarrow")
 
 
+def user_lifetime_survival_events(sf_dir: str):
+    """User-lifetime SURVIVAL curve (the churn view of retention): per
+    observed day d, users alive entering d (first_day <= d <=
+    last_day), users whose LAST event is d (churned), and the exact
+    floor-ppm survival share ``still_alive_after / n_users`` — the
+    Kaplan-Meier shape without censoring, so the product form
+    collapses to exact counting.  One per-user (min, max) exchange;
+    the bounded day table folds driver-side."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    day_us = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64())
+        d = pc.multiply(pc.divide(ts, day_us), day_us)
+        return pa.table({"user_id": batch["user_id"], "day_us": d})
+
+    span = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        [("day_us", "min", "first_day"), ("day_us", "max", "last_day")],
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        f = batch["first_day"].to_numpy(zero_copy_only=False)
+        ls = batch["last_day"].to_numpy(zero_copy_only=False)
+        uf, cf = np.unique(f, return_counts=True)
+        ul, cl = np.unique(ls, return_counts=True)
+        return pa.table({
+            "day_us": pa.array(np.concatenate([uf, ul])),
+            "n_born": pa.array(np.concatenate(
+                [cf, np.zeros(ul.size, np.int64)]).astype(np.int64)),
+            "n_churn": pa.array(np.concatenate(
+                [np.zeros(uf.size, np.int64), cl]).astype(np.int64)),
+        })
+
+    daily = grouped_aggregate(
+        span.map_batches(pairs, batch_format="pyarrow"),
+        ["day_us"],
+        [("n_born", "sum", "n_born"), ("n_churn", "sum", "n_churn")],
+    )
+    rows = sorted(daily.take_all(), key=lambda r: int(r["day_us"]))
+    total = sum(int(r["n_born"]) for r in rows)
+    alive = 0
+    out = {"day": [], "n_alive": [], "n_churn": [], "surv_ppm": []}
+    dead = 0
+    for r in rows:
+        alive += int(r["n_born"])
+        churn = int(r["n_churn"])
+        out["day"].append(int(r["day_us"]))
+        out["n_alive"].append(alive - dead)
+        out["n_churn"].append(churn)
+        dead += churn
+        out["surv_ppm"].append((total - dead) * 1_000_000 // total
+                               if total else 0)
+    return pa.table({
+        "day": pa.array(np.array(out["day"], np.int64)).cast(
+            pa.timestamp("us")),
+        "n_alive": pa.array(out["n_alive"], pa.int64()),
+        "n_churn": pa.array(out["n_churn"], pa.int64()),
+        "surv_ppm": pa.array(out["surv_ppm"], pa.int64()),
+    })
+
+
+def multitouch_attribution_events(sf_dir: str):
+    """LINEAR multi-touch attribution: each purchase splits one unit
+    of credit equally (floor micro-shares of 1e6) across all view /
+    click touches of the SAME user in the 24 h window before it —
+    the marketing-science upgrade of first/last-touch
+    ``session_attribution``.  Per user-bucket, the touch windows
+    resolve with the packed-key double searchsorted (no pair
+    materialization for counting k); credits spread with one
+    ``np.add.at`` over the expanded ranges, bounded by the true
+    touch-pair count."""
+    from geodata_ray.stages.windows import _tag_bucket
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type"])
+    win_us = 86_400_000_000  # 24 h
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array(["view", "click",
+                                            "purchase"]))
+        t = batch.filter(keep)
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_type": t["event_type"],
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("user_id", "ascending"), ("ts_us", "ascending")])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "event_type": pa.array([], pa.string()),
+            "credit_micro": pa.array([], pa.int64()),
+            "n_touches": pa.array([], pa.int64()),
+        })
+        if u.size == 0:
+            return empty
+        is_p = ty == "purchase"
+        is_t = ~is_p
+        t0 = int(ts.min())
+        rel = ts - t0
+        m_span = int(rel.max()) + win_us + 2
+        if int(u.max()) > (2**62) // m_span:
+            raise OverflowError("multitouch: user*span key exceeds "
+                                "int64 — re-bucket by (user, day)")
+        key = u * m_span + rel
+        tkey = key[is_t]
+        tty = ty[is_t]
+        pkey = key[is_p]
+        lo = np.searchsorted(tkey, pkey - win_us, side="left")
+        hi = np.searchsorted(tkey, pkey, side="left")  # strictly before
+        k = hi - lo
+        ok = k > 0
+        lo, hi, k = lo[ok], hi[ok], k[ok]
+        share = (1_000_000 // k).astype(np.int64)
+        # expand [lo, hi) ranges into flat touch indices + shares —
+        # repeat/offset arithmetic, no per-purchase Python loop
+        total = int(k.sum())
+        idx = (np.repeat(lo, k)
+               + (np.arange(total) - np.repeat(np.cumsum(k) - k, k)))
+        sh = np.repeat(share, k)
+        utypes, tcodes = np.unique(tty, return_inverse=True)
+        cred = np.zeros(utypes.size, np.int64)
+        np.add.at(cred, tcodes[idx], sh)
+        ntouch = np.bincount(tcodes[idx], minlength=utypes.size)
+        nz = np.flatnonzero(ntouch)
+        return pa.table({
+            "event_type": pa.array(utypes[nz], pa.string()),
+            "credit_micro": pa.array(cred[nz]),
+            "n_touches": pa.array(ntouch[nz].astype(np.int64)),
+        })
+
+    return grouped_aggregate(
+        _tag_bucket(ev.map_batches(prep, batch_format="pyarrow"),
+                    "user_id", 32)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow"),
+        ["event_type"],
+        [("credit_micro", "sum", "credit_micro"),
+         ("n_touches", "sum", "n_touches")],
+    )
+
+
+def subtree_share_parts(sf_dir: str):
+    """Percent-of-parent HIERARCHICAL share: each non-root node's
+    subtree cents as a floor-ppm share of its PARENT's subtree cents —
+    the drill-down report over the 8-ary part tree (composes the
+    subtree rollup with a parent self-join; parent key is pure
+    arithmetic so the join is a bounded broadcast lookup, not an
+    exchange)."""
+    import ray
+
+    roll = subtree_rollup_parts(sf_dir).materialize()
+    # the rollup is bounded by the key space (~1.15x the part count);
+    # broadcast the (node -> subtree_cents) map for the parent lookup
+    parts = [t for t in ray.get(roll.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(parts)
+    nodes = tbl["node"].to_numpy(zero_copy_only=False)
+    cents = tbl["subtree_cents"].to_numpy(zero_copy_only=False)
+    order = np.argsort(nodes, kind="stable")
+    lookup_ref = ray.put((nodes[order], cents[order]))
+
+    def share(batch: pa.Table) -> pa.Table:
+        nk, nc = ray.get(lookup_ref) \
+            if isinstance(lookup_ref, ray.ObjectRef) else lookup_ref
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        sc = batch["subtree_cents"].to_numpy(zero_copy_only=False)
+        keep = node > 0
+        node, sc = node[keep], sc[keep]
+        parent = node // 8
+        pos = np.searchsorted(nk, parent)
+        pc_ = nc[pos]
+        if sc.size and int(np.abs(sc).max()) > (2**62) // 1_000_000:
+            raise OverflowError("subtree_share: cents*1e6 overflows")
+        return pa.table({
+            "node": pa.array(node),
+            "parent": pa.array(parent),
+            "share_ppm": pa.array((sc * 1_000_000) // pc_),
+        })
+
+    return roll.map_batches(share, batch_format="pyarrow")
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -12569,6 +12757,10 @@ RAY_QUERIES = {
     "recency_decay_types_events": recency_decay_types_events,
     "trending_types_daily_events": trending_types_daily_events,
     "mlm_mask_plan_docs": mlm_mask_plan_docs,
+    # thirty-first wave (round 5)
+    "user_lifetime_survival_events": user_lifetime_survival_events,
+    "multitouch_attribution_events": multitouch_attribution_events,
+    "subtree_share_parts": subtree_share_parts,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
