@@ -6094,9 +6094,13 @@ _ORACLE_SQL_STATIC = {
           GROUP BY 1, 2
         ),
         m AS (
+          -- the 2^62 sentinel matches the engine's "no neighbor of
+          -- this kind" marker, so singleton-label anchors stay exact
           SELECT anchor_id,
-                 MIN(CASE WHEN same = 1 THEN dist END) AS d_pos,
-                 MIN(CASE WHEN same = 0 THEN dist END) AS d_neg
+                 COALESCE(MIN(CASE WHEN same = 1 THEN dist END),
+                          4611686018427387904) AS d_pos,
+                 COALESCE(MIN(CASE WHEN same = 0 THEN dist END),
+                          4611686018427387904) AS d_neg
           FROM d GROUP BY 1
         )
         SELECT anchor_id, CAST(d_pos AS BIGINT) AS d_pos,

@@ -2951,9 +2951,10 @@ def csv_roundtrip_docs(sf_dir: str):
 def _host_edges_map(batch: pa.Table) -> pa.Table:
     """THE deterministic 97-node host link graph (3 out-links per doc,
     modular-arithmetic targets) — single definition shared by
-    ``pagerank_hosts_docs``, ``k_core_hosts`` and ``hits_hosts_docs``
-    so the engine and the three oracles can never diverge on the
-    graph."""
+    ``pagerank_hosts_docs``, ``k_core_hosts``, ``hits_hosts_docs``,
+    ``clustering_coeff_hosts``, ``eccentricity_hosts`` and
+    ``edge_support_hosts`` so the engine and the oracles can never
+    diverge on the graph."""
     ids = batch["doc_id"].to_numpy()
     u = ids % 97
     us, vs = [], []
@@ -10222,6 +10223,11 @@ def session_duration_quantiles_events(sf_dir: str):
         sess.map_batches(dur, batch_format="pyarrow"), "dur_s",
         [0.5, 0.9, 0.99],
     )
+    if not vals:  # no sessions at all: the oracle emits zero rows
+        return rd.from_arrow(pa.table({
+            "q_pct": pa.array([], pa.int64()),
+            "dur_s": pa.array([], pa.int64()),
+        }))
     return rd.from_arrow(pa.table({
         "q_pct": pa.array([50, 90, 99], pa.int64()),
         "dur_s": pa.array([int(v) for v in vals], pa.int64()),
@@ -10738,21 +10744,9 @@ def clustering_coeff_hosts(sf_dir: str):
     from geodata_ray.stages.graphcc import clustering_coefficient
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
-
-    def edges(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy()
-        u = ids % 97
-        us, vs = [], []
-        for j in (1, 2, 3):
-            us.append(u)
-            vs.append((u + 1 + (ids * j) % 96) % 97)
-        return pa.table(
-            {"u": pa.array(np.concatenate(us)),
-             "v": pa.array(np.concatenate(vs))}
-        )
-
     return clustering_coefficient(
-        ds.map_batches(edges, batch_format="pyarrow"), num_buckets=16
+        ds.map_batches(_host_edges_map, batch_format="pyarrow"),
+        num_buckets=16,
     )
 
 
@@ -10810,14 +10804,12 @@ def benford_audit_events(sf_dir: str):
     })
 
 
-def daily_corr_types_events(sf_dir: str):
-    """Pearson correlation between the daily count series of two event
-    types (view vs click) — the drift / co-movement check between two
-    metrics.  One bounded (day x 2) pre-combined exchange produces the
-    exact integer daily counts; the five moments and the correlation
-    fold driver-side in PYTHON INTS (unbounded, exact), emitted as the
-    signed squared correlation in parts-per-billion plus every exact
-    ingredient, so no cross-engine sqrt/division bits are compared."""
+def _daily_view_click_counts(sf_dir: str) -> tuple[list[int], list[int]]:
+    """The shared exact daily (view, click) count series: one bounded
+    (day x 2) pre-combined exchange, returned day-sorted as two Python
+    int lists — single definition for the Pearson (``daily_corr``) and
+    Kendall (``kendall_tau``) correlation queries, mirroring the
+    identical `c` CTE both oracles share."""
     ev = _read(sf_dir, "events", columns=["ts", "event_type"])
     day_us = 86_400_000_000
 
@@ -10844,10 +10836,19 @@ def daily_corr_types_events(sf_dir: str):
         ev.map_batches(prep, batch_format="pyarrow"),
         ["day_us"], [("x", "sum", "x"), ("y", "sum", "y")],
     )
-    xs, ys = [], []
-    for r in daily.take_all():  # bounded by the day count
-        xs.append(int(r["x"]))
-        ys.append(int(r["y"]))
+    rows = sorted(daily.take_all(), key=lambda r: int(r["day_us"]))
+    return ([int(r["x"]) for r in rows], [int(r["y"]) for r in rows])
+
+
+def daily_corr_types_events(sf_dir: str):
+    """Pearson correlation between the daily count series of two event
+    types (view vs click) — the drift / co-movement check between two
+    metrics.  One bounded (day x 2) pre-combined exchange produces the
+    exact integer daily counts; the five moments and the correlation
+    fold driver-side in PYTHON INTS (unbounded, exact), emitted as the
+    signed squared correlation in parts-per-billion plus every exact
+    ingredient, so no cross-engine sqrt/division bits are compared."""
+    xs, ys = _daily_view_click_counts(sf_dir)
     nd = len(xs)
     sx, sy = sum(xs), sum(ys)
     sxy = sum(a * b for a, b in zip(xs, ys))
@@ -11135,20 +11136,9 @@ def eccentricity_hosts(sf_dir: str):
     from geodata_ray.stages.graphcc import eccentricity
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
-
-    def edges(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy()
-        u = ids % 97
-        us, vs = [], []
-        for j in (1, 2, 3):
-            us.append(u)
-            vs.append((u + 1 + (ids * j) % 96) % 97)
-        return pa.table(
-            {"u": pa.array(np.concatenate(us)),
-             "v": pa.array(np.concatenate(vs))}
-        )
-
-    return eccentricity(ds.map_batches(edges, batch_format="pyarrow"))
+    return eccentricity(
+        ds.map_batches(_host_edges_map, batch_format="pyarrow")
+    )
 
 
 def readability_docs(sf_dir: str):
@@ -11423,6 +11413,13 @@ def l2_norm_audit_embeddings(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def audit(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "norm2_q": pa.array([], pa.int64()),
+                "max_q": pa.array([], pa.int64()),
+                "max_dim": pa.array([], pa.int64()),
+            })
         emb = batch["embedding"]
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.combine_chunks()
@@ -11759,6 +11756,8 @@ def autocorr_daily_events(sf_dir: str):
         a = x[:-k] if k < len(x) else []
         b = x[k:]
         m = len(a)
+        if m == 0:  # the oracle's GROUP BY emits no row for this lag
+            continue
         sx, sy = sum(a), sum(b)
         sxy = sum(p * q for p, q in zip(a, b))
         sxx = sum(p * p for p in a)
@@ -11797,21 +11796,9 @@ def edge_support_hosts(sf_dir: str):
     from geodata_ray.stages.graphcc import edge_triangle_support
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
-
-    def edges(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy()
-        u = ids % 97
-        us, vs = [], []
-        for j in (1, 2, 3):
-            us.append(u)
-            vs.append((u + 1 + (ids * j) % 96) % 97)
-        return pa.table(
-            {"u": pa.array(np.concatenate(us)),
-             "v": pa.array(np.concatenate(vs))}
-        )
-
     return edge_triangle_support(
-        ds.map_batches(edges, batch_format="pyarrow"), num_buckets=16
+        ds.map_batches(_host_edges_map, batch_format="pyarrow"),
+        num_buckets=16,
     )
 
 
@@ -11892,6 +11879,12 @@ def triplet_mining_embeddings(sf_dir: str):
     anchors = ray.put((a_ids, a_lab, a_q))
 
     def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "anchor_id": pa.array([], pa.int64()),
+                "d_pos": pa.array([], pa.int64()),
+                "d_neg": pa.array([], pa.int64()),
+            })
         ids_, labs_, qa = ray.get(anchors) \
             if isinstance(anchors, ray.ObjectRef) else anchors
         emb = batch["embedding"]
@@ -11996,6 +11989,11 @@ def conversion_latency_quantiles_events(sf_dir: str):
         .map_groups(per_bucket, batch_format="pyarrow")
     )
     vals = exact_int_quantiles(lats, "lat_s", [0.5, 0.9, 0.99])
+    if not vals:  # no conversions at all: the oracle emits zero rows
+        return rd.from_arrow(pa.table({
+            "q_pct": pa.array([], pa.int64()),
+            "lat_s": pa.array([], pa.int64()),
+        }))
     return rd.from_arrow(pa.table({
         "q_pct": pa.array([50, 90, 99], pa.int64()),
         "lat_s": pa.array([int(v) for v in vals], pa.int64()),
@@ -12138,40 +12136,14 @@ def kendall_tau_daily_events(sf_dir: str):
     discordant pairs over n(n-1)/2).  The daily table is the same
     bounded pre-combined exchange; the O(days^2) pair scan vectorizes
     driver-side over the bounded day count (guarded)."""
-    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
-    day_us = 86_400_000_000
-
-    def prep(batch: pa.Table) -> pa.Table:
-        keep = pc.is_in(batch["event_type"],
-                        value_set=pa.array(["view", "click"]))
-        t = batch.filter(keep)
-        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-        d = (ts // day_us) * day_us
-        eq = pc.equal(t["event_type"], "view")
-        if isinstance(eq, pa.ChunkedArray):
-            eq = eq.combine_chunks()
-        vmask = eq.to_numpy(zero_copy_only=False).astype(bool)
-        ud, inv = np.unique(d, return_inverse=True)
-        x = np.bincount(inv[vmask], minlength=ud.size).astype(np.int64)
-        y = np.bincount(inv[~vmask], minlength=ud.size).astype(np.int64)
-        return pa.table({
-            "day_us": pa.array(ud),
-            "x": pa.array(x),
-            "y": pa.array(y),
-        })
-
-    daily = grouped_aggregate(
-        ev.map_batches(prep, batch_format="pyarrow"),
-        ["day_us"], [("x", "sum", "x"), ("y", "sum", "y")],
-    )
-    rows = sorted(daily.take_all(), key=lambda r: int(r["day_us"]))
-    if len(rows) > 5_000:
+    xs, ys = _daily_view_click_counts(sf_dir)
+    if len(xs) > 5_000:
         # 5000 days (~13 years) = 1.2e7 pairs ~ 300 MB of int64
         # temporaries; past that, shard the pair scan
         raise ValueError("kendall_tau: day count exceeds the bounded "
                          "O(days^2) driver scan — shard the pair scan")
-    x = np.array([int(r["x"]) for r in rows], np.int64)
-    y = np.array([int(r["y"]) for r in rows], np.int64)
+    x = np.array(xs, np.int64)
+    y = np.array(ys, np.int64)
     n = x.size
     iu, ju = np.triu_indices(n, k=1)
     sx = np.sign(x[iu] - x[ju])
@@ -12219,6 +12191,14 @@ def recency_decay_types_events(sf_dir: str):
                                  100.0)),
             pa.int64(),
         ).to_numpy(zero_copy_only=False)
+        if cents.size and int(cents.min()) < 0:
+            # the oracle's `//` truncates toward zero while `>>`
+            # floors — negative money is outside this query's domain,
+            # refuse instead of silently diverging
+            raise ValueError(
+                "recency_decay: negative cents — floor(>>) and SQL "
+                "trunc(//) diverge below zero"
+            )
         age = (max_day - (ts // day_us) * day_us) // day_us
         dec = cents >> np.minimum(age, 62)
         return pa.table({

@@ -897,9 +897,11 @@ def eccentricity(edges, *, src: str = "u", dst: str = "v",
     ``distinct_edges_packed`` one-task bound as ``triangle_counts``);
     the APSP itself runs on the driver as vectorized boolean
     matrix-multiply BFS over the BOUNDED node set — ``node_bound``
-    RAISES past the dense n^2 frontier (8192^2 bools = 64 MB); a
-    page-scale graph swaps this for per-source ``bfs_levels`` rounds,
-    output shape unchanged.
+    RAISES past the dense n^2 frontier.  Peak driver memory is three
+    n^2 bool matrices (3 x 64 MB at the 8192 bound) — eccentricity
+    folds PER ROUND (a row's ecc is the last round it gained a node),
+    so no n^2 distance matrix is ever held.  A page-scale graph swaps
+    this for per-source ``bfs_levels`` rounds, output shape unchanged.
 
     Returns (host, ecc, n_reachable); ecc = 0 for isolated canonical
     self-nodes never appears (self-loops are dropped), singleton
@@ -925,8 +927,7 @@ def eccentricity(edges, *, src: str = "u", dst: str = "v",
     adj[ia, ib] = True
     adj[ib, ia] = True
     reach = np.eye(n, dtype=bool)
-    dist = np.full((n, n), -1, dtype=np.int64)
-    np.fill_diagonal(dist, 0)
+    ecc = np.zeros(n, dtype=np.int64)
     d = 0
     while True:
         d += 1
@@ -934,10 +935,9 @@ def eccentricity(edges, *, src: str = "u", dst: str = "v",
         new = nreach & ~reach
         if not new.any():
             break
-        dist[new] = d
+        ecc[new.any(axis=1)] = d
         reach = nreach
-    ecc = np.where(dist >= 0, dist, -1).max(axis=1)
-    n_reach = (dist >= 0).sum(axis=1).astype(np.int64)
+    n_reach = reach.sum(axis=1).astype(np.int64)
     return rd.from_arrow(pa.table({
         "host": pa.array(nodes),
         "ecc": pa.array(ecc.astype(np.int64)),

@@ -576,6 +576,8 @@ def exact_int_quantiles(ds, col: str, qs: Sequence[float]) -> list[int]:
     cum = hist["__qn"].cumsum().to_numpy()
     vals = hist[col].to_numpy()
     n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return []  # callers emit zero rows, matching SQL's empty set
     out = []
     for q in qs:
         target = math.ceil(q * n)
