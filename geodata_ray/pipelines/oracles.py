@@ -5740,6 +5740,73 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # PSI drift between time halves, fixed-point qlog2 terms
+    "psi_value_drift_events": f"""
+        WITH RECURSIVE b AS (
+          SELECT (MIN(epoch_us(ts)) // 86400000000
+                  + MAX(epoch_us(ts)) // 86400000000) // 2
+                 * 86400000000 AS cut
+          FROM events
+        ),
+        x AS (
+          SELECT CAST(ROUND(value * 100) AS BIGINT) // 2048 AS bucket,
+                 CASE WHEN epoch_us(ts) // 86400000000 * 86400000000
+                           < b.cut
+                      THEN 1 ELSE 0 END AS first
+          FROM events CROSS JOIN b
+        ),
+        h AS (
+          SELECT bucket,
+                 CAST(SUM(first) AS BIGINT) AS n_a,
+                 CAST(SUM(1 - first) AS BIGINT) AS n_b
+          FROM x GROUP BY 1
+        ),
+        t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM h),
+        vals AS (
+          SELECT DISTINCT c FROM (
+            SELECT CAST(n_a * t.tb AS BIGINT) AS c
+            FROM h CROSS JOIN t WHERE n_a > 0 AND n_b > 0
+            UNION ALL
+            SELECT CAST(n_b * t.ta AS BIGINT)
+            FROM h CROSS JOIN t WHERE n_a > 0 AND n_b > 0
+          )
+        ),
+        {_QLOG2_CTE}
+        SELECT h.bucket, h.n_a, h.n_b,
+               CAST(CASE WHEN h.n_a = 0 OR h.n_b = 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS one_sided,
+               CAST(CASE WHEN h.n_a = 0 OR h.n_b = 0 THEN 0
+                    ELSE (h.n_a * t.tb - h.n_b * t.ta)
+                         * (qa.qlog2 - qb.qlog2)
+               END AS BIGINT) AS psi_term_q
+        FROM h CROSS JOIN t
+        LEFT JOIN q qa ON qa.c = h.n_a * t.tb
+        LEFT JOIN q qb ON qb.c = h.n_b * t.ta
+    """,
+    # histogram-intersection similarity between type distributions
+    "histogram_intersection_types_events": """
+        WITH h AS (
+          SELECT event_type,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        t AS (SELECT event_type, SUM(n) AS tot FROM h GROUP BY 1),
+        p AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(SUM(LEAST(a.n, b.n)) AS BIGINT) AS inter
+          FROM h a
+          JOIN h b ON b.cents = a.cents
+                  AND b.event_type > a.event_type
+          GROUP BY 1, 2
+        )
+        SELECT p.type_a, p.type_b, p.inter,
+               CAST(p.inter * 1000000 // LEAST(t1.tot, t2.tot)
+                    AS BIGINT) AS sim_ppm
+        FROM p
+        JOIN t t1 ON t1.event_type = p.type_a
+        JOIN t t2 ON t2.event_type = p.type_b
+    """,
     # user-lifetime survival / churn curve (no censoring)
     "user_lifetime_survival_events": """
         WITH s AS (

@@ -12509,6 +12509,168 @@ def subtree_share_parts(sf_dir: str):
     return roll.map_batches(share, batch_format="pyarrow")
 
 
+def psi_value_drift_events(sf_dir: str):
+    """Population Stability Index (PSI — THE industry drift metric for
+    model inputs) between the first and second time half of the value
+    distribution, in EXACT fixed-point: per 2048-cent bucket,
+    ``psi_term_q = (na*TB - nb*TA) * (qlog2(na*TB) - qlog2(nb*TA))``
+    using the deterministic integer qlog2 kernel (both engines replay
+    the same truncation loop bit-for-bit; the caller divides by
+    TA*TB*2^16/ln2 for the textbook value).  One-sided buckets (a
+    count of zero on either side, where PSI is undefined) emit flagged
+    zero terms.  A tiny MIN/MAX pass fixes the time cut; one bounded
+    (bucket x 2) exchange; the <=16-row fold runs driver-side."""
+    from geodata_ray.stages.lm import qlog2_fixed
+
+    ev0 = _read(sf_dir, "events", columns=["ts"])
+    day_us = 86_400_000_000
+    bounds = grouped_aggregate(
+        ev0.map_batches(
+            lambda t: pa.table({
+                "g": pa.array(np.zeros(min(len(t), 1), np.int64)),
+                "ts_us": pa.array(
+                    [int(pc.min(pc.cast(t["ts"], pa.int64())).as_py())]
+                    if len(t) else [], pa.int64()),
+                "ts_mx": pa.array(
+                    [int(pc.max(pc.cast(t["ts"], pa.int64())).as_py())]
+                    if len(t) else [], pa.int64()),
+            }),
+            batch_format="pyarrow"),
+        ["g"],
+        [("ts_us", "min", "lo"), ("ts_mx", "max", "hi")],
+    ).take_all()
+    lo_day = int(bounds[0]["lo"]) // day_us
+    hi_day = int(bounds[0]["hi"]) // day_us
+    cut_us = ((lo_day + hi_day) // 2) * day_us  # floor day midpoint
+
+    ev = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        if cents.size and int(cents.min()) < 0:
+            raise ValueError("psi: negative cents outside the bucket "
+                             "domain")
+        b = cents // 2048
+        first = (ts // day_us) * day_us < cut_us
+        ub, inv = np.unique(b, return_inverse=True)
+        na = np.bincount(inv[first], minlength=ub.size)
+        nb = np.bincount(inv[~first], minlength=ub.size)
+        return pa.table({
+            "bucket": pa.array(ub),
+            "n_a": pa.array(na.astype(np.int64)),
+            "n_b": pa.array(nb.astype(np.int64)),
+        })
+
+    agg = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["bucket"], [("n_a", "sum", "n_a"), ("n_b", "sum", "n_b")],
+    )
+    rows = sorted(agg.take_all(), key=lambda r: int(r["bucket"]))
+    na = np.array([int(r["n_a"]) for r in rows], np.int64)
+    nb = np.array([int(r["n_b"]) for r in rows], np.int64)
+    ta, tb = int(na.sum()), int(nb.sum())
+    two = (na > 0) & (nb > 0)
+    psi = np.zeros(na.size, np.int64)
+    if two.any():
+        xa = na[two].astype(np.uint64) * np.uint64(tb)
+        xb = nb[two].astype(np.uint64) * np.uint64(ta)
+        if int(xa.max()) > 2**62 or int(xb.max()) > 2**62:
+            raise OverflowError("psi: count*total exceeds the qlog2 "
+                                "domain")
+        dq = qlog2_fixed(xa).astype(np.int64) \
+            - qlog2_fixed(xb).astype(np.int64)
+        dn = xa.astype(np.int64) - xb.astype(np.int64)
+        term = dn * dq
+        if term.size and int(np.abs(term).max()) > 2**62:
+            raise OverflowError("psi: term exceeds int64")
+        psi[two] = term
+    return pa.table({
+        "bucket": pa.array([int(r["bucket"]) for r in rows], pa.int64()),
+        "n_a": pa.array(na),
+        "n_b": pa.array(nb),
+        "one_sided": pa.array((~two).astype(np.int64)),
+        "psi_term_q": pa.array(psi),
+    })
+
+
+def histogram_intersection_types_events(sf_dir: str):
+    """Histogram-intersection similarity between every pair of event
+    types' exact cents distributions (the distribution-overlap kernel
+    — drift/segmentation companion to KS and PSI): ``inter =
+    sum_v min(h_a(v), h_b(v))``, normalized floor-ppm by the smaller
+    total.  The (type, cents) histogram is the only exchange (bounded
+    by the value domain); per-value pairwise mins emit from a
+    ``map_groups`` over cents, so the pair table never leaves the
+    cluster unbounded."""
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        )
+        return pa.table({"event_type": batch["event_type"],
+                         "cents": cents})
+
+    hist = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "cents"], [("cents", "count", "n")],
+    )
+
+    def pair_mins(g: pa.Table) -> pa.Table:
+        ty = g["event_type"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ty, kind="stable")
+        ty, n = ty[order], n[order]
+        k = ty.size
+        if k < 2:
+            return pa.table({
+                "type_a": pa.array([], pa.string()),
+                "type_b": pa.array([], pa.string()),
+                "inter": pa.array([], pa.int64()),
+            })
+        iu, ju = np.triu_indices(k, k=1)
+        return pa.table({
+            "type_a": pa.array(ty[iu], pa.string()),
+            "type_b": pa.array(ty[ju], pa.string()),
+            "inter": pa.array(np.minimum(n[iu], n[ju]).astype(np.int64)),
+        })
+
+    pairs = grouped_aggregate(
+        hist.groupby("cents").map_groups(pair_mins,
+                                         batch_format="pyarrow"),
+        ["type_a", "type_b"], [("inter", "sum", "inter")],
+    )
+    totals = {
+        r["event_type"]: int(r["n"])
+        for r in grouped_aggregate(
+            hist.map_batches(
+                lambda t: pa.table({"event_type": t["event_type"],
+                                    "n": t["n"]}),
+                batch_format="pyarrow"),
+            ["event_type"], [("n", "sum", "n")],
+        ).take_all()
+    }
+
+    def finish(batch: pa.Table) -> pa.Table:
+        a = batch["type_a"].to_numpy(zero_copy_only=False)
+        b = batch["type_b"].to_numpy(zero_copy_only=False)
+        inter = batch["inter"].to_numpy(zero_copy_only=False)
+        mn = np.array([min(totals[x], totals[y]) for x, y in zip(a, b)],
+                      np.int64)
+        return batch.append_column(
+            "sim_ppm", pa.array((inter * 1_000_000) // mn))
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -12741,6 +12903,10 @@ RAY_QUERIES = {
     "user_lifetime_survival_events": user_lifetime_survival_events,
     "multitouch_attribution_events": multitouch_attribution_events,
     "subtree_share_parts": subtree_share_parts,
+    # thirty-second wave (round 5)
+    "psi_value_drift_events": psi_value_drift_events,
+    "histogram_intersection_types_events":
+        histogram_intersection_types_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
