@@ -376,6 +376,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "ks_test_events",
         "mmr_rerank_embeddings",
         "dedup_canonical_docs",
+        # thirty-third wave (round 5)
+        "embedding_drift_labels",
+        "crosscorr_daily_events",
         # thirty-second wave (round 5)
         "psi_value_drift_events",
         "histogram_intersection_types_events",

@@ -5740,6 +5740,85 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # per-label centroid drift between vec_id halves (exact micro)
+    "embedding_drift_labels": """
+        WITH e AS (
+          SELECT vec_id % 2 AS half, label, g.i AS dim,
+                 CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1024)
+                      AS BIGINT) AS v
+          FROM embeddings CROSS JOIN LATERAL (
+            SELECT UNNEST(generate_series(1, 64)) AS i
+          ) g
+        ),
+        st AS (
+          SELECT label, half, dim,
+                 CAST(SUM(v) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM e GROUP BY 1, 2, 3
+        ),
+        j AS (
+          SELECT a.label, a.n AS na, b.n AS nb,
+                 SUM((CAST(a.s AS HUGEINT) * b.n
+                      - CAST(b.s AS HUGEINT) * a.n)
+                     * (CAST(a.s AS HUGEINT) * b.n
+                        - CAST(b.s AS HUGEINT) * a.n)) AS num
+          FROM st a
+          JOIN st b ON b.label = a.label AND b.dim = a.dim
+                   AND a.half = 0 AND b.half = 1
+          GROUP BY 1, 2, 3
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               na AS n_a, nb AS n_b,
+               CAST(num * 1000000
+                    // (CAST(na AS HUGEINT) * nb * na * nb)
+                    AS BIGINT) AS shift_sq_micro
+        FROM j
+    """,
+    # lead-lag cross-correlation of the two daily series
+    "crosscorr_daily_events": """
+        WITH c AS (
+          SELECT DATE_TRUNC('day', ts) AS day,
+                 CAST(SUM(CASE WHEN event_type = 'view'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM events WHERE event_type IN ('view', 'click')
+          GROUP BY 1
+        ),
+        o AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY day) AS rn
+              FROM c),
+        lags AS (SELECT k FROM (VALUES (-3), (-2), (-1), (0), (1),
+                                       (2), (3)) t(k)),
+        p AS (
+          SELECT l.k, a.x AS xa, b.y AS yb
+          FROM lags l CROSS JOIN o a
+          JOIN o b ON b.rn = a.rn + l.k
+        ),
+        m AS (
+          SELECT k, CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(xa) AS BIGINT) AS sx,
+                 CAST(SUM(yb) AS BIGINT) AS sy,
+                 CAST(SUM(xa * yb) AS BIGINT) AS sxy,
+                 CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+                 CAST(SUM(yb * yb) AS BIGINT) AS syy
+          FROM p GROUP BY 1
+        )
+        SELECT CAST(k AS BIGINT) AS lag,
+               CAST(m * sxy - sx * sy AS BIGINT) AS num,
+               CAST(m * sxx - sx * sx AS BIGINT) AS den_x,
+               CAST(m * syy - sy * sy AS BIGINT) AS den_y,
+               CAST(CASE
+                 WHEN m * sxx - sx * sx = 0
+                      OR m * syy - sy * sy = 0 THEN 0
+                 ELSE (CASE WHEN m * sxy - sx * sy < 0
+                            THEN -1 ELSE 1 END)
+                      * ((CAST(m * sxy - sx * sy AS HUGEINT)
+                          * (m * sxy - sx * sy) * 1000000000)
+                         // (CAST(m * sxx - sx * sx AS HUGEINT)
+                             * (m * syy - sy * sy)))
+               END AS BIGINT) AS corr_sq_ppb
+        FROM m
+    """,
     # PSI drift between time halves, fixed-point qlog2 terms
     "psi_value_drift_events": f"""
         WITH RECURSIVE b AS (

@@ -12671,6 +12671,142 @@ def histogram_intersection_types_events(sf_dir: str):
     return pairs.map_batches(finish, batch_format="pyarrow")
 
 
+def embedding_drift_labels(sf_dir: str):
+    """Per-label EMBEDDING DRIFT between the two vec_id halves (the
+    centroid-shift monitor for feature pipelines — PSI's vector-space
+    sibling): squared centroid distance in exact micro-units via the
+    cross-multiplied difference ``sum_d (S_a[d]*n_b - S_b[d]*n_a)^2 *
+    1e6 // (n_a*n_b)^2`` — division-free until the final floor, folded
+    in PYTHON INTS over the bounded (label x dim) state.  One
+    pre-combined (label, half, dim) exchange; the corpus never
+    shuffles."""
+    ev = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "label": pa.array([], pa.int64()),
+                "half": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        q = np.floor(
+            emb.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64) * 1024.0
+        ).astype(np.int64).reshape(len(batch), -1)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        half = (batch["vec_id"].to_numpy(zero_copy_only=False)
+                % 2).astype(np.int64)
+        key = lab * 2 + half
+        uk, inv = np.unique(key, return_inverse=True)
+        d = q.shape[1]
+        s = np.zeros((uk.size, d), np.int64)
+        np.add.at(s, inv, q)
+        cnt = np.bincount(inv)
+        return pa.table({
+            "label": pa.array(np.repeat(uk // 2, d)),
+            "half": pa.array(np.repeat(uk % 2, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    uk.size)),
+            "s": pa.array(s.ravel()),
+            "n": pa.array(np.repeat(cnt.astype(np.int64), d)),
+        })
+
+    state = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["label", "half", "dim"],
+        [("s", "sum", "s"), ("n", "sum", "n")],
+    )
+    rows = state.take_all()  # bounded: labels x 2 x 64
+    acc: dict[tuple[int, int], dict] = {}
+    for r in rows:
+        k = (int(r["label"]), int(r["half"]))
+        e = acc.setdefault(k, {"s": {}, "n": 0})
+        e["s"][int(r["dim"])] = int(r["s"])
+        e["n"] = int(r["n"])  # identical across dims of one key
+    labels = sorted({l for l, _h in acc})
+    out = {"label": [], "n_a": [], "n_b": [], "shift_sq_micro": []}
+    for l in labels:
+        a = acc.get((l, 0))
+        b = acc.get((l, 1))
+        if a is None or b is None:
+            continue  # one-sided label: drift undefined (SQL join drops)
+        na, nb = a["n"], b["n"]
+        num = sum(
+            (a["s"].get(d, 0) * nb - b["s"].get(d, 0) * na) ** 2
+            for d in range(1, 65)
+        )
+        shift = num * 1_000_000 // (na * nb) ** 2
+        if shift > 2**62:
+            raise OverflowError("embedding_drift: shift exceeds int64")
+        out["label"].append(l)
+        out["n_a"].append(na)
+        out["n_b"].append(nb)
+        out["shift_sq_micro"].append(shift)
+    return pa.table({
+        "label": pa.array(out["label"], pa.int64()),
+        "n_a": pa.array(out["n_a"], pa.int64()),
+        "n_b": pa.array(out["n_b"], pa.int64()),
+        "shift_sq_micro": pa.array(out["shift_sq_micro"], pa.int64()),
+    })
+
+
+def crosscorr_daily_events(sf_dir: str):
+    """Lead-lag CROSS-correlation between the view and click daily
+    series: for lag k in -3..3, the exact-integer Pearson moments of
+    (x_t, y_{t+k}) — "does view lead click?" — completing the
+    Pearson/Kendall/autocorr family over the shared
+    ``_daily_view_click_counts`` exchange.  Signed corr^2 in ppb plus
+    exact ingredients; lags with no pairs emit no row (oracle GROUP BY
+    parity)."""
+    xs, ys = _daily_view_click_counts(sf_dir)
+    out = {"lag": [], "num": [], "den_x": [], "den_y": [],
+           "corr_sq_ppb": []}
+    n = len(xs)
+    for k in range(-3, 4):
+        if k >= 0:
+            a = xs[:n - k]
+            b = ys[k:]
+        else:
+            a = xs[-k:]
+            b = ys[:n + k]
+        m = len(a)
+        if m == 0:
+            continue
+        sx, sy = sum(a), sum(b)
+        sxy = sum(p * q for p, q in zip(a, b))
+        sxx = sum(p * p for p in a)
+        syy = sum(q * q for q in b)
+        num = m * sxy - sx * sy
+        den_x = m * sxx - sx * sx
+        den_y = m * syy - sy * sy
+        if den_x and den_y:
+            sgn = -1 if num < 0 else 1
+            corr = sgn * ((num * num * 10**9) // (den_x * den_y))
+        else:
+            corr = 0
+        if any(abs(v) > 2**62 for v in (num, den_x, den_y, corr)):
+            raise OverflowError("crosscorr: moment exceeds int64")
+        out["lag"].append(k)
+        out["num"].append(num)
+        out["den_x"].append(den_x)
+        out["den_y"].append(den_y)
+        out["corr_sq_ppb"].append(corr)
+    return pa.table({
+        "lag": pa.array(out["lag"], pa.int64()),
+        "num": pa.array(out["num"], pa.int64()),
+        "den_x": pa.array(out["den_x"], pa.int64()),
+        "den_y": pa.array(out["den_y"], pa.int64()),
+        "corr_sq_ppb": pa.array(out["corr_sq_ppb"], pa.int64()),
+    })
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -12907,6 +13043,9 @@ RAY_QUERIES = {
     "psi_value_drift_events": psi_value_drift_events,
     "histogram_intersection_types_events":
         histogram_intersection_types_events,
+    # thirty-third wave (round 5)
+    "embedding_drift_labels": embedding_drift_labels,
+    "crosscorr_daily_events": crosscorr_daily_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
