@@ -5740,6 +5740,75 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # per-dimension variance screening (exact n^2*var moments)
+    "dim_variance_embeddings": """
+        WITH q AS (
+          SELECT vec_id, g.i AS dim,
+                 CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1024)
+                      AS BIGINT) AS v
+          FROM embeddings CROSS JOIN LATERAL (
+            SELECT UNNEST(generate_series(1, 64)) AS i
+          ) g
+        ),
+        m AS (
+          SELECT dim, CAST(SUM(v) AS BIGINT) AS s,
+                 CAST(SUM(v * v) AS BIGINT) AS ss,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM q GROUP BY 1
+        ),
+        v AS (
+          SELECT dim, s, ss,
+                 CAST(n * ss - CAST(s AS HUGEINT) * s AS BIGINT)
+                     AS var_num
+          FROM m
+        ),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY var_num DESC, dim)
+                     AS rn
+          FROM v
+        )
+        SELECT CAST(dim AS BIGINT) AS dim, s AS sum_q, ss AS sum_q2,
+               var_num,
+               CAST(CASE WHEN rn <= 8 THEN 1 ELSE 0 END AS BIGINT)
+                   AS is_top8
+        FROM r
+    """,
+    # Mean Reciprocal Rank of the first same-label neighbor
+    "mrr_same_label_embeddings": """
+        WITH q AS (
+          SELECT vec_id, g.i AS dim,
+                 CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1024)
+                      AS BIGINT) AS v
+          FROM embeddings CROSS JOIN LATERAL (
+            SELECT UNNEST(generate_series(1, 64)) AS i
+          ) g
+        ),
+        anch AS (SELECT vec_id, label FROM embeddings
+                 ORDER BY vec_id LIMIT 10),
+        d AS (
+          SELECT a.vec_id AS anchor_id, e.vec_id AS other_id,
+                 MAX(CASE WHEN e.label = a.label
+                          THEN 1 ELSE 0 END) AS same,
+                 CAST(SUM((qa.v - qe.v) * (qa.v - qe.v)) AS BIGINT)
+                     AS dist
+          FROM anch a
+          JOIN embeddings e ON e.vec_id <> a.vec_id
+          JOIN q qa ON qa.vec_id = a.vec_id
+          JOIN q qe ON qe.vec_id = e.vec_id AND qe.dim = qa.dim
+          GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT anchor_id, same,
+                 ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                    ORDER BY dist, other_id) AS rnk
+          FROM d
+        ),
+        f AS (SELECT anchor_id, MIN(rnk) AS rank
+              FROM r WHERE same = 1 GROUP BY 1)
+        SELECT anchor_id, CAST(rank AS BIGINT) AS rank,
+               CAST(1000000 // rank AS BIGINT) AS recip_micro
+        FROM f
+    """,
     # per-label centroid drift between vec_id halves (exact micro)
     "embedding_drift_labels": """
         WITH e AS (

@@ -12807,6 +12807,200 @@ def crosscorr_daily_events(sf_dir: str):
     })
 
 
+def dim_variance_embeddings(sf_dir: str):
+    """Per-dimension VARIANCE screening of the embedding space (the
+    feature-selection / dead-dimension audit before indexing): exact
+    integer moments per dim — ``var_num = n*sum(q^2) - sum(q)^2``
+    (n^2 times the variance) — over the FLOOR-2^10 quantized
+    components, top-8 dims flagged.  One bounded 64-row moment
+    exchange from per-batch einsum partials; the corpus never
+    shuffles."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "dim": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "ss": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        q = np.floor(
+            emb.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64) * 1024.0
+        ).astype(np.int64).reshape(len(batch), -1)
+        d = q.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+            "s": pa.array(q.sum(axis=0)),
+            "ss": pa.array(np.einsum("nd,nd->d", q, q)),
+            "n": pa.array(np.full(d, len(batch), np.int64)),
+        })
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["dim"],
+        [("s", "sum", "s"), ("ss", "sum", "ss"), ("n", "sum", "n")],
+    )
+    rows = sorted(agg.take_all(), key=lambda r: int(r["dim"]))
+    dims = np.array([int(r["dim"]) for r in rows], np.int64)
+    s = np.array([int(r["s"]) for r in rows], dtype=object)
+    ss = np.array([int(r["ss"]) for r in rows], dtype=object)
+    n = int(rows[0]["n"]) if rows else 0
+    var_num = n * ss - s * s  # Python ints: no overflow at any scale
+    if any(abs(int(v)) > 2**62 for v in var_num):
+        raise OverflowError("dim_variance: n^2*var exceeds int64 "
+                            "output — rescale")
+    order = np.lexsort((dims, [-int(v) for v in var_num]))
+    topset = set(dims[order[:8]].tolist())
+    return pa.table({
+        "dim": pa.array(dims),
+        "sum_q": pa.array([int(v) for v in s], pa.int64()),
+        "sum_q2": pa.array([int(v) for v in ss], pa.int64()),
+        "var_num": pa.array([int(v) for v in var_num], pa.int64()),
+        "is_top8": pa.array(
+            [1 if int(d) in topset else 0 for d in dims], pa.int64()),
+    })
+
+
+def mrr_same_label_embeddings(sf_dir: str):
+    """Mean Reciprocal Rank (the retrieval-eval position metric next
+    to ``ann_recall``'s set metric): for each of the 10 lowest-id
+    anchor vectors, the rank of its FIRST same-label neighbor in the
+    exact integer L2 ordering (ties before it by (dist, vec_id)
+    count), emitted with floor-micro reciprocal shares.  Two streaming
+    passes: the triplet machinery's d_pos bound broadcasts, then one
+    scan counts strictly-closer (and tied lower-id) vectors — no
+    global sort, no pair materialization."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+
+    def bottom10(batch: pa.Table) -> pa.Table:
+        order = np.argsort(
+            batch["vec_id"].to_numpy(zero_copy_only=False),
+            kind="stable")[:10]
+        return batch.take(pa.array(order.astype(np.int64)))
+
+    parts = [t for t in ray.get(
+        ds.map_batches(bottom10, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    cand = pa.concat_tables(parts)
+    vid0 = cand["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vid0, kind="stable")[:10]
+    a_ids = vid0[order]
+    a_lab = cand["label"].to_numpy(zero_copy_only=False).astype(
+        np.int64)[order]
+    a_q = np.floor(
+        np.array(cand["embedding"].combine_chunks().to_pylist(),
+                 dtype=np.float64) * 1024.0
+    ).astype(np.int64)[order]
+    anchors = ray.put((a_ids, a_lab, a_q))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "anchor_id": pa.array([], pa.int64()),
+                "d_pos": pa.array([], pa.int64()),
+                "pos_vid": pa.array([], pa.int64()),
+            })
+        ids_, labs_, qa = ray.get(anchors) \
+            if isinstance(anchors, ray.ObjectRef) else anchors
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        q = np.floor(
+            emb.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64) * 1024.0
+        ).astype(np.int64).reshape(len(batch), -1)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        big = np.int64(2**62)
+        out_a, out_d, out_v = [], [], []
+        for i in range(len(ids_)):
+            diff = q - qa[i]
+            d = np.einsum("nd,nd->n", diff, diff)
+            d = np.where(vid == ids_[i], big, d)
+            same = lab == labs_[i]
+            if same.any():
+                ds_ = d[same]
+                vv = vid[same]
+                j = np.lexsort((vv, ds_))[0]
+                out_a.append(int(ids_[i]))
+                out_d.append(int(ds_[j]))
+                out_v.append(int(vv[j]))
+        return pa.table({
+            "anchor_id": pa.array(out_a, pa.int64()),
+            "d_pos": pa.array(out_d, pa.int64()),
+            "pos_vid": pa.array(out_v, pa.int64()),
+        })
+
+    # phase 1: the nearest same-label neighbor per anchor ((dist, vid)
+    # lexicographic min via one grouped pass over per-block minima)
+    p1 = ds.map_batches(scan, batch_format="pyarrow")
+    best: dict[int, tuple[int, int]] = {}
+    for r in p1.take_all():  # bounded: 10 rows per block
+        k = int(r["anchor_id"])
+        cur = (int(r["d_pos"]), int(r["pos_vid"]))
+        if k not in best or cur < best[k]:
+            best[k] = cur
+    bref = ray.put(best)
+
+    def count_closer(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "anchor_id": pa.array([], pa.int64()),
+                "n_before": pa.array([], pa.int64()),
+            })
+        ids_, labs_, qa = ray.get(anchors) \
+            if isinstance(anchors, ray.ObjectRef) else anchors
+        bst = ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        q = np.floor(
+            emb.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64) * 1024.0
+        ).astype(np.int64).reshape(len(batch), -1)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        out_a, out_n = [], []
+        for i in range(len(ids_)):
+            k = int(ids_[i])
+            if k not in bst:
+                continue
+            dp, pv = bst[k]
+            diff = q - qa[i]
+            d = np.einsum("nd,nd->n", diff, diff)
+            ok = vid != ids_[i]
+            before = ok & ((d < dp) | ((d == dp) & (vid < pv)))
+            out_a.append(k)
+            out_n.append(int(before.sum()))
+        return pa.table({
+            "anchor_id": pa.array(out_a, pa.int64()),
+            "n_before": pa.array(out_n, pa.int64()),
+        })
+
+    agg = grouped_aggregate(
+        ds.map_batches(count_closer, batch_format="pyarrow"),
+        ["anchor_id"], [("n_before", "sum", "n_before")],
+    )
+    rows = sorted(agg.take_all(), key=lambda r: int(r["anchor_id"]))
+    return pa.table({
+        "anchor_id": pa.array(
+            [int(r["anchor_id"]) for r in rows], pa.int64()),
+        "rank": pa.array(
+            [int(r["n_before"]) + 1 for r in rows], pa.int64()),
+        "recip_micro": pa.array(
+            [1_000_000 // (int(r["n_before"]) + 1) for r in rows],
+            pa.int64()),
+    })
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -13046,6 +13240,9 @@ RAY_QUERIES = {
     # thirty-third wave (round 5)
     "embedding_drift_labels": embedding_drift_labels,
     "crosscorr_daily_events": crosscorr_daily_events,
+    # thirty-fourth wave (round 5)
+    "dim_variance_embeddings": dim_variance_embeddings,
+    "mrr_same_label_embeddings": mrr_same_label_embeddings,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
