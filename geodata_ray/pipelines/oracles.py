@@ -5740,6 +5740,58 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # sorted-neighborhood candidate pairs (window 4, <= 10 cents)
+    "snm_pairs_customers": """
+        WITH c AS (
+          SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+                 CAST(c_custkey AS BIGINT) AS key
+          FROM customer
+        ),
+        r AS (
+          SELECT cents, key,
+                 ROW_NUMBER() OVER (ORDER BY cents, key) AS rn
+          FROM c
+        )
+        SELECT a.key AS key_a, b.key AS key_b,
+               CAST(b.cents - a.cents AS BIGINT) AS diff_cents
+        FROM r a
+        JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
+                AND b.cents - a.cents <= 10
+    """,
+    # OLS slope of daily counts per type (exact integer moments)
+    "daily_trend_slope_types_events": """
+        WITH c AS (
+          SELECT DATE_TRUNC('day', ts) AS day, event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        mn AS (SELECT MIN(day) AS d0 FROM c),
+        p AS (
+          SELECT event_type,
+                 CAST((epoch_us(day) - epoch_us(mn.d0))
+                      // 86400000000 AS BIGINT) AS x,
+                 n AS y
+          FROM c CROSS JOIN mn
+        ),
+        m AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM p GROUP BY 1
+        )
+        SELECT event_type, n_days,
+               CAST(n_days * sxy - sx * sy AS BIGINT) AS num,
+               CAST(n_days * sxx - sx * sx AS BIGINT) AS den,
+               CAST(CASE WHEN n_days * sxx - sx * sx = 0 THEN 0
+                    ELSE (CASE WHEN n_days * sxy - sx * sy < 0
+                               THEN -1 ELSE 1 END)
+                         * (ABS(n_days * sxy - sx * sy) * 1000000
+                            // (n_days * sxx - sx * sx))
+               END AS BIGINT) AS slope_micro
+        FROM m
+    """,
     # per-dimension variance screening (exact n^2*var moments)
     "dim_variance_embeddings": """
         WITH q AS (

@@ -13001,6 +13001,211 @@ def mrr_same_label_embeddings(sf_dir: str):
     })
 
 
+def snm_pairs_customers(sf_dir: str):
+    """Sorted-Neighborhood Method candidate pairs (the classic
+    record-linkage BLOCKING alternative to LSH: sort by a fuzzy key,
+    compare only within a fixed window): customers sort globally by
+    (balance cents, custkey); every pair within rank distance <= 4
+    whose balances differ by <= 10 cents is a candidate duplicate.
+    Distributed: one global range-partitioned sort, per-block pair
+    generation, and the <= 4-deep block JUNCTIONS stitched driver-side
+    from 4-row head/tail marker rows per block (the pair set is
+    provably independent of where Ray splits the blocks).  Blocks
+    thinner than the window raise rather than silently dropping
+    junction pairs."""
+    ev = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    win = 4
+    tol = 10
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["c_acctbal"],
+                                         pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        return pa.table({
+            "cents": cents,
+            "key": pc.cast(batch["c_custkey"], pa.int64()),
+        })
+
+    srt = ev.map_batches(prep, batch_format="pyarrow").sort(
+        ["cents", "key"])
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        c = batch["cents"].to_numpy(zero_copy_only=False)
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        n = c.size
+        empty_cols = {
+            "key_a": pa.array([], pa.int64()),
+            "key_b": pa.array([], pa.int64()),
+            "diff_cents": pa.array([], pa.int64()),
+            "__head_off": pa.array([], pa.int64()),
+            "__tail_off": pa.array([], pa.int64()),
+            "__cents": pa.array([], pa.int64()),
+            "__key": pa.array([], pa.int64()),
+        }
+        if n == 0:
+            return pa.table(empty_cols)
+        if n < 2 * win:
+            raise ValueError(
+                "snm: a sorted block is thinner than 2x the window — "
+                "repartition the sorted input before pair generation"
+            )
+        ka, kb, dc = [], [], []
+        for d in range(1, win + 1):
+            diff = c[d:] - c[:-d]
+            ok = diff <= tol
+            ka.append(k[:-d][ok])
+            kb.append(k[d:][ok])
+            dc.append(diff[ok])
+        ka = np.concatenate(ka)
+        kb = np.concatenate(kb)
+        dc = np.concatenate(dc)
+        # marker rows: first/last `win` rows with their offsets, so
+        # the driver can compute cross-junction rank distances
+        m = win
+        head_off = np.r_[np.arange(m), np.full(m, -1)]
+        tail_off = np.r_[np.full(m, -1), np.arange(m - 1, -1, -1)]
+        mc = np.r_[c[:m], c[-m:]]
+        mk = np.r_[k[:m], k[-m:]]
+        pairs_n = ka.size
+        mark_n = 2 * m
+        return pa.table({
+            "key_a": pa.array(np.r_[ka, np.zeros(mark_n, np.int64)]),
+            "key_b": pa.array(np.r_[kb, np.zeros(mark_n, np.int64)]),
+            "diff_cents": pa.array(
+                np.r_[dc, np.zeros(mark_n, np.int64)]),
+            "__head_off": pa.array(
+                np.r_[np.full(pairs_n, -2, np.int64), head_off]),
+            "__tail_off": pa.array(
+                np.r_[np.full(pairs_n, -2, np.int64), tail_off]),
+            "__cents": pa.array(np.r_[np.zeros(pairs_n, np.int64), mc]),
+            "__key": pa.array(np.r_[np.zeros(pairs_n, np.int64), mk]),
+        })
+
+    import ray
+
+    out = srt.map_batches(block_pairs, batch_format="pyarrow")
+    # one output block per sorted input block: split each into its
+    # pair rows and its 2*win marker rows (head/tail offsets)
+    ka, kb, dc = [], [], []
+    marker_blocks = []
+    for t in ray.get(out.to_arrow_refs()):
+        if t.num_rows == 0:
+            continue
+        ho = t["__head_off"].to_numpy(zero_copy_only=False)
+        is_pair = ho == -2
+        p = t.filter(pa.array(is_pair))
+        ka.append(p["key_a"].to_numpy(zero_copy_only=False))
+        kb.append(p["key_b"].to_numpy(zero_copy_only=False))
+        dc.append(p["diff_cents"].to_numpy(zero_copy_only=False))
+        m = t.filter(pa.array(~is_pair))
+        if m.num_rows:
+            marker_blocks.append(m)
+    # blocks are globally ordered by the sort: their first marker row
+    # (head_off == 0 == the block's first row) recovers adjacency
+    marker_blocks.sort(
+        key=lambda m: (int(m["__cents"][0].as_py()),
+                       int(m["__key"][0].as_py()))
+    )
+    for i in range(len(marker_blocks) - 1):
+        mt = marker_blocks[i]
+        mh = marker_blocks[i + 1]
+        toff = mt["__tail_off"].to_numpy(zero_copy_only=False)
+        hoff = mh["__head_off"].to_numpy(zero_copy_only=False)
+        tsel = toff >= 0
+        hsel = hoff >= 0
+        tc = mt["__cents"].to_numpy(zero_copy_only=False)[tsel]
+        tk = mt["__key"].to_numpy(zero_copy_only=False)[tsel]
+        to = toff[tsel]
+        hc = mh["__cents"].to_numpy(zero_copy_only=False)[hsel]
+        hk = mh["__key"].to_numpy(zero_copy_only=False)[hsel]
+        ho2 = hoff[hsel]
+        dist = to[:, None] + ho2[None, :] + 1
+        diff = hc[None, :] - tc[:, None]
+        hit = (dist <= win) & (diff <= tol)
+        ti, hi = np.nonzero(hit)
+        ka.append(tk[ti])
+        kb.append(hk[hi])
+        dc.append(diff[ti, hi])
+    ka = np.concatenate(ka) if ka else np.empty(0, np.int64)
+    kb = np.concatenate(kb) if kb else np.empty(0, np.int64)
+    dc = np.concatenate(dc) if dc else np.empty(0, np.int64)
+    order = np.lexsort((kb, ka))
+    return pa.table({
+        "key_a": pa.array(ka[order].astype(np.int64)),
+        "key_b": pa.array(kb[order].astype(np.int64)),
+        "diff_cents": pa.array(dc[order].astype(np.int64)),
+    })
+
+
+def daily_trend_slope_types_events(sf_dir: str):
+    """Per-type TREND line (ordinary-least-squares slope of daily
+    counts over the day index) with exact integer moments: ``slope =
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)`` emitted as the exact numerator
+    / denominator plus sign-factored floor slope in micro-units/day —
+    the metric-trend regression shape (first of the regression
+    family).  One bounded (day x type) pre-combined exchange; the
+    fold runs driver-side in Python ints."""
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+    day_us = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = (ts // day_us) * day_us
+        t = pa.table({"day_us": pa.array(d),
+                      "event_type": batch["event_type"]})
+        out = t.group_by(["day_us", "event_type"]).aggregate(
+            [([], "count_all")])
+        ncol = next(c for c in out.column_names
+                    if c not in ("day_us", "event_type"))
+        return pa.table({
+            "day_us": out["day_us"],
+            "event_type": out["event_type"],
+            "n": out[ncol],
+        })
+
+    daily = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["day_us", "event_type"], [("n", "sum", "n")],
+    )
+    rows = daily.take_all()  # bounded: days x types
+    min_day = min(int(r["day_us"]) for r in rows)
+    series: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        series.setdefault(r["event_type"], []).append(
+            ((int(r["day_us"]) - min_day) // day_us, int(r["n"])))
+    out = {"event_type": [], "n_days": [], "num": [], "den": [],
+           "slope_micro": []}
+    for ty in sorted(series):
+        pts = series[ty]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope = 0 if den == 0 else (
+            (-1 if num < 0 else 1) * (abs(num) * 1_000_000 // den)
+        )
+        if any(abs(v) > 2**62 for v in (num, den, slope)):
+            raise OverflowError("trend_slope: moment exceeds int64")
+        out["event_type"].append(ty)
+        out["n_days"].append(n)
+        out["num"].append(num)
+        out["den"].append(den)
+        out["slope_micro"].append(slope)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_days": pa.array(out["n_days"], pa.int64()),
+        "num": pa.array(out["num"], pa.int64()),
+        "den": pa.array(out["den"], pa.int64()),
+        "slope_micro": pa.array(out["slope_micro"], pa.int64()),
+    })
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -13243,6 +13448,9 @@ RAY_QUERIES = {
     # thirty-fourth wave (round 5)
     "dim_variance_embeddings": dim_variance_embeddings,
     "mrr_same_label_embeddings": mrr_same_label_embeddings,
+    # thirty-fifth wave (round 5)
+    "snm_pairs_customers": snm_pairs_customers,
+    "daily_trend_slope_types_events": daily_trend_slope_types_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
