@@ -376,6 +376,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "ks_test_events",
         "mmr_rerank_embeddings",
         "dedup_canonical_docs",
+        # thirty-sixth wave (round 5)
+        "sliding_max_user_values",
+        "unpivot_daily_types_events",
         # thirty-fifth wave (round 5)
         "snm_pairs_customers",
         "daily_trend_slope_types_events",

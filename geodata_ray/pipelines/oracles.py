@@ -5740,6 +5740,22 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # sliding ROWS-4-PRECEDING max per user (monotonic-deque window)
+    "sliding_max_user_values": """
+        SELECT event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS max5
+        FROM events
+    """,
+    # unpivot/melt of the dynamic pivot == the direct long aggregate
+    "unpivot_daily_types_events": """
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    """,
     # sorted-neighborhood candidate pairs (window 4, <= 10 cents)
     "snm_pairs_customers": """
         WITH c AS (

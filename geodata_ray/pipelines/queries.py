@@ -13206,6 +13206,105 @@ def daily_trend_slope_types_events(sf_dir: str):
     })
 
 
+def sliding_max_user_values(sf_dir: str):
+    """Sliding-window MAX over each user's event stream (ROWS 4
+    PRECEDING — the monotonic-deque window op, e.g. peak-value-in-
+    last-5 alerting): per event, the max cents of the trailing 5
+    same-user rows.  Same bucketed per-user ordered pass as TWAP; the
+    window fold is 5 vectorized shifted maxima with a position mask
+    (O(w*n), zero Python loops over rows)."""
+    from geodata_ray.stages.windows import _tag_bucket
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        )
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+            "cents": cents,
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("user_id", "ascending"),
+                       ("ts_us", "ascending"),
+                       ("event_id", "ascending")])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        if u.size == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+                "max5": pa.array([], pa.int64()),
+            })
+        new = np.ones(u.size, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        pos = np.arange(u.size) - starts[seg]
+        acc = c.copy()
+        for d in range(1, 5):
+            idx = np.flatnonzero(pos >= d)
+            acc[idx] = np.maximum(acc[idx], c[idx - d])
+        return pa.table({
+            "event_id": t["event_id"],
+            "cents": pa.array(c),
+            "max5": pa.array(acc),
+        })
+
+    return (
+        _tag_bucket(ev.map_batches(prep, batch_format="pyarrow"),
+                    "user_id", 32)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def unpivot_daily_types_events(sf_dir: str):
+    """UNPIVOT / melt: the dynamic per-type count pivot flows BACK to
+    long form (day, event_type, n) with zero-count cells dropped — the
+    wide-to-long reshape that completes the pivot pair.  Melt is a
+    pure per-batch map over the pivoted table (no extra exchange
+    beyond the pivot's own); the oracle is the direct GROUP BY the
+    round trip must reproduce."""
+    wide = pivot_event_types_daily(sf_dir)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        cols = [c for c in batch.column_names if c != "day"]
+        day = batch["day"]
+        days, types, ns = [], [], []
+        for cname in cols:
+            n = batch[cname].to_numpy(zero_copy_only=False)
+            keep = n > 0
+            days.append(
+                day.take(pa.array(np.flatnonzero(keep).astype(
+                    np.int64))))
+            types.append(np.full(int(keep.sum()), cname, dtype=object))
+            ns.append(n[keep])
+        if not days:
+            return pa.table({
+                "day": pa.array([], pa.timestamp("us")),
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "day": pa.concat_arrays(
+                [d.combine_chunks() if isinstance(d, pa.ChunkedArray)
+                 else d for d in days]),
+            "event_type": pa.array(
+                np.concatenate(types).tolist(), pa.string()),
+            "n": pa.array(np.concatenate(ns).astype(np.int64)),
+        })
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -13451,6 +13550,9 @@ RAY_QUERIES = {
     # thirty-fifth wave (round 5)
     "snm_pairs_customers": snm_pairs_customers,
     "daily_trend_slope_types_events": daily_trend_slope_types_events,
+    # thirty-sixth wave (round 5)
+    "sliding_max_user_values": sliding_max_user_values,
+    "unpivot_daily_types_events": unpivot_daily_types_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
