@@ -5740,6 +5740,75 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # decision-stump split search with exact qlog2 child entropy
+    "decision_stump_events": f"""
+        WITH RECURSIVE x AS (
+          SELECT LEAST(CAST(ROUND(value * 100) AS BIGINT) // 2048, 15)
+                     AS bucket,
+                 CASE WHEN event_type = 'purchase'
+                      THEN 1 ELSE 0 END AS y
+          FROM events
+        ),
+        h AS (
+          SELECT bucket, CAST(SUM(y) AS BIGINT) AS p,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM x GROUP BY 1
+        ),
+        th AS (SELECT k FROM (VALUES (1), (2), (3), (4), (5), (6),
+                                     (7), (8), (9), (10), (11), (12),
+                                     (13), (14), (15)) t(k)),
+        sides AS (
+          SELECT th.k,
+                 CAST(COALESCE(SUM(CASE WHEN h.bucket < th.k
+                                        THEN h.n END), 0)
+                      AS BIGINT) AS nl,
+                 CAST(COALESCE(SUM(CASE WHEN h.bucket < th.k
+                                        THEN h.p END), 0)
+                      AS BIGINT) AS pl,
+                 CAST(COALESCE(SUM(CASE WHEN h.bucket >= th.k
+                                        THEN h.n END), 0)
+                      AS BIGINT) AS nr,
+                 CAST(COALESCE(SUM(CASE WHEN h.bucket >= th.k
+                                        THEN h.p END), 0)
+                      AS BIGINT) AS pr
+          FROM th CROSS JOIN h GROUP BY 1
+        ),
+        vals AS (
+          SELECT DISTINCT c FROM (
+            SELECT nl AS c FROM sides
+            UNION ALL SELECT pl FROM sides
+            UNION ALL SELECT nl - pl FROM sides
+            UNION ALL SELECT nr FROM sides
+            UNION ALL SELECT pr FROM sides
+            UNION ALL SELECT nr - pr FROM sides
+          ) WHERE c > 0
+        ),
+        {_QLOG2_CTE},
+        hq AS (
+          SELECT s.k, s.nl, s.pl, s.nr, s.pr,
+                 CAST(s.nl * COALESCE(q1.qlog2, 0)
+                      - s.pl * COALESCE(q2.qlog2, 0)
+                      - (s.nl - s.pl) * COALESCE(q3.qlog2, 0)
+                      + s.nr * COALESCE(q4.qlog2, 0)
+                      - s.pr * COALESCE(q5.qlog2, 0)
+                      - (s.nr - s.pr) * COALESCE(q6.qlog2, 0)
+                      AS BIGINT) AS h_q
+          FROM sides s
+          LEFT JOIN q q1 ON q1.c = s.nl
+          LEFT JOIN q q2 ON q2.c = s.pl
+          LEFT JOIN q q3 ON q3.c = s.nl - s.pl
+          LEFT JOIN q q4 ON q4.c = s.nr
+          LEFT JOIN q q5 ON q5.c = s.pr
+          LEFT JOIN q q6 ON q6.c = s.nr - s.pr
+        ),
+        best AS (SELECT k AS bk FROM hq ORDER BY h_q, k LIMIT 1)
+        SELECT CAST(hq.k * 2048 AS BIGINT) AS threshold,
+               hq.nl AS n_left, hq.pl AS pos_left,
+               hq.nr AS n_right, hq.pr AS pos_right, hq.h_q,
+               CAST(CASE WHEN hq.k = best.bk
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_best
+        FROM hq CROSS JOIN best
+    """,
     # sliding ROWS-4-PRECEDING max per user (monotonic-deque window)
     "sliding_max_user_values": """
         SELECT event_id,

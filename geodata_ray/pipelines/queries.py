@@ -13305,6 +13305,95 @@ def unpivot_daily_types_events(sf_dir: str):
     return wide.map_batches(melt, batch_format="pyarrow")
 
 
+def decision_stump_events(sf_dir: str):
+    """Decision-STUMP split search (the tree-learning primitive): over
+    the 15 bucket-edge thresholds t = k*2048, find the cents split
+    minimizing the EXACT weighted child entropy for predicting
+    ``event_type == 'purchase'`` — ``H_num(n, p) = n*qlog2(n) -
+    p*qlog2(p) - (n-p)*qlog2(n-p)`` per side (the n-scaled entropy, so
+    no division), summed and compared as integers; ties take the
+    smallest threshold.  One bounded (bucket x label) exchange; the
+    15-candidate fold runs driver-side with the deterministic qlog2
+    kernel the SQL replays bit-for-bit."""
+    from geodata_ray.stages.lm import qlog2_fixed
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        if cents.size and int(cents.min()) < 0:
+            raise ValueError("stump: negative cents outside the "
+                             "bucket domain")
+        b = np.clip(cents // 2048, 0, 15)
+        eq = pc.equal(batch["event_type"], "purchase")
+        if isinstance(eq, pa.ChunkedArray):
+            eq = eq.combine_chunks()
+        y = eq.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = b * 2 + y
+        acc = np.bincount(key, minlength=32)
+        nz = np.flatnonzero(acc)
+        return pa.table({
+            "bucket": pa.array((nz // 2).astype(np.int64)),
+            "is_pos": pa.array((nz % 2).astype(np.int64)),
+            "n": pa.array(acc[nz].astype(np.int64)),
+        })
+
+    agg = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["bucket", "is_pos"], [("n", "sum", "n")],
+    )
+    cnt = np.zeros((16, 2), dtype=np.int64)
+    for r in agg.take_all():
+        cnt[int(r["bucket"]), int(r["is_pos"])] = int(r["n"])
+
+    def h_num(n: int, p: int) -> int:
+        # n*qlog2(n) - p*qlog2(p) - (n-p)*qlog2(n-p), 0-count terms 0
+        tot = 0
+        for c, sign in ((n, 1), (p, -1), (n - p, -1)):
+            if c > 0:
+                tot += sign * c * int(
+                    qlog2_fixed(np.array([c], np.uint64))[0])
+        return tot
+
+    rows = {"threshold": [], "n_left": [], "pos_left": [],
+            "n_right": [], "pos_right": [], "h_q": [], "is_best": []}
+    best = None
+    hs = []
+    for k in range(1, 16):
+        left = cnt[:k]
+        right = cnt[k:]
+        nl, pl = int(left.sum()), int(left[:, 1].sum())
+        nr, pr = int(right.sum()), int(right[:, 1].sum())
+        h = h_num(nl, pl) + h_num(nr, pr)
+        if h > 2**62:
+            raise OverflowError("stump: entropy numerator exceeds "
+                                "int64")
+        hs.append((h, k, nl, pl, nr, pr))
+        if best is None or (h, k) < best:
+            best = (h, k)
+    for h, k, nl, pl, nr, pr in hs:
+        rows["threshold"].append(k * 2048)
+        rows["n_left"].append(nl)
+        rows["pos_left"].append(pl)
+        rows["n_right"].append(nr)
+        rows["pos_right"].append(pr)
+        rows["h_q"].append(h)
+        rows["is_best"].append(1 if (h, k) == best else 0)
+    return pa.table({
+        "threshold": pa.array(rows["threshold"], pa.int64()),
+        "n_left": pa.array(rows["n_left"], pa.int64()),
+        "pos_left": pa.array(rows["pos_left"], pa.int64()),
+        "n_right": pa.array(rows["n_right"], pa.int64()),
+        "pos_right": pa.array(rows["pos_right"], pa.int64()),
+        "h_q": pa.array(rows["h_q"], pa.int64()),
+        "is_best": pa.array(rows["is_best"], pa.int64()),
+    })
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -13553,6 +13642,8 @@ RAY_QUERIES = {
     # thirty-sixth wave (round 5)
     "sliding_max_user_values": sliding_max_user_values,
     "unpivot_daily_types_events": unpivot_daily_types_events,
+    # thirty-seventh wave (round 5)
+    "decision_stump_events": decision_stump_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
