@@ -5740,6 +5740,44 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # front-coding compression audit over sorted URLs (byte LCP)
+    "front_coding_audit_docs": """
+        WITH p AS (
+          SELECT CASE WHEN doc_id % 2 = 0 THEN
+              '/' || chr(97 + CAST(doc_id % 5 AS INT)) || '/item/'
+              || CAST(doc_id * 7 % 1000 AS VARCHAR)
+              || '/page/' || CAST(doc_id % 13 AS VARCHAR)
+            ELSE
+              '/post/' || CAST(doc_id AS VARCHAR)
+              || '/comment/' || CAST(doc_id % 7 AS VARCHAR)
+            END AS path, doc_id AS key
+          FROM documents
+        ),
+        r AS (
+          SELECT path, LAG(path) OVER (ORDER BY path, key) AS prev,
+                 ROW_NUMBER() OVER (ORDER BY path, key) AS rid
+          FROM p
+        ),
+        ks AS (SELECT CAST(UNNEST(generate_series(1, 64)) AS INT)
+                   AS k),
+        m AS (
+          SELECT r.rid, MAX(ks.k) AS lcp
+          FROM r JOIN ks
+            ON ks.k <= LEAST(length(r.path), length(r.prev))
+           AND substr(r.path, 1, ks.k) = substr(r.prev, 1, ks.k)
+          WHERE r.prev IS NOT NULL
+          GROUP BY 1
+        ),
+        l AS (
+          SELECT r.rid, length(r.path) AS len,
+                 COALESCE(m.lcp, 0) AS lcp
+          FROM r LEFT JOIN m USING (rid)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(SUM(len) AS BIGINT) AS total_bytes,
+               CAST(SUM(lcp) AS BIGINT) AS saved_bytes
+        FROM l
+    """,
     # decision-stump split search with exact qlog2 child entropy
     "decision_stump_events": f"""
         WITH RECURSIVE x AS (

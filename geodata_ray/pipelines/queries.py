@@ -13394,6 +13394,98 @@ def decision_stump_events(sf_dir: str):
     })
 
 
+def front_coding_audit_docs(sf_dir: str):
+    """FRONT-CODING storage audit (the sorted-string-table / term-
+    dictionary compression estimate): URLs sort globally and every row
+    records the byte LCP with its predecessor — ``saved_bytes`` is
+    what delta-encoding the sorted run would save.  Per-block LCPs are
+    fully vectorized over the padded byte matrix (argmax of the first
+    mismatch); the one-row-deep block junctions stitch driver-side
+    (same marker pattern as the SNM window, window=1).  Emits ONE
+    audit row: n_urls, total_bytes, saved_bytes."""
+    import ray
+
+    from geodata_ray.stages.lm import _byte_view
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def urls(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cat = np.array(list("abcde"), dtype=object)[d % 5]
+        even = d % 2 == 0
+        p = np.empty(len(d), dtype=object)
+        ie = np.flatnonzero(even)
+        io = np.flatnonzero(~even)
+        p[ie] = [f"/{cat[i]}/item/{d[i] * 7 % 1000}/page/{d[i] % 13}"
+                 for i in ie]
+        p[io] = [f"/post/{d[i]}/comment/{d[i] % 7}" for i in io]
+        return pa.table({
+            "path": pa.array(list(p), pa.string()),
+            "key": pa.array(d),
+        })
+
+    srt = ds.map_batches(urls, batch_format="pyarrow").sort(
+        ["path", "key"])
+
+    def block_lcp(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({
+                "n_urls": pa.array([], pa.int64()),
+                "total_bytes": pa.array([], pa.int64()),
+                "saved_bytes": pa.array([], pa.int64()),
+                "__first": pa.array([], pa.string()),
+                "__last": pa.array([], pa.string()),
+            })
+        data, offsets = _byte_view(batch["path"])
+        lens = np.diff(offsets)
+        lmax = int(lens.max()) if n else 0
+        idx = offsets[:-1, None] + np.arange(lmax)[None, :]
+        valid = idx < offsets[1:, None]
+        mat = np.where(valid, data[np.minimum(idx, data.size - 1)], 0)
+        saved = 0
+        if n > 1:
+            neq = mat[1:] != mat[:-1]
+            any_neq = neq.any(axis=1)
+            first_mis = np.where(any_neq, np.argmax(neq, axis=1), lmax)
+            lcp = np.minimum(first_mis,
+                             np.minimum(lens[1:], lens[:-1]))
+            saved = int(lcp.sum())
+        first = batch["path"][0].as_py()
+        last = batch["path"][n - 1].as_py()
+        return pa.table({
+            "n_urls": pa.array([n], pa.int64()),
+            "total_bytes": pa.array([int(lens.sum())], pa.int64()),
+            "saved_bytes": pa.array([saved], pa.int64()),
+            "__first": pa.array([first], pa.string()),
+            "__last": pa.array([last], pa.string()),
+        })
+
+    parts = [t for t in ray.get(
+        srt.map_batches(block_lcp, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    rows = sorted(
+        (t.to_pylist()[0] for t in parts),
+        key=lambda r: r["__first"],
+    )
+    n_urls = sum(r["n_urls"] for r in rows)
+    total = sum(r["total_bytes"] for r in rows)
+    saved = sum(r["saved_bytes"] for r in rows)
+    for i in range(1, len(rows)):  # one-row-deep junctions
+        a = rows[i - 1]["__last"]
+        b = rows[i]["__first"]
+        k = 0
+        while k < min(len(a), len(b)) and a[k] == b[k]:
+            k += 1
+        saved += k
+    return pa.table({
+        "n_urls": pa.array([n_urls], pa.int64()),
+        "total_bytes": pa.array([total], pa.int64()),
+        "saved_bytes": pa.array([saved], pa.int64()),
+    })
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -13644,6 +13736,8 @@ RAY_QUERIES = {
     "unpivot_daily_types_events": unpivot_daily_types_events,
     # thirty-seventh wave (round 5)
     "decision_stump_events": decision_stump_events,
+    # thirty-eighth wave (round 5)
+    "front_coding_audit_docs": front_coding_audit_docs,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,

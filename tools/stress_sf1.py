@@ -1145,6 +1145,63 @@ def main() -> None:
 
     timed("subtree_rollup_2m", subtree_rollup_2m)
 
+    # --- waves 30-37 (second continuation session) ---
+
+    def sliding_max_10m():
+        from geodata_ray.pipelines.queries import sliding_max_user_values
+
+        return sliding_max_user_values(_amp_events_path()).count()
+
+    timed("sliding_max_10m", sliding_max_10m)
+
+    def multitouch_10m():
+        from geodata_ray.pipelines.queries import (
+            multitouch_attribution_events,
+        )
+
+        return multitouch_attribution_events(_amp_events_path()).count()
+
+    timed("multitouch_10m", multitouch_10m)
+
+    def psi_10m():
+        from geodata_ray.pipelines.queries import psi_value_drift_events
+
+        return psi_value_drift_events(_amp_events_path()).num_rows
+
+    timed("psi_10m", psi_10m)
+
+    def _amp_customer_path() -> str:
+        """100x customers (1.5M rows) for the sorted-neighborhood
+        stress (a global sort + junction stitch at scale)."""
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        d = "/tmp/graft_stress_cust100x"
+        path = f"{d}/customer.parquet"
+        if not _os.path.exists(path):
+            _os.makedirs(d, exist_ok=True)
+            amped = amplify(
+                rd.read_parquet(f"{SF_DIR}/customer.parquet"),
+                AMP * 10,
+                {"c_custkey": 1_000_000},
+            )
+            writer = None
+            for b in amped.iter_batches(batch_format="pyarrow",
+                                        batch_size=262_144):
+                if writer is None:
+                    writer = pq.ParquetWriter(path, b.schema)
+                writer.write_table(b)
+            writer.close()
+        return d
+
+    def snm_pairs_1m5():
+        from geodata_ray.pipelines.queries import snm_pairs_customers
+
+        return snm_pairs_customers(_amp_customer_path()).num_rows
+
+    timed("snm_pairs_1m5", snm_pairs_1m5)
+
     print(json.dumps({
         "metric": "sf1 stress walls (10x gate scale)",
         "unit": "sec",
