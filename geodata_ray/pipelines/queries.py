@@ -12578,11 +12578,14 @@ def psi_value_drift_events(sf_dir: str):
     two = (na > 0) & (nb > 0)
     psi = np.zeros(na.size, np.int64)
     if two.any():
-        xa = na[two].astype(np.uint64) * np.uint64(tb)
-        xb = nb[two].astype(np.uint64) * np.uint64(ta)
-        if int(xa.max()) > 2**62 or int(xb.max()) > 2**62:
+        # guard in PYTHON INTS before the uint64 cast — a wrapped
+        # product would otherwise pass a small bogus value through
+        if (int(na[two].max()) * tb > 2**62
+                or int(nb[two].max()) * ta > 2**62):
             raise OverflowError("psi: count*total exceeds the qlog2 "
                                 "domain")
+        xa = na[two].astype(np.uint64) * np.uint64(tb)
+        xb = nb[two].astype(np.uint64) * np.uint64(ta)
         dq = qlog2_fixed(xa).astype(np.int64) \
             - qlog2_fixed(xb).astype(np.int64)
         dn = xa.astype(np.int64) - xb.astype(np.int64)
@@ -12622,7 +12625,7 @@ def histogram_intersection_types_events(sf_dir: str):
     hist = grouped_aggregate(
         ev.map_batches(prep, batch_format="pyarrow"),
         ["event_type", "cents"], [("cents", "count", "n")],
-    )
+    ).materialize()  # bounded by the value domain; consumed twice
 
     def pair_mins(g: pa.Table) -> pa.Table:
         ty = g["event_type"].to_numpy(zero_copy_only=False)
@@ -12651,11 +12654,7 @@ def histogram_intersection_types_events(sf_dir: str):
     totals = {
         r["event_type"]: int(r["n"])
         for r in grouped_aggregate(
-            hist.map_batches(
-                lambda t: pa.table({"event_type": t["event_type"],
-                                    "n": t["n"]}),
-                batch_format="pyarrow"),
-            ["event_type"], [("n", "sum", "n")],
+            hist, ["event_type"], [("n", "sum", "n")],
         ).take_all()
     }
 
@@ -12692,13 +12691,9 @@ def embedding_drift_labels(sf_dir: str):
                 "s": pa.array([], pa.int64()),
                 "n": pa.array([], pa.int64()),
             })
-        emb = batch["embedding"]
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        q = np.floor(
-            emb.flatten().to_numpy(zero_copy_only=False).astype(
-                np.float64) * 1024.0
-        ).astype(np.int64).reshape(len(batch), -1)
+        from geodata_ray.stages.lm import quantized_matrix
+
+        q = quantized_matrix(batch["embedding"], len(batch))
         lab = batch["label"].to_numpy(zero_copy_only=False).astype(
             np.int64)
         half = (batch["vec_id"].to_numpy(zero_copy_only=False)
@@ -12825,13 +12820,9 @@ def dim_variance_embeddings(sf_dir: str):
                 "ss": pa.array([], pa.int64()),
                 "n": pa.array([], pa.int64()),
             })
-        emb = batch["embedding"]
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        q = np.floor(
-            emb.flatten().to_numpy(zero_copy_only=False).astype(
-                np.float64) * 1024.0
-        ).astype(np.int64).reshape(len(batch), -1)
+        from geodata_ray.stages.lm import quantized_matrix
+
+        q = quantized_matrix(batch["embedding"], len(batch))
         d = q.shape[1]
         return pa.table({
             "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
@@ -12895,10 +12886,9 @@ def mrr_same_label_embeddings(sf_dir: str):
     a_ids = vid0[order]
     a_lab = cand["label"].to_numpy(zero_copy_only=False).astype(
         np.int64)[order]
-    a_q = np.floor(
-        np.array(cand["embedding"].combine_chunks().to_pylist(),
-                 dtype=np.float64) * 1024.0
-    ).astype(np.int64)[order]
+    from geodata_ray.stages.lm import quantized_matrix
+
+    a_q = quantized_matrix(cand["embedding"], cand.num_rows)[order]
     anchors = ray.put((a_ids, a_lab, a_q))
 
     def scan(batch: pa.Table) -> pa.Table:
@@ -12908,15 +12898,11 @@ def mrr_same_label_embeddings(sf_dir: str):
                 "d_pos": pa.array([], pa.int64()),
                 "pos_vid": pa.array([], pa.int64()),
             })
+        from geodata_ray.stages.lm import quantized_matrix
+
         ids_, labs_, qa = ray.get(anchors) \
             if isinstance(anchors, ray.ObjectRef) else anchors
-        emb = batch["embedding"]
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        q = np.floor(
-            emb.flatten().to_numpy(zero_copy_only=False).astype(
-                np.float64) * 1024.0
-        ).astype(np.int64).reshape(len(batch), -1)
+        q = quantized_matrix(batch["embedding"], len(batch))
         vid = batch["vec_id"].to_numpy(zero_copy_only=False)
         lab = batch["label"].to_numpy(zero_copy_only=False).astype(
             np.int64)
@@ -12949,6 +12935,11 @@ def mrr_same_label_embeddings(sf_dir: str):
         cur = (int(r["d_pos"]), int(r["pos_vid"]))
         if k not in best or cur < best[k]:
             best[k] = cur
+    # an anchor whose label is UNIQUE has only the 2^62 self-sentinel
+    # as its "best positive" — the oracle emits no row for it, so drop
+    # it here too instead of reporting a bogus rank
+    big = 2**62
+    best = {k: v for k, v in best.items() if v[0] < big}
     bref = ray.put(best)
 
     def count_closer(batch: pa.Table) -> pa.Table:
@@ -12957,16 +12948,12 @@ def mrr_same_label_embeddings(sf_dir: str):
                 "anchor_id": pa.array([], pa.int64()),
                 "n_before": pa.array([], pa.int64()),
             })
+        from geodata_ray.stages.lm import quantized_matrix
+
         ids_, labs_, qa = ray.get(anchors) \
             if isinstance(anchors, ray.ObjectRef) else anchors
         bst = ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
-        emb = batch["embedding"]
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        q = np.floor(
-            emb.flatten().to_numpy(zero_copy_only=False).astype(
-                np.float64) * 1024.0
-        ).astype(np.int64).reshape(len(batch), -1)
+        q = quantized_matrix(batch["embedding"], len(batch))
         vid = batch["vec_id"].to_numpy(zero_copy_only=False)
         out_a, out_n = [], []
         for i in range(len(ids_)):
@@ -13437,6 +13424,7 @@ def front_coding_audit_docs(sf_dir: str):
                 "saved_bytes": pa.array([], pa.int64()),
                 "__first": pa.array([], pa.string()),
                 "__last": pa.array([], pa.string()),
+                "__first_key": pa.array([], pa.int64()),
             })
         data, offsets = _byte_view(batch["path"])
         lens = np.diff(offsets)
@@ -13454,12 +13442,16 @@ def front_coding_audit_docs(sf_dir: str):
             saved = int(lcp.sum())
         first = batch["path"][0].as_py()
         last = batch["path"][n - 1].as_py()
+        first_key = int(batch["key"][0].as_py())
         return pa.table({
             "n_urls": pa.array([n], pa.int64()),
             "total_bytes": pa.array([int(lens.sum())], pa.int64()),
             "saved_bytes": pa.array([saved], pa.int64()),
             "__first": pa.array([first], pa.string()),
             "__last": pa.array([last], pa.string()),
+            # unique tiebreak: duplicate paths can span whole blocks,
+            # and adjacency by __first alone would then be arbitrary
+            "__first_key": pa.array([first_key], pa.int64()),
         })
 
     parts = [t for t in ray.get(
@@ -13467,7 +13459,7 @@ def front_coding_audit_docs(sf_dir: str):
         .to_arrow_refs()) if t.num_rows]
     rows = sorted(
         (t.to_pylist()[0] for t in parts),
-        key=lambda r: r["__first"],
+        key=lambda r: (r["__first"], r["__first_key"]),
     )
     n_urls = sum(r["n_urls"] for r in rows)
     total = sum(r["total_bytes"] for r in rows)

@@ -109,6 +109,20 @@ def _byte_view(col) -> tuple[np.ndarray, np.ndarray]:
     return data, offsets
 
 
+def quantized_matrix(col, n_rows: int, scale: float = 1024.0) -> np.ndarray:
+    """FLOOR fixed-point quantization of an Arrow list<float> embedding
+    column into an (n_rows, dim) int64 matrix — THE single definition
+    of the engine's embedding quantization (``floor(x * 2^10)``), so a
+    scale/rounding change lands everywhere at once and stays in sync
+    with the SQL oracles' ``FLOOR(CAST(e AS DOUBLE) * 1024)``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.floor(
+        col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        * scale
+    ).astype(np.int64).reshape(n_rows, -1)
+
+
 def _pair_codes(data: np.ndarray, offsets: np.ndarray):
     """(codes, valid): code[j] = data[j]*256 + data[j+1] for every
     adjacent byte position; valid masks off pairs that straddle a
