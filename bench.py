@@ -376,6 +376,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "ks_test_events",
         "mmr_rerank_embeddings",
         "dedup_canonical_docs",
+        # thirty-ninth wave (round 5)
+        "residual_outlier_days_types_events",
+        "zipf_slope_docs",
         # thirty-eighth wave (round 5)
         "front_coding_audit_docs",
         # thirty-seventh wave (round 5)

@@ -5740,6 +5740,72 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # top-3 OLS residual outlier days per type (exact scaled ints)
+    "residual_outlier_days_types_events": """
+        WITH c AS (
+          SELECT DATE_TRUNC('day', ts) AS day, event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        mn AS (SELECT MIN(day) AS d0 FROM c),
+        p AS (
+          SELECT event_type, day,
+                 CAST((epoch_us(day) - epoch_us(mn.d0))
+                      // 86400000000 AS BIGINT) AS x,
+                 n AS y
+          FROM c CROSS JOIN mn
+        ),
+        m AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nn,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM p GROUP BY 1
+        ),
+        r AS (
+          SELECT p.event_type, CAST(p.day AS TIMESTAMP) AS day,
+                 CAST(m.nn * (m.nn * m.sxx - m.sx * m.sx) * p.y
+                      - (m.nn * m.sxx - m.sx * m.sx) * m.sy
+                      - (m.nn * m.sxy - m.sx * m.sy)
+                        * (m.nn * p.x - m.sx) AS BIGINT) AS res_scaled
+          FROM p JOIN m USING (event_type)
+          WHERE m.nn * m.sxx - m.sx * m.sx <> 0
+        ),
+        k AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY event_type
+            ORDER BY ABS(res_scaled) DESC, day
+          ) AS rank
+          FROM r
+        )
+        SELECT event_type, day, res_scaled,
+               CAST(rank AS BIGINT) AS rank
+        FROM k WHERE rank <= 3
+    """,
+    # Zipf power-law slope over the rank-frequency state
+    "zipf_slope_docs": f"""
+        WITH m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(qlog2_rank_fp) AS BIGINT) AS sx,
+                 CAST(SUM(qlog2_n_fp) AS BIGINT) AS sy,
+                 CAST(SUM(qlog2_rank_fp * qlog2_n_fp) AS BIGINT)
+                     AS sxy,
+                 CAST(SUM(qlog2_rank_fp * qlog2_rank_fp) AS BIGINT)
+                     AS sxx
+          FROM ({_zipf_sql()}) z
+        )
+        SELECT n AS n_terms,
+               CAST(n * sxy - sx * sy AS BIGINT) AS num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS den,
+               CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                    ELSE (CASE WHEN n * sxy - sx * sy < 0
+                               THEN -1 ELSE 1 END)
+                         * (ABS(n * sxy - sx * sy) * 1000000
+                            // (n * sxx - sx * sx))
+               END AS BIGINT) AS slope_micro
+        FROM m
+    """,
     # front-coding compression audit over sorted URLs (byte LCP)
     "front_coding_audit_docs": """
         WITH p AS (

@@ -13478,6 +13478,106 @@ def front_coding_audit_docs(sf_dir: str):
     })
 
 
+def residual_outlier_days_types_events(sf_dir: str):
+    """OLS REGRESSION DIAGNOSTICS: per event type, the 3 days whose
+    daily count deviates most from the type's fitted trend line —
+    exact integer residuals scaled by ``n*den`` (``res = n*den*y_i -
+    den*Sy - num*(n*x_i - Sx)``, so no division ever happens), ranked
+    by |res| with day-ascending ties.  Composes the trend-slope
+    moments over the same bounded (day x type) exchange."""
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+    day_us = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = (ts // day_us) * day_us
+        t = pa.table({"day_us": pa.array(d),
+                      "event_type": batch["event_type"]})
+        out = t.group_by(["day_us", "event_type"]).aggregate(
+            [([], "count_all")])
+        ncol = next(c for c in out.column_names
+                    if c not in ("day_us", "event_type"))
+        return pa.table({
+            "day_us": out["day_us"],
+            "event_type": out["event_type"],
+            "n": out[ncol],
+        })
+
+    daily = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["day_us", "event_type"], [("n", "sum", "n")],
+    )
+    rows = daily.take_all()  # bounded: days x types
+    min_day = min(int(r["day_us"]) for r in rows)
+    series: dict[str, list[tuple[int, int, int]]] = {}
+    for r in rows:
+        x = (int(r["day_us"]) - min_day) // day_us
+        series.setdefault(r["event_type"], []).append(
+            (x, int(r["n"]), int(r["day_us"])))
+    out = {"event_type": [], "day": [], "res_scaled": [], "rank": []}
+    for ty in sorted(series):
+        pts = series[ty]
+        n = len(pts)
+        sx = sum(x for x, _y, _d in pts)
+        sy = sum(y for _x, y, _d in pts)
+        sxy = sum(x * y for x, y, _d in pts)
+        sxx = sum(x * x for x, _y, _d in pts)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        if den == 0:
+            continue  # a single-day series has no trend line
+        scored = []
+        for x, y, d in pts:
+            res = n * den * y - den * sy - num * (n * x - sx)
+            if abs(res) > 2**62:
+                raise OverflowError("residuals: res_scaled exceeds "
+                                    "int64")
+            scored.append((-abs(res), d, res))
+        scored.sort()
+        for rk, (_negabs, d, res) in enumerate(scored[:3], 1):
+            out["event_type"].append(ty)
+            out["day"].append(d)
+            out["res_scaled"].append(res)
+            out["rank"].append(rk)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "day": pa.array(np.array(out["day"], np.int64)).cast(
+            pa.timestamp("us")),
+        "res_scaled": pa.array(out["res_scaled"], pa.int64()),
+        "rank": pa.array(out["rank"], pa.int64()),
+    })
+
+
+def zipf_slope_docs(sf_dir: str):
+    """Power-law (Zipf) FIT: the exact-integer OLS slope of
+    ``qlog2(count)`` against ``qlog2(rank)`` over the top-100 terms —
+    composing the rank-frequency state with the regression family
+    (Zipfian text fits slope ~ -1).  Emits the exact num/den moments
+    plus sign-factored floor micro-slope; every input is the
+    deterministic integer log both engines replay bit-for-bit."""
+    st = zipf_state_docs(sf_dir).take_all()  # bounded: 100 rows
+    x = [int(r["qlog2_rank_fp"]) for r in st]
+    y = [int(r["qlog2_n_fp"]) for r in st]
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    sxx = sum(a * a for a in x)
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = 0 if den == 0 else (
+        (-1 if num < 0 else 1) * (abs(num) * 1_000_000 // den)
+    )
+    if any(abs(v) > 2**62 for v in (num, den, slope)):
+        raise OverflowError("zipf_slope: moment exceeds int64")
+    return pa.table({
+        "n_terms": pa.array([n], pa.int64()),
+        "num": pa.array([num], pa.int64()),
+        "den": pa.array([den], pa.int64()),
+        "slope_micro": pa.array([slope], pa.int64()),
+    })
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -13730,6 +13830,10 @@ RAY_QUERIES = {
     "decision_stump_events": decision_stump_events,
     # thirty-eighth wave (round 5)
     "front_coding_audit_docs": front_coding_audit_docs,
+    # thirty-ninth wave (round 5)
+    "residual_outlier_days_types_events":
+        residual_outlier_days_types_events,
+    "zipf_slope_docs": zipf_slope_docs,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
