@@ -5740,6 +5740,29 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # word2vec negative-sampling plan (100 splitmix probes over the
+    # cumulative unigram ranges, term-ascending)
+    "negative_sampling_unigram_docs": f"""
+        WITH toks AS (
+          SELECT unnest(string_split(lower(COALESCE(text, '')), ' '))
+                     AS term
+          FROM documents
+        ),
+        v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+              FROM toks GROUP BY 1),
+        o AS (SELECT term, n,
+                     SUM(n) OVER (ORDER BY term) - n AS cstart
+              FROM v),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM v),
+        c0 AS (SELECT i, CAST(i AS HUGEINT) AS x
+               FROM range(0, 100) r(i)),
+        {_sql_splitmix_stages("ns", {"k": "x"}, "c0")},
+        pr AS (SELECT c.i, CAST(h_k % t.tot AS BIGINT) AS u
+               FROM ns6 c CROSS JOIN t)
+        SELECT CAST(pr.i AS BIGINT) AS probe, pr.u AS u_pos,
+               o.term, o.n AS term_n
+        FROM pr JOIN o ON pr.u >= o.cstart AND pr.u < o.cstart + o.n
+    """,
     # top-3 OLS residual outlier days per type (exact scaled ints)
     "residual_outlier_days_types_events": """
         WITH c AS (

@@ -13578,6 +13578,99 @@ def zipf_slope_docs(sf_dir: str):
     })
 
 
+def negative_sampling_unigram_docs(sf_dir: str):
+    """Word2vec-style NEGATIVE-SAMPLING plan: 100 deterministic probes
+    ``u_i = splitmix64(i) % total_tokens`` resolve against the
+    cumulative unigram ranges of the term-ascending vocabulary —
+    frequency-proportional categorical sampling with zero floats.
+    Scale plan: the vocabulary sorts by term; pass 1 sends one
+    (min_term, block_total) marker per block to the driver (bounded by
+    the block count) to compute exclusive block offsets; pass 2
+    broadcasts the offsets keyed by min_term so each block resolves
+    the probes landing in its own range locally — the cumulative walk
+    never materializes the vocabulary in one place."""
+    import ray
+
+    from geodata_ray.sources.synth import splitmix64
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def terms(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat = pc.split_pattern(pc.utf8_lower(text.fill_null("")), " ")
+        flat = (flat.combine_chunks()
+                if isinstance(flat, pa.ChunkedArray) else flat).flatten()
+        t = pa.table({"term": flat})
+        out = t.group_by(["term"]).aggregate([([], "count_all")])
+        ncol = next(c for c in out.column_names if c != "term")
+        return pa.table({"term": out["term"], "n": out[ncol]})
+
+    vocab = grouped_aggregate(
+        ds.map_batches(terms, batch_format="pyarrow"),
+        ["term"], [("n", "sum", "n")],
+    ).sort(["term"]).materialize()
+
+    def marker(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"min_term": pa.array([], pa.string()),
+                             "total": pa.array([], pa.int64())})
+        return pa.table({
+            "min_term": pa.array([batch["term"][0].as_py()],
+                                 pa.string()),
+            "total": pa.array(
+                [int(batch["n"].to_numpy(
+                    zero_copy_only=False).sum())], pa.int64()),
+        })
+
+    marks = sorted(
+        (r for t in ray.get(
+            vocab.map_batches(marker, batch_format="pyarrow")
+            .to_arrow_refs()) if t.num_rows
+         for r in t.to_pylist()),
+        key=lambda r: r["min_term"],
+    )
+    offsets = {}
+    acc = 0
+    for m in marks:
+        offsets[m["min_term"]] = acc
+        acc += int(m["total"])
+    total_tokens = acc
+    probes = (splitmix64(np.arange(100, dtype=np.uint64))
+              % np.uint64(total_tokens)).astype(np.int64)
+    bcast = ray.put((offsets, probes))
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "probe": pa.array([], pa.int64()),
+            "u_pos": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "term_n": pa.array([], pa.int64()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        offs, pr = ray.get(bcast) \
+            if isinstance(bcast, ray.ObjectRef) else bcast
+        off = offs[batch["term"][0].as_py()]
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        cum = off + np.cumsum(n)
+        lo, hi = off, int(cum[-1])
+        mine = np.flatnonzero((pr >= lo) & (pr < hi))
+        if mine.size == 0:
+            return empty
+        idx = np.searchsorted(cum, pr[mine], side="right")
+        return pa.table({
+            "probe": pa.array(mine.astype(np.int64)),
+            "u_pos": pa.array(pr[mine]),
+            "term": batch["term"].take(
+                pa.array(idx.astype(np.int64))),
+            "term_n": pa.array(n[idx].astype(np.int64)),
+        })
+
+    return vocab.map_batches(resolve, batch_format="pyarrow")
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -13834,6 +13927,8 @@ RAY_QUERIES = {
     "residual_outlier_days_types_events":
         residual_outlier_days_types_events,
     "zipf_slope_docs": zipf_slope_docs,
+    # fortieth wave (round 5)
+    "negative_sampling_unigram_docs": negative_sampling_unigram_docs,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
