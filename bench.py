@@ -376,6 +376,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "ks_test_events",
         "mmr_rerank_embeddings",
         "dedup_canonical_docs",
+        # forty-first wave (round 5)
+        "parquet_column_stats_events",
         # fortieth wave (round 5)
         "negative_sampling_unigram_docs",
         # thirty-ninth wave (round 5)

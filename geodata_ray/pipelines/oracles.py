@@ -5740,6 +5740,25 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # per-column parquet storage stats from the file footers.  The
+    # driver's gate runs at sf=0.01, so the oracle addresses that
+    # file directly (parquet_metadata needs a PATH, not a view —
+    # same fixed-path pattern as the grid/raster fixture oracles).
+    "parquet_column_stats_events": """
+        SELECT path_in_schema AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_row_groups,
+               CAST(SUM(num_values) AS BIGINT) AS n_values,
+               CAST(SUM(total_compressed_size) AS BIGINT)
+                   AS compressed_bytes,
+               CAST(SUM(total_uncompressed_size) AS BIGINT)
+                   AS uncompressed_bytes,
+               CAST(SUM(total_compressed_size) * 1000000
+                    // SUM(total_uncompressed_size) AS BIGINT)
+                   AS ratio_ppm
+        FROM parquet_metadata(
+            '/root/testdata/sf0.01/events.parquet')
+        GROUP BY 1
+    """,
     # word2vec negative-sampling plan (100 splitmix probes over the
     # cumulative unigram ranges, term-ascending)
     "negative_sampling_unigram_docs": f"""

@@ -13671,6 +13671,69 @@ def negative_sampling_unigram_docs(sf_dir: str):
     return vocab.map_batches(resolve, batch_format="pyarrow")
 
 
+def parquet_column_stats_events(sf_dir: str):
+    """STORAGE INTROSPECTION: per-column Parquet footprint of the
+    events table straight from the file footers — row-group count,
+    value count, compressed/uncompressed bytes and the floor-ppm
+    compression ratio (the table-layout health check that drives
+    column-encoding and sort-order decisions).  The footer scan is a
+    Dataset map over the FILE LIST (one row set per file, bounded by
+    the manifest, never the data), then one bounded grouped SUM — at
+    100 TB this reads kilobytes of footers, not the table."""
+    import os
+
+    import ray.data as rd
+
+    files = sorted(
+        f"{sf_dir}/{f}" for f in os.listdir(sf_dir)
+        if f == "events.parquet" or (
+            f.startswith("events") and f.endswith(".parquet"))
+    )
+
+    def footer(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pqt
+
+        paths = batch["path"].to_pylist()
+        cols, nrg, nv, cb, ub = [], [], [], [], []
+        for p in paths:
+            md = pqt.ParquetFile(p).metadata
+            for rg_i in range(md.num_row_groups):
+                rg = md.row_group(rg_i)
+                for ci in range(rg.num_columns):
+                    c = rg.column(ci)
+                    cols.append(c.path_in_schema)
+                    nrg.append(1)
+                    nv.append(int(c.num_values))
+                    cb.append(int(c.total_compressed_size))
+                    ub.append(int(c.total_uncompressed_size))
+        return pa.table({
+            "column_name": pa.array(cols, pa.string()),
+            "n_row_groups": pa.array(nrg, pa.int64()),
+            "n_values": pa.array(nv, pa.int64()),
+            "compressed_bytes": pa.array(cb, pa.int64()),
+            "uncompressed_bytes": pa.array(ub, pa.int64()),
+        })
+
+    agg = grouped_aggregate(
+        rd.from_arrow(pa.table({"path": pa.array(files, pa.string())}))
+        .map_batches(footer, batch_format="pyarrow"),
+        ["column_name"],
+        [("n_row_groups", "sum", "n_row_groups"),
+         ("n_values", "sum", "n_values"),
+         ("compressed_bytes", "sum", "compressed_bytes"),
+         ("uncompressed_bytes", "sum", "uncompressed_bytes")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cbv = batch["compressed_bytes"].to_numpy(zero_copy_only=False)
+        ubv = batch["uncompressed_bytes"].to_numpy(
+            zero_copy_only=False)
+        return batch.append_column(
+            "ratio_ppm", pa.array((cbv * 1_000_000) // ubv))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -13929,6 +13992,8 @@ RAY_QUERIES = {
     "zipf_slope_docs": zipf_slope_docs,
     # fortieth wave (round 5)
     "negative_sampling_unigram_docs": negative_sampling_unigram_docs,
+    # forty-first wave (round 5)
+    "parquet_column_stats_events": parquet_column_stats_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
