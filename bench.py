@@ -376,6 +376,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "ks_test_events",
         "mmr_rerank_embeddings",
         "dedup_canonical_docs",
+        # forty-second wave (round 5)
+        "bloom_size_plan_events",
+        "dedup_savings_docs",
         # forty-first wave (round 5)
         "parquet_column_stats_events",
         # fortieth wave (round 5)

@@ -5740,6 +5740,50 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # bloom capacity plan per partition (p=1/1024, ln2 micro const)
+    "bloom_size_plan_events": """
+        WITH d AS (
+          SELECT DISTINCT event_id % 16 AS part, user_id FROM events
+        ),
+        n AS (
+          SELECT part, CAST(COUNT(*) AS BIGINT) AS n_distinct
+          FROM d GROUP BY 1
+        )
+        SELECT CAST(part AS BIGINT) AS part, n_distinct,
+               CAST((n_distinct * 10000000 + 693146) // 693147
+                    AS BIGINT) AS m_bits,
+               CAST(((n_distinct * 10000000 + 693146) // 693147 + 7)
+                    // 8 AS BIGINT) AS m_bytes,
+               CAST(10 AS BIGINT) AS k_hashes
+        FROM n
+    """,
+    # dedup ROI: bytes before vs after exact-fingerprint dedup
+    "dedup_savings_docs": """
+        WITH h AS (
+          SELECT md5(lower(text)) AS x,
+                 octet_length(encode(COALESCE(text, ''))) AS nb
+          FROM documents
+        ),
+        g AS (
+          SELECT x, CAST(COUNT(*) AS BIGINT) AS n_copies,
+                 CAST(MIN(nb) AS BIGINT) AS kept,
+                 CAST(SUM(nb) AS BIGINT) AS tot
+          FROM h GROUP BY 1
+        ),
+        t AS (
+          SELECT CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) AS BIGINT) AS n_unique,
+                 CAST(SUM(tot) AS BIGINT) AS bytes_total,
+                 CAST(SUM(kept) AS BIGINT) AS bytes_kept
+          FROM g
+        )
+        SELECT n_docs, n_unique, bytes_total, bytes_kept,
+               CAST(CASE WHEN bytes_total > 0
+                         THEN (bytes_total - bytes_kept) * 1000000
+                              // bytes_total
+                         ELSE 0 END AS BIGINT) AS saved_ppm
+        FROM t
+    """,
     # per-column parquet storage stats from the file footers.  The
     # driver's gate runs at sf=0.01, so the oracle addresses that
     # file directly (parquet_metadata needs a PATH, not a view —

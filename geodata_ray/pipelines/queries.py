@@ -13734,6 +13734,112 @@ def parquet_column_stats_events(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def bloom_size_plan_events(sf_dir: str):
+    """Bloom-filter CAPACITY PLANNER: per partition (event_id % 16),
+    the exact distinct-user count and the filter size it implies at a
+    1/1024 false-positive target — ``m = ceil(n * log2(1/p) / ln2)``
+    with log2(1/p) = 10 exact and ln2 as the fixed micro constant
+    693147, so the plan is pure integer arithmetic (k = 10 hash
+    functions at this p).  One distinct exchange; the 16-row plan is
+    bounded."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array((ids % 16).astype(np.int64)),
+            "user_id": batch["user_id"],
+        })
+
+    distinct = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["part", "user_id"], [("user_id", "count", "c")],
+    )
+    plan = grouped_aggregate(
+        distinct.map_batches(
+            lambda t: pa.table({
+                "part": t["part"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }),
+            batch_format="pyarrow"),
+        ["part"], [("one", "sum", "n_distinct")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_distinct"].to_numpy(zero_copy_only=False)
+        if n.size and int(n.max()) > (2**62) // 10_000_000:
+            raise OverflowError("bloom_plan: n*1e7 exceeds int64")
+        m_bits = -(-(n * 10 * 1_000_000) // 693_147)  # ceil div
+        return pa.table({
+            "part": batch["part"],
+            "n_distinct": pa.array(n),
+            "m_bits": pa.array(m_bits.astype(np.int64)),
+            "m_bytes": pa.array(((m_bits + 7) // 8).astype(np.int64)),
+            "k_hashes": pa.array(np.full(n.size, 10, np.int64)),
+        })
+
+    return plan.map_batches(finish, batch_format="pyarrow")
+
+
+def dedup_savings_docs(sf_dir: str):
+    """Dedup ROI report: corpus bytes BEFORE vs AFTER exact-fingerprint
+    dedup (keep the lowest doc_id per md5-64 text fingerprint) — the
+    one-row business case for running the dedup stage at all.  Only
+    (fp, doc_id, n_bytes) triples shuffle, never text; the kept-bytes
+    fold is the per-fp min-doc group pass."""
+    from geodata_ray.stages.textstats import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        fp = fingerprint_batch(batch)
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        nb = pc.binary_length(text.fill_null("")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "fp": fp["fingerprint"],
+            "doc_id": batch["doc_id"],
+            "n_bytes": pa.array(nb),
+        })
+
+    per_fp = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["fp"],
+        [("doc_id", "min", "keep_doc"), ("n_bytes", "min", "kept_b"),
+         ("n_bytes", "sum", "tot_b"), ("n_bytes", "count", "n_copies")],
+    )
+    # per fp all copies have identical text, so min == any byte size.
+    # the fingerprint table is corpus-sized — fold it DISTRIBUTED
+    # (per-block partials + one single-key sum), never on the driver
+    tot = grouped_aggregate(
+        per_fp.map_batches(
+            lambda t: pa.table({
+                "g": pa.array(np.zeros(t.num_rows, np.int64)),
+                "n_copies": t["n_copies"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+                "tot_b": t["tot_b"],
+                "kept_b": t["kept_b"],
+            }),
+            batch_format="pyarrow"),
+        ["g"],
+        [("n_copies", "sum", "n_docs"), ("one", "sum", "n_unique"),
+         ("tot_b", "sum", "bytes_total"),
+         ("kept_b", "sum", "bytes_kept")],
+    ).take_all()
+    r = tot[0]
+    bt, bk = int(r["bytes_total"]), int(r["bytes_kept"])
+    return pa.table({
+        "n_docs": pa.array([int(r["n_docs"])], pa.int64()),
+        "n_unique": pa.array([int(r["n_unique"])], pa.int64()),
+        "bytes_total": pa.array([bt], pa.int64()),
+        "bytes_kept": pa.array([bk], pa.int64()),
+        "saved_ppm": pa.array(
+            [(bt - bk) * 1_000_000 // bt if bt else 0], pa.int64()),
+    })
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -13994,6 +14100,9 @@ RAY_QUERIES = {
     "negative_sampling_unigram_docs": negative_sampling_unigram_docs,
     # forty-first wave (round 5)
     "parquet_column_stats_events": parquet_column_stats_events,
+    # forty-second wave (round 5)
+    "bloom_size_plan_events": bloom_size_plan_events,
+    "dedup_savings_docs": dedup_savings_docs,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
