@@ -5740,6 +5740,27 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # partitioner-hash uniformity audit (scaled chi-square, exact)
+    "hash_uniformity_audit_events": f"""
+        WITH u AS (
+          SELECT DISTINCT CAST(user_id AS HUGEINT) AS uid FROM events
+        ),
+        {_sql_splitmix_stages("hu", {"u": "uid"}, "u")},
+        b AS (SELECT CAST(h_u % 256 AS BIGINT) AS bucket FROM hu6),
+        c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+              FROM b GROUP BY 1),
+        sp AS (SELECT CAST(UNNEST(generate_series(0, 255)) AS BIGINT)
+                   AS bucket),
+        f AS (SELECT sp.bucket, COALESCE(c.n, 0) AS n
+              FROM sp LEFT JOIN c USING (bucket)),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM f)
+        SELECT t.nt AS n_ids, CAST(256 AS BIGINT) AS n_buckets,
+               CAST(SUM((256 * f.n - t.nt) * (256 * f.n - t.nt))
+                    AS BIGINT) AS chi2_num,
+               CAST(MAX(f.n) AS BIGINT) AS max_bucket_n,
+               CAST(MIN(f.n) AS BIGINT) AS min_bucket_n
+        FROM f CROSS JOIN t GROUP BY 1, 2
+    """,
     # bloom capacity plan per partition (p=1/1024, ln2 micro const)
     "bloom_size_plan_events": """
         WITH d AS (

@@ -13840,6 +13840,59 @@ def dedup_savings_docs(sf_dir: str):
     })
 
 
+def hash_uniformity_audit_events(sf_dir: str):
+    """HASH-QUALITY audit of the engine's own partitioner: distinct
+    user ids bucket by ``splitmix64(id) % 256`` and the exact scaled
+    chi-square numerator ``sum((256*n_b - N)^2)`` over all 256 buckets
+    measures uniformity (the shuffle-skew early-warning; the caller
+    divides by 256*N for the textbook statistic, E[chi2] ~ dof = 255
+    on a good hash).  One distinct exchange + a bounded 256-bucket
+    aggregate; the fold is driver-side over 256 integers."""
+    from geodata_ray.sources.synth import splitmix64
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["user_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"user_id": pa.array(u.astype(np.int64))})
+
+    distinct = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"], [("user_id", "count", "c")],
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        b = (splitmix64(u.astype(np.uint64))
+             % np.uint64(256)).astype(np.int64)
+        acc = np.bincount(b, minlength=256)
+        nz = np.flatnonzero(acc)
+        return pa.table({
+            "bucket": pa.array(nz.astype(np.int64)),
+            "n": pa.array(acc[nz].astype(np.int64)),
+        })
+
+    agg = grouped_aggregate(
+        distinct.map_batches(bucketize, batch_format="pyarrow"),
+        ["bucket"], [("n", "sum", "n")],
+    )
+    counts = np.zeros(256, np.int64)
+    for r in agg.take_all():  # bounded: 256 buckets
+        counts[int(r["bucket"])] = int(r["n"])
+    n_total = int(counts.sum())
+    dev = 256 * counts.astype(object) - n_total
+    chi2_num = int(sum(int(d) * int(d) for d in dev))
+    if chi2_num > 2**62 or n_total > 2**62:
+        raise OverflowError("hash_audit: chi2 numerator exceeds int64")
+    return pa.table({
+        "n_ids": pa.array([n_total], pa.int64()),
+        "n_buckets": pa.array([256], pa.int64()),
+        "chi2_num": pa.array([chi2_num], pa.int64()),
+        "max_bucket_n": pa.array([int(counts.max())], pa.int64()),
+        "min_bucket_n": pa.array([int(counts.min())], pa.int64()),
+    })
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -14103,6 +14156,8 @@ RAY_QUERIES = {
     # forty-second wave (round 5)
     "bloom_size_plan_events": bloom_size_plan_events,
     "dedup_savings_docs": dedup_savings_docs,
+    # forty-third wave (round 5)
+    "hash_uniformity_audit_events": hash_uniformity_audit_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
