@@ -13612,30 +13612,27 @@ def negative_sampling_unigram_docs(sf_dir: str):
         ["term"], [("n", "sum", "n")],
     ).sort(["term"]).materialize()
 
-    def marker(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"min_term": pa.array([], pa.string()),
-                             "total": pa.array([], pa.int64())})
-        return pa.table({
-            "min_term": pa.array([batch["term"][0].as_py()],
-                                 pa.string()),
-            "total": pa.array(
-                [int(batch["n"].to_numpy(
-                    zero_copy_only=False).sum())], pa.int64()),
-        })
+    # pass 1: one (min_term, total) marker per MATERIALIZED block via
+    # tiny remote tasks over the block refs — the same stable blocks
+    # pass 2 consumes (batch_size=None = whole-block batches), so the
+    # min_term -> offset lookup can never see an unknown key
+    @ray.remote
+    def _marker(blk: pa.Table):
+        if blk.num_rows == 0:
+            return None
+        return (blk["term"][0].as_py(),
+                int(blk["n"].to_numpy(zero_copy_only=False).sum()))
 
     marks = sorted(
-        (r for t in ray.get(
-            vocab.map_batches(marker, batch_format="pyarrow")
-            .to_arrow_refs()) if t.num_rows
-         for r in t.to_pylist()),
-        key=lambda r: r["min_term"],
+        m for m in ray.get(
+            [_marker.remote(r) for r in vocab.to_arrow_refs()])
+        if m is not None
     )
     offsets = {}
     acc = 0
-    for m in marks:
-        offsets[m["min_term"]] = acc
-        acc += int(m["total"])
+    for term0, tot in marks:
+        offsets[term0] = acc
+        acc += tot
     total_tokens = acc
     probes = (splitmix64(np.arange(100, dtype=np.uint64))
               % np.uint64(total_tokens)).astype(np.int64)
@@ -13668,7 +13665,8 @@ def negative_sampling_unigram_docs(sf_dir: str):
             "term_n": pa.array(n[idx].astype(np.int64)),
         })
 
-    return vocab.map_batches(resolve, batch_format="pyarrow")
+    return vocab.map_batches(resolve, batch_format="pyarrow",
+                             batch_size=None)  # whole-block batches
 
 
 def parquet_column_stats_events(sf_dir: str):
@@ -13679,16 +13677,15 @@ def parquet_column_stats_events(sf_dir: str):
     column-encoding and sort-order decisions).  The footer scan is a
     Dataset map over the FILE LIST (one row set per file, bounded by
     the manifest, never the data), then one bounded grouped SUM — at
-    100 TB this reads kilobytes of footers, not the table."""
-    import os
+    100 TB this reads kilobytes of footers, not the table.
 
+    NOTE: the oracle pins the sf0.01 path (parquet_metadata needs a
+    literal path, and the driver gate runs at sf=0.01) — comparing at
+    another sf compares different files by construction."""
     import ray.data as rd
 
-    files = sorted(
-        f"{sf_dir}/{f}" for f in os.listdir(sf_dir)
-        if f == "events.parquet" or (
-            f.startswith("events") and f.endswith(".parquet"))
-    )
+    # the single canonical table file — matching _read and the oracle
+    files = [f"{sf_dir}/events.parquet"]
 
     def footer(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pqt
@@ -13728,6 +13725,12 @@ def parquet_column_stats_events(sf_dir: str):
         cbv = batch["compressed_bytes"].to_numpy(zero_copy_only=False)
         ubv = batch["uncompressed_bytes"].to_numpy(
             zero_copy_only=False)
+        if cbv.size and (int(cbv.max()) > (2**62) // 1_000_000
+                         or int(ubv.min()) <= 0):
+            raise OverflowError(
+                "parquet_stats: bytes*1e6 exceeds int64 (or an empty "
+                "column chunk) — rescale to per-KB ratios"
+            )
         return batch.append_column(
             "ratio_ppm", pa.array((cbv * 1_000_000) // ubv))
 
@@ -13792,22 +13795,23 @@ def dedup_savings_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def prep(batch: pa.Table) -> pa.Table:
-        fp = fingerprint_batch(batch)
         text = batch["text"]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        nb = pc.binary_length(text.fill_null("")).to_numpy(
+        text = text.fill_null("")  # null-fill BEFORE hashing too
+        filled = pa.table({"doc_id": batch["doc_id"], "text": text})
+        fp = fingerprint_batch(filled)
+        nb = pc.binary_length(text).to_numpy(
             zero_copy_only=False).astype(np.int64)
         return pa.table({
             "fp": fp["fingerprint"],
-            "doc_id": batch["doc_id"],
             "n_bytes": pa.array(nb),
         })
 
     per_fp = grouped_aggregate(
         ds.map_batches(prep, batch_format="pyarrow"),
         ["fp"],
-        [("doc_id", "min", "keep_doc"), ("n_bytes", "min", "kept_b"),
+        [("n_bytes", "min", "kept_b"),
          ("n_bytes", "sum", "tot_b"), ("n_bytes", "count", "n_copies")],
     )
     # per fp all copies have identical text, so min == any byte size.

@@ -47,7 +47,7 @@ def test_residual_outliers_vs_python():
             for xx, yy, dd in zip(x, y, days)
         )[:3]
         sub = got[got.event_type == ty].sort_values("rank")
-        assert len(sub) == 3
+        assert len(sub) == min(3, len(x))
         for (na, dd, res), r in zip(scored, sub.itertuples()):
             assert pd.Timestamp(r.day) == dd
             assert int(r.res_scaled) == res
