@@ -376,6 +376,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "ks_test_events",
         "mmr_rerank_embeddings",
         "dedup_canonical_docs",
+        # forty-fourth wave (round 5)
+        "fano_factor_types_events",
         # forty-third wave (round 5)
         "hash_uniformity_audit_events",
         # forty-second wave (round 5)

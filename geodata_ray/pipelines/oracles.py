@@ -5740,6 +5740,25 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # Fano factor (burstiness) of the daily count series per type
+    "fano_factor_types_events": """
+        WITH c AS (
+          SELECT DATE_TRUNC('day', ts) AS day, event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+                 CAST(SUM(n) AS BIGINT) AS s,
+                 CAST(SUM(n * n) AS BIGINT) AS ss
+          FROM c GROUP BY 1
+          HAVING COUNT(*) >= 2 AND SUM(n) > 0
+        )
+        SELECT event_type, nd AS n_days, s AS sum_n, ss AS sum_n2,
+               CAST((nd * ss - s * s) * 1000 // ((nd - 1) * s)
+                    AS BIGINT) AS fano_milli
+        FROM m
+    """,
     # partitioner-hash uniformity audit (scaled chi-square, exact)
     "hash_uniformity_audit_events": f"""
         WITH u AS (

@@ -13897,6 +13897,66 @@ def hash_uniformity_audit_events(sf_dir: str):
     })
 
 
+def fano_factor_types_events(sf_dir: str):
+    """BURSTINESS (Fano factor, variance-to-mean of the daily count
+    series) per event type — the traffic-profiling dispersion index
+    (~1 for a Poisson process, >1 bursty, <1 regular): ``fano_milli =
+    (n*ss - s^2) * 1000 // ((n-1) * s)`` from exact integer moments
+    over the bounded (day x type) exchange.  Emits the exact
+    ingredients alongside the floor-milli ratio."""
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+    day_us = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = (ts // day_us) * day_us
+        t = pa.table({"day_us": pa.array(d),
+                      "event_type": batch["event_type"]})
+        out = t.group_by(["day_us", "event_type"]).aggregate(
+            [([], "count_all")])
+        ncol = next(c for c in out.column_names
+                    if c not in ("day_us", "event_type"))
+        return pa.table({
+            "day_us": out["day_us"],
+            "event_type": out["event_type"],
+            "n": out[ncol],
+        })
+
+    daily = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["day_us", "event_type"], [("n", "sum", "n")],
+    )
+    series: dict[str, list[int]] = {}
+    for r in daily.take_all():  # bounded: days x types
+        series.setdefault(r["event_type"], []).append(int(r["n"]))
+    out = {"event_type": [], "n_days": [], "sum_n": [], "sum_n2": [],
+           "fano_milli": []}
+    for ty in sorted(series):
+        ys = series[ty]
+        n = len(ys)
+        s = sum(ys)
+        ss = sum(y * y for y in ys)
+        if n < 2 or s == 0:
+            continue  # dispersion undefined; oracle HAVING drops too
+        var_num = n * ss - s * s
+        fano = var_num * 1000 // ((n - 1) * s)
+        if any(abs(v) > 2**62 for v in (s, ss, var_num, fano)):
+            raise OverflowError("fano: moment exceeds int64")
+        out["event_type"].append(ty)
+        out["n_days"].append(n)
+        out["sum_n"].append(s)
+        out["sum_n2"].append(ss)
+        out["fano_milli"].append(fano)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_days": pa.array(out["n_days"], pa.int64()),
+        "sum_n": pa.array(out["sum_n"], pa.int64()),
+        "sum_n2": pa.array(out["sum_n2"], pa.int64()),
+        "fano_milli": pa.array(out["fano_milli"], pa.int64()),
+    })
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -14162,6 +14222,8 @@ RAY_QUERIES = {
     "dedup_savings_docs": dedup_savings_docs,
     # forty-third wave (round 5)
     "hash_uniformity_audit_events": hash_uniformity_audit_events,
+    # forty-fourth wave (round 5)
+    "fano_factor_types_events": fano_factor_types_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
