@@ -376,6 +376,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "ks_test_events",
         "mmr_rerank_embeddings",
         "dedup_canonical_docs",
+        # forty-fifth wave (round 5)
+        "user_breadth_histogram_events",
+        "user_type_entropy_events",
         # forty-fourth wave (round 5)
         "fano_factor_types_events",
         # forty-third wave (round 5)

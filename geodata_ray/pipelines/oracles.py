@@ -5740,6 +5740,36 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # engagement-breadth histogram (bipartite user-side degree dist)
+    "user_breadth_histogram_events": """
+        WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+        k AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k_types
+              FROM d GROUP BY 1)
+        SELECT k_types, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM k GROUP BY 1
+    """,
+    # per-user type-diversity entropy (fixed-point qlog2)
+    "user_type_entropy_events": f"""
+        WITH RECURSIVE cnt AS (
+          SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        tot AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n
+                FROM cnt GROUP BY 1),
+        vals AS (
+          SELECT DISTINCT c FROM (
+            SELECT c FROM cnt UNION ALL SELECT n FROM tot)
+        ),
+        {_QLOG2_CTE}
+        SELECT t.user_id, t.n AS n_events,
+               CAST(t.n * qn.qlog2 - SUM(cnt.c * qc.qlog2) AS BIGINT)
+                   AS entropy_q
+        FROM cnt
+        JOIN tot t USING (user_id)
+        JOIN q qc ON qc.c = cnt.c
+        JOIN q qn ON qn.c = t.n
+        GROUP BY 1, 2, qn.qlog2
+    """,
     # Fano factor (burstiness) of the daily count series per type
     "fano_factor_types_events": """
         WITH c AS (

@@ -13957,6 +13957,114 @@ def fano_factor_types_events(sf_dir: str):
     })
 
 
+def user_breadth_histogram_events(sf_dir: str):
+    """Engagement-BREADTH histogram: how many users touch exactly k
+    distinct event types (the bipartite-degree distribution on the
+    user side — the segmentation backbone behind "power users").
+    One distinct (user, type) exchange, one per-user count, one
+    bounded (k <= |types|) histogram."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": batch["user_id"],
+                      "event_type": batch["event_type"]})
+        out = t.group_by(["user_id", "event_type"]).aggregate(
+            [([], "count_all")])
+        return out.select(["user_id", "event_type"])
+
+    distinct = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["user_id", "event_type"], [("event_type", "count", "c")],
+    )
+    per_user = grouped_aggregate(
+        distinct.map_batches(
+            lambda t: pa.table({
+                "user_id": t["user_id"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }),
+            batch_format="pyarrow"),
+        ["user_id"], [("one", "sum", "k")],
+    )
+    return grouped_aggregate(
+        per_user.map_batches(
+            lambda t: pa.table({
+                "k_types": t["k"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }),
+            batch_format="pyarrow"),
+        ["k_types"], [("one", "sum", "n_users")],
+    )
+
+
+def user_type_entropy_events(sf_dir: str):
+    """Per-user TYPE-DIVERSITY entropy (behavioral-diversity score —
+    bots concentrate, humans spread): the exact n-scaled entropy
+    ``entropy_q = n*qlog2(n) - sum_t c_t*qlog2(c_t)`` of each user's
+    event-type distribution in the deterministic fixed-point log both
+    engines replay.  One (user, type) count exchange, then a bucketed
+    per-user fold — counts are small ints, so the oracle's qlog2 CTE
+    stays bounded."""
+    from geodata_ray.stages.lm import qlog2_fixed
+    from geodata_ray.stages.windows import _tag_bucket
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": batch["user_id"],
+                      "event_type": batch["event_type"]})
+        out = t.group_by(["user_id", "event_type"]).aggregate(
+            [([], "count_all")])
+        ncol = next(c for c in out.column_names
+                    if c not in ("user_id", "event_type"))
+        return pa.table({
+            "user_id": out["user_id"],
+            "event_type": out["event_type"],
+            "c": out[ncol],
+        })
+
+    counts = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["user_id", "event_type"], [("c", "sum", "c")],
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("user_id", "ascending")])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        if u.size == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "entropy_q": pa.array([], pa.int64()),
+            })
+        new = np.ones(u.size, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        nseg = starts.size
+        n_tot = np.zeros(nseg, np.int64)
+        np.add.at(n_tot, seg, c)
+        if int(n_tot.max()) > 2**40:
+            raise OverflowError("user_entropy: n*qlog2(n) would "
+                                "exceed int64 — rescale")
+        ql_c = qlog2_fixed(c.astype(np.uint64)).astype(np.int64)
+        sum_cql = np.zeros(nseg, np.int64)
+        np.add.at(sum_cql, seg, c * ql_c)
+        ql_n = qlog2_fixed(n_tot.astype(np.uint64)).astype(np.int64)
+        ent = n_tot * ql_n - sum_cql
+        return pa.table({
+            "user_id": pa.array(u[starts]),
+            "n_events": pa.array(n_tot),
+            "entropy_q": pa.array(ent),
+        })
+
+    return (
+        _tag_bucket(counts, "user_id", 32)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -14224,6 +14332,9 @@ RAY_QUERIES = {
     "hash_uniformity_audit_events": hash_uniformity_audit_events,
     # forty-fourth wave (round 5)
     "fano_factor_types_events": fano_factor_types_events,
+    # forty-fifth wave (round 5)
+    "user_breadth_histogram_events": user_breadth_histogram_events,
+    "user_type_entropy_events": user_type_entropy_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
