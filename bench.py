@@ -376,6 +376,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "ks_test_events",
         "mmr_rerank_embeddings",
         "dedup_canonical_docs",
+        # forty-sixth wave (round 5)
+        "lorenz_deciles_users_events",
         # forty-fifth wave (round 5)
         "user_breadth_histogram_events",
         "user_type_entropy_events",

@@ -5740,6 +5740,35 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # Lorenz decile table of user activity (exact tie-safe split)
+    "lorenz_deciles_users_events": """
+        WITH pu AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1
+        ),
+        r AS (
+          SELECT n,
+                 ROW_NUMBER() OVER (ORDER BY n, user_id) AS rn,
+                 COUNT(*) OVER () AS u,
+                 SUM(n) OVER () AS e
+          FROM pu
+        ),
+        d AS (
+          SELECT CAST((rn - 1) * 10 // u AS BIGINT) + 1 AS decile,
+                 n, e
+          FROM r
+        ),
+        a AS (
+          SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(n) AS BIGINT) AS events,
+                 CAST(MAX(e) AS BIGINT) AS e
+          FROM d GROUP BY 1
+        )
+        SELECT decile, n_users, events,
+               CAST(SUM(events) OVER (ORDER BY decile) * 1000000
+                    // e AS BIGINT) AS cum_share_ppm
+        FROM a
+    """,
     # engagement-breadth histogram (bipartite user-side degree dist)
     "user_breadth_histogram_events": """
         WITH d AS (SELECT DISTINCT user_id, event_type FROM events),

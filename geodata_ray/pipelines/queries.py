@@ -14065,6 +14065,78 @@ def user_type_entropy_events(sf_dir: str):
     )
 
 
+def lorenz_deciles_users_events(sf_dir: str):
+    """LORENZ CURVE decile table of user activity (the distributional
+    companion to the ``activity_gini`` scalar — "the bottom 50% of
+    users produce X% of events"): users rank ascending by event count,
+    each decile reports its user count, event total and the exact
+    floor-ppm cumulative share.  KEY SCALE INSIGHT: rank ties all
+    carry the SAME count, so decile boundaries inside a tie group
+    split exactly as k*n without ever ordering users — the whole fold
+    runs over the BOUNDED (count -> n_users) histogram, no global
+    user sort."""
+    ev = _read(sf_dir, "events", columns=["user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["user_id"].to_numpy(
+            zero_copy_only=False), return_counts=True)
+        return pa.table({
+            "user_id": pa.array(u.astype(np.int64)),
+            "n": pa.array(c.astype(np.int64)),
+        })
+
+    per_user = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"], [("n", "sum", "n")],
+    )
+    hist = grouped_aggregate(
+        per_user.map_batches(
+            lambda t: pa.table({
+                "n": t["n"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }),
+            batch_format="pyarrow"),
+        ["n"], [("one", "sum", "n_users")],
+    )
+    rows = sorted(
+        ((int(r["n"]), int(r["n_users"])) for r in hist.take_all())
+    )  # bounded by the distinct activity-count domain
+    total_users = sum(c for _n, c in rows)
+    total_events = sum(n * c for n, c in rows)
+    out = {"decile": [], "n_users": [], "events": [],
+           "cum_share_ppm": []}
+    dec_users = [0] * 10
+    dec_events = [0] * 10
+    placed = 0
+    for n, c in rows:
+        left = c
+        while left:
+            d = placed * 10 // total_users  # current decile (0-based)
+            cap = (d + 1) * total_users  # next boundary * 10
+            room = -(-(cap - placed * 10) // 10)  # users until boundary
+            take = min(left, room)
+            dec_users[d] += take
+            dec_events[d] += take * n
+            placed += take
+            left -= take
+    cum = 0
+    for d in range(10):
+        cum += dec_events[d]
+        if dec_users[d] == 0:
+            continue  # only possible when U < 10; SQL GROUP BY drops
+        out["decile"].append(d + 1)
+        out["n_users"].append(dec_users[d])
+        out["events"].append(dec_events[d])
+        out["cum_share_ppm"].append(
+            cum * 1_000_000 // total_events if total_events else 0)
+    return pa.table({
+        "decile": pa.array(out["decile"], pa.int64()),
+        "n_users": pa.array(out["n_users"], pa.int64()),
+        "events": pa.array(out["events"], pa.int64()),
+        "cum_share_ppm": pa.array(out["cum_share_ppm"], pa.int64()),
+    })
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -14335,6 +14407,8 @@ RAY_QUERIES = {
     # forty-fifth wave (round 5)
     "user_breadth_histogram_events": user_breadth_histogram_events,
     "user_type_entropy_events": user_type_entropy_events,
+    # forty-sixth wave (round 5)
+    "lorenz_deciles_users_events": lorenz_deciles_users_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
