@@ -376,6 +376,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "ks_test_events",
         "mmr_rerank_embeddings",
         "dedup_canonical_docs",
+        # forty-seventh wave (round 5)
+        "longest_gaps_users_events",
+        "markov_conditional_entropy_events",
         # forty-sixth wave (round 5)
         "lorenz_deciles_users_events",
         # forty-fifth wave (round 5)

@@ -5740,6 +5740,57 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # top-20 longest between-event idle gaps
+    "longest_gaps_users_events": """
+        WITH o AS (
+          SELECT user_id, ts, epoch_us(ts) AS us,
+                 LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS nxt
+          FROM events
+        ),
+        g AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS gap_start,
+                 CAST(nxt - us AS BIGINT) AS gap_us
+          FROM o WHERE nxt IS NOT NULL
+        ),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (
+            ORDER BY gap_us DESC, user_id, gap_start
+          ) AS rank
+          FROM g
+        )
+        SELECT user_id, gap_start, gap_us, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 20
+    """,
+    # conditional entropy of the event-type Markov chain (qlog2)
+    "markov_conditional_entropy_events": f"""
+        WITH RECURSIVE o AS (
+          SELECT event_type AS a,
+                 LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS b
+          FROM events
+        ),
+        cnt AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+                FROM o WHERE b IS NOT NULL GROUP BY 1, 2),
+        na AS (SELECT a, CAST(SUM(c) AS BIGINT) AS n
+               FROM cnt GROUP BY 1),
+        vals AS (
+          SELECT DISTINCT c FROM (
+            SELECT c FROM cnt UNION ALL SELECT n FROM na)
+        ),
+        {_QLOG2_CTE},
+        ta AS (SELECT CAST(SUM(na.n * q.qlog2) AS BIGINT) AS t
+               FROM na JOIN q ON q.c = na.n),
+        tb AS (SELECT CAST(SUM(cnt.c * q.qlog2) AS BIGINT) AS t
+               FROM cnt JOIN q ON q.c = cnt.c),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt)
+        SELECT tot.n AS n_transitions,
+               CAST((SELECT COUNT(*) FROM na) AS BIGINT) AS n_states,
+               CAST(ta.t - tb.t AS BIGINT) AS h_cond_q
+        FROM tot, ta, tb
+    """,
     # Lorenz decile table of user activity (exact tie-safe split)
     "lorenz_deciles_users_events": """
         WITH pu AS (

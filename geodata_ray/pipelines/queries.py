@@ -14137,6 +14137,100 @@ def lorenz_deciles_users_events(sf_dir: str):
     })
 
 
+def longest_gaps_users_events(sf_dir: str):
+    """IDLE-GAP mining: the 20 longest between-event gaps across all
+    users (who went quiet, when, for how long — the churn-risk /
+    incident-detection signal).  Same bucketed per-user ordered pass
+    as the inter-arrival median; each block emits only its partial
+    top-20, so the final selection sees 20 x blocks rows."""
+    from geodata_ray.stages.windows import _tag_bucket
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("user_id", "ascending"),
+                       ("ts_us", "ascending"),
+                       ("event_id", "ascending")])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "gap_start": pa.array([], pa.timestamp("us")),
+            "gap_us": pa.array([], pa.int64()),
+        })
+        if u.size < 2:
+            return empty
+        same = u[1:] == u[:-1]
+        gaps = (ts[1:] - ts[:-1])[same]
+        gusers = u[:-1][same]
+        gstart = ts[:-1][same]
+        if gaps.size == 0:
+            return empty
+        # partial top-20 by (gap desc, user asc, start asc)
+        order = np.lexsort((gstart, gusers, -gaps))[:20]
+        return pa.table({
+            "user_id": pa.array(gusers[order]),
+            "gap_start": pa.array(gstart[order]).cast(
+                pa.timestamp("us")),
+            "gap_us": pa.array(gaps[order]),
+        })
+
+    import ray
+
+    parts = [t for t in ray.get(
+        _tag_bucket(ev.map_batches(prep, batch_format="pyarrow"),
+                    "user_id", 32)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    allp = pa.concat_tables(parts)
+    g = allp["gap_us"].to_numpy(zero_copy_only=False)
+    uu = allp["user_id"].to_numpy(zero_copy_only=False)
+    ss = allp["gap_start"].to_numpy(zero_copy_only=False).astype(
+        "datetime64[us]").astype(np.int64)
+    order = np.lexsort((ss, uu, -g))[:20]
+    out = allp.take(pa.array(order.astype(np.int64)))
+    return out.append_column(
+        "rank", pa.array(np.arange(1, out.num_rows + 1,
+                                   dtype=np.int64)))
+
+
+def markov_conditional_entropy_events(sf_dir: str):
+    """SEQUENCE PREDICTABILITY: the conditional entropy H(next type |
+    current type) of the per-user event-type Markov chain in exact
+    fixed-point — ``h_cond_q = sum_a n_a*qlog2(n_a) - sum_ab
+    c_ab*qlog2(c_ab)`` over the bounded transition matrix (0 = fully
+    deterministic behavior, high = noise; the single-number summary
+    the MLM/bot-detection stack thresholds on).  Composes the Markov
+    transition exchange with the deterministic qlog2 fold."""
+    from geodata_ray.stages.lm import qlog2_fixed
+
+    trans = markov_transitions_events(sf_dir)  # bounded types^2 table
+    c = trans["n"].to_numpy(zero_copy_only=False)
+    frm = trans["from_type"].to_numpy(zero_copy_only=False)
+    uf, inv = np.unique(frm, return_inverse=True)
+    n_a = np.zeros(uf.size, np.int64)
+    np.add.at(n_a, inv, c)
+    if int(c.sum()) > 2**40:
+        raise OverflowError("cond_entropy: n*qlog2 would exceed int64")
+    term_a = int((n_a * qlog2_fixed(n_a.astype(np.uint64)).astype(
+        np.int64)).sum())
+    term_ab = int((c * qlog2_fixed(c.astype(np.uint64)).astype(
+        np.int64)).sum())
+    return pa.table({
+        "n_transitions": pa.array([int(c.sum())], pa.int64()),
+        "n_states": pa.array([int(uf.size)], pa.int64()),
+        "h_cond_q": pa.array([term_a - term_ab], pa.int64()),
+    })
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -14409,6 +14503,10 @@ RAY_QUERIES = {
     "user_type_entropy_events": user_type_entropy_events,
     # forty-sixth wave (round 5)
     "lorenz_deciles_users_events": lorenz_deciles_users_events,
+    # forty-seventh wave (round 5)
+    "longest_gaps_users_events": longest_gaps_users_events,
+    "markov_conditional_entropy_events":
+        markov_conditional_entropy_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
