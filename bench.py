@@ -376,6 +376,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "ks_test_events",
         "mmr_rerank_embeddings",
         "dedup_canonical_docs",
+        # forty-eighth wave (round 5)
+        "duplicate_rows_audit_events",
         # forty-seventh wave (round 5)
         "longest_gaps_users_events",
         "markov_conditional_entropy_events",

@@ -5740,6 +5740,17 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # exact duplicate-row multiplicity histogram (double-write audit)
+    "duplicate_rows_audit_events": """
+        WITH g AS (
+          SELECT user_id, ts, event_type,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2, 3, 4
+        )
+        SELECT c AS k_copies, CAST(COUNT(*) AS BIGINT) AS n_groups
+        FROM g GROUP BY 1
+    """,
     # top-20 longest between-event idle gaps
     "longest_gaps_users_events": """
         WITH o AS (

@@ -14231,6 +14231,55 @@ def markov_conditional_entropy_events(sf_dir: str):
     })
 
 
+def duplicate_rows_audit_events(sf_dir: str):
+    """Exact DUPLICATE-ROW audit (the ingestion-quality double-write
+    detector): events grouped by the full business key (user_id,
+    timestamp, type, cents) — ignoring the surrogate event_id — and
+    reported as the multiplicity histogram (k copies -> n_groups).
+    One pre-combined exchange on the composite key; the histogram is
+    bounded by the max multiplicity."""
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()),
+                                 100.0)),
+            pa.int64(),
+        )
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_type": batch["event_type"],
+            "cents": cents,
+        })
+        out = t.group_by(
+            ["user_id", "ts_us", "event_type", "cents"]
+        ).aggregate([([], "count_all")])
+        ncol = next(c for c in out.column_names
+                    if c not in ("user_id", "ts_us", "event_type",
+                                 "cents"))
+        return out.rename_columns(
+            [c if c != ncol else "c" for c in out.column_names])
+
+    groups = grouped_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["user_id", "ts_us", "event_type", "cents"],
+        [("c", "sum", "c")],
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k_copies": batch["c"],
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+
+    return grouped_aggregate(
+        groups.map_batches(hist, batch_format="pyarrow"),
+        ["k_copies"], [("one", "sum", "n_groups")],
+    )
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -14507,6 +14556,8 @@ RAY_QUERIES = {
     "longest_gaps_users_events": longest_gaps_users_events,
     "markov_conditional_entropy_events":
         markov_conditional_entropy_events,
+    # forty-eighth wave (round 5)
+    "duplicate_rows_audit_events": duplicate_rows_audit_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
