@@ -376,6 +376,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "ks_test_events",
         "mmr_rerank_embeddings",
         "dedup_canonical_docs",
+        # forty-ninth wave (round 5)
+        "retention_half_life_events",
         # forty-eighth wave (round 5)
         "duplicate_rows_audit_events",
         # forty-seventh wave (round 5)

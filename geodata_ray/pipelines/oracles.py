@@ -5740,6 +5740,39 @@ _ORACLE_SQL_STATIC = {
     """,
     # hashing-trick bucket-load histogram over the distinct vocab
     "feature_hash_collisions_docs": _feature_hash_sql(),
+    # retention half-life from the exact survival curve
+    "retention_half_life_events": """
+        WITH s AS (
+          SELECT user_id,
+                 MIN(CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)) AS f,
+                 MAX(CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)) AS l
+          FROM events GROUP BY 1
+        ),
+        d AS (
+          SELECT DISTINCT day FROM (
+            SELECT f AS day FROM s UNION ALL SELECT l FROM s
+          )
+        ),
+        curve AS (
+          SELECT d.day,
+                 CAST(((SELECT COUNT(*) FROM s)
+                       - (SELECT COUNT(*) FROM s
+                          WHERE s.l <= d.day))
+                      * 1000000 // (SELECT COUNT(*) FROM s)
+                      AS BIGINT) AS surv_ppm
+          FROM d
+        ),
+        hl AS (
+          SELECT day, surv_ppm,
+                 ROW_NUMBER() OVER (ORDER BY day) AS rn
+          FROM curve WHERE surv_ppm < 500000
+        )
+        SELECT hl.day AS half_life_day,
+               hl.surv_ppm AS surv_ppm_at,
+               CAST((SELECT COUNT(*) FROM curve) AS BIGINT)
+                   AS n_days_observed
+        FROM hl WHERE rn = 1
+    """,
     # exact duplicate-row multiplicity histogram (double-write audit)
     "duplicate_rows_audit_events": """
         WITH g AS (

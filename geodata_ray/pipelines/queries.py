@@ -14280,6 +14280,34 @@ def duplicate_rows_audit_events(sf_dir: str):
     )
 
 
+def retention_half_life_events(sf_dir: str):
+    """RETENTION HALF-LIFE: the first observed day on which fewer than
+    half the user base remains alive (survival share < 500000 ppm) —
+    the single-number retention summary product teams track, composed
+    over the exact survival curve.  Emits that day, the exact share at
+    it, and the observed-day count; zero rows when survival never
+    crosses 50% inside the observation window (matching the oracle's
+    empty filter)."""
+    surv = user_lifetime_survival_events(sf_dir)  # bounded day table
+    days = surv["day"].to_numpy(zero_copy_only=False).astype(
+        "datetime64[us]").astype(np.int64)
+    ppm = surv["surv_ppm"].to_numpy(zero_copy_only=False)
+    below = np.flatnonzero(ppm < 500_000)
+    if below.size == 0:
+        return pa.table({
+            "half_life_day": pa.array([], pa.timestamp("us")),
+            "surv_ppm_at": pa.array([], pa.int64()),
+            "n_days_observed": pa.array([], pa.int64()),
+        })
+    i = int(below[0])
+    return pa.table({
+        "half_life_day": pa.array(
+            np.array([days[i]], np.int64)).cast(pa.timestamp("us")),
+        "surv_ppm_at": pa.array([int(ppm[i])], pa.int64()),
+        "n_days_observed": pa.array([int(days.size)], pa.int64()),
+    })
+
+
 RAY_QUERIES = {
     # -- r5 driver window (50 slots): queries that have never held an
     #    external driver row.  Positions 1-25 = the fifth wave; 26-50 =
@@ -14558,6 +14586,8 @@ RAY_QUERIES = {
         markov_conditional_entropy_events,
     # forty-eighth wave (round 5)
     "duplicate_rows_audit_events": duplicate_rows_audit_events,
+    # forty-ninth wave (round 5)
+    "retention_half_life_events": retention_half_life_events,
     # -- backfill: every query below holds a green driver row (r1-r4) --
     "temperature_grid": temperature_grid,
     "heat_demand_grid": heat_demand_grid,
